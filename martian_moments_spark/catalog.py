@@ -1,0 +1,75 @@
+"""Table catalog over the synthetic star schema (TESTDATA.md).
+
+Mirrors the reference's source registry (dbt ``sources.yml`` declares
+bronze tables; models refer to them by name) as a thin path registry:
+tables resolve to parquet under an sf_dir. Reads are plain
+``spark.read.parquet`` so Catalyst gets full pushdown/pruning —
+column selection and filters in downstream plans reach the scan.
+
+Role mapping (FIXTURES.md §4): lineitem≈fact_photos/fact_path,
+orders≈flat_manifest_photos (expected grain for gap detection),
+customer/supplier/nation/region≈dims, events≈Kafka control messages +
+bronze JSON, documents/embeddings≈LLM-data extension tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast unconditionally at any scale the
+# engine targets (region/nation are fixed-cardinality; supplier/customer
+# grow with SF and are left to AQE's broadcast decision).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# Columns written as parquet TIMESTAMP(NANOS) — Spark's vectorized
+# reader has no nanos timestamp type, so these are read as epoch-nanos
+# LongType (legacy conf) and converted to microsecond timestamps. The
+# testdata generator stamps at microsecond granularity, so the
+# truncation is lossless (and matches DuckDB→pandas us canon).
+NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table. Columnar parquet scan; callers project/
+    filter and Catalyst pushes both into the scan."""
+    nanos_cols = NANOS_TS_COLUMNS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    from pyspark.sql import functions as F
+
+    for c in nanos_cols:
+        if c in df.columns:
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view so plans can be written in
+    Spark SQL (same Catalyst plan as the DataFrame API)."""
+    for name in names:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

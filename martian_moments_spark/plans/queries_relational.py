@@ -1,0 +1,820 @@
+"""Relational operator queries (SURVEY.md §2.2-§2.7).
+
+Each query re-expresses one (or a cluster) of the reference's
+relational operators on the synthetic star schema, with the FIXTURES.md
+§4 role mapping: lineitem≈fact_photos/fact_path, orders≈manifest grain,
+customer/supplier/nation/region≈dims, part≈camera categorization.
+
+Scale notes apply to every query here: joins to `nation`/`region` are
+explicit broadcasts (bounded dims — reference analog: 4-row rover dim,
+dim_rovers.sql:7-13); fact-fact joins shuffle on their equi-keys and
+AQE handles skew; aggregates are expressed declaratively so Catalyst
+plans partial (map-side) + final hash aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from martian_moments_spark.catalog import load
+from martian_moments_spark.functions.numeric import (
+    fixed_avg,
+    fixed_sum,
+    sql_fixed_avg,
+    sql_fixed_sum,
+)
+from martian_moments_spark.plans.registry import register
+
+
+@register(
+    "daily_activity",
+    ops=("P3", "P8", "J2", "A1", "A3", "A4", "F8"),
+    bench=True,
+    oracle=f"""
+        SELECT
+            o.o_orderdate AS activity_date,
+            n.n_name      AS nation_name,
+            COUNT(*)                                                    AS total_items,
+            CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_items,
+            CAST(SUM(CASE WHEN l.l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS accepted_items,
+            CAST(SUM(CASE WHEN l.l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS neutral_items,
+            {sql_fixed_sum("l.l_extendedprice * (1 - l.l_discount)")}   AS revenue,
+            MAX(l.l_shipdate)                                           AS latest_shipdate
+        FROM lineitem l
+        JOIN orders   o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN nation   n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY o.o_orderdate, n.n_name
+    """,
+)
+def daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's gold mart `daily_activity`
+    (models/marts/daily_activity.sql:9-30) — per-day activity rollup
+    with conditional per-category counts (SUM(CASE WHEN category ...))
+    and an equality filter, over a fact x dims join chain
+    (camera_travel_correlation.sql:35-42 shape).
+
+    Scale: lineitem⋈orders shuffles on orderkey (co-partitionable at
+    100 TB via bucketing both facts on the key); customer joins via
+    AQE broadcast at small SF / shuffle at scale; nation is an
+    explicit broadcast (25 rows, analog of the 4-row rover dim).
+    """
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"
+    )
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    flag_count = lambda v: F.sum(F.when(F.col("l_returnflag") == v, 1).otherwise(0))  # noqa: E731
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_orderstatus") == "F")
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("o_orderdate").alias("activity_date"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_items"),
+            flag_count("R").alias("returned_items"),
+            flag_count("A").alias("accepted_items"),
+            flag_count("N").alias("neutral_items"),
+            fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.max("l_shipdate").alias("latest_shipdate"),
+        )
+    )
+
+
+@register(
+    "pricing_summary",
+    ops=("A1", "A3", "A4", "O1", "P3"),
+    bench=True,
+    oracle=f"""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            {sql_fixed_sum("l_quantity")}                                AS sum_qty,
+            {sql_fixed_sum("l_extendedprice")}                           AS sum_base_price,
+            {sql_fixed_sum("l_extendedprice * (1 - l_discount)")}        AS sum_disc_price,
+            {sql_fixed_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+            {sql_fixed_avg("l_quantity")}                                AS avg_qty,
+            {sql_fixed_avg("l_extendedprice")}                           AS avg_price,
+            {sql_fixed_avg("l_discount", scale=1000000)}                 AS avg_disc,
+            COUNT(*)                                                     AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate group-by + order-by (the reference's
+    photo_summary mart shape, models/marts/photo_summary.sql, widened
+    to the classic pricing-summary rollup).
+
+    Scale: single shuffle on the two low-cardinality group keys;
+    Catalyst plans partial hash aggregation map-side so the shuffle
+    carries one row per (flag,status) per task, not per input row.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fixed_sum("l_quantity").alias("sum_qty"),
+            fixed_sum("l_extendedprice").alias("sum_base_price"),
+            fixed_sum(disc_price).alias("sum_disc_price"),
+            fixed_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            fixed_avg("l_quantity").alias("avg_qty"),
+            fixed_avg("l_extendedprice").alias("avg_price"),
+            fixed_avg("l_discount", scale=1000000).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "gap_detection_anti_join",
+    ops=("J4", "P5", "A1"),
+    bench=True,
+    oracle="""
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def gap_detection_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's gap detector: LEFT JOIN + WHERE right IS NULL
+    (validation_photo_gaps.sql:54-59) — expected grain with no matching
+    actual rows, driving the backfill feedback loop (E6). Expressed as
+    Spark's first-class left_anti join rather than the join+filter idiom.
+
+    Scale: anti-join shuffles both sides on the key; at 100 TB the
+    expected/actual tables are bucketed on the key so this is a
+    co-located zipper, and the anti side only carries the key column.
+    """
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+
+
+@register(
+    "validation_gaps",
+    ops=("J3", "J4", "P5", "P10", "P11", "P13", "A1", "A2", "O1"),
+    bench=True,
+    oracle=f"""
+        WITH actual AS (
+            SELECT
+                l_orderkey,
+                COUNT(*)                          AS actual_item_count,
+                COUNT(DISTINCT l_suppkey)         AS actual_supplier_count,
+                {sql_fixed_sum("l_extendedprice")} AS actual_total_price
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_orderkey
+        )
+        SELECT
+            o.o_orderkey,
+            o.o_orderdate,
+            COALESCE(a.actual_item_count, 0)      AS actual_item_count,
+            COALESCE(a.actual_supplier_count, 0)  AS actual_supplier_count,
+            ROUND(o.o_totalprice - COALESCE(a.actual_total_price, 0), 2) AS price_diff,
+            CASE
+                WHEN a.l_orderkey IS NULL THEN 'MISSING_ORDER'
+                WHEN a.actual_total_price > o.o_totalprice THEN 'PRICE_MISMATCH'
+                WHEN a.actual_supplier_count > a.actual_item_count THEN 'SUPPLIER_COUNT_MISMATCH'
+                ELSE 'VALID'
+            END AS validation_status
+        FROM orders o
+        LEFT JOIN actual a ON o.o_orderkey = a.l_orderkey
+        ORDER BY o.o_orderkey
+    """,
+)
+def validation_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full reconciliation model
+    (validation_photo_gaps.sql:6-62): aggregate the actual side,
+    LEFT JOIN expected x actual, difference expressions, multi-branch
+    CASE status, COALESCE defaults, ordered output. Unlike the
+    reference (which keeps only MISSING_SOL rows — SURVEY §3.4 quirk),
+    all statuses are emitted; the anti-join variant is
+    `gap_detection_anti_join`.
+
+    Scale: the actual-side aggregate and the join share the same key
+    (orderkey), so Catalyst reuses one shuffle partitioning; the
+    COUNT(DISTINCT) expands to a two-phase aggregate automatically.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_shipdate"
+    )
+    actual = (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("actual_item_count"),
+            F.countDistinct("l_suppkey").alias("actual_supplier_count"),
+            fixed_sum("l_extendedprice").alias("actual_total_price"),
+        )
+    )
+    joined = orders.join(actual, orders.o_orderkey == actual.l_orderkey, "left")
+    status = (
+        F.when(F.col("l_orderkey").isNull(), "MISSING_ORDER")
+        .when(F.col("actual_total_price") > F.col("o_totalprice"), "PRICE_MISMATCH")
+        .when(
+            F.col("actual_supplier_count") > F.col("actual_item_count"),
+            "SUPPLIER_COUNT_MISMATCH",
+        )
+        .otherwise("VALID")
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.coalesce("actual_item_count", F.lit(0)).alias("actual_item_count"),
+        F.coalesce("actual_supplier_count", F.lit(0)).alias("actual_supplier_count"),
+        F.round(
+            F.col("o_totalprice") - F.coalesce("actual_total_price", F.lit(0.0)), 2
+        ).alias("price_diff"),
+        status.alias("validation_status"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "dim_small_join_chain",
+    ops=("J1", "P1", "A1"),
+    oracle=f"""
+        SELECT
+            r.r_name AS region_name,
+            n.n_name AS nation_name,
+            COUNT(s.s_suppkey)            AS supplier_count,
+            {sql_fixed_sum("s.s_acctbal")} AS total_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+)
+def dim_small_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-key inner equi-joins through small dims with projection +
+    rename (dim_coordinate.sql:19-20 x fact_photos.sql:6-14 shapes).
+
+    Scale: both dims broadcast — zero shuffles for the joins; the only
+    shuffle is the final group-by.
+    """
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load(spark, sf_dir, "region")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("s_suppkey").alias("supplier_count"),
+            fixed_sum("s_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "left_join_coalesce",
+    ops=("J3", "P11", "A1"),
+    oracle=f"""
+        WITH per_cust AS (
+            SELECT o_custkey, COUNT(*) AS order_count,
+                   {sql_fixed_sum("o_totalprice")} AS total_spend
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_mktsegment,
+               COALESCE(p.order_count, 0)      AS order_count,
+               COALESCE(p.total_spend, 0.0)    AS total_spend
+        FROM customer c
+        LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+    """,
+)
+def left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping unmatched rows + COALESCE defaults
+    (daily_activity.sql:12-13,20-25 — facts keep rows without a path
+    match and default day_type/length)."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            fixed_sum("o_totalprice").alias("total_spend"),
+        )
+    )
+    return customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("order_count", F.lit(0)).alias("order_count"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+    )
+
+
+@register(
+    "interval_containment",
+    ops=("P6", "J6", "A1"),
+    oracle="""
+        SELECT
+            l.l_orderkey,
+            l.l_linenumber,
+            l.l_shipdate,
+            (l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY)
+                AS shipped_within_90d
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + BETWEEN range predicate as a boolean column — the
+    reference's photo-SCLK-in-travel-interval test
+    (camera_travel_correlation.sql:33,41-42): equi-join on
+    (rover_id, sol) then `photo_time BETWEEN sclk_start AND sclk_end`.
+
+    Scale: the range test rides on the equi-join (no theta join);
+    a standalone interval join would bucketize the range key first
+    (see operators.relational.range_join)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_shipdate")
+        .between(F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .alias("shipped_within_90d"),
+    )
+
+
+@register(
+    "case_bucketize",
+    ops=("P8", "A1"),
+    oracle=f"""
+        SELECT
+            CASE
+                WHEN l_quantity IS NULL OR l_quantity = 0 THEN 'Stationary'
+                WHEN l_quantity < 5  THEN 'Minimal Movement'
+                WHEN l_quantity < 20 THEN 'Short Travel'
+                ELSE 'Long Travel'
+            END AS day_type,
+            COUNT(*) AS n_items,
+            {sql_fixed_sum("l_extendedprice")} AS total_price
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
+def case_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketization — the reference's day_type buckets on
+    travel length (fact_path.sql:20-29: NULL/0 Stationary, <5 Minimal
+    Movement, <20 Short Travel, else Long Travel), applied to
+    l_quantity."""
+    li = load(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    day_type = (
+        F.when(F.col("l_quantity").isNull() | (F.col("l_quantity") == 0), "Stationary")
+        .when(F.col("l_quantity") < 5, "Minimal Movement")
+        .when(F.col("l_quantity") < 20, "Short Travel")
+        .otherwise("Long Travel")
+    )
+    return (
+        li.withColumn("day_type", day_type)
+        .groupBy("day_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            fixed_sum("l_extendedprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "case_dict_map",
+    ops=("P9", "A6"),
+    oracle="""
+        SELECT DISTINCT
+            n_name AS nation_name,
+            CASE n_name
+                WHEN 'UNITED STATES' THEN 8
+                WHEN 'CANADA'        THEN 7
+                WHEN 'BRAZIL'        THEN 6
+                WHEN 'ARGENTINA'     THEN 5
+                ELSE 0
+            END AS nation_code
+        FROM nation
+    """,
+)
+def case_dict_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardcoded CASE dictionary map — the reference's rover_name →
+    rover_id map (Perseverance=8, Spirit=7, Opportunity=6, Curiosity=5,
+    else 0; dim_rovers.sql:7-13, duplicated in fact_path.sql:7-13 and
+    dim_cameras.sql:7-13). At scale this is a broadcast lookup; as in
+    the reference it is a literal expression."""
+    nation = load(spark, sf_dir, "nation").select("n_name")
+    code = (
+        F.when(F.col("n_name") == "UNITED STATES", 8)
+        .when(F.col("n_name") == "CANADA", 7)
+        .when(F.col("n_name") == "BRAZIL", 6)
+        .when(F.col("n_name") == "ARGENTINA", 5)
+        .otherwise(0)
+    )
+    return nation.select(
+        F.col("n_name").alias("nation_name"), code.alias("nation_code")
+    ).distinct()
+
+
+@register(
+    "in_list_category",
+    ops=("P7", "P8", "A1"),
+    oracle=f"""
+        SELECT
+            CASE
+                WHEN p_type IN ('ECONOMY', 'STANDARD') THEN 'Engineering'
+                WHEN p_type IN ('PROMO', 'LARGE')      THEN 'Science'
+                WHEN p_type IN ('MEDIUM')              THEN 'Entry, Descent, and Landing'
+                ELSE 'Other'
+            END AS part_category,
+            COUNT(*) AS n_parts,
+            {sql_fixed_avg("p_retailprice")} AS avg_price
+        FROM part
+        GROUP BY 1
+    """,
+)
+def in_list_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list membership → category — the reference's camera
+    categorization (dim_cameras.sql:17-31: three hardcoded name lists →
+    Engineering / Science / EDL / Other)."""
+    part = load(spark, sf_dir, "part").select("p_type", "p_retailprice")
+    category = (
+        F.when(F.col("p_type").isin("ECONOMY", "STANDARD"), "Engineering")
+        .when(F.col("p_type").isin("PROMO", "LARGE"), "Science")
+        .when(F.col("p_type").isin("MEDIUM"), "Entry, Descent, and Landing")
+        .otherwise("Other")
+    )
+    return (
+        part.withColumn("part_category", category)
+        .groupBy("part_category")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            fixed_avg("p_retailprice").alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "row_number_synthetic_key",
+    ops=("W2", "P12"),
+    oracle="""
+        SELECT
+            l_orderkey,
+            l_linenumber,
+            CAST(l_orderkey * 1000 + ROW_NUMBER() OVER (
+                PARTITION BY l_orderkey ORDER BY l_linenumber
+            ) AS BIGINT) AS item_id,
+            CAST(ROW_NUMBER() OVER (
+                PARTITION BY l_orderkey ORDER BY l_linenumber
+            ) AS BIGINT) AS item_sequence
+        FROM lineitem
+    """,
+)
+def row_number_synthetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned ROW_NUMBER + arithmetic synthetic key — the
+    reference's coordinate_id = rover_id*1e9 + sol*1000 + seq over
+    (PARTITION BY rover_id, sol ORDER BY coord.index)
+    (dim_coordinate.sql:7-8,18).
+
+    Scale: partitioned window → one shuffle on the partition key; no
+    global ordering required (contrast `global_row_number`)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    seq = F.row_number().over(w).cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") * 1000 + seq).alias("item_id"),
+        seq.alias("item_sequence"),
+    )
+
+
+@register(
+    "global_row_number",
+    ops=("W1", "A6"),
+    oracle="""
+        SELECT
+            p_brand,
+            p_type,
+            CAST(ROW_NUMBER() OVER (ORDER BY p_brand, p_type) AS BIGINT) AS brand_type_id
+        FROM (SELECT DISTINCT p_brand, p_type FROM part)
+    """,
+)
+def global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (unpartitioned) ROW_NUMBER over deduped rows — the
+    reference's camera_id = ROW_NUMBER() OVER (ORDER BY camera_name,
+    rover_id) on a grouped view (dim_cameras.sql:15,38-41). The
+    reference's id is order-unstable (SURVEY §3.4 quirk); here the
+    ORDER BY covers the full distinct key so the id is deterministic.
+
+    Scale: a global window is a single-partition sort — acceptable only
+    at dim cardinality (documented guard; the fact-side analog is
+    `row_number_synthetic_key`)."""
+    part = load(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
+    w = W.orderBy("p_brand", "p_type")
+    return part.select(
+        "p_brand", "p_type", F.row_number().over(w).cast("long").alias("brand_type_id")
+    )
+
+
+@register(
+    "ordered_limit",
+    ops=("O1", "O2"),
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 200
+    """,
+)
+def ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered top-K — the reference's scheduling batch fetch
+    (SELECT ... FROM VALIDATION_PHOTO_GAPS LIMIT 200,
+    src/utils/snowflake.py:76 with BATCH_SIZE=200 src/config.py:32, plus
+    ORDER BY sol validation_photo_gaps.sql:62). Deterministic tiebreak
+    on the key so the result is hash-stable.
+
+    Scale: Spark plans TakeOrderedAndProject — per-partition top-K then
+    a K-row merge at the driver; no global sort materialization."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    return orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(200)
+
+
+@register(
+    "union_all_batches",
+    ops=("U1", "A1", "P3"),
+    oracle=f"""
+        SELECT source_batch, COUNT(*) AS n_rows, {sql_fixed_sum("l_quantity")} AS total_qty
+        FROM (
+            SELECT 'returned' AS source_batch, l_quantity FROM lineitem WHERE l_returnflag = 'R'
+            UNION ALL
+            SELECT 'accepted' AS source_batch, l_quantity FROM lineitem WHERE l_returnflag = 'A'
+        )
+        GROUP BY source_batch
+    """,
+)
+def union_all_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all of per-batch results — the reference's fan-in concat
+    of per-(rover,sol) API batches (src/ingestion/photos.py:28-32,
+    dags/photo_ingestion_dag.py:55-58) as `unionByName`."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.lit("returned").alias("source_batch"), "l_quantity"
+    )
+    accepted = li.filter(F.col("l_returnflag") == "A").select(
+        F.lit("accepted").alias("source_batch"), "l_quantity"
+    )
+    return (
+        returned.unionByName(accepted)
+        .groupBy("source_batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            fixed_sum("l_quantity").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "set_operations",
+    ops=("U1",),
+    oracle="""
+        WITH big_spenders AS (
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+        ),
+        urgent_buyers AS (
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT 'both' AS set_kind, custkey FROM (SELECT custkey FROM big_spenders INTERSECT SELECT custkey FROM urgent_buyers)
+        UNION ALL
+        SELECT 'only_big' AS set_kind, custkey FROM (SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM urgent_buyers)
+    """,
+)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface (absent from the reference —
+    SURVEY §2.7 notes Spark provides them free; included for the
+    complete relational surface)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    big = (
+        orders.filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    both = big.intersect(urgent).select(F.lit("both").alias("set_kind"), "custkey")
+    only_big = big.exceptAll(urgent).select(F.lit("only_big").alias("set_kind"), "custkey")
+    return both.unionByName(only_big)
+
+
+@register(
+    "count_distinct",
+    ops=("A1", "A2"),
+    oracle="""
+        SELECT
+            l_returnflag,
+            COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+            COUNT(DISTINCT l_partkey) AS distinct_parts,
+            COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — the reference's per-sol distinct
+    camera count (validation_photo_gaps.sql:22). Catalyst expands
+    multi-distinct into an expand + two-phase aggregate."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_suppkey", "l_partkey")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "dedup_group_distinct",
+    ops=("A6",),
+    oracle="""
+        SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+)
+def dedup_group_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY as dedup — dim_cameras groups purely for distinct rows
+    (dim_cameras.sql:38-41) → `dropDuplicates`."""
+    return load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").dropDuplicates()
+
+
+@register(
+    "scalar_subquery_watermark",
+    ops=("P4", "A5"),
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        FROM lineitem
+        WHERE l_shipdate > (SELECT MAX(l_shipdate) - INTERVAL 90 DAY FROM lineitem)
+    """,
+)
+def scalar_subquery_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark delta selection — the incremental-model pattern
+    `WHERE ingestion_date > (SELECT MAX(ingestion_date) FROM {{this}})`
+    used by 7 reference models (flat_photo_response.sql:27-29 et al.).
+    Implemented the engine way (SURVEY X1): scalar aggregate collapsed
+    to a literal at plan time, so the filter pushes into the scan."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    wm = li.agg(F.max("l_shipdate").alias("wm")).first()["wm"]
+    from datetime import timedelta
+
+    return li.filter(F.col("l_shipdate") > F.lit(wm - timedelta(days=90)))
+
+
+@register(
+    "top_k_per_group",
+    ops=("W2", "O2"),
+    oracle="""
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+                   ) AS rn
+            FROM lineitem
+        )
+        WHERE rn <= 3
+    """,
+)
+def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via partitioned row_number ≤ K (beyond-reference
+    window surface; generalizes the reference's LIMIT-batched fetch to
+    per-key batches). Deterministic tiebreaks for hash stability.
+
+    Scale: one shuffle on the group key; AQE handles group skew. No
+    global sort."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w).cast("long")).filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_lag",
+    ops=("W2",),
+    oracle="""
+        SELECT
+            o_custkey,
+            o_orderkey,
+            o_orderdate,
+            ROUND(SUM(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ), 2) AS running_spend,
+            LAG(o_orderkey) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ) AS prev_orderkey
+        FROM orders
+    """,
+)
+def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate + LAG with an explicit frame (beyond-reference
+    window surface — the reference uses only row_number, SURVEY §2.5)."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+        ).alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+@register(
+    "grouping_rollup",
+    ops=("A1", "A3"),
+    oracle=f"""
+        SELECT
+            COALESCE(l_returnflag, 'ALL') AS return_flag,
+            COALESCE(l_linestatus, 'ALL') AS line_status,
+            COUNT(*) AS n_items,
+            {sql_fixed_sum("l_quantity")} AS total_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (beyond-reference aggregate surface —
+    SURVEY §2.4 notes grouping sets absent from the reference; exposed
+    for the complete engine)."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            fixed_sum("l_quantity").alias("total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("return_flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("line_status"),
+            "n_items",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "conditional_pivot",
+    ops=("A3", "A1"),
+    oracle="""
+        SELECT
+            c_mktsegment,
+            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_orders,
+            CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+            CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot via conditional aggregation — the reference's
+    per-category photo counts (daily_activity.sql:14-16:
+    SUM(CASE WHEN camera_category='Engineering' THEN 1 ELSE 0 END) x3)."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cnt = lambda s: F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))  # noqa: E731
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            cnt("F").alias("finished_orders"),
+            cnt("O").alias("open_orders"),
+            cnt("P").alias("pending_orders"),
+        )
+    )
