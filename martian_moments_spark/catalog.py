@@ -64,7 +64,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     for c in nanos_cols:
         if c in df.columns:
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+            # Integer DIV, not `/`: float division of epoch-nanos loses
+            # the last microsecond digit (2^53 < 1.7e18).
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return df
 
 
