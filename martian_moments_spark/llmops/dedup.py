@@ -1,0 +1,180 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All signature math is integer arithmetic over the md5-derived portable
+hash (textops.portable_hash31), so signatures are bit-identical across
+engines, partition counts, and retries.
+
+Scale design (100 TB):
+- exact dedup: one shuffle on the fingerprint; with the corpus
+  bucketed by fingerprint it is a co-located group-by.
+- MinHash/LSH: signatures are per-row array expressions (narrow);
+  the only shuffle is the band-bucket self-join, which is the point
+  of LSH — candidate pairs ~ O(collisions), not O(n^2).
+- SimHash: per-row again; near-dup candidates join on band prefixes.
+- pairwise Jaccard is O(block^2) — only ever run it inside a blocking
+  key (here: source), never across the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from martian_moments_spark.llmops.textops import (
+    HASH_P,
+    portable_hash31,
+    sql_portable_hash31,
+    sql_word_shingles,
+    word_shingles,
+)
+
+# Deterministic MinHash family h_i(x) = (a_i * h(x) + b_i) mod P.
+# a_i odd and < 2^17 keeps a_i * h(x) < 2^48 — no BIGINT overflow.
+MINHASH_SEEDS: tuple[tuple[int, int], ...] = tuple(
+    (2 * i + 3, 7919 * (i + 1)) for i in range(8)
+)
+SIMHASH_BITS = 32
+
+
+def minhash_signature(col: str = "text", n: int = 2) -> list[Column]:
+    """One min-hash per seed over the document's word shingles.
+    NULL signature for documents with fewer than ``n`` tokens."""
+    shingles = word_shingles(col, n)
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: (F.lit(a) * portable_hash31(s) + F.lit(b)) % F.lit(HASH_P))
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    ]
+
+
+def sql_minhash_signature(expr: str = "text", n: int = 2) -> dict[str, str]:
+    shingles = sql_word_shingles(expr, n)
+    return {
+        f"mh_{i}": (
+            f"list_min(list_transform({shingles}, "
+            f"s -> ({a} * {sql_portable_hash31('s')} + {b}) % {HASH_P}))"
+        )
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    }
+
+
+def lsh_bands(signature_cols: list[str], rows_per_band: int = 2) -> list[Column]:
+    """Group signature columns into bands; a band key is the banded
+    min-hashes combined into one value. Docs sharing ANY band key are
+    candidate near-duplicates."""
+    bands = []
+    for bi in range(0, len(signature_cols), rows_per_band):
+        chunk = signature_cols[bi : bi + rows_per_band]
+        key = F.lit(0).cast("long")
+        for c in chunk:
+            key = (key * F.lit(1_000_003) + F.coalesce(F.col(c), F.lit(0)) % F.lit(1_000_003)) % F.lit(
+                HASH_P
+            )
+        bands.append(key.alias(f"band_{bi // rows_per_band}"))
+    return bands
+
+
+def sql_lsh_bands(signature_exprs: dict[str, str], rows_per_band: int = 2) -> dict[str, str]:
+    cols = list(signature_exprs)
+    out = {}
+    for bi in range(0, len(cols), rows_per_band):
+        key = "0"
+        for c in cols[bi : bi + rows_per_band]:
+            key = f"(({key}) * 1000003 + COALESCE({signature_exprs[c]}, 0) % 1000003) % {HASH_P}"
+        out[f"band_{bi // rows_per_band}"] = key
+    return out
+
+
+def simhash(col: str = "text", bits: int = SIMHASH_BITS) -> Column:
+    """Order-insensitive near-dup fingerprint: bit b of the simhash is
+    the majority vote of bit b across the distinct tokens' hashes.
+    Token hashes are computed once into an array, then each bit is a
+    count over that integer array (no re-hashing per bit)."""
+    hashed = F.array_distinct(
+        F.transform(
+            F.filter(F.split(F.col(col), r"\s+"), lambda t: t != ""),
+            portable_hash31,
+        )
+    )
+    total = F.size(hashed)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        ones = F.size(F.filter(hashed, lambda h: h.bitwiseAND(F.lit(1 << b)) != 0))
+        out = out + F.when(ones * 2 > total, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def sql_simhash(expr: str = "text", bits: int = SIMHASH_BITS) -> str:
+    toks = f"list_filter(regexp_split_to_array({expr}, '\\s+'), t -> t <> '')"
+    hashed = f"list_distinct(list_transform({toks}, t -> {sql_portable_hash31('t')}))"
+    terms = []
+    for b in range(bits):
+        ones = f"len(list_filter(__h, h -> (h & {1 << b}) <> 0))"
+        terms.append(f"CASE WHEN {ones} * 2 > len(__h) THEN {1 << b} ELSE 0 END")
+    return f"(SELECT CAST({' + '.join(terms)} AS BIGINT) FROM (SELECT {hashed} AS __h))"
+
+
+def hamming_distance(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Popcount of XOR — near-dup distance between two simhashes."""
+    x = a.bitwiseXOR(b)
+    return sum(
+        (F.shiftright(x, i).bitwiseAND(F.lit(1))).cast("int") for i in range(bits)
+    ).alias("hamming")
+
+
+def sql_hamming_distance(a: str, b: str, bits: int = SIMHASH_BITS) -> str:
+    return (
+        "("
+        + " + ".join(f"((({a}) # ({b})) >> {i}) & 1" for i in range(bits))
+        + ")"
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5 fingerprint of the text, keep the smallest id
+    per fingerprint (deterministic winner). One shuffle, on the
+    fingerprint."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("kept_" + id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-set Jaccard for every document pair inside a blocking key.
+    The blocking key bounds the quadratic blowup — this is the exact
+    verifier LSH candidates feed into at scale."""
+    toks = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col),
+        F.array_distinct(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("toks"),
+    )
+    a = toks.select(
+        F.col("block"), F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a")
+    )
+    b = toks.select(
+        F.col("block"), F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "block",
+            "id_a",
+            "id_b",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+    )

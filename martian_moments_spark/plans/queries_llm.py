@@ -1,1 +1,485 @@
-"""Placeholder — populated in later milestones."""
+"""LLM-training-data queries (north-star extension; SURVEY §7.2.6).
+
+Dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard), embedding
+similarity search (brute-force + IVF), and text analysis over the
+``documents`` / ``embeddings`` tables. Every signature/score is
+integer or integer-ratio arithmetic derived from the md5 portable
+hash, so even the MinHash and ANN pipelines have EXACT DuckDB oracles
+— the oracle SQL is generated from the same seed/scale constants the
+Spark side uses (single source of truth in llmops.*).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from martian_moments_spark.catalog import load
+from martian_moments_spark.llmops.dedup import (
+    HASH_P,
+    MINHASH_SEEDS,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_bands,
+    minhash_signature,
+    simhash,
+)
+from martian_moments_spark.llmops.similarity import FIXED_SCALE, topk_cosine
+from martian_moments_spark.llmops.textops import (
+    predicted_language,
+    language_scores,
+    quality_metrics,
+    rolling_fingerprint,
+    sql_portable_hash31,
+    sql_quality_metrics,
+)
+from martian_moments_spark.plans.registry import register
+
+# Shared DuckDB CTE fragments (kept in lockstep with llmops helpers).
+_SQL_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+_SQL_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len(t) - 1, 0)), i -> t[i] || ' ' || t[i + 1])"
+)
+
+
+def _sql_minhash_cols() -> str:
+    return ",\n            ".join(
+        f"list_min(list_transform(s, x -> ({a} * {sql_portable_hash31('x')} + {b}) % {HASH_P})) AS mh_{i}"
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+
+
+@register(
+    "dedup_exact",
+    ops=("A1", "A6"),
+    oracle="""
+        SELECT md5(text) AS fingerprint,
+               MIN(doc_id) AS kept_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: content fingerprint -> keep lowest doc_id.
+    One shuffle on the fingerprint; at 100 TB the corpus is bucketed by
+    fingerprint so re-dedup of a grown corpus is co-located."""
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_signatures",
+    ops=(),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+        )
+        SELECT doc_id,
+            {_sql_minhash_cols()}
+        FROM sh
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 permutations over word 2-shingles). The
+    per-document signature stage of fuzzy dedup — per-row array math,
+    no shuffle, no UDF."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", *minhash_signature("text"))
+
+
+@register(
+    "minhash_lsh_candidates",
+    ops=("J2", "A6"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+        ), mh AS (
+            SELECT doc_id,
+            {_sql_minhash_cols()}
+            FROM sh
+        ), bands AS (
+            SELECT doc_id, 0 AS band_idx,
+                   ((0 * 1000003 + COALESCE(mh_0, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_1, 0) % 1000003) % {HASH_P} AS band_val FROM mh
+            UNION ALL
+            SELECT doc_id, 1,
+                   ((0 * 1000003 + COALESCE(mh_2, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_3, 0) % 1000003) % {HASH_P} FROM mh
+            UNION ALL
+            SELECT doc_id, 2,
+                   ((0 * 1000003 + COALESCE(mh_4, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_5, 0) % 1000003) % {HASH_P} FROM mh
+            UNION ALL
+            SELECT doc_id, 3,
+                   ((0 * 1000003 + COALESCE(mh_6, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_7, 0) % 1000003) % {HASH_P} FROM mh
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidates: signatures -> 4 bands of
+    2 rows -> docs sharing any band bucket. The LSH point at scale: the
+    only shuffle is the band-bucket join, producing O(collisions)
+    pairs instead of the O(n^2) cross product."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = docs.select("doc_id", *minhash_signature("text"))
+    banded = sig.select("doc_id", *lsh_bands([f"mh_{i}" for i in range(len(MINHASH_SEEDS))]))
+    n_bands = len(MINHASH_SEEDS) // 2
+    melted = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"), F.col(f"band_{i}").alias("band_val")
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_val")
+    a = melted.select(
+        F.col("doc_id").alias("id_a"), "band_idx", "band_val"
+    )
+    b = melted.select(
+        F.col("doc_id").alias("id_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+@register(
+    "simhash_fingerprints",
+    ops=(),
+    oracle=(
+        lambda: f"""
+        WITH h AS (
+            SELECT doc_id,
+                   list_distinct(list_transform({_SQL_TOKS},
+                       t -> {sql_portable_hash31('t')})) AS hs
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST({' + '.join(f"CASE WHEN len(list_filter(hs, v -> (v & {1 << b}) <> 0)) * 2 > len(hs) THEN {1 << b} ELSE 0 END" for b in range(32))} AS BIGINT) AS simhash32
+        FROM h
+    """
+    )(),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) near-dup fingerprints: majority vote per bit
+    over distinct-token hashes. Order-insensitive (contrast
+    doc_fingerprint). Per-row; token hashes computed once per doc."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", simhash("text").alias("simhash32"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    ops=("J2", "P6"),
+    oracle="""
+        WITH toks AS (
+            SELECT source, doc_id,
+                   list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                             t -> t <> '')) AS tk
+            FROM documents
+        )
+        SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+               CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) > 0
+                    THEN CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE)
+                    ELSE 0.0 END AS jaccard
+        FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked token-set Jaccard — the exact near-dup verifier that LSH
+    candidates feed into at scale. Blocking on ``source`` bounds the
+    quadratic pair blowup to within-block."""
+    return jaccard_pairs(load(spark, sf_dir, "documents"), block_col="source")
+
+
+@register(
+    "text_quality_scores",
+    ops=(),
+    oracle=f"""
+        SELECT doc_id,
+               {sql_quality_metrics("text")["n_tokens"]} AS n_tokens,
+               {sql_quality_metrics("text")["n_chars_measured"]} AS n_chars_measured,
+               {sql_quality_metrics("text")["avg_token_len"]} AS avg_token_len,
+               {sql_quality_metrics("text")["stopword_ratio"]} AS stopword_ratio,
+               {sql_quality_metrics("text")["distinct_ratio"]} AS distinct_ratio
+        FROM documents
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals (length, token stats, stopword and
+    distinct-token ratios) — the filter features of a training-data
+    quality gate. All ratios are int/int double divisions
+    (deterministic across engines and partitionings)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    m = quality_metrics("text")
+    return docs.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["n_chars_measured"].alias("n_chars_measured"),
+        m["avg_token_len"].alias("avg_token_len"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        m["distinct_ratio"].alias("distinct_ratio"),
+    )
+
+
+@register(
+    "language_id",
+    ops=("P7",),
+    oracle=(
+        lambda scores=(
+            "CAST(len(list_intersect(tk, ['the', 'a', 'and', 'of', 'is'])) AS INT)",
+            "CAST(len(list_intersect(tk, ['der', 'die', 'das', 'und', 'ist'])) AS INT)",
+            "CAST(len(list_intersect(tk, ['el', 'la', 'que', 'de', 'es'])) AS INT)",
+            "CAST(len(list_intersect(tk, ['le', 'la', 'et', 'les', 'est'])) AS INT)",
+            "CAST(len(list_intersect(tk, ['的', '是', '了', '不', '在'])) AS INT)",
+        ): f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                             t -> t <> '')) AS tk
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, lang,
+                   {scores[0]} AS score_en, {scores[1]} AS score_de,
+                   {scores[2]} AS score_es, {scores[3]} AS score_fr,
+                   {scores[4]} AS score_zh
+            FROM toks
+        )
+        SELECT doc_id, lang AS labeled_lang, score_en, score_de, score_es,
+               score_fr, score_zh,
+               CASE
+                   WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) AND score_en > 0 THEN 'en'
+                   WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) AND score_de > 0 THEN 'de'
+                   WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) AND score_es > 0 THEN 'es'
+                   WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) AND score_fr > 0 THEN 'fr'
+                   WHEN score_zh = greatest(score_en, score_de, score_es, score_fr, score_zh) AND score_zh > 0 THEN 'zh'
+                   ELSE 'unknown'
+               END AS predicted_lang
+        FROM scored
+    """
+    )(),
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification: per-language hit counts over
+    distinct tokens, argmax with deterministic tie order. (The synthetic
+    corpus is vocabulary-uniform, so predictions skew 'en'/'unknown';
+    the operator mechanics are what's exercised.)"""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    scores = language_scores("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lg].alias(f"score_{lg}") for lg in ("en", "de", "es", "fr", "zh")],
+        predicted_language("text").alias("predicted_lang"),
+    )
+
+
+@register(
+    "token_counts",
+    ops=("F1",),
+    oracle="""
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+                    AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+                    AS BIGINT) AS bpe_ish_tokens
+        FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (letter runs / single digits / single punctuation) — the
+    pre-tokenization count a data pipeline budgets corpora with."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+        .cast("long")
+        .alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    ops=(),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   list_transform(t, x -> {sql_portable_hash31('x')}) AS ht,
+                   len(t) AS n
+            FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN n = 0 THEN 0
+                    ELSE list_reduce(ht, (a, b) -> (a * 31 + b) % {HASH_P})
+               END AS fingerprint
+        FROM hashed
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (polynomial
+    fold over token hashes) — detects exact token-sequence reuse;
+    complements order-insensitive SimHash."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+
+_SQL_UNITS = f"list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {FIXED_SCALE}, 0) AS BIGINT))"
+
+
+@register(
+    "embedding_cosine_topk",
+    ops=("J2", "W2", "O2"),
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, {_SQL_UNITS} AS units,
+                   CAST(list_sum(list_transform(list_zip({_SQL_UNITS}, {_SQL_UNITS}),
+                        z -> z[1] * z[2])) AS BIGINT) AS norm2
+            FROM embeddings
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(list_sum(list_transform(list_zip(a.units, b.units),
+                        z -> z[1] * z[2])) AS BIGINT) AS dot,
+                   a.norm2 AS na, b.norm2 AS nb
+            FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        ), cos AS (
+            SELECT id_a, id_b,
+                   CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+            FROM pairs
+        )
+        SELECT id_a, id_b, cosine, CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn FROM cos)
+        WHERE rn <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column — the ANN
+    baseline/verifier. Fixed-point dot products make the result exact
+    and engine-independent. O(n^2): run only on bounded sets; the
+    scale path is embedding_ann_ivf."""
+    return topk_cosine(load(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "embedding_ann_ivf",
+    ops=("J2", "W2", "O2"),
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, label, {_SQL_UNITS} AS units,
+                   CAST(list_sum(list_transform(list_zip({_SQL_UNITS}, {_SQL_UNITS}),
+                        z -> z[1] * z[2])) AS BIGINT) AS norm2
+            FROM embeddings
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS cell,
+                   CAST(list_sum(list_transform(list_zip(a.units, b.units),
+                        z -> z[1] * z[2])) AS BIGINT) AS dot,
+                   a.norm2 AS na, b.norm2 AS nb
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
+        ), cos AS (
+            SELECT id_a, id_b, cell,
+                   CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+            FROM pairs
+        )
+        SELECT id_a, id_b, cosine, CAST(rn AS INT) AS rank, cell
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn FROM cos)
+        WHERE rn <= 5
+    """,
+)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the ``label`` column stands in for the coarse
+    quantizer's nearest-centroid cell; top-k search runs within-cell
+    only. The self-join shuffles on the cell key — O(sum cell^2), the
+    100 TB-viable plan (multi-probe = union over neighboring cells)."""
+    return topk_cosine(load(spark, sf_dir, "embeddings"), k=5, cell_col="label")
+
+
+@register(
+    "multimodal_metadata",
+    ops=("P8", "N5"),
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_length,
+               CAST(doc_id % 1920 + 1 AS INT) AS width,
+               CAST(doc_id % 1080 + 1 AS INT) AS height
+        FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column construction: opaque binary payload + typed
+    metadata struct, with media-type routing. Metadata-only projection
+    — the binary column is pruned at the scan (verify via ReadSchema in
+    .explain)."""
+    from martian_moments_spark.llmops.multimodal import attach_fake_payload
+
+    docs = attach_fake_payload(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return docs.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.length("payload").cast("long").alias("byte_length"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    ops=(),
+    oracle=None,  # crc32 has no DuckDB equivalent — rows-only check;
+    # determinism is pinned by tests/test_llmops.py instead.
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads (decode stub: byte length + crc32 + metadata passthrough).
+    The one deliberately-Python stage in the engine — the seam where a
+    real image/audio decoder plugs in."""
+    from martian_moments_spark.llmops.multimodal import attach_fake_payload, extract_features
+
+    docs = attach_fake_payload(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return extract_features(docs)
+
+
+@register(
+    "multimodal_frame_sample",
+    ops=("N3", "F9"),
+    oracle="""
+        SELECT doc_id,
+               UNNEST(generate_series(0, CAST(doc_id % 24 AS BIGINT), 6)) AS frame_index
+        FROM documents
+        WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: every-6th frame index per video
+    payload (frame decode itself is the stub). JVM-side sequence +
+    explode — one output row per sampled frame."""
+    from martian_moments_spark.llmops.multimodal import attach_fake_payload, frame_sample
+
+    docs = attach_fake_payload(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return frame_sample(docs).select("doc_id", F.col("frame_index").cast("long"))

@@ -1,0 +1,60 @@
+"""Watermarked event-time aggregation over streams.
+
+The batch-mode semantics of these exact expressions are oracle-checked
+in plans.queries_streaming; here they run with watermarks so state is
+bounded and late data is dropped deterministically — the engine's
+late-data policy beyond the reference's batch gap-detection loop (E6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from martian_moments_spark.functions.numeric import fixed_sum
+
+
+def watermarked_tumbling_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling event-time aggregate with a watermark: windows finalize
+    once the watermark passes window end; rows later than the watermark
+    are dropped (bounded state — the property that lets this run
+    forever on a 1000-executor cluster)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fixed_sum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "total_value")
+    )
+
+
+def watermarked_session_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows under a watermark: a session closes when the
+    watermark passes last-event + gap. State per key is one open
+    session, merged as events arrive (Spark's session_window merge)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"), fixed_sum("value").alias("total_value"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

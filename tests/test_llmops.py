@@ -1,0 +1,96 @@
+"""Property tests for the LLM-data operators: LSH candidate recall,
+simhash locality, multimodal batch plumbing determinism."""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import functions as F
+
+from martian_moments_spark.llmops.dedup import hamming_distance, simhash
+from martian_moments_spark.llmops.multimodal import (
+    FEATURE_SCHEMA,
+    attach_fake_payload,
+    extract_features,
+    frame_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base.replace("today", "tomorrow")),  # near-dup of 0
+        (2, base),  # exact dup of 0
+        (3, "completely different content about spark shuffle partitions and joins"),
+        (4, "unrelated words forming another distinct document entirely here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_lsh_candidates_cover_true_near_dups(spark):
+    """Docs sharing ≥7/8 min-hashes must collide in at least one of the
+    4 two-row bands (pigeonhole) — exact dup pairs are always candidates
+    and the near-dup pair should be at this shingle overlap."""
+    from martian_moments_spark.llmops.dedup import minhash_signature, lsh_bands
+
+    docs = _near_dup_docs(spark)
+    sig = docs.select("doc_id", *minhash_signature("text"))
+    rows = {r["doc_id"]: [r[f"mh_{i}"] for i in range(8)] for r in sig.collect()}
+    assert rows[0] == rows[2], "exact dup must have identical signature"
+
+    banded = sig.select("doc_id", *lsh_bands([f"mh_{i}" for i in range(8)]))
+    b = {r["doc_id"]: [r[f"band_{i}"] for i in range(4)] for r in banded.collect()}
+    assert any(x == y for x, y in zip(b[0], b[2]))
+    # near-dup pair (0,1): most shingles shared → expect ≥1 shared band
+    shared = sum(x == y for x, y in zip(rows[0], rows[1]))
+    if shared >= 2:
+        assert any(x == y for x, y in zip(b[0], b[1]))
+
+
+def test_simhash_locality(spark):
+    """Exact dups: hamming 0. Near-dups: small hamming. Unrelated:
+    larger hamming than the near-dup pair."""
+    docs = _near_dup_docs(spark).select("doc_id", simhash("text").alias("sh"))
+    sh = {r["doc_id"]: r["sh"] for r in docs.collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sh[0], sh[2]) == 0
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[3])
+
+
+def test_hamming_distance_column(spark):
+    df = spark.createDataFrame([(0b1010, 0b0110)], "a LONG, b LONG")
+    assert df.select(hamming_distance(F.col("a"), F.col("b"))).first()[0] == 2
+
+
+def test_multimodal_feature_extract_deterministic(spark):
+    """mapInPandas features must be schema-stable, partition-count-
+    independent, and match a driver-side recomputation (crc32)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(50)
+    feats = extract_features(attach_fake_payload(docs))
+    assert feats.schema == FEATURE_SCHEMA
+
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, r in rows.items():
+        payload = src[doc_id].encode("utf-8")
+        assert r["byte_length"] == len(payload)
+        assert r["checksum_crc32"] == (zlib.crc32(payload) & 0xFFFFFFFF)
+
+    repart = extract_features(attach_fake_payload(docs.repartition(7)))
+    assert {tuple(r) for r in repart.collect()} == {tuple(r) for r in feats.collect()}
+
+
+def test_frame_sample_only_videos(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(30)
+    frames = frame_sample(attach_fake_payload(docs))
+    got = frames.select("doc_id").distinct().collect()
+    assert all(r["doc_id"] % 3 == 2 for r in got)
+    one = frames.filter(F.col("doc_id") == 2).select("frame_index").collect()
+    # doc_id=2 → n_frames=3 → sampled indices 0 (step 6 over 0..2)
+    assert sorted(r["frame_index"] for r in one) == [0]

@@ -1,0 +1,130 @@
+"""Structured Streaming integration tests: file-arrival source,
+append + upsert sinks, watermark late-data semantics — run with
+availableNow triggers against temp dirs (no broker needed)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from martian_moments_spark.pipelines.medallion import (
+    ENVELOPE_SCHEMA,
+    build_gold_daily,
+    flatten_envelopes,
+    run_batch_medallion,
+    write_bronze_envelopes,
+)
+from martian_moments_spark.streaming.sinks import append_parquet_sink, upsert_foreach_batch
+from martian_moments_spark.streaming.sources import file_json_stream
+from martian_moments_spark.streaming.windows import watermarked_tumbling_agg
+
+
+def _sample_rows(n=250, start_hour=0):
+    return [
+        {
+            "event_id": i,
+            "ts": f"2024-03-01T{(start_hour + i // 60) % 24:02d}:{i % 60:02d}:00",
+            "user_id": i % 7,
+            "event_type": ["click", "view", "error"][i % 3],
+            "value": float(i) / 10.0,
+        }
+        for i in range(n)
+    ]
+
+
+def test_streaming_file_source_matches_batch_medallion(spark, tmp_path):
+    """The streamed flatten must produce exactly the batch flatten's
+    rows — same plan, two execution modes."""
+    bronze = str(tmp_path / "bronze")
+    write_bronze_envelopes(_sample_rows(), bronze, batch_size=100)
+
+    silver_b, gold_b = run_batch_medallion(
+        spark, bronze, str(tmp_path / "silver_b"), str(tmp_path / "gold_b")
+    )
+
+    stream = file_json_stream(spark, bronze, ENVELOPE_SCHEMA, max_files_per_trigger=1)
+    q = append_parquet_sink(
+        flatten_envelopes(stream), str(tmp_path / "silver_s"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    silver_s = spark.read.parquet(str(tmp_path / "silver_s"))
+
+    assert silver_s.count() == 250 == silver_b.count()
+    a = {tuple(r) for r in silver_s.select("event_id", "event_type", "value").collect()}
+    b = {tuple(r) for r in silver_b.select("event_id", "event_type", "value").collect()}
+    assert a == b
+    assert gold_b.agg(F.sum("total_events")).first()[0] == 250
+
+
+def test_foreach_batch_upsert_last_writer_wins(spark, tmp_path):
+    """Two micro-batches carrying overlapping keys: the second batch's
+    versions must win; non-overlapping rows must survive (E8)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "target.parquet")
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "k BIGINT, v STRING, seq BIGINT"
+    # batch 1: keys 1..4 v='old'; batch 2: keys 3..6 v='new'
+    write_file("b1.json", [{"k": k, "v": "old", "seq": 1} for k in range(1, 5)])
+    stream = file_json_stream(spark, str(src), schema)
+    q = upsert_foreach_batch(stream, target, str(tmp_path / "ck1"), keys=["k"], order_col="seq")
+    q.awaitTermination(120)
+
+    write_file("b2.json", [{"k": k, "v": "new", "seq": 2} for k in range(3, 7)])
+    q = upsert_foreach_batch(stream, target, str(tmp_path / "ck1"), keys=["k"], order_col="seq")
+    q.awaitTermination(120)
+
+    final = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert final == {1: "old", 2: "old", 3: "new", 4: "new", 5: "new", 6: "new"}
+    markers = [p for p in os.listdir(tmp_path) if p.startswith("_load_complete")]
+    assert markers, "load-complete control record missing (E9)"
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row older than (max event time - watermark) arriving in a
+    later micro-batch must be dropped from the aggregation."""
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    out = str(tmp_path / "wm_out")
+    ck = str(tmp_path / "wm_ck")
+    schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+
+    def run_once():
+        stream = file_json_stream(spark, str(src), schema)
+        agg = watermarked_tumbling_agg(stream, window="1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(src / "f1.json", "w") as f:
+        for h in (10, 11, 12):  # advances watermark to 12:00 - 1h = 11:00
+            f.write(json.dumps({"ts": f"2024-03-01 {h:02d}:30:00", "event_type": "click", "value": 1.0}) + "\n")
+    run_once()
+    with open(src / "f2.json", "w") as f:
+        # 09:45 < watermark 11:00 → dropped; 12:45 → accepted
+        f.write(json.dumps({"ts": "2024-03-01 09:45:00", "event_type": "click", "value": 100.0}) + "\n")
+        f.write(json.dumps({"ts": "2024-03-01 12:45:00", "event_type": "click", "value": 1.0}) + "\n")
+    run_once()
+    # close remaining windows: advance watermark far past everything
+    with open(src / "f3.json", "w") as f:
+        f.write(json.dumps({"ts": "2024-03-02 00:00:00", "event_type": "click", "value": 0.0}) + "\n")
+    run_once()
+
+    res = spark.read.parquet(out)
+    total = res.agg(F.sum("total_value")).first()[0]
+    # 3 on-time (1.0) + accepted 12:45 (1.0) = 4.0; late 100.0 dropped.
+    assert total == pytest.approx(4.0)
