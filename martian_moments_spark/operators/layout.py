@@ -1,0 +1,56 @@
+"""Table layout: the Snowflake ``cluster_by`` analog (SURVEY X4).
+
+The reference declares cluster_by=['rover_id','sol','earth_date'] etc.
+on every materialized model (flat_photo_response.sql:5) and lets
+Snowflake micro-partition. The Spark equivalent is explicit:
+partition directories for pruning + within-file sort for row-group
+skipping (parquet min/max stats) + bucketing for co-located joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def clustered_write(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    sort_by: Sequence[str] = (),
+    files_per_partition: int = 1,
+) -> None:
+    """Write with the cluster_by layout: directory partitions on the
+    coarse key (→ Catalyst partition pruning on equality/range
+    predicates), rows sorted within files on the fine key (→ parquet
+    row-group min/max skipping). ``files_per_partition`` sizes output
+    files — at 100 TB aim for 128-512 MB files, here 1 file per
+    partition keeps the test layout readable."""
+    out = df
+    if partition_by:
+        out = out.repartition(files_per_partition, *partition_by)
+    if sort_by:
+        out = out.sortWithinPartitions(*[*partition_by, *sort_by])
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def bucketed_table(
+    df: DataFrame,
+    spark: SparkSession,
+    table_name: str,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    sort_by: Sequence[str] = (),
+) -> None:
+    """Bucketed saveAsTable: both sides of a recurring equi-join
+    bucketed on the key join WITHOUT a shuffle (the reference's
+    co-clustered fact joins, and this engine's 100 TB answer for
+    lineitem⋈orders-shaped joins)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table_name)

@@ -1,0 +1,161 @@
+"""Named relational operators.
+
+The reference's operators appear inline in its dbt models; here each
+is a reusable function. The two custom joins — as-of and bucketized
+range — are the operators Spark has no primitive for (SURVEY §2.3 J6
+is their degenerate equi+BETWEEN form); both are compositions of
+shuffle-once built-ins, never theta joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def broadcast_dim_join(
+    fact: DataFrame, dim: DataFrame, on: str | list[str], how: str = "inner"
+) -> DataFrame:
+    """Equi-join with an explicitly broadcast dimension (J1/J2) — the
+    bounded-dim case (reference: 4-row rover dim) where shipping the
+    dim to every executor beats any shuffle at any fact scale."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def anti_join_gaps(expected: DataFrame, actual: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Expected-minus-actual on a grain key (J4) — the reference's gap
+    detector idiom LEFT JOIN + WHERE right IS NULL
+    (validation_photo_gaps.sql:54-59) as a first-class left_anti."""
+    return expected.join(actual.select(*keys), list(keys), "left_anti")
+
+
+def case_map(col: str, mapping: Mapping, default=None) -> Column:
+    """Dictionary CASE map (P9; dim_rovers.sql:7-13). For maps too big
+    to inline, broadcast-join a lookup DataFrame instead."""
+    out = None
+    for k, v in mapping.items():
+        cond = F.col(col) == k
+        out = F.when(cond, v) if out is None else out.when(cond, v)
+    return out.otherwise(default) if out is not None else F.lit(default)
+
+
+def high_watermark_filter(source: DataFrame, target: DataFrame, wm_col: str) -> DataFrame:
+    """Incremental delta selection (P4/A5/X1): rows of ``source``
+    strictly above MAX(wm_col) of ``target``. The scalar aggregate
+    collapses to a literal at plan time so the filter pushes into the
+    source scan; an empty target selects everything."""
+    wm = target.agg(F.max(wm_col)).first()[0]
+    return source if wm is None else source.filter(F.col(wm_col) > F.lit(wm))
+
+
+def topk_per_group(
+    df: DataFrame, partition: Sequence[str], order: Sequence[Column], k: int
+) -> DataFrame:
+    """Top-k rows per group via partitioned row_number (W2/O2): one
+    shuffle on the group key, no global sort. ``order`` must include a
+    unique tie-break for deterministic results."""
+    w = W.partitionBy(*partition).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    strict: bool = False,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: for every left row, the latest right row of the same
+    key with right_time <= left_time (< if ``strict``).
+
+    Algorithm (the merge-sort formulation, not a range cross-join):
+    union both sides tagged, sort within key by (time, side-tag,
+    tie-break), and carry the right side's values forward with
+    last(ignorenulls) — then keep left rows. ONE shuffle on the key;
+    state is one row; no interval explosion. This is the 100 TB form:
+    a windowed scan over key-partitioned, time-sorted data.
+
+    The reference's camera_travel_correlation (J6) is the degenerate
+    case where an equi-key pre-bounds the match to a single interval.
+
+    ``right_tiebreak`` (a value_col name) makes the winner among
+    equal-timestamp right rows deterministic (largest value wins) —
+    required for hash-stable results under any partitioning.
+    """
+    # side tag orders right rows before left at equal timestamps, so
+    # "at-or-before" is inclusive; strict flips the tag order.
+    right_tag, left_tag = (1, 0) if strict else (0, 1)
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(right_tag).alias("__side"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    l = left.withColumn("__k", F.col(on)).withColumn("__t", F.col(left_time)).withColumn(
+        "__side", F.lit(left_tag)
+    )
+    for c in value_cols:
+        l = l.withColumn(f"__v_{c}", F.lit(None).cast(r.schema[f"__v_{c}"].dataType))
+    merged = l.select(*[f"__v_{c}" for c in value_cols], "__k", "__t", "__side", *left.columns).unionByName(
+        r, allowMissingColumns=True
+    )
+    order = [F.col("__t").asc(), F.col("__side").asc()]
+    if right_tiebreak:
+        # NULLS FIRST so left rows (NULL value cols) never outrank the
+        # right rows they tie with on (__t, __side).
+        order.append(F.col(f"__v_{right_tiebreak}").asc_nulls_first())
+    w = W.partitionBy("__k").orderBy(*order).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    for c in value_cols:
+        merged = merged.withColumn(f"__asof_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w))
+    return (
+        merged.filter(F.col("__side") == left_tag)
+        .select(
+            *left.columns,
+            *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        )
+    )
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi-key (the generalization
+    of J6): never a theta join — both sides are mapped to fixed-width
+    time buckets (intervals explode to every bucket they overlap), the
+    join is equi on the bucket id, and the exact BETWEEN filters the
+    residue.
+
+    Shuffle is on bucket id; cost is O(matches + bucket collisions),
+    tunable via ``bucket_seconds`` (set ~ median interval length).
+    Skewed buckets fall to AQE skew-join handling."""
+    b = F.lit(bucket_seconds)
+    lb = left.withColumn("__bucket", (F.unix_timestamp(F.col(point_col)) / b).cast("long"))
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / b).cast("long"),
+                (F.unix_timestamp(F.col(end_col)) / b).cast("long"),
+            )
+        ),
+    )
+    return lb.join(ib, "__bucket").filter(
+        F.col(point_col).between(F.col(start_col), F.col(end_col))
+    ).drop("__bucket")

@@ -17,6 +17,8 @@ def load_all() -> dict:
         queries_functions,
         queries_incremental,
         queries_llm,
+        queries_operators,
+        queries_quality,
         queries_streaming,
     )
 

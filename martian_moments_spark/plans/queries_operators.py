@@ -1,0 +1,118 @@
+"""Custom-join operator queries: as-of join and bucketized range join
+(SURVEY §2.3 J6's generalizations — the operators Spark lacks as
+primitives, composed from built-ins in operators.relational).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from martian_moments_spark.catalog import load
+from martian_moments_spark.operators.relational import asof_join, bucketed_range_join
+from martian_moments_spark.plans.registry import register
+
+
+@register(
+    "asof_join_last_purchase",
+    ops=("J6", "W2"),
+    oracle="""
+        WITH merged AS (
+            SELECT user_id, ts, 1 AS side, event_id, event_type, value,
+                   NULL::BIGINT AS pv_id, NULL::DOUBLE AS pv_value
+            FROM events
+            UNION ALL
+            SELECT user_id, ts, 0, event_id, event_type, value,
+                   event_id, value
+            FROM events WHERE event_type = 'purchase'
+        ), carried AS (
+            SELECT user_id, ts, side, event_id, event_type, value,
+                   last_value(pv_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, side ASC, pv_id ASC NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS asof_event_id,
+                   last_value(pv_value IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, side ASC, pv_id ASC NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS asof_value
+            FROM merged
+        )
+        SELECT event_id, user_id, ts, event_type, value, asof_event_id, asof_value
+        FROM carried WHERE side = 1
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event annotated with the user's latest
+    purchase at-or-before it. Uses the merge-sort as-of algorithm
+    (operators.relational.asof_join): ONE shuffle on user_id, no
+    interval cross-join — the 100 TB form of the reference's
+    photo-in-travel-interval correlation (J6). The oracle derives the
+    identical carry-forward relationally.
+
+    N.B. the oracle window orders pv_id NULLS FIRST to mirror Spark's
+    asc_nulls_first; both engines then resolve equal-timestamp ties to
+    the largest purchase event_id."""
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        events,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["event_id", "value"],
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.col("asof_event_id"), F.col("asof_value"),
+    )
+
+
+@register(
+    "range_join_bucketed",
+    ops=("J6", "P6"),
+    oracle="""
+        WITH top_orders AS (
+            SELECT o_orderkey, o_orderdate,
+                   o_orderdate + INTERVAL 7 DAY AS window_end
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+               t.o_orderkey AS interval_orderkey
+        FROM lineitem l
+        JOIN top_orders t
+          ON l.l_shipdate BETWEEN t.o_orderdate AND t.window_end
+    """,
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi-key): lineitem ship events falling in
+    the 7-day windows opened by the top-20 orders. The engine never
+    executes a theta join: intervals explode to day buckets, the join
+    is equi on bucket id, BETWEEN filters the residue
+    (operators.relational.bucketed_range_join). The oracle is the
+    direct theta join — exact at test scale, quadratic at real scale,
+    which is the point of the bucketed plan."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    top = (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select(
+            F.col("o_orderkey").alias("interval_orderkey"),
+            F.col("o_orderdate"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("window_end"),
+        )
+    )
+    out = bucketed_range_join(
+        li, top, point_col="l_shipdate", start_col="o_orderdate", end_col="window_end"
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_shipdate", "interval_orderkey")

@@ -1,0 +1,84 @@
+"""Data-quality queries (SURVEY §2.12) + the deliberately-Python UDAF
+surface (§2.11).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from martian_moments_spark.catalog import load
+from martian_moments_spark.plans.registry import register
+
+
+@register(
+    "data_quality_summary",
+    ops=("A3",),
+    oracle="""
+        SELECT
+            CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS custkey_nulls,
+            CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('F', 'O', 'P')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS bad_status_values,
+            CAST(SUM(CASE WHEN o_totalprice >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+                AS negative_prices,
+            CAST(SUM(CASE WHEN o_orderpriority LIKE '%-%' THEN 0 ELSE 1 END) AS BIGINT)
+                AS malformed_priorities,
+            COUNT(*) AS total_rows
+        FROM orders
+    """,
+)
+def data_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt test suite (not_null / accepted_values /
+    expression_is_true — sources.yml:133-236) evaluated as ONE
+    conditional-aggregation pass over the table (quality.run_checks
+    semantics): a 100-check suite over 100 TB is one scan."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("custkey_nulls"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus").isNotNull()
+                & ~F.col("o_orderstatus").isin("F", "O", "P"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_status_values"),
+        F.sum(F.when(F.col("o_totalprice") >= 0, 0).otherwise(1))
+        .cast("long")
+        .alias("negative_prices"),
+        F.sum(F.when(F.col("o_orderpriority").like("%-%"), 0).otherwise(1))
+        .cast("long")
+        .alias("malformed_priorities"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+@register(
+    "ewma_per_user",
+    ops=(),
+    oracle=None,  # recursive order-dependent state — not expressible in
+    # one ANSI-SQL pass; pinned instead by tests/test_llmops-style unit
+    # test (test_quality_udaf.py) against a driver-side recomputation.
+)
+def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event value per user —
+    the applyInPandas (grouped-map pandas UDF) surface (§2.11): a
+    genuinely sequential per-key recursion (state_t = a*x_t +
+    (1-a)*state_{t-1}) that built-ins cannot express. One shuffle on
+    user_id; Arrow-batched per-group computation; deterministic order
+    (ts, event_id)."""
+    events = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pdf["ewma_value"] = pdf["value"].ewm(alpha=0.3, adjust=False).mean()
+        return pdf[["user_id", "event_id", "ts", "value", "ewma_value"]]
+
+    schema = "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE, ewma_value DOUBLE"
+    return events.groupBy("user_id").applyInPandas(ewma, schema)

@@ -1,0 +1,70 @@
+"""Object-store JSON routing (S4, S6, F4, X8).
+
+The reference routes files by filename prefix twice: MinIO uploads go
+to photos/ | coordinates/ | manifests/ (src/utils/minio.py:26-34) and
+Snowflake COPY targets a bronze table by the same prefixes
+(src/utils/snowflake.py:31-39), loading with MATCH_BY_COLUMN_NAME +
+ON_ERROR='CONTINUE' (:45-51). Spark-side: the upload routing is a
+partitioned write; the load routing is input_file_name()-driven; the
+error tolerance is PERMISSIVE mode + a _corrupt_record column.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# filename-prefix → route, verbatim from the reference's two routers.
+PREFIX_ROUTES: tuple[tuple[str, str], ...] = (
+    ("mars_rover_photos", "photos"),
+    ("rover_coordinates", "coordinates"),
+    ("mission_manifests", "manifests"),
+)
+
+
+def route_for_filename(filename: Column) -> Column:
+    """Prefix-match routing as a column expression (F4)."""
+    out = F.lit("unrouted")
+    for prefix, route in reversed(PREFIX_ROUTES):
+        out = F.when(filename.startswith(prefix), route).otherwise(out)
+    return out
+
+
+def write_json_routed(df: DataFrame, base_dir: str, filename_col: str = "filename") -> None:
+    """Object-store JSON sink with prefix routing (S4): one JSON-lines
+    dataset per route directory — `partitionBy(route)` so the write is
+    a single job and each route is a prefix (= MinIO folder)."""
+    df.withColumn("route", route_for_filename(F.col(filename_col))).write.mode(
+        "append"
+    ).partitionBy("route").json(base_dir)
+
+
+def bronze_load(
+    spark: SparkSession, paths: list[str], schema: str, corrupt_col: str = "_corrupt_record"
+) -> DataFrame:
+    """Bulk JSON load (S6): schema-tolerant (missing fields → NULL, the
+    MATCH_BY_COLUMN_NAME analog), per-record error tolerance
+    (PERMISSIVE + corrupt-record column, the ON_ERROR='CONTINUE'
+    analog), and source-file + route lineage columns for the
+    filename-prefix table routing."""
+    df = (
+        spark.read.schema(f"{schema}, {corrupt_col} STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(paths)
+    )
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return df.withColumn("source_file", fname).withColumn(
+        "route", route_for_filename(fname)
+    )
+
+
+def list_routed(base_dir: str, route: str) -> list[str]:
+    """The reference's per-prefix listing (fget_object loop) — local FS
+    flavor; on S3 this is a prefix listing."""
+    d = os.path.join(base_dir, f"route={route}")
+    if not os.path.isdir(d):
+        return []
+    return [os.path.join(d, f) for f in sorted(os.listdir(d)) if not f.startswith((".", "_"))]

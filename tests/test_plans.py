@@ -1,0 +1,110 @@
+"""Physical-plan property tests — the scale-discipline gate.
+
+Correctness says the answer is right; these say the PLAN is the one
+that survives 100x data: filters pushed into parquet scans, bounded
+dims broadcast (never cartesian/nested-loop), ordered limits planned
+as TakeOrderedAndProject, per-row array ops not forcing shuffles.
+A regression here is a performance bug even while results stay green.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from martian_moments_spark.plans import load_all
+from tests.conftest import SF_DIR_ORACLE
+
+REGISTRY = load_all()
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {
+        name: explain_str(REGISTRY[name].fn(spark, SF_DIR_ORACLE))
+        for name in (
+            "daily_activity",
+            "pricing_summary",
+            "dim_small_join_chain",
+            "ordered_limit",
+            "json_path_extract",
+            "gap_detection_anti_join",
+            "range_join_bucketed",
+            "asof_join_last_purchase",
+        )
+    }
+
+
+def test_no_cartesian_or_nested_loop_anywhere(plans):
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if name != "range_join_bucketed":  # its oracle-side is theta; engine side must not be
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
+
+
+def test_daily_activity_broadcasts_dims(plans):
+    plan = plans["daily_activity"]
+    assert "BroadcastHashJoin" in plan  # nation (explicit) + customer (AQE/static)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count(
+        "BroadcastHashJoin"
+    ) >= 2  # the fact-fact join may shuffle; dims must not
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    plan = plans["pricing_summary"]
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(plans):
+    # daily_activity projects 5 of 11 lineitem columns; the scan schema
+    # must not include the unused ones.
+    plan = plans["daily_activity"]
+    scan_schemas = [l for l in plan.splitlines() if "ReadSchema" in l and "lineitem" not in l]
+    joined = "\n".join(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_quantity" not in joined and "l_tax" not in joined
+
+
+def test_ordered_limit_is_top_k(plans):
+    assert "TakeOrderedAndProject" in plans["ordered_limit"]
+
+
+def test_json_extract_is_shuffle_free(plans):
+    assert "Exchange" not in plans["json_path_extract"]
+
+
+def test_anti_join_only_ships_key_column(plans):
+    # the anti side must scan only o_custkey
+    plan = plans["gap_detection_anti_join"]
+    orders_schema_lines = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "o_custkey" in l
+    ]
+    assert orders_schema_lines and all(
+        "o_totalprice" not in l for l in orders_schema_lines
+    )
+
+
+def test_range_join_is_equi_on_buckets(plans):
+    # bucketed plan: the join itself must be hash/sort-merge on the
+    # bucket key, not a nested-loop over the BETWEEN predicate.
+    plan = plans["range_join_bucketed"]
+    assert "BroadcastNestedLoopJoin" not in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_join_single_shuffle_on_key(plans):
+    # merge-sort as-of: exactly one exchange families on __k (plus
+    # possibly AQE reads); no range/cross join anywhere.
+    import re
+
+    plan = plans["asof_join_last_purchase"]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(__k" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1

@@ -1,0 +1,118 @@
+"""Sources/sinks layer: HTTP fan-out fetch, object-store routing,
+bronze load tolerance, tagged model runner."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from martian_moments_spark.sources.http import fetch_tasks
+from martian_moments_spark.sources.object_store import (
+    bronze_load,
+    route_for_filename,
+    write_json_routed,
+)
+from martian_moments_spark.sources.runner import ModelRunner
+
+
+def test_fetch_tasks_fan_out_and_error_degradation(spark):
+    tasks = spark.createDataFrame(
+        [("Perseverance", 10), ("Curiosity", 11), ("BROKEN", 12)],
+        "rover STRING, sol INT",
+    ).repartition(3)
+
+    def fake_transport(url):
+        if "BROKEN" in url:
+            raise TimeoutError("simulated 30s timeout")
+        return json.dumps({"url": url, "photos": [1, 2, 3]})
+
+    out = fetch_tasks(
+        tasks, "https://api/rovers/{rover}/photos?sol={sol}", transport=fake_transport
+    )
+    rows = {r["rover"]: r["response"] for r in out.collect()}
+    assert json.loads(rows["Perseverance"])["url"].endswith("Perseverance/photos?sol=10")
+    assert json.loads(rows["BROKEN"]) == {}  # error → empty payload, job survives
+
+
+def test_route_for_filename_prefixes(spark):
+    df = spark.createDataFrame(
+        [
+            ("mars_rover_photos_batch_1.json",),
+            ("rover_coordinates_x.json",),
+            ("mission_manifests_y.json",),
+            ("random.json",),
+        ],
+        "filename STRING",
+    )
+    got = {r[0]: r[1] for r in df.select("filename", route_for_filename(F.col("filename"))).collect()}
+    assert got["mars_rover_photos_batch_1.json"] == "photos"
+    assert got["rover_coordinates_x.json"] == "coordinates"
+    assert got["mission_manifests_y.json"] == "manifests"
+    assert got["random.json"] == "unrouted"
+
+
+def test_write_routed_and_bronze_load_tolerance(spark, tmp_path):
+    base = str(tmp_path / "landing")
+    df = spark.createDataFrame(
+        [
+            ("mars_rover_photos_a.json", 1),
+            ("mission_manifests_b.json", 2),
+        ],
+        "filename STRING, payload INT",
+    )
+    write_json_routed(df, base)
+    import os
+
+    assert set(p for p in os.listdir(base) if p.startswith("route=")) == {
+        "route=photos",
+        "route=manifests",
+    }
+
+    # bronze load: one good file, one with a corrupt line
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    with open(raw / "mars_rover_photos_c.json", "w") as f:
+        f.write(json.dumps({"id": 1, "v": "ok"}) + "\n")
+        f.write("{not valid json\n")
+    loaded = bronze_load(spark, [str(raw / "mars_rover_photos_c.json")], "id BIGINT, v STRING")
+    rows = loaded.collect()
+    assert len(rows) == 2
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 1 and good[0]["v"] == "ok" and good[0]["route"] == "photos"
+    assert len(bad) == 1 and bad[0]["id"] is None  # record kept, not dropped
+
+
+def test_model_runner_tag_selection_runs_deps(spark, tmp_path):
+    """A tagged run must execute untagged upstreams (the SURVEY §3.4
+    reference quirk — 'flatten-inner' models skipped by exact-match tag
+    selection — fixed by construction)."""
+    runner = ModelRunner(spark, str(tmp_path / "wh"))
+    order = []
+
+    def mk(name, sql):
+        def fn(s):
+            order.append(name)
+            return s.sql(sql)
+
+        return fn
+
+    runner.register("base", mk("base", "SELECT 1 AS x"), tags=("flatten-inner",))
+    runner.register(
+        "silver",
+        mk("silver", "SELECT x + 1 AS y FROM base"),
+        tags=("flatten",),
+        deps=("base",),
+        materialized="table",
+    )
+    runner.register(
+        "gold",
+        mk("gold", "SELECT SUM(y) AS total FROM silver"),
+        tags=("aggregate",),
+        deps=("silver",),
+    )
+    runner.run_tag("flatten")
+    assert order == ["base", "silver"]  # dep ran despite non-matching tag
+    runner.run_tag("aggregate")
+    assert spark.table("gold").first()["total"] == 2
