@@ -38,11 +38,23 @@ SIMHASH_BITS = 32
 
 def minhash_signature(col: str = "text", n: int = 2) -> list[Column]:
     """One min-hash per seed over the document's word shingles.
-    NULL signature for documents with fewer than ``n`` tokens."""
-    shingles = word_shingles(col, n)
+    NULL signature for documents with fewer than ``n`` tokens.
+
+    The md5 base hash is computed ONCE per shingle; the 8 permutations
+    are affine transforms over the cached integers (8x fewer md5
+    evaluations — md5 dominates the signature cost)."""
+    hashed = F.transform(word_shingles(col, n), portable_hash31)
+    return minhash_from_hashes(hashed)
+
+
+def minhash_from_hashes(hashed: Column) -> list[Column]:
+    """Min-hash columns from a precomputed shingle-hash array. Pass a
+    materialized column (withColumn) so the base hashing runs once —
+    expression-tree copies of a non-cheap transform are not collapsed
+    by Catalyst, but a referenced column is computed one time."""
     return [
         F.array_min(
-            F.transform(shingles, lambda s: (F.lit(a) * portable_hash31(s) + F.lit(b)) % F.lit(HASH_P))
+            F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_P))
         ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_SEEDS)
     ]

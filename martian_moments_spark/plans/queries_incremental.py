@@ -58,6 +58,7 @@ def incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "merge_upsert",
     ops=("E8", "J4", "U1"),
+    bench=True,
     oracle="""
         WITH existing AS (
             SELECT l_orderkey, l_linenumber, l_quantity, 'existing' AS row_version

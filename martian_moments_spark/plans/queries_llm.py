@@ -19,6 +19,7 @@ from martian_moments_spark.catalog import load
 from martian_moments_spark.llmops.dedup import (
     HASH_P,
     MINHASH_SEEDS,
+    minhash_from_hashes,
     exact_dedup,
     jaccard_pairs,
     lsh_bands,
@@ -27,7 +28,9 @@ from martian_moments_spark.llmops.dedup import (
 )
 from martian_moments_spark.llmops.similarity import FIXED_SCALE, topk_cosine
 from martian_moments_spark.llmops.textops import (
+    portable_hash31,
     predicted_language,
+    word_shingles,
     language_scores,
     quality_metrics,
     rolling_fingerprint,
@@ -53,6 +56,7 @@ def _sql_minhash_cols() -> str:
 @register(
     "dedup_exact",
     ops=("A1", "A6"),
+    bench=True,
     oracle="""
         SELECT md5(text) AS fingerprint,
                MIN(doc_id) AS kept_doc_id,
@@ -87,7 +91,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document signature stage of fuzzy dedup — per-row array math,
     no shuffle, no UDF."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.select("doc_id", *minhash_signature("text"))
+    hashed = docs.withColumn("__sh", F.transform(word_shingles("text"), portable_hash31))
+    return hashed.select("doc_id", *minhash_from_hashes(F.col("__sh")))
 
 
 @register(
@@ -131,7 +136,8 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle is the band-bucket join, producing O(collisions)
     pairs instead of the O(n^2) cross product."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = docs.select("doc_id", *minhash_signature("text"))
+    hashed = docs.withColumn("__sh", F.transform(word_shingles("text"), portable_hash31))
+    sig = hashed.select("doc_id", *minhash_from_hashes(F.col("__sh")))
     banded = sig.select("doc_id", *lsh_bands([f"mh_{i}" for i in range(len(MINHASH_SEEDS))]))
     n_bands = len(MINHASH_SEEDS) // 2
     melted = banded.select(
@@ -387,6 +393,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_ann_ivf",
     ops=("J2", "W2", "O2"),
+    bench=True,
     oracle=f"""
         WITH n AS (
             SELECT vec_id, label, {_SQL_UNITS} AS units,

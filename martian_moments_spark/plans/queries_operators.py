@@ -16,6 +16,7 @@ from martian_moments_spark.plans.registry import register
 @register(
     "asof_join_last_purchase",
     ops=("J6", "W2"),
+    bench=True,
     oracle="""
         WITH merged AS (
             SELECT user_id, ts, 1 AS side, event_id, event_type, value,
