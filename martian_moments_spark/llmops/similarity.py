@@ -107,3 +107,67 @@ def topk_cosine(
             *( ["cell"] if cell_col else [] ),
         )
     )
+
+
+def topk_cosine_cells_pandas(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF top-k via per-cell numpy matmul (applyInPandas).
+
+    Same fixed-point contract as topk_cosine — coordinates become
+    exact int64 millionths, the Gram matrix is an int64 matmul (exact:
+    no float accumulation), cosine is a float64 division of exact
+    integers — so results are bit-identical to the JVM and DuckDB
+    formulations. The win is constant-factor: Spark's higher-order
+    array lambdas evaluate interpreted per element, while numpy does
+    the same arithmetic as one BLAS-free integer matmul per cell
+    (~10x at 64-dim cells of a few hundred vectors).
+
+    Scale shape is unchanged from topk_cosine(cell_col=...): one
+    shuffle on the cell key; each cell must fit one task (IVF cell
+    sizing — split hot cells upstream)."""
+    import numpy as np
+    import pandas as pd
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        def half_up(v):
+            # Spark's round() is half-away-from-zero; np.rint is
+            # half-to-even — replicate Spark exactly.
+            return np.sign(v) * np.floor(np.abs(v) + 0.5)
+
+        u = np.stack(
+            [half_up(np.asarray(e, dtype=np.float64) * FIXED_SCALE) for e in pdf[emb_col]]
+        ).astype(np.int64)[order]
+        g = u @ u.T  # exact int64 dot products
+        norms = np.sqrt(np.diag(g).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = g.astype(np.float64) / np.outer(norms, norms)
+        np.fill_diagonal(cos, -np.inf)  # exclude self
+        n = len(ids)
+        kk = min(k, n - 1)
+        if kk <= 0:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cosine": [], "rank": [], "cell": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64", "rank": "int32", "cell": "int32"})
+        out = []
+        cell = pdf[cell_col].iloc[0]
+        for i in range(n):
+            # sort by (-cosine, id_b): lexsort keys are last-key-primary
+            idx = np.lexsort((ids, -cos[i]))[:kk + 1]
+            idx = idx[idx != i][:kk]
+            for rank, j in enumerate(idx, start=1):
+                out.append((ids[i], ids[j], cos[i, j], rank, cell))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "cosine", "rank", "cell"]).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64", "rank": "int32", "cell": "int32"}
+        )
+
+    return df.select(id_col, emb_col, cell_col).groupBy(cell_col).applyInPandas(
+        per_cell, "id_a BIGINT, id_b BIGINT, cosine DOUBLE, rank INT, cell INT"
+    )

@@ -818,3 +818,153 @@ def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt("P").alias("pending_orders"),
         )
     )
+
+
+@register(
+    "full_outer_join",
+    ops=("J3",),
+    oracle=f"""
+        WITH cust_orders AS (
+            SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+        ), big_cust AS (
+            SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000
+        )
+        SELECT
+            COALESCE(b.c_custkey, o.o_custkey) AS custkey,
+            b.c_acctbal,
+            o.n_orders,
+            (b.c_custkey IS NULL)  AS only_in_orders,
+            (o.o_custkey IS NULL)  AS only_in_big
+        FROM big_cust b
+        FULL OUTER JOIN cust_orders o ON b.c_custkey = o.o_custkey
+    """,
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (absent from the reference — SURVEY §2.3 notes
+    right/full outer come free from df.join(..., how); exposed for the
+    complete join surface). Unmatched sides surface as NULLs on both
+    ends."""
+    cust_orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    big_cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey", "c_acctbal")
+    )
+    j = big_cust.join(cust_orders, big_cust.c_custkey == cust_orders.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_acctbal",
+        "n_orders",
+        F.col("c_custkey").isNull().alias("only_in_orders"),
+        F.col("o_custkey").isNull().alias("only_in_big"),
+    )
+
+
+@register(
+    "semi_join",
+    ops=("J4",),
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — the EXISTS dual of the gap detector's anti
+    join: customers WITH at least one urgent order, no right columns,
+    no row multiplication."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+
+
+@register(
+    "explode_outer_empty_arrays",
+    ops=("N2",),
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey,
+                   (SELECT list(o.o_orderkey ORDER BY o.o_orderkey)
+                    FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 400000) AS big_orders
+            FROM customer c
+        )
+        SELECT c_custkey,
+               UNNEST(CASE WHEN big_orders IS NULL OR len(big_orders) = 0
+                           THEN [NULL] ELSE big_orders END) AS big_orderkey
+        FROM per_cust
+    """,
+)
+def explode_outer_empty_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer — empty-array retention (SURVEY N2 note): a
+    customer with no qualifying orders still yields one row with NULL,
+    where plain explode would drop it. The flatten-stage behavior that
+    keeps sparse envelopes visible downstream."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    big = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("big_orders"))
+    )
+    j = customer.join(big, customer.c_custkey == big.o_custkey, "left")
+    return j.select("c_custkey", F.explode_outer("big_orders").alias("big_orderkey"))
+
+
+@register(
+    "pivot_wide",
+    ops=("A3",),
+    oracle="""
+        SELECT
+            c_mktsegment,
+            CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS F,
+            CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS O,
+            CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS P
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True pivot (groupBy().pivot(values).count()) — the declarative
+    form of the reference's manual SUM(CASE WHEN) pivot
+    (daily_activity.sql:14-16; manual form: `conditional_pivot`).
+    Explicit pivot values keep the plan single-pass (no distinct-values
+    pre-query)."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "approx_count_distinct",
+    ops=("A2",),
+    oracle=None,  # HLL sketches are engine-specific — rows-only check;
+    # accuracy is pinned against exact counts in the rows-only test.
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the scale path for A2:
+    at 100 TB an exact COUNT(DISTINCT) is a full shuffle of the keys;
+    the sketch is mergeable map-side state with bounded error (rsd 5%
+    default, 1% here)."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_suppkey")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_suppliers"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+    )

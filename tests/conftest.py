@@ -18,3 +18,9 @@ def spark():
     s = get_spark(app_name="mm-spark-tests", shuffle_partitions=8)
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def spark_h(spark):
+    """Alias for property tests (hypothesis + session-scoped Spark)."""
+    return spark

@@ -94,3 +94,23 @@ def test_frame_sample_only_videos(spark):
     one = frames.filter(F.col("doc_id") == 2).select("frame_index").collect()
     # doc_id=2 → n_frames=3 → sampled indices 0 (step 6 over 0..2)
     assert sorted(r["frame_index"] for r in one) == [0]
+
+
+def test_ivf_pandas_matmul_equals_jvm_formulation(spark):
+    """The numpy int64-matmul IVF path must be BIT-identical to the
+    pure-JVM fixed-point formulation — same integers, same doubles."""
+    from martian_moments_spark.llmops.similarity import (
+        topk_cosine,
+        topk_cosine_cells_pandas,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    jvm = {
+        (r["id_a"], r["rank"]): (r["id_b"], r["cosine"])
+        for r in topk_cosine(emb, k=5, cell_col="label").collect()
+    }
+    np_ = {
+        (r["id_a"], r["rank"]): (r["id_b"], r["cosine"])
+        for r in topk_cosine_cells_pandas(emb, k=5).collect()
+    }
+    assert jvm == np_

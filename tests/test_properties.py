@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for engine laws the example-based
+suites can't sweep: merge idempotence, aggregation order-independence,
+as-of correctness vs brute force. Example counts are kept small —
+each example round-trips through a Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from martian_moments_spark.functions.numeric import fixed_sum
+from martian_moments_spark.operators.relational import asof_join
+
+SETTINGS = dict(max_examples=10, deadline=None)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.integers(min_value=0, max_value=50),  # version/order
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _merge(existing, incoming, spark):
+    """The X2 rewrite under test: incoming wins on key collision."""
+    keys = ["k"]
+    e = spark.createDataFrame(existing, "k INT, seq INT, v DOUBLE") if existing else None
+    i = spark.createDataFrame(incoming, "k INT, seq INT, v DOUBLE")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("k").orderBy(F.col("seq").desc(), F.col("v").desc())
+    i = i.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+    if e is None:
+        return i
+    return i.unionByName(e.join(i.select(*keys), keys, "left_anti"))
+
+
+@given(batch=rows_strategy)
+@settings(**SETTINGS)
+def test_merge_is_idempotent(spark_h, batch):
+    """merge(merge(T, B), B) == merge(T, B): re-delivering a batch
+    (retry semantics!) must not change the table."""
+    once = _merge(None, batch, spark_h)
+    twice = _merge([tuple(r) for r in once.collect()], batch, spark_h)
+    a = sorted(tuple(r) for r in once.collect())
+    b = sorted(tuple(r) for r in twice.collect())
+    assert a == b
+
+
+@given(batch=rows_strategy)
+@settings(**SETTINGS)
+def test_merge_yields_unique_keys(spark_h, batch):
+    merged = _merge(None, batch, spark_h)
+    n_keys = merged.select("k").distinct().count()
+    assert merged.count() == n_keys
+
+
+@given(vals=st.lists(st.floats(min_value=-1e4, max_value=1e4, allow_nan=False), min_size=1, max_size=40),
+       nparts=st.integers(min_value=1, max_value=8))
+@settings(**SETTINGS)
+def test_fixed_sum_partitioning_invariant(spark_h, vals, nparts):
+    """fixed_sum must be bit-identical under any partitioning — the
+    property that makes results stable across AQE re-plans/retries."""
+    df1 = spark_h.createDataFrame([(v,) for v in vals], "v DOUBLE")
+    a = df1.agg(fixed_sum("v").alias("s")).first()["s"]
+    b = df1.repartition(nparts).agg(fixed_sum("v").alias("s")).first()["s"]
+    assert a == b
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 999)), min_size=1, max_size=15),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark_h, left, right):
+    """asof_join == argmax_{r.t <= l.t} (r.t, r.val) per key, or NULL."""
+    l = spark_h.createDataFrame([(k, t, i) for i, (k, t) in enumerate(left)], "k INT, t INT, lid INT")
+    r = spark_h.createDataFrame(right, "k INT, t INT, val INT")
+    got = {
+        row["lid"]: row["asof_val"]
+        for row in asof_join(
+            l, r, on="k", left_time="t", right_time="t",
+            value_cols=["val"], right_tiebreak="val",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, rv) for rk, rt, rv in right if rk == k and rt <= t]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, t, cands, got[i])

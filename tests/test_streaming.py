@@ -128,3 +128,51 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     total = res.agg(F.sum("total_value")).first()[0]
     # 3 on-time (1.0) + accepted 12:45 (1.0) = 4.0; late 100.0 dropped.
     assert total == pytest.approx(4.0)
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user state must persist across
+    micro-batches (separate availableNow runs over one checkpoint) and
+    trip the alert only once the cumulative total crosses it."""
+    from martian_moments_spark.streaming.stateful import running_user_totals
+
+    src = tmp_path / "state_src"
+    src.mkdir()
+    out = str(tmp_path / "state_out")
+    ck = str(tmp_path / "state_ck")
+    schema = "user_id BIGINT, value DOUBLE"
+
+    def run_once():
+        stream = file_json_stream(spark, str(src), schema)
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(src / "s1.json", "w") as f:
+        for _ in range(3):
+            f.write(json.dumps({"user_id": 1, "value": 300.0}) + "\n")
+        f.write(json.dumps({"user_id": 2, "value": 10.0}) + "\n")
+    run_once()
+    with open(src / "s2.json", "w") as f:
+        f.write(json.dumps({"user_id": 1, "value": 200.0}) + "\n")
+        f.write(json.dumps({"user_id": 2, "value": 20.0}) + "\n")
+    run_once()
+
+    rows = sorted(
+        [r.asDict() for r in spark.read.parquet(out).collect()],
+        key=lambda r: (r["user_id"], r["total_events"]),
+    )
+    u1 = [r for r in rows if r["user_id"] == 1]
+    u2 = [r for r in rows if r["user_id"] == 2]
+    assert [r["total_events"] for r in u1] == [3, 4]
+    assert u1[0]["total_value"] == 900.0 and not u1[0]["high_value_alert"]
+    assert u1[1]["total_value"] == 1100.0 and u1[1]["high_value_alert"]
+    assert [r["total_value"] for r in u2] == [10.0, 30.0]
