@@ -117,3 +117,91 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, top, point_col="l_shipdate", start_col="o_orderdate", end_col="window_end"
     )
     return out.select("l_orderkey", "l_linenumber", "l_shipdate", "interval_orderkey")
+
+
+@register(
+    "salted_skew_aggregation",
+    ops=("A1", "A4"),
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_units,
+               MAX(l_orderkey) AS max_orderkey
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a deliberately hot key
+    (l_returnflag: 3 values over the whole fact — the worst GROUP BY
+    skew shape). Results are identical to a plain GROUP BY (the
+    oracle); the plan differs: phase 1 spreads each hot key over 16
+    salts so no single task owns a key's whole partial
+    (operators.skew.salted_agg)."""
+    from martian_moments_spark.operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_orderkey")
+    return salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n_rows": F.count(F.lit(1)),
+            "qty_units": F.sum(F.round(F.col("l_quantity") * 100).cast("long")),
+            "max_orderkey": F.max("l_orderkey"),
+        },
+        n_salts=16,
+        salt_source="l_orderkey",
+    )
+
+
+@register(
+    "travel_correlation",
+    ops=("F1", "J2", "J6", "P6", "A1", "A3"),
+    bench=True,
+    oracle="""
+        SELECT
+            n.n_name AS nation_name,
+            (l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 30 DAY)
+                AS shipped_promptly,
+            COUNT(*) AS n_items,
+            CAST(SUM(CASE WHEN CAST(regexp_extract(c.c_name, 'Customer#([0-9]{9})', 1) AS BIGINT) % 2 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS even_customer_items,
+            MAX(l.l_shipdate) AS latest_shipdate
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    """,
+)
+def travel_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship gold mart shape end-to-end
+    (camera_travel_correlation.sql:9-42): regex key extraction from a
+    URL-ish string (F1, :15), a 3-way dim join chain (J2, :35-42), the
+    interval-containment boolean (J6/P6, :33), and conditional
+    aggregation over the result — one query exercising the whole
+    silver→gold path.
+
+    Scale: same shape as daily_activity — fact-fact shuffle on
+    orderkey, AQE-broadcast customer, explicit broadcast nation."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust_key = F.regexp_extract(F.col("c_name"), r"Customer#([0-9]{9})", 1).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.col("l_shipdate")
+            .between(F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+            .alias("shipped_promptly"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.when(cust_key % 2 == 0, 1).otherwise(0)).alias("even_customer_items"),
+            F.max("l_shipdate").alias("latest_shipdate"),
+        )
+    )

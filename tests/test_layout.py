@@ -44,3 +44,32 @@ def test_clustered_write_roundtrip_content(spark, tmp_path):
     a = li.agg(F.sum("l_orderkey"), F.sum("l_partkey")).first()
     b = back.agg(F.sum("l_orderkey"), F.sum("l_partkey")).first()
     assert tuple(a) == tuple(b)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with
+    ZERO Exchange nodes — the co-located fact-fact join that makes
+    lineitem⋈orders viable at 100 TB."""
+    import re
+
+    from martian_moments_spark.operators.layout import bucketed_table
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    bucketed_table(li, spark, "li_bkt", ["l_orderkey"], 8, sort_by=["l_orderkey"])
+    bucketed_table(orders, spark, "ord_bkt", ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    try:
+        j = spark.table("li_bkt").join(
+            spark.table("ord_bkt"),
+            spark.table("li_bkt").l_orderkey == spark.table("ord_bkt").o_orderkey,
+        )
+        plan = _explain(j)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+        assert j.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
