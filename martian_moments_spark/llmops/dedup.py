@@ -23,8 +23,6 @@ from pyspark.sql import functions as F
 from martian_moments_spark.llmops.textops import (
     HASH_P,
     portable_hash31,
-    sql_portable_hash31,
-    sql_word_shingles,
     word_shingles,
 )
 
@@ -60,15 +58,6 @@ def minhash_from_hashes(hashed: Column) -> list[Column]:
     ]
 
 
-def sql_minhash_signature(expr: str = "text", n: int = 2) -> dict[str, str]:
-    shingles = sql_word_shingles(expr, n)
-    return {
-        f"mh_{i}": (
-            f"list_min(list_transform({shingles}, "
-            f"s -> ({a} * {sql_portable_hash31('s')} + {b}) % {HASH_P}))"
-        )
-        for i, (a, b) in enumerate(MINHASH_SEEDS)
-    }
 
 
 def lsh_bands(signature_cols: list[str], rows_per_band: int = 2) -> list[Column]:
@@ -87,15 +76,6 @@ def lsh_bands(signature_cols: list[str], rows_per_band: int = 2) -> list[Column]
     return bands
 
 
-def sql_lsh_bands(signature_exprs: dict[str, str], rows_per_band: int = 2) -> dict[str, str]:
-    cols = list(signature_exprs)
-    out = {}
-    for bi in range(0, len(cols), rows_per_band):
-        key = "0"
-        for c in cols[bi : bi + rows_per_band]:
-            key = f"(({key}) * 1000003 + COALESCE({signature_exprs[c]}, 0) % 1000003) % {HASH_P}"
-        out[f"band_{bi // rows_per_band}"] = key
-    return out
 
 
 def simhash(col: str = "text", bits: int = SIMHASH_BITS) -> Column:
@@ -119,14 +99,6 @@ def simhash(col: str = "text", bits: int = SIMHASH_BITS) -> Column:
     return out
 
 
-def sql_simhash(expr: str = "text", bits: int = SIMHASH_BITS) -> str:
-    toks = f"list_filter(regexp_split_to_array({expr}, '\\s+'), t -> t <> '')"
-    hashed = f"list_distinct(list_transform({toks}, t -> {sql_portable_hash31('t')}))"
-    terms = []
-    for b in range(bits):
-        ones = f"len(list_filter(__h, h -> (h & {1 << b}) <> 0))"
-        terms.append(f"CASE WHEN {ones} * 2 > len(__h) THEN {1 << b} ELSE 0 END")
-    return f"(SELECT CAST({' + '.join(terms)} AS BIGINT) FROM (SELECT {hashed} AS __h))"
 
 
 def hamming_distance(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
@@ -137,12 +109,6 @@ def hamming_distance(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
     ).alias("hamming")
 
 
-def sql_hamming_distance(a: str, b: str, bits: int = SIMHASH_BITS) -> str:
-    return (
-        "("
-        + " + ".join(f"((({a}) # ({b})) >> {i}) & 1" for i in range(bits))
-        + ")"
-    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -32,8 +32,6 @@ def embedding_units(col: Column | str) -> Column:
     return F.transform(c, lambda x: F.round(x.cast("double") * FIXED_SCALE, 0).cast("long"))
 
 
-def sql_embedding_units(expr: str) -> str:
-    return f"list_transform({expr}, x -> CAST(ROUND(CAST(x AS DOUBLE) * {FIXED_SCALE}, 0) AS BIGINT))"
 
 
 def dot_units(a: Column, b: Column) -> Column:
@@ -41,8 +39,6 @@ def dot_units(a: Column, b: Column) -> Column:
     return F.aggregate(prod, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-def sql_dot_units(a: str, b: str) -> str:
-    return f"CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS BIGINT)"
 
 
 def cosine_fixed(units_a: Column, units_b: Column, norm_a: Column, norm_b: Column) -> Column:

@@ -1,9 +1,10 @@
 """Text-analysis primitives: tokenization, portable hashing, quality
 metrics, language ID, fingerprinting.
 
-Every builder returns a Spark ``Column`` and has a ``sql_*`` twin that
-renders the *identical* computation as DuckDB SQL — the pairing is the
-correctness contract (same formula, two engines, one result).
+Builders where the DuckDB rendering is reused across queries keep a
+``sql_*`` twin here (portable hash, tokens, quality metrics); queries
+whose oracle is a one-off CTE inline their SQL next to the query in
+plans.queries_llm — one source of truth either way.
 
 Scale notes: all of these are per-row array expressions — narrow, no
 shuffle, fully inside whole-stage codegen. The md5-based portable hash
@@ -53,13 +54,6 @@ def word_shingles(col: str = "text", n: int = 2) -> Column:
     )
 
 
-def sql_word_shingles(expr: str = "text", n: int = 2) -> str:
-    toks = sql_tokens(expr)
-    joined = " || ' ' || ".join(f"__t[i + {j}]" for j in range(n))
-    return (
-        f"(SELECT COALESCE(list(({joined})), []) FROM (SELECT {toks} AS __t) __s, "
-        f"generate_series(1, greatest(len(__t) - {n - 1}, 0)) AS g(i))"
-    )
 
 
 # ---------------------------------------------------------------- hashing
@@ -88,15 +82,6 @@ def rolling_fingerprint(col: str = "text") -> Column:
     )
 
 
-def sql_rolling_fingerprint(expr: str = "text") -> str:
-    # list_reduce seeds from the first element (Spark seeds from 0);
-    # identical because 0*31 + h(t1) == h(t1) and both stay < P.
-    toks = sql_tokens(expr)
-    hashed = f"list_transform({toks}, t -> {sql_portable_hash31('t')})"
-    return (
-        f"CASE WHEN len({toks}) = 0 THEN 0 "
-        f"ELSE list_reduce({hashed}, (a, b) -> (a * 31 + b) % {HASH_P}) END"
-    )
 
 
 # ---------------------------------------------------------------- quality
@@ -193,22 +178,4 @@ def predicted_language(col: str = "text") -> Column:
     return out
 
 
-def sql_language_scores(expr: str = "text") -> dict[str, str]:
-    toks = sql_distinct_tokens(expr)
-    return {
-        lang: (
-            f"CAST(len(list_intersect({toks}, "
-            f"[{', '.join(repr(m) for m in markers)}])) AS INT)"
-        )
-        for lang, markers in LANG_MARKERS.items()
-    }
 
-
-def sql_predicted_language(expr: str = "text") -> str:
-    scores = sql_language_scores(expr)
-    langs = list(scores)
-    best = f"greatest({', '.join(scores.values())})"
-    arms = " ".join(
-        f"WHEN {scores[lang]} = __best AND __best > 0 THEN '{lang}'" for lang in langs
-    )
-    return f"(SELECT CASE {arms} ELSE 'unknown' END FROM (SELECT {best} AS __best))"

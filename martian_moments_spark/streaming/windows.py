@@ -58,3 +58,19 @@ def watermarked_session_agg(
             "total_value",
         )
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once dedup: duplicate deliveries of the same
+    id within the watermark horizon are dropped; state for an id is
+    freed once the watermark passes it (bounded memory — the property
+    plain dropDuplicates lacks on an infinite stream). The streaming
+    analog of the incremental layer's keyed dedup (E8)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )

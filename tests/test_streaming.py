@@ -176,3 +176,41 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert u1[0]["total_value"] == 900.0 and not u1[0]["high_value_alert"]
     assert u1[1]["total_value"] == 1100.0 and u1[1]["high_value_alert"]
     assert [r["total_value"] for r in u2] == [10.0, 30.0]
+
+
+def test_dedup_within_watermark_drops_redelivery(spark, tmp_path):
+    """The same event id delivered twice (same batch and next batch,
+    both within the watermark) must survive exactly once."""
+    from martian_moments_spark.streaming.windows import dedup_within_watermark
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    out = str(tmp_path / "dd_out")
+    ck = str(tmp_path / "dd_ck")
+    schema = "event_id BIGINT, ts TIMESTAMP, value DOUBLE"
+
+    def run_once():
+        stream = file_json_stream(spark, str(src), schema)
+        q = (
+            dedup_within_watermark(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(src / "d1.json", "w") as f:
+        f.write(json.dumps({"event_id": 1, "ts": "2024-03-01 10:00:00", "value": 1.0}) + "\n")
+        f.write(json.dumps({"event_id": 1, "ts": "2024-03-01 10:00:05", "value": 1.0}) + "\n")  # same-batch dup
+        f.write(json.dumps({"event_id": 2, "ts": "2024-03-01 10:10:00", "value": 2.0}) + "\n")
+    run_once()
+    with open(src / "d2.json", "w") as f:
+        f.write(json.dumps({"event_id": 1, "ts": "2024-03-01 10:20:00", "value": 1.0}) + "\n")  # cross-batch dup
+        f.write(json.dumps({"event_id": 3, "ts": "2024-03-01 10:30:00", "value": 3.0}) + "\n")
+    run_once()
+
+    ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 3]
