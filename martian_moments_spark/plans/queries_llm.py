@@ -29,6 +29,7 @@ from martian_moments_spark.llmops.dedup import (
 from martian_moments_spark.llmops.similarity import (
     FIXED_SCALE,
     topk_cosine,
+    topk_cosine_blocked,
     topk_cosine_cells_pandas,
 )
 from martian_moments_spark.llmops.textops import (
@@ -387,11 +388,13 @@ _SQL_UNITS = f"list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {FI
     """,
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k over the embedding column — the ANN
-    baseline/verifier. Fixed-point dot products make the result exact
-    and engine-independent. O(n^2): run only on bounded sets; the
-    scale path is embedding_ann_ivf."""
-    return topk_cosine(load(spark, sf_dir, "embeddings"), k=5)
+    """Brute-force cosine top-k over the embedding column — the exact
+    ANN baseline/verifier, block-partitioned (topk_cosine_blocked):
+    B^2 cogroup tasks each matmul one block pair in exact int64, then
+    a window re-ranks the partials. Same answers as the naive cross
+    join (the oracle); O(n^2) work spread over independent vectorized
+    tasks. The quantized scale path is embedding_ann_ivf."""
+    return topk_cosine_blocked(load(spark, sf_dir, "embeddings"), k=5)
 
 
 @register(
