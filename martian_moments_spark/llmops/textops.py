@@ -46,12 +46,19 @@ def sql_distinct_tokens(expr: str = "text") -> str:
 
 
 def word_shingles(col: str = "text", n: int = 2) -> Column:
-    """n-word shingles (space-joined), the MinHash input unit."""
+    """n-word shingles (space-joined), the MinHash input unit. Empty
+    array (→ NULL min-hashes) for documents with fewer than ``n``
+    tokens — guarded explicitly because Spark's sequence(1, 0) counts
+    DOWN ([1, 0]) rather than returning empty like SQL engines do."""
     toks = tokens(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
+    count = F.size(toks) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 

@@ -114,3 +114,40 @@ def test_ivf_pandas_matmul_equals_jvm_formulation(spark):
         for r in topk_cosine_cells_pandas(emb, k=5).collect()
     }
     assert jvm == np_
+
+
+def test_tokenizer_edge_cases(spark):
+    """Empty/whitespace-only/multi-space text — the malformed-input
+    parity cases (reference tests malformed JSON / missing keys)."""
+    from martian_moments_spark.llmops.textops import quality_metrics, tokens
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "a  b\tc"), (3, " lead trail ")], "doc_id LONG, text STRING"
+    )
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", F.size(tokens()).alias("n")).collect()}
+    assert got == {0: 0, 1: 0, 2: 3, 3: 2}
+    m = quality_metrics()
+    rows = {r["doc_id"]: r for r in df.select("doc_id", *[v.alias(k) for k, v in m.items()]).collect()}
+    assert rows[0]["avg_token_len"] == 0.0 and rows[0]["stopword_ratio"] == 0.0  # no div-by-zero
+    assert rows[2]["avg_token_len"] == 1.0
+
+
+def test_minhash_null_for_short_docs(spark):
+    """Documents with < n tokens have no shingles → NULL signature
+    (not a crash, not a bogus hash)."""
+    from martian_moments_spark.llmops.dedup import minhash_signature
+
+    df = spark.createDataFrame([(0, "single"), (1, "two tokens")], "doc_id LONG, text STRING")
+    rows = {r["doc_id"]: r["mh_0"] for r in df.select("doc_id", *minhash_signature("text")).collect()}
+    assert rows[0] is None and rows[1] is not None
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from martian_moments_spark.llmops.textops import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        "doc_id LONG, text STRING",
+    )
+    fp = {r["doc_id"]: r["f"] for r in df.select("doc_id", rolling_fingerprint().alias("f")).collect()}
+    assert fp[0] == fp[2] != fp[1]

@@ -1,0 +1,118 @@
+"""Granular unit tests for operators.relational — edge semantics the
+oracle-parity queries don't isolate (strict as-of, empty watermark
+target, bucket-boundary straddling, dictionary-map defaults)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from martian_moments_spark.operators.relational import (
+    anti_join_gaps,
+    asof_join,
+    broadcast_dim_join,
+    bucketed_range_join,
+    case_map,
+    high_watermark_filter,
+    topk_per_group,
+)
+
+
+def test_case_map_values_and_default(spark):
+    df = spark.createDataFrame(
+        [("Perseverance",), ("Spirit",), ("Sojourner",), (None,)], "rover STRING"
+    )
+    got = {
+        r["rover"]: r["rid"]
+        for r in df.select(
+            "rover",
+            case_map("rover", {"Perseverance": 8, "Spirit": 7}, default=0).alias("rid"),
+        ).collect()
+    }
+    assert got == {"Perseverance": 8, "Spirit": 7, "Sojourner": 0, None: 0}
+
+
+def test_high_watermark_filter_empty_target_selects_all(spark):
+    src = spark.createDataFrame([(i,) for i in range(5)], "wm INT")
+    empty = src.filter("wm < 0")
+    assert high_watermark_filter(src, empty, "wm").count() == 5
+    half = src.filter("wm <= 2")
+    got = sorted(r["wm"] for r in high_watermark_filter(src, half, "wm").collect())
+    assert got == [3, 4]  # strictly above MAX(target)
+
+
+def test_broadcast_dim_join_plans_broadcast(spark):
+    fact = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k INT, v DOUBLE")
+    dim = spark.createDataFrame([(1, "a")], "k INT, name STRING")
+    j = broadcast_dim_join(fact, dim, "k")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+    assert j.count() == 1
+
+
+def test_anti_join_gaps_finds_missing_grains(spark):
+    expected = spark.createDataFrame([(r, s) for r in "AB" for s in range(3)], "r STRING, s INT")
+    actual = spark.createDataFrame([("A", 0), ("A", 1), ("B", 0)], "r STRING, s INT")
+    gaps = sorted(tuple(x) for x in anti_join_gaps(expected, actual, ["r", "s"]).collect())
+    assert gaps == [("A", 2), ("B", 1), ("B", 2)]
+
+
+def test_topk_per_group_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 5, 2), ("g", 5, 3), ("h", 1, 1)], "grp STRING, score INT, id INT"
+    )
+    got = sorted(
+        (r["grp"], r["id"])
+        for r in topk_per_group(
+            df, ["grp"], [F.col("score").desc(), F.col("id")], k=2
+        ).collect()
+    )
+    assert got == [("g", 1), ("g", 2), ("h", 1)]  # id tie-break, not arbitrary
+
+
+def test_asof_join_strict_excludes_equal_timestamps(spark):
+    left = spark.createDataFrame([(1, 10)], "k INT, t INT")
+    right = spark.createDataFrame([(1, 10, 100), (1, 5, 50)], "k INT, t INT, v INT")
+    inclusive = asof_join(
+        left, right, on="k", left_time="t", right_time="t", value_cols=["v"],
+        right_tiebreak="v",
+    ).first()
+    strict = asof_join(
+        left, right, on="k", left_time="t", right_time="t", value_cols=["v"],
+        strict=True, right_tiebreak="v",
+    ).first()
+    assert inclusive["asof_v"] == 100  # t=10 row matches at-or-before
+    assert strict["asof_v"] == 50  # strictly-before only
+
+
+def test_asof_join_no_match_yields_null(spark):
+    left = spark.createDataFrame([(1, 1)], "k INT, t INT")
+    right = spark.createDataFrame([(1, 5, 9)], "k INT, t INT, v INT")
+    row = asof_join(
+        left, right, on="k", left_time="t", right_time="t", value_cols=["v"],
+        right_tiebreak="v",
+    ).first()
+    assert row["asof_v"] is None
+
+
+def test_bucketed_range_join_straddles_bucket_boundary(spark):
+    # interval spans two day-buckets; points in each bucket must match
+    intervals = spark.createDataFrame(
+        [("i1", "2024-01-01 18:00:00", "2024-01-02 06:00:00")],
+        "iid STRING, s STRING, e STRING",
+    ).select(
+        "iid", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e")
+    )
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 20:00:00"), (2, "2024-01-02 01:00:00"), (3, "2024-01-02 12:00:00")],
+        "pid INT, t STRING",
+    ).select("pid", F.col("t").cast("timestamp").alias("t"))
+    got = sorted(
+        r["pid"]
+        for r in bucketed_range_join(points, intervals, "t", "s", "e").collect()
+    )
+    assert got == [1, 2]  # 3 is outside; both in-window points found
