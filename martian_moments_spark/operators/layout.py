@@ -54,3 +54,26 @@ def bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table_name)
+
+
+def z_value(a, b, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative int columns — the
+    multi-dimension clustering key the reference approximates with
+    composite cluster_by (flat_photo_response.sql:5: rover_id, sol,
+    earth_date). Sorting files by z-value keeps points close in BOTH
+    dimensions close on disk, so parquet min/max row-group stats prune
+    2-D range predicates that a lexicographic sort only prunes on its
+    leading column."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    # widen to 64-bit BEFORE shifting: interleaving 16-bit inputs needs
+    # bit positions up to 31, which overflows IntegerType shifts.
+    ca = (a if not isinstance(a, str) else F.col(a)).cast("long")
+    cb = (b if not isinstance(b, str) else F.col(b)).cast("long")
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(ca, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(cb, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return reduce(lambda x, y: x.bitwiseOR(y), terms).cast("long")

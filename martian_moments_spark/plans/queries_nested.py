@@ -233,3 +233,28 @@ def permissive_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("prop_k"),
         parsed.getField("k").isNull().alias("is_corrupt"),
     )
+
+
+@register(
+    "json_schema_inference",
+    ops=("N1",),
+    oracle="""
+        SELECT event_id,
+               CAST(props->>'$.k' AS BIGINT) AS prop_k
+        FROM events
+    """,
+)
+def json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read with INFERRED schema — the VARIANT fallback when
+    no explicit StructType exists (SURVEY §1.3, N1 note:
+    schema_of_json for inference). The schema is inferred once from a
+    sampled document at the driver (the same scalar→literal pattern as
+    the watermark filter) and then applied JVM-side to every row;
+    explicit schemas (json_path_extract) remain the contract path."""
+    events = load(spark, sf_dir, "events").select("event_id", "props")
+    sample = events.select("props").first()["props"]
+    inferred = spark.range(1).select(F.schema_of_json(F.lit(sample))).first()[0]
+    return events.select(
+        "event_id",
+        F.from_json("props", inferred).getField("k").cast("long").alias("prop_k"),
+    )

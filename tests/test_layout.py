@@ -73,3 +73,20 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_z_value_matches_reference_interleave(spark):
+    from martian_moments_spark.operators.layout import z_value
+
+    def py_z(a, b, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    cases = [(0, 0), (1, 0), (0, 1), (5, 9), (1023, 7), (65535, 65535)]
+    df = spark.createDataFrame(cases, "a INT, b INT")
+    got = {(r["a"], r["b"]): r["z"] for r in df.select("a", "b", z_value("a", "b").alias("z")).collect()}
+    for a, b in cases:
+        assert got[(a, b)] == py_z(a, b), (a, b)
