@@ -17,6 +17,7 @@ def load_all() -> dict:
         queries_functions,
         queries_incremental,
         queries_llm,
+        queries_analytics,
         queries_operators,
         queries_quality,
         queries_streaming,

@@ -1,0 +1,341 @@
+"""Corpus-analytics and statistics queries (north-star extensions +
+SURVEY §2.2/§2.6 composites).
+
+Adds the remaining LLM-data-pipeline operators — embedding-cosine
+near-duplicate dedup and an end-to-end corpus-curation mart — plus
+deterministic second-moment statistics (variance / correlation from
+exact integer sums), a fixed-width histogram, and a classic
+three-table shipping-priority join. Every aggregate follows the
+engine's fixed-point rule (functions/numeric.py): doubles are
+quantized per-row to integer units, summed as BIGINT (associative →
+partition-order-independent), and only the final scalar arithmetic
+happens in floating point — identical expressions on the Spark and
+DuckDB sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from martian_moments_spark.catalog import load
+from martian_moments_spark.functions.numeric import fixed_sum, sql_fixed_sum
+from martian_moments_spark.llmops.similarity import (
+    FIXED_SCALE,
+    cosine_fixed,
+    with_units_and_norm,
+)
+from martian_moments_spark.llmops.textops import quality_metrics, sql_quality_metrics
+from martian_moments_spark.plans.registry import register
+
+NEARDUP_TAU = 0.30  # cosine threshold for embedding near-dup (synthetic corpus scale)
+
+_SQL_UNITS = (
+    f"list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {FIXED_SCALE}, 0) AS BIGINT))"
+)
+
+
+@register(
+    "dedup_embedding_neardup",
+    ops=("J2", "A1", "J3"),
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, label, {_SQL_UNITS} AS units,
+                   CAST(list_sum(list_transform(list_zip({_SQL_UNITS}, {_SQL_UNITS}),
+                        z -> z[1] * z[2])) AS BIGINT) AS norm2
+            FROM embeddings
+        ), dup AS (
+            SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+            FROM n a JOIN n b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE CAST(CAST(list_sum(list_transform(list_zip(a.units, b.units),
+                         z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+                  / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
+                  >= {NEARDUP_TAU}
+            GROUP BY b.vec_id
+        )
+        SELECT e.vec_id, d.dup_of, d.dup_of IS NULL AS is_kept
+        FROM embeddings e LEFT JOIN dup d ON e.vec_id = d.vec_id
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup: a vector is a duplicate
+    of the lowest-id earlier vector whose cosine similarity reaches
+    NEARDUP_TAU, searched within its IVF cell (``label``) only — the
+    semantic-dedup stage of a training-data pipeline.
+
+    Scale: identical shape to embedding_ann_ivf — one shuffle on the
+    cell key bounds the pairwise work to O(sum cell^2); the keep/drop
+    decision is a per-vector MIN + left join back (no global order).
+    Exactness: fixed-point int64 dot products make the >= tau cut
+    bit-identical across engines and partitionings.
+    """
+    base = with_units_and_norm(
+        load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    )
+    a = base.select(
+        F.col("label").alias("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("units").alias("units_a"),
+        F.col("norm2").alias("norm_a"),
+    )
+    b = base.select(
+        F.col("label").alias("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("units").alias("units_b"),
+        F.col("norm2").alias("norm_b"),
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            cosine_fixed(F.col("units_a"), F.col("units_b"), F.col("norm_a"), F.col("norm_b")),
+        )
+        .filter(F.col("cosine") >= F.lit(NEARDUP_TAU))
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .join(dup, "vec_id", "left")
+        .select("vec_id", "dup_of", F.col("dup_of").isNull().alias("is_kept"))
+    )
+
+
+@register(
+    "corpus_curation",
+    ops=("A1", "A6", "J4", "P1"),
+    bench=True,
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang, source, text,
+                   {sql_quality_metrics("text")["n_tokens"]} AS n_tokens,
+                   {sql_quality_metrics("text")["distinct_ratio"]} AS distinct_ratio
+            FROM documents
+        ), kept AS (
+            SELECT * FROM scored
+            WHERE n_tokens >= 10 AND distinct_ratio >= 0.3
+        ), deduped AS (
+            SELECT * FROM kept
+            WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY md5(text))
+        )
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+        FROM deduped
+        GROUP BY lang, source
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation mart: quality gate (token count +
+    distinct-token ratio) -> exact dedup keeping the first writer ->
+    per (lang, source) token budget. The composed shape every
+    training-data pipeline runs before tokenization.
+
+    Scale: quality scoring is per-row (no shuffle); dedup shuffles once
+    on the content fingerprint; the rollup shuffles once on the two
+    low-cardinality keys with map-side partial aggregation. Token
+    totals are exact integer sums, so the budget is reproducible.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    m = quality_metrics("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        m["n_tokens"].alias("n_tokens"),
+        m["distinct_ratio"].alias("distinct_ratio"),
+    )
+    kept = scored.filter((F.col("n_tokens") >= 10) & (F.col("distinct_ratio") >= 0.3))
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = kept.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+# Second moments: quantity in hundredths, discount in ten-thousandths —
+# both exact per-row integer quantizations of the parquet doubles.
+_QU = "CAST(ROUND(l_quantity * 100) AS BIGINT)"
+_DU = "CAST(ROUND(l_discount * 10000) AS BIGINT)"
+
+
+@register(
+    "group_moments_stats",
+    ops=("A1", "A4"),
+    oracle=f"""
+        WITH u AS (
+            SELECT l_returnflag, {_QU} AS qu, {_DU} AS du FROM lineitem
+        ), s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(qu) AS BIGINT) AS sq,
+                   CAST(SUM(qu * qu) AS BIGINT) AS sq2,
+                   CAST(SUM(du) AS BIGINT) AS sd,
+                   CAST(SUM(du * du) AS BIGINT) AS sd2,
+                   CAST(SUM(qu * du) AS BIGINT) AS sqd
+            FROM u GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_qty,
+               (CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE) / 10000.0 AS var_pop_qty,
+               (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+                   AS corr_qty_disc
+        FROM s
+    """,
+)
+def group_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group variance and correlation. Spark's own
+    stddev/corr partial-aggregate doubles, so results drift in the last
+    ulps across partitionings; here the moments (sum x, sum x^2,
+    sum xy) are exact BIGINT sums of fixed-point units and only the
+    final scalar formula runs in floating point — bit-identical under
+    any plan, and under DuckDB.
+
+    Scale: one shuffle carrying six integers per group per task. At
+    extreme row counts the squared sums approach int64 range — promote
+    the unit columns to decimal(38,0) then (same associativity).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    qu = F.round(F.col("l_quantity") * 100).cast("long")
+    du = F.round(F.col("l_discount") * 10000).cast("long")
+    s = (
+        li.select("l_returnflag", qu.alias("qu"), du.alias("du"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qu").alias("sq"),
+            F.sum(F.col("qu") * F.col("qu")).alias("sq2"),
+            F.sum("du").alias("sd"),
+            F.sum(F.col("du") * F.col("du")).alias("sd2"),
+            F.sum(F.col("qu") * F.col("du")).alias("sqd"),
+        )
+    )
+    n, sq, sq2, sd, sd2, sqd = (F.col(c).cast("double") for c in ("n", "sq", "sq2", "sd", "sd2", "sqd"))
+    return s.select(
+        "l_returnflag",
+        F.col("n"),
+        (sq / n / F.lit(100.0)).alias("mean_qty"),
+        ((sq2 - sq * sq / n) / n / F.lit(10000.0)).alias("var_pop_qty"),
+        ((n * sqd - sq * sd) / (F.sqrt(n * sq2 - sq * sq) * F.sqrt(n * sd2 - sd * sd))).alias(
+            "corr_qty_disc"
+        ),
+    )
+
+
+_BUCKET_UNITS = 2_500_000  # $25,000 buckets in price-hundredths
+
+
+@register(
+    "histogram_fixed_width",
+    ops=("A1", "P8"),
+    oracle=f"""
+        WITH u AS (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pu FROM orders
+        )
+        SELECT pu // {_BUCKET_UNITS} AS bucket,
+               CAST(pu // {_BUCKET_UNITS} AS DOUBLE) * 25000.0 AS bucket_low,
+               COUNT(*) AS n_orders,
+               CAST(MIN(pu) AS DOUBLE) / 100.0 AS min_price,
+               CAST(MAX(pu) AS DOUBLE) / 100.0 AS max_price
+        FROM u
+        GROUP BY pu // {_BUCKET_UNITS}
+    """,
+)
+def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals ($25k buckets). Bucketing
+    happens in integer units (exact floor division — no float-boundary
+    ambiguity), min/max convert back to dollars only for display.
+
+    Scale: a histogram is just a group-by on a derived integer — one
+    shuffle, rows-per-task = number of distinct buckets after map-side
+    combine.
+    """
+    orders = load(spark, sf_dir, "orders")
+    pu = F.round(F.col("o_totalprice") * 100).cast("long")
+    bucket = F.expr(f"CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV {_BUCKET_UNITS}")
+    return (
+        orders.select(pu.alias("pu"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min("pu").cast("double") / F.lit(100.0)).alias("min_price"),
+            (F.max("pu").cast("double") / F.lit(100.0)).alias("max_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") * F.lit(25000.0)).alias("bucket_low"),
+            "n_orders",
+            "min_price",
+            "max_price",
+        )
+    )
+
+
+@register(
+    "shipping_priority_topk",
+    ops=("J1", "J2", "A1", "O1", "O2", "P3"),
+    bench=True,
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {sql_fixed_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-table selective join + aggregate + global top-10 (the
+    classic shipping-priority shape). Filters reach the parquet scans
+    (PushedFilters), the filtered customer side broadcasts, and the
+    final LIMIT plans as TakeOrderedAndProject — no full sort.
+
+    Scale: only orders<->lineitem shuffles, on the order key; at 100 TB
+    both facts are bucketed by order key so even that join is
+    co-located. Revenue is a fixed-point sum, so the top-10 cut is
+    deterministic (ties broken by order key).
+    """
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        l, o.o_orderkey == l.l_orderkey
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
