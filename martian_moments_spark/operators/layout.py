@@ -56,6 +56,60 @@ def bucketed_table(
     writer.saveAsTable(table_name)
 
 
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_by: Sequence[str] = (),
+) -> dict:
+    """Bin-packing small-file compaction (the OPTIMIZE half of a
+    lakehouse maintenance cycle). Streaming/incremental appends (E7)
+    accrete one file per micro-batch; scans then pay per-file open +
+    footer-read + task-schedule overhead, which at 100 TB dominates.
+    Rewrite the table into ceil(total_bytes / target_bytes) files
+    (per partition directory when ``partition_by`` is set), then swap
+    directories so readers never see a half-written table.
+
+    Returns {files_before, files_after, bytes_total}. The swap is
+    rename-based: atomic on a POSIX filesystem; on an object store
+    run it through the table format's transaction log instead.
+    """
+    import math
+    import os
+    import shutil
+
+    def _data_files(root: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            out += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
+        return out
+
+    before = _data_files(path)
+    bytes_total = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, math.ceil(bytes_total / target_bytes))
+    df = spark.read.parquet(path)
+
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    if partition_by:
+        # one shuffle keyed on the partition columns: rows for a
+        # directory land together, n_files output files per directory.
+        out = df.repartition(n_files, *[*partition_by])
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+    else:
+        # coalesce, not repartition: narrowing to n_files needs no shuffle.
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+
+    bak = path.rstrip("/") + ".__compact_bak__"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return {
+        "files_before": len(before),
+        "files_after": len(_data_files(path)),
+        "bytes_total": bytes_total,
+    }
+
+
 def z_value(a, b, bits: int = 16):
     """Morton/Z-order interleave of two non-negative int columns — the
     multi-dimension clustering key the reference approximates with

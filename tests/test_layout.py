@@ -90,3 +90,38 @@ def test_z_value_matches_reference_interleave(spark):
     got = {(r["a"], r["b"]): r["z"] for r in df.select("a", "b", z_value("a", "b").alias("z")).collect()}
     for a, b in cases:
         assert got[(a, b)] == py_z(a, b), (a, b)
+
+
+def test_compact_small_files_plain(spark, tmp_path):
+    from martian_moments_spark.operators.layout import compact_small_files
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    path = str(tmp_path / "li_many")
+    li.repartition(20).write.parquet(path)  # simulate micro-batch accretion
+
+    stats = compact_small_files(spark, path, target_bytes=1 << 40)
+    assert stats["files_before"] == 20
+    assert stats["files_after"] == 1
+    after = spark.read.parquet(path)
+    assert after.count() == li.count()
+    assert sorted(after.columns) == sorted(li.columns)
+
+
+def test_compact_small_files_partitioned(spark, tmp_path):
+    import os
+
+    from martian_moments_spark.operators.layout import compact_small_files
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    path = str(tmp_path / "li_part")
+    li.repartition(10).write.partitionBy("l_returnflag").parquet(path)
+
+    stats = compact_small_files(
+        spark, path, target_bytes=1 << 40, partition_by=("l_returnflag",)
+    )
+    assert stats["files_after"] < stats["files_before"]
+    # partition directory layout survives compaction (pruning intact)
+    dirs = {d for d in os.listdir(path) if d.startswith("l_returnflag=")}
+    assert dirs == {"l_returnflag=A", "l_returnflag=N", "l_returnflag=R"}
+    after = spark.read.parquet(path)
+    assert after.count() == li.count()
