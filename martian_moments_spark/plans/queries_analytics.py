@@ -339,3 +339,125 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "percent_rank_distribution",
+    ops=("W1", "W2"),
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_units,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               CAST(ntile(4) OVER w AS INT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey)
+    """,
+)
+def percent_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist /
+    ntile) per priority class — the price-position features a scoring
+    pipeline derives. Ordering is on integer price units with the order
+    key as total tie-break, so every rank (and thus every ratio —
+    int/int double divisions) is deterministic.
+
+    Scale: one shuffle on the partition key; within-partition sort is
+    the only cost. A skewed priority class sorts on one task — mitigate
+    by pre-bucketing on (priority, key-range) and merging rank offsets.
+    """
+    pu = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = W.partitionBy("o_orderpriority").orderBy("price_units", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", pu.alias("price_units"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "price_units",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+    )
+
+
+@register(
+    "trailing_range_frame_sum",
+    ops=("W2", "A4", "F8"),
+    oracle=f"""
+        WITH d AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) AS BIGINT) AS day_no,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pu,
+                   o_orderkey
+            FROM orders
+        )
+        SELECT o_custkey, day_no, o_orderkey,
+               CAST(SUM(pu) OVER (PARTITION BY o_custkey ORDER BY day_no
+                                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / 100.0 AS trailing_7d_spend
+        FROM d
+    """,
+)
+def trailing_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, total spend in the trailing
+    7-day window of each order — a value-based frame (peers by day
+    distance), not a row-count frame, so same-day orders aggregate
+    together and gaps widen the reach-back. Day numbers are integers
+    and the sum is fixed-point, keeping the frame edges and the total
+    exact.
+
+    Scale: shuffles once on the customer key; frames never cross
+    partitions, so the window is embarrassingly parallel per customer.
+    """
+    d = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_no"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pu"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-6, 0)
+    return d.select(
+        "o_custkey",
+        "day_no",
+        "o_orderkey",
+        (F.sum("pu").over(w).cast("double") / F.lit(100.0)).alias("trailing_7d_spend"),
+    )
+
+
+@register(
+    "percentile_exact_median",
+    ops=("A1", "A4"),
+    oracle="""
+        WITH u AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pu
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               quantile_cont(pu, 0.5) / 100.0 AS median_price,
+               quantile_cont(pu, 0.9) / 100.0 AS p90_price
+        FROM u
+        GROUP BY o_orderpriority
+    """,
+)
+def percentile_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) per priority class,
+    computed over integer price units so the (n-1)*q interpolation is
+    the same double arithmetic on both engines.
+
+    Scale: exact percentile requires a per-group sort — fine for
+    bounded groups. For high-cardinality keys at 100 TB switch to
+    percentile_approx (t-digest sketch, map-side mergeable); kept
+    exact here because the oracle gate needs bit-equality.
+    """
+    u = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long").alias("pu")
+    )
+    return u.groupBy("o_orderpriority").agg(
+        (F.percentile("pu", F.lit(0.5)) / F.lit(100.0)).alias("median_price"),
+        (F.percentile("pu", F.lit(0.9)) / F.lit(100.0)).alias("p90_price"),
+    )

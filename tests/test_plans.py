@@ -108,3 +108,27 @@ def test_asof_join_single_shuffle_on_key(plans):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(__k" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_shipping_priority_broadcast_and_topk(spark):
+    plan = explain_str(REGISTRY["shipping_priority_topk"].fn(spark, SF_DIR_ORACLE))
+    # filtered bounded customer side broadcasts; orders<->lineitem is the
+    # only shuffled join; global LIMIT plans as top-k, not a full sort.
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # selective predicates reach the parquet scans
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert any("PushedFilters" in l and "o_orderdate" in l for l in plan.splitlines())
+
+
+def test_window_queries_single_shuffle(spark):
+    import re
+
+    for name, key in (
+        ("percent_rank_distribution", "o_orderpriority"),
+        ("trailing_range_frame_sum", "o_custkey"),
+    ):
+        plan = explain_str(REGISTRY[name].fn(spark, SF_DIR_ORACLE))
+        assert f"hashpartitioning({key}" in plan, name
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, name
