@@ -26,7 +26,12 @@ from martian_moments_spark.llmops.similarity import (
     cosine_fixed,
     with_units_and_norm,
 )
-from martian_moments_spark.llmops.textops import quality_metrics, sql_quality_metrics
+from martian_moments_spark.llmops.textops import (
+    portable_hash31,
+    quality_metrics,
+    sql_portable_hash31,
+    sql_quality_metrics,
+)
 from martian_moments_spark.plans.registry import register
 
 NEARDUP_TAU = 0.30  # cosine threshold for embedding near-dup (synthetic corpus scale)
@@ -460,4 +465,76 @@ def percentile_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("o_orderpriority").agg(
         (F.percentile("pu", F.lit(0.5)) / F.lit(100.0)).alias("median_price"),
         (F.percentile("pu", F.lit(0.9)) / F.lit(100.0)).alias("p90_price"),
+    )
+
+
+@register(
+    "deterministic_split",
+    ops=("P8", "A1", "A3"),
+    oracle=f"""
+        WITH assigned AS (
+            SELECT lang,
+                   CASE WHEN {sql_portable_hash31("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+                        WHEN {sql_portable_hash31("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT lang, split, COUNT(*) AS n_docs
+        FROM assigned GROUP BY lang, split
+    """,
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by content-free
+    keyed hash — the split survives reshuffles, retries, corpus
+    re-reads, and engine changes (contrast rand(): partition-order
+    dependent). The 'split:' salt decorrelates this hash from every
+    other hash-of-doc_id use in the pipeline.
+
+    Scale: assignment is per-row (no shuffle); the audit rollup
+    shuffles once on two tiny keys.
+    """
+    h = portable_hash31(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "stratified_sample",
+    ops=("W2", "O2", "A6"),
+    oracle=f"""
+        SELECT lang, doc_id
+        FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY {sql_portable_hash31("'sample:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+            FROM documents
+        )
+        WHERE rn <= 10
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: the 10 smallest-hash docs per
+    language — an order-statistic on a uniform hash, so it IS a uniform
+    sample per stratum, yet reproducible anywhere (eval sets, debugging
+    slices). Tie-break on doc_id makes the cut total.
+
+    Scale: rank-over-hash shuffles once on the stratum key; at extreme
+    stratum sizes pre-filter with an approximate hash threshold
+    (hash < k/n_estimate margin) so the sort sees a sliver of rows.
+    """
+    h = portable_hash31(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        load(spark, sf_dir, "documents")
+        .select("lang", "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .select("lang", "doc_id")
     )
