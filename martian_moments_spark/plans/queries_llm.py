@@ -435,6 +435,97 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_cells_pandas(load(spark, sf_dir, "embeddings"), k=5)
 
 
+FUZZY_TAU = 0.8  # Jaccard threshold the LSH candidates must verify at
+
+
+@register(
+    "fuzzy_dedup_pipeline",
+    ops=("J2", "J3", "A6"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+        ), mh AS (
+            SELECT doc_id,
+            {_sql_minhash_cols()}
+            FROM sh
+        ), bands AS (
+            SELECT doc_id, 0 AS band_idx,
+                   ((0 * 1000003 + COALESCE(mh_0, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_1, 0) % 1000003) % {HASH_P} AS band_val FROM mh
+            UNION ALL
+            SELECT doc_id, 1,
+                   ((0 * 1000003 + COALESCE(mh_2, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_3, 0) % 1000003) % {HASH_P} FROM mh
+            UNION ALL
+            SELECT doc_id, 2,
+                   ((0 * 1000003 + COALESCE(mh_4, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_5, 0) % 1000003) % {HASH_P} FROM mh
+            UNION ALL
+            SELECT doc_id, 3,
+                   ((0 * 1000003 + COALESCE(mh_6, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_7, 0) % 1000003) % {HASH_P} FROM mh
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        ), dtoks AS (
+            SELECT doc_id, list_distinct({_SQL_TOKS}) AS tk FROM documents
+        ), verified AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN dtoks ta ON ta.doc_id = c.id_a
+            JOIN dtoks tb ON tb.doc_id = c.id_b
+            WHERE len(list_distinct(list_concat(ta.tk, tb.tk))) > 0
+              AND CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(ta.tk, tb.tk))) AS DOUBLE)
+                  >= {FUZZY_TAU}
+        ), dup AS (
+            SELECT id_b AS doc_id, MIN(id_a) AS dup_of FROM verified GROUP BY id_b
+        )
+        SELECT d.doc_id, p.dup_of, p.dup_of IS NULL AS is_kept
+        FROM documents d LEFT JOIN dup p ON d.doc_id = p.doc_id
+    """,
+)
+def fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical web-scale fuzzy-dedup pipeline, end to end:
+    MinHash+LSH candidate generation -> exact token-set Jaccard
+    verification at FUZZY_TAU -> greedy keep-lowest-id decision,
+    emitted for every document.
+
+    Scale: this is why LSH exists — the expensive Jaccard verifier
+    runs only on O(band collisions) pairs, never the n^2 cross
+    product; the verify join ships each document's token set to its
+    candidate pairs only. The decision stage is a MIN per duplicate +
+    one left join back (no global structure, unlike full
+    connected-components transitive closure — the standard greedy
+    approximation, deliberately chosen for shuffle-boundedness).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    dtoks = docs.select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("tk"),
+    )
+    ta = dtoks.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("tk_a"))
+    tb = dtoks.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tk_b"))
+    inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")
+    union = F.size(F.array_union("tk_a", "tk_b")).cast("double")
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter((union > 0) & (inter / union >= F.lit(FUZZY_TAU)))
+    )
+    dup = verified.groupBy(F.col("id_b").alias("doc_id")).agg(F.min("id_a").alias("dup_of"))
+    return (
+        docs.select("doc_id")
+        .join(dup, "doc_id", "left")
+        .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("is_kept"))
+    )
+
+
 @register(
     "multimodal_metadata",
     ops=("P8", "N5"),
