@@ -469,6 +469,98 @@ def percentile_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_aggregation",
+    ops=("A1", "A3", "A4"),
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n_items,
+               {sql_fixed_sum("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with GROUPING() markers to
+    disambiguate real NULL keys from subtotal rows — every margin of
+    the two-way table in one pass.
+
+    Scale: Catalyst expands the cube by replicating each input row per
+    grouping set AFTER map-side partial aggregation of the finest
+    grain, so the shuffle carries per-(set,key) partials, not 4x the
+    input.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_items"),
+            fixed_sum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_items", "sum_qty"
+        )
+    )
+
+
+@register(
+    "forward_fill_gaps",
+    ops=("W2", "P11"),
+    oracle="""
+        WITH s AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) AS BIGINT) AS day_no,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                        ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS pu
+            FROM orders
+        )
+        SELECT o_custkey, day_no, o_orderkey, pu,
+               LAST_VALUE(pu IGNORE NULLS) OVER (
+                   PARTITION BY o_custkey ORDER BY day_no, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu_filled
+        FROM s
+    """,
+)
+def forward_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward): sensor-style
+    gap repair where missing observations (urgent orders stand in for
+    dropped readings) inherit the most recent non-null value per key.
+    last_value(ignorenulls) over a running frame with a total order —
+    the canonical timeseries gap-fill.
+
+    Scale: one shuffle on the entity key; the running frame is a
+    single forward scan per partition (no re-sort per row).
+    """
+    s = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_no"),
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT", F.lit(None).cast("long")
+        )
+        .otherwise(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("pu"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("day_no", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return s.select(
+        "o_custkey",
+        "day_no",
+        "o_orderkey",
+        "pu",
+        F.last("pu", ignorenulls=True).over(w).alias("pu_filled"),
+    )
+
+
+@register(
     "deterministic_split",
     ops=("P8", "A1", "A3"),
     oracle=f"""
