@@ -156,3 +156,58 @@ def jaccard_pairs(
             F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
         )
     )
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Transitive closure of a near-duplicate relation: label every
+    vertex with the MINIMUM id reachable through the edge set (the
+    canonical component representative). Near-dup similarity is not
+    transitive, so pairwise keep-lowest under-merges; clustering the
+    full graph is what corpus-level dedup actually needs.
+
+    Iterative distributed min-label propagation: each round every
+    vertex takes the least of its own label and its neighbors' labels;
+    fixpoint (no label changed) is the exact component minimum, so the
+    result is iteration-count-independent and deterministic.
+
+    Scale: each round is one shuffle (edge-join + min-aggregate) over
+    the active graph. Rounds needed = graph diameter — small for dedup
+    clusters (near-dup components are dense). localCheckpoint truncates
+    the growing lineage so round N doesn't replan rounds 1..N-1; on a
+    cluster use reliable checkpointing to survive executor loss.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym.src == labels.v)
+            .select(F.col("dst").alias("v"), "label")
+            .groupBy("v")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(id_col), F.col("label").alias("component_id"))

@@ -19,6 +19,7 @@ from martian_moments_spark.catalog import load
 from martian_moments_spark.llmops.dedup import (
     HASH_P,
     MINHASH_SEEDS,
+    connected_components,
     minhash_from_hashes,
     exact_dedup,
     jaccard_pairs,
@@ -436,6 +437,57 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FUZZY_TAU = 0.8  # Jaccard threshold the LSH candidates must verify at
+
+
+@register(
+    "dedup_connected_components",
+    ops=("J2", "A6"),
+    oracle=f"""
+        WITH RECURSIVE toks AS (
+            SELECT source, doc_id,
+                   list_distinct({_SQL_TOKS}) AS tk
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_distinct(list_concat(a.tk, b.tk))) > 0
+              AND CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE)
+                  >= {FUZZY_TAU}
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), reach(u, v) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.u, e.dst FROM reach r JOIN edges e ON r.v = e.src
+        )
+        SELECT u AS doc_id, MIN(v) AS component_id
+        FROM reach GROUP BY u
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup closure: near-dup pairs (blocked token-set
+    Jaccard >= FUZZY_TAU) clustered into connected components, each
+    document labeled with its component's minimum id. Near-dup
+    similarity is not transitive — A~B, B~C without A~C — so corpus
+    dedup needs the closure, not pairwise decisions.
+
+    The one iterative-algorithm query in the engine: distributed
+    min-label propagation to fixpoint (llmops/dedup.py
+    connected_components), which Spark runs as one shuffle per round;
+    the oracle states the same fixpoint declaratively as a recursive
+    CTE. Both sides converge to the unique component minimum, so the
+    comparison is exact despite entirely different execution.
+    """
+    docs = load(spark, sf_dir, "documents")
+    edges = (
+        jaccard_pairs(docs, block_col="source")
+        .filter(F.col("jaccard") >= F.lit(FUZZY_TAU))
+        .select("id_a", "id_b")
+    )
+    return connected_components(docs.select("doc_id"), edges)
 
 
 @register(

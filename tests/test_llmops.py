@@ -151,3 +151,21 @@ def test_rolling_fingerprint_order_sensitive(spark):
     )
     fp = {r["doc_id"]: r["f"] for r in df.select("doc_id", rolling_fingerprint().alias("f")).collect()}
     assert fp[0] == fp[2] != fp[1]
+
+
+def test_connected_components_multi_hop_closure(spark):
+    from martian_moments_spark.llmops.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
+    # pair 10-11, isolated 20
+    vertices = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 20)], "doc_id BIGINT"
+    )
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (10, 11)], "id_a BIGINT, id_b BIGINT"
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
