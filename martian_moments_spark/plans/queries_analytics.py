@@ -597,6 +597,57 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target mixture in basis points of 10000 (keep probability per source)
+# — the literal config a corpus-mixing job would read from a manifest.
+MIXTURE_BP = {
+    f"src{i}": (10000 if i < 5 else 5000 if i < 10 else 2500) for i in range(20)
+}
+
+
+@register(
+    "corpus_mixture_sample",
+    ops=("J1", "A1", "A3"),
+    oracle=f"""
+        WITH w(source, keep_bp) AS (
+            VALUES {", ".join(f"('{s}', {bp})" for s, bp in sorted(MIXTURE_BP.items()))}
+        )
+        SELECT d.source, w.keep_bp,
+               COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN {sql_portable_hash31("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 < w.keep_bp
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents d JOIN w ON d.source = w.source
+        GROUP BY d.source, w.keep_bp
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: each source keeps a hash-thresholded
+    fraction of its documents per the target mixture (full weight for
+    premium sources, downsampled tails) — how a training run hits its
+    data-mixture spec reproducibly. The keep decision is per-row hash
+    arithmetic; the weight table is a broadcast-joined literal config.
+
+    Scale: the config join is a broadcast (20 rows vs billions); the
+    audit rollup shuffles once on the source key. Changing the mixture
+    re-filters without re-shuffling the corpus.
+    """
+    weights = spark.createDataFrame(
+        sorted(MIXTURE_BP.items()), "source STRING, keep_bp INT"
+    )
+    h = portable_hash31(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 10000
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .join(F.broadcast(weights), "source")
+        .groupBy("source", "keep_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(h < F.col("keep_bp"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
 @register(
     "stratified_sample",
     ops=("W2", "O2", "A6"),

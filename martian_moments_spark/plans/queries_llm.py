@@ -29,9 +29,11 @@ from martian_moments_spark.llmops.dedup import (
 )
 from martian_moments_spark.llmops.similarity import (
     FIXED_SCALE,
+    cosine_fixed,
     topk_cosine,
     topk_cosine_blocked,
     topk_cosine_cells_pandas,
+    with_units_and_norm,
 )
 from martian_moments_spark.llmops.textops import (
     portable_hash31,
@@ -575,6 +577,79 @@ def fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id")
         .join(dup, "doc_id", "left")
         .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("is_kept"))
+    )
+
+
+@register(
+    "embedding_ann_multiprobe",
+    ops=("J2", "W2", "O2", "N3"),
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, label, {_SQL_UNITS} AS units,
+                   CAST(list_sum(list_transform(list_zip({_SQL_UNITS}, {_SQL_UNITS}),
+                        z -> z[1] * z[2])) AS BIGINT) AS norm2
+            FROM embeddings
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(list_sum(list_transform(list_zip(a.units, b.units),
+                        z -> z[1] * z[2])) AS BIGINT) AS dot,
+                   a.norm2 AS na, b.norm2 AS nb
+            FROM n a JOIN n b
+              ON b.label BETWEEN a.label - 1 AND a.label + 1
+             AND a.vec_id <> b.vec_id
+        ), cos AS (
+            SELECT id_a, id_b,
+                   CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+            FROM pairs
+        )
+        SELECT id_a, id_b, cosine, CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn FROM cos)
+        WHERE rn <= 5
+    """,
+)
+def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: each vector searches its own cell plus the
+    two adjacent cells — the recall/latency knob between single-probe
+    IVF (embedding_ann_ivf) and brute force (embedding_cosine_topk).
+    Implemented by replicating candidate vectors into their neighbor
+    cells (explode over the probe list) so the search join stays a pure
+    equi-join on the probe cell — broadcastable/bucketable at scale,
+    never a range join.
+
+    Scale: work is O(sum of (probed cells)^2) ≈ 3x single-probe; the
+    replication factor equals the probe count, a direct dial between
+    cost and recall (characterized in tests/test_ann_recall.py).
+    """
+    base = with_units_and_norm(
+        load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    )
+    a = base.select(
+        F.col("label").alias("probe_cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("units").alias("units_a"),
+        F.col("norm2").alias("norm_a"),
+    )
+    b = base.select(
+        F.explode(
+            F.array(F.col("label") - 1, F.col("label"), F.col("label") + 1)
+        ).alias("probe_cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("units").alias("units_b"),
+        F.col("norm2").alias("norm_b"),
+    )
+    pairs = (
+        a.join(b, "probe_cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "cosine",
+            cosine_fixed(F.col("units_a"), F.col("units_b"), F.col("norm_a"), F.col("norm_b")),
+        )
+    )
+    w = W.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("id_a", "id_b", "cosine", "rank")
     )
 
 

@@ -38,3 +38,20 @@ def test_ivf_recall_and_work_reduction(spark):
     # every vector still gets k results (cells are larger than k)
     ivf_df = topk_cosine(emb, k=K, cell_col="label")
     assert ivf_df.groupBy("id_a").count().filter("count <> 5").count() == 0
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    from martian_moments_spark.plans import load_all
+
+    REGISTRY = load_all()
+    exact = _pairs(REGISTRY["embedding_cosine_topk"].fn(spark, SF_DIR))
+    single = _pairs(REGISTRY["embedding_ann_ivf"].fn(spark, SF_DIR))
+    multi = _pairs(REGISTRY["embedding_ann_multiprobe"].fn(spark, SF_DIR))
+
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    print(f"recall single-probe={r_single:.3f} multi-probe={r_multi:.3f}")
+    # widening the probe set must never lose a neighbor already found
+    assert r_multi >= r_single
+    # and with 3x the candidates it should find strictly more here
+    assert r_multi > r_single
