@@ -336,6 +336,69 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    ops=("N2", "A1", "J1", "W2", "O2"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST({_SQL_TOKS}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT COUNT(*) AS n FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS salience
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, salience, CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY salience DESC, term) AS rn FROM scored)
+        WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per document by tf x (N/df) — TF-IDF with a
+    rational inverse-document-frequency instead of log(N/df): log is
+    monotone, so the ranking is identical, and the score stays an
+    integer ratio (exact across engines; libm log differs in last
+    ulps). The keyword-extraction feature of a corpus indexer.
+
+    Scale: tf is one shuffle on (doc, term); df reuses that output with
+    a map-side-combined shuffle on term; the corpus size joins back as
+    a broadcast scalar. Stop-word-heavy df skew is capped because df
+    rows are one per term, not per occurrence.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n")).cast("double") / F.col("df").cast("double")).alias(
+                "salience"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("salience").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "salience", "rank")
+    )
+
+
+@register(
     "doc_fingerprint",
     ops=(),
     oracle=f"""
