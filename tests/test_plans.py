@@ -132,3 +132,20 @@ def test_window_queries_single_shuffle(spark):
         plan = explain_str(REGISTRY[name].fn(spark, SF_DIR_ORACLE))
         assert f"hashpartitioning({key}" in plan, name
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, name
+
+
+def test_multiprobe_is_equi_join_on_probe_cell(spark):
+    # neighbor-cell replication must keep the search an equi-join on
+    # the probe cell — never a range/theta join over label distance.
+    plan = explain_str(REGISTRY["embedding_ann_multiprobe"].fn(spark, SF_DIR_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "probe_cell" in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tfidf_corpus_size_joins_as_broadcast(spark):
+    # the N scalar joins every (doc,term) row: must be a broadcast of
+    # the 1-row aggregate, not a shuffled join or driver collect.
+    plan = explain_str(REGISTRY["tfidf_top_terms"].fn(spark, SF_DIR_ORACLE))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
