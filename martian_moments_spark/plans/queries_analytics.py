@@ -597,6 +597,82 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unpivot_melt",
+    ops=("A3", "U1", "A1"),
+    oracle=f"""
+        WITH agg AS (
+            SELECT l_returnflag,
+                   {sql_fixed_sum("l_quantity")} AS sum_qty,
+                   {sql_fixed_sum("l_extendedprice")} AS sum_price
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'sum_qty', sum_qty FROM agg
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-flag aggregates to long (key, metric,
+    value) triples — the inverse of pivot_wide, feeding metric-generic
+    sinks (dashboards, metric stores). Spark's stack() emits both rows
+    per input row in one pass; no join, no union re-scan.
+
+    Scale: the melt itself is per-row (no shuffle); only the upstream
+    aggregate shuffles, on the single low-cardinality key.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        fixed_sum("l_quantity").alias("sum_qty"),
+        fixed_sum("l_extendedprice").alias("sum_price"),
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "stack(2, 'sum_price', sum_price, 'sum_qty', sum_qty) AS (metric, value)",
+    )
+
+
+@register(
+    "edit_distance_pairs",
+    ops=("J2", "F1", "P6"),
+    oracle="""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching: Levenshtein distance between
+    customer names within a nation block, keeping near-matches — the
+    entity-resolution primitive (typo-tolerant record linkage).
+    Edit distance is an integer, so the <= 2 cut is engine-exact.
+
+    Scale: blocking bounds the quadratic pair space exactly like the
+    Jaccard dedup path; at 100 TB block on a cheap canopy key (prefix,
+    phonetic code, or LSH bucket) before paying O(len^2) per pair.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
+    a = c.select(
+        F.col("c_nationkey").alias("block"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("block"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
 # Target mixture in basis points of 10000 (keep probability per source)
 # — the literal config a corpus-mixing job would read from a manifest.
 MIXTURE_BP = {
