@@ -23,6 +23,8 @@ from martian_moments_spark.streaming.sources import (  # noqa: F401
 )
 from martian_moments_spark.streaming.sinks import (  # noqa: F401
     append_parquet_sink,
+    bucket_expr,
+    partitioned_upsert,
     upsert_foreach_batch,
 )
 from martian_moments_spark.streaming.windows import (  # noqa: F401

@@ -35,48 +35,92 @@ def append_parquet_sink(
     return writer.trigger(availableNow=True).start()
 
 
+#: Name of the derived hash-bucket partition column a merge target is
+#: laid out by. It is a physical-layout detail but surfaces in the
+#: read-back schema (as any partition column does).
+BUCKET_COL = "__part"
+
+
+def bucket_expr(keys: list[str], num_buckets: int):
+    """Deterministic bucket assignment for a merge key: every version
+    of a key lands in the same partition, so an upsert only ever needs
+    to rewrite the partitions its batch touches."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)).cast("int")
+
+
+def partitioned_upsert(
+    batch_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_col: str,
+    num_buckets: int = 16,
+) -> int:
+    """Partition-scoped keyed MERGE — the no-MERGE-on-parquet rewrite
+    (X2) that only touches the partitions the batch hits:
+
+    1. dedup the batch on ``keys`` (latest ``order_col`` wins — the
+       SURVEY §7.4.2 tie-break) and tag each row's hash bucket;
+    2. read ONLY the touched buckets of the target (partition pruning
+       on ``__part``) and anti-join out collided keys;
+    3. ``localCheckpoint(eager=True)`` the merged frame — durable
+       materialization severed from the target's files, so the
+       overwrite can never recompute from a half-truncated source
+       (cache() is best-effort and is not enough);
+    4. dynamic-partition-overwrite: ``mode=overwrite`` +
+       ``partitionBy(__part)`` with ``partitionOverwriteMode=dynamic``
+       replaces exactly the buckets present in the merged frame —
+       untouched buckets' files are not rewritten.
+
+    At 100 TB this bounds a batch's write amplification to
+    (touched buckets / num_buckets) of the table instead of 1.0; on a
+    real cluster swap localCheckpoint for a reliable checkpoint dir.
+    Returns the merged row count.
+    """
+    from pyspark.sql.window import Window as W
+
+    spark = batch_df.sparkSession
+    w = W.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    batch = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn(BUCKET_COL, bucket_expr(keys, num_buckets))
+    )
+    if os.path.exists(target_path):
+        touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+        if not touched:
+            return 0
+        target = spark.read.parquet(target_path).filter(F.col(BUCKET_COL).isin(touched))
+        survivors = target.join(batch.select(*keys), keys, "left_anti")
+        merged = batch.unionByName(survivors)
+    else:
+        merged = batch
+    merged = merged.localCheckpoint(eager=True)
+    rows = merged.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return rows
+
+
 def upsert_foreach_batch(
     stream_df: DataFrame,
     target_path: str,
     checkpoint: str,
     keys: list[str],
     order_col: str,
+    num_buckets: int = 16,
     on_batch_complete: Callable[[int, int], None] | None = None,
 ):
     """Keyed last-writer-wins upsert sink — dbt 'merge' strategy (E8)
-    per micro-batch:
-
-    1. dedup the batch itself on ``keys`` (latest ``order_col`` wins —
-       the SURVEY §7.4.2 tie-break);
-    2. merged = batch ∪ (target ⟕anti batch)  — anti-join + union, the
-       no-MERGE-on-parquet rewrite (X2);
-    3. overwrite the target; 4. emit the load-complete record (E9).
-
-    At 100 TB the target is partitioned by a key prefix and step 3
-    rewrites only partitions the batch touches (dynamic partition
-    overwrite); here the whole (small) target is rewritten.
-    """
-    spark = stream_df.sparkSession
+    per micro-batch: ``partitioned_upsert`` per batch, then the
+    load-complete control record (E9)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql.window import Window as W
-
-        w = W.partitionBy(*keys).orderBy(F.col(order_col).desc())
-        batch = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        if os.path.exists(target_path):
-            target = spark.read.parquet(target_path)
-            survivors = target.join(batch.select(*keys), keys, "left_anti")
-            merged = batch.unionByName(survivors)
-        else:
-            merged = batch
-        # Self-overwrite safety: materialize before truncating the dir.
-        rows = merged.cache().count()
-        merged.write.mode("overwrite").parquet(target_path)
-        merged.unpersist()
+        rows = partitioned_upsert(batch_df, target_path, keys, order_col, num_buckets)
         write_load_complete(os.path.dirname(target_path), target_path, batch_id, rows)
         if on_batch_complete:
             on_batch_complete(batch_id, rows)

@@ -88,6 +88,53 @@ def test_foreach_batch_upsert_last_writer_wins(spark, tmp_path):
     assert markers, "load-complete control record missing (E9)"
 
 
+def test_partitioned_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """Dynamic-partition-overwrite merge: a batch touching a subset of
+    hash buckets must leave every other bucket's files byte-identical
+    (same names, same bytes) — the partition-scoped MERGE contract."""
+    import hashlib
+
+    from martian_moments_spark.streaming.sinks import BUCKET_COL, partitioned_upsert
+
+    target = str(tmp_path / "merge_target")
+    base = spark.createDataFrame(
+        [(k, "old", 1) for k in range(1, 41)], "k BIGINT, v STRING, seq BIGINT"
+    )
+    assert partitioned_upsert(base, target, keys=["k"], order_col="seq", num_buckets=8) == 40
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(target):
+            for name in files:
+                if name.endswith(".parquet"):
+                    p = os.path.join(root, name)
+                    with open(p, "rb") as f:
+                        out[os.path.relpath(p, target)] = hashlib.sha256(f.read()).hexdigest()
+        return out
+
+    before = snapshot()
+    assert len({p.split("/")[0] for p in before}) == 8  # all 8 buckets populated
+
+    delta = spark.createDataFrame(
+        [(3, "new", 2), (4, "new", 2), (99, "new", 2)], "k BIGINT, v STRING, seq BIGINT"
+    )
+    assert partitioned_upsert(delta, target, keys=["k"], order_col="seq", num_buckets=8) > 0
+
+    touched = {
+        f"{BUCKET_COL}={r[0]}"
+        for r in delta.selectExpr(f"cast(pmod(xxhash64(k), 8) as int)").distinct().collect()
+    }
+    after = snapshot()
+    untouched_before = {p: h for p, h in before.items() if p.split("/")[0] not in touched}
+    untouched_after = {p: h for p, h in after.items() if p.split("/")[0] not in touched}
+    assert untouched_before == untouched_after, "untouched bucket files were rewritten"
+    assert any(p.split("/")[0] in touched for p in after)
+
+    final = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    expected = {k: "old" for k in range(1, 41)} | {3: "new", 4: "new", 99: "new"}
+    assert final == expected
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """A row older than (max event time - watermark) arriving in a
     later micro-batch must be dropped from the aggregation."""
