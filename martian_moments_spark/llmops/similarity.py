@@ -169,6 +169,324 @@ def topk_cosine_cells_pandas(
     )
 
 
+# Coarse-quantizer operating point (shared by the Spark plans and the
+# generated DuckDB oracle — single source of truth).
+K_CELLS = 4
+KMEANS_ITERS = 2
+N_PROBE = 3
+
+
+def kmeans_units(
+    df: DataFrame,
+    k: int = K_CELLS,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Deterministic k-means coarse quantizer over fixed-point units.
+
+    Every step is integer or IEEE-exact arithmetic, so the assignment
+    is bit-reproducible on any engine (the DuckDB oracle replays it via
+    ``sql_kmeans_ctes``):
+
+    - seeds: the ``k`` vectors with the smallest
+      ``(md5-hash(vec_id), vec_id)`` — cell ids 0..k-1 in that order;
+    - assignment: argmin over cells of the exact int64 squared L2
+      distance, ties to the lowest cell id;
+    - update: per-coordinate ``floor(sum/count + 0.5)`` — int64 sums
+      are exact, the division is one IEEE double op (|sum| << 2^53),
+      so the rounded centroid is identical everywhere. Cells that end
+      an iteration empty are dropped (their id simply stops existing).
+
+    Runs ``iters`` (assign → update) rounds then a final assignment.
+    The per-row work is vectorized numpy via ``mapInPandas`` (the
+    centroid matrix is a tiny closure broadcast); the update is one
+    posexplode + groupBy — at 100 TB the same loop runs on a sample
+    and the final assignment pass streams over the corpus once.
+
+    Returns ``(assigned_df, centroids)``: the input with ``units``,
+    ``norm2`` and ``cell`` columns, and the final ``[(cell_id,
+    np.int64[dim])]`` list (sorted by cell id) for probe ranking.
+    """
+    import numpy as np
+
+    from martian_moments_spark.llmops.textops import portable_hash31
+
+    # Materialize units once: the training loop makes iters + 1
+    # assignment passes plus the seed scan, and the float -> fixed-point
+    # conversion is an interpreted array lambda — recomputing it per
+    # pass would dominate. Same lineage-truncation pattern as
+    # dedup.connected_components; ~16 bytes/coord, tiny vs the corpus.
+    base = (
+        with_units_and_norm(df.select(id_col, emb_col), emb_col)
+        .select(id_col, "units", "norm2")
+        .localCheckpoint(eager=True)
+    )
+    seed_rows = (
+        base.withColumn("__h", portable_hash31(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .select("units")
+        .collect()
+    )
+    cents = [(i, np.asarray(r[0], dtype=np.int64)) for i, r in enumerate(seed_rows)]
+
+    def assign(frame: DataFrame, centroids) -> DataFrame:
+        cell_ids = np.array([c for c, _ in centroids], dtype=np.int64)
+        C = np.stack([v for _, v in centroids])
+
+        def fn(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf.assign(cell=pd.Series([], dtype="int32"))
+                    continue
+                U = np.stack([np.asarray(u, dtype=np.int64) for u in pdf["units"]])
+                d = ((U[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                yield pdf.assign(cell=cell_ids[d.argmin(axis=1)].astype("int32"))
+
+        schema = f"{id_col} BIGINT, units ARRAY<BIGINT>, norm2 BIGINT, cell INT"
+        return frame.mapInPandas(fn, schema)
+
+    for _ in range(iters):
+        assigned = assign(base, cents)
+        stats = (
+            assigned.select("cell", F.posexplode("units").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["n"])
+        cents = [
+            (
+                cell,
+                np.array(
+                    [
+                        np.floor(coords[p][0] / coords[p][1] + 0.5)
+                        for p in sorted(coords)
+                    ],
+                    dtype=np.int64,
+                ),
+            )
+            for cell, coords in sorted(by_cell.items())
+        ]
+    return assign(base, cents), cents
+
+
+def probe_cells(assigned: DataFrame, centroids, n_probe: int = N_PROBE) -> DataFrame:
+    """Per-query probe list: the ``n_probe`` cells whose (final)
+    centroids are nearest the query vector, ranked by exact int64
+    squared distance with ties to the lowest cell id. The query's own
+    cell is rank 1 by construction (assignment is the same argmin).
+    Returns the input plus an exploded ``probe_cell`` column — the
+    search join stays a pure equi-join on it."""
+    import numpy as np
+
+    cell_ids = np.array([c for c, _ in centroids], dtype=np.int64)
+    C = np.stack([v for _, v in centroids])
+    take = min(n_probe, len(cell_ids))
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(probe_cells=pd.Series([], dtype=object))
+                continue
+            U = np.stack([np.asarray(u, dtype=np.int64) for u in pdf["units"]])
+            d = ((U[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            order = np.lexsort((np.broadcast_to(cell_ids, d.shape), d), axis=1)
+            probes = cell_ids[order[:, :take]]
+            yield pdf.assign(probe_cells=list(probes))
+
+    cols = assigned.columns
+    schema = ", ".join(
+        [
+            "vec_id BIGINT",
+            "units ARRAY<BIGINT>",
+            "norm2 BIGINT",
+            *(["cell INT"] if "cell" in cols else []),
+            "probe_cells ARRAY<BIGINT>",
+        ]
+    )
+    out = assigned.mapInPandas(fn, schema)
+    return out.withColumn("probe_cell", F.explode("probe_cells")).drop("probe_cells")
+
+
+def topk_units_cells_pandas(assigned: DataFrame, k: int = 5) -> DataFrame:
+    """Per-cell exact top-k from precomputed units (the kmeans_units
+    output): one shuffle on the cell key, one int64 numpy matmul per
+    cell — the search stage of the IVF path."""
+    import numpy as np
+    import pandas as pd
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": [], "rank": [], "cell": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64", "rank": "int32", "cell": "int32"}
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        u = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["units"]])[order]
+        g = u @ u.T
+        norms = np.sqrt(np.diag(g).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = g.astype(np.float64) / np.outer(norms, norms)
+        np.fill_diagonal(cos, -np.inf)
+        kk = min(k, n - 1)
+        cell = int(pdf["cell"].iloc[0])
+        out = []
+        for i in range(n):
+            idx = np.lexsort((ids, -cos[i]))[: kk + 1]
+            idx = idx[idx != i][:kk]
+            for rank, j in enumerate(idx, start=1):
+                out.append((ids[i], ids[j], cos[i, j], rank, cell))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "cosine", "rank", "cell"]).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64", "rank": "int32", "cell": "int32"}
+        )
+
+    return assigned.select("vec_id", "units", "cell").groupBy("cell").applyInPandas(
+        per_cell, "id_a BIGINT, id_b BIGINT, cosine DOUBLE, rank INT, cell INT"
+    )
+
+
+def topk_units_probed(probed: DataFrame, assigned: DataFrame, k: int = 5) -> DataFrame:
+    """Multi-probe search stage: queries (replicated once per probe
+    cell) cogrouped with the candidates assigned to that cell; each
+    (probe cell) group computes its query x candidate block as one
+    exact int64 matmul and keeps per-cell partial top-k; a final window
+    re-ranks the <= n_probe * k partials per query. Exact within the
+    probed cells: every candidate lives in exactly one cell, so no
+    pair is scored twice. One shuffle on the cell key each side."""
+    import numpy as np
+    import pandas as pd
+
+    queries = probed.select(
+        F.col("probe_cell").cast("int").alias("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("units").alias("units_a"),
+    )
+    cands = assigned.select("cell", F.col("vec_id").alias("id_b"), F.col("units").alias("units_b"))
+
+    def per_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+        if left.empty or right.empty:
+            return empty
+        qi = left["id_a"].to_numpy()
+        ci = right["id_b"].to_numpy()
+        qu = np.stack([np.asarray(u, dtype=np.int64) for u in left["units_a"]])
+        cu = np.stack([np.asarray(u, dtype=np.int64) for u in right["units_b"]])
+        g = qu @ cu.T
+        qn = np.sqrt(np.einsum("ij,ij->i", qu, qu).astype(np.float64))
+        cn = np.sqrt(np.einsum("ij,ij->i", cu, cu).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = g.astype(np.float64) / np.outer(qn, cn)
+        out = []
+        kk = min(k + 1, len(ci))  # +1: self is present in the home cell
+        for i in range(len(qi)):
+            row = cos[i]
+            idx = np.lexsort((ci, -row))[:kk]
+            for j in idx:
+                if ci[j] != qi[i]:
+                    out.append((qi[i], ci[j], row[j]))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"]).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+
+    partial = (
+        queries.groupBy("cell")
+        .cogroup(cands.groupBy("cell"))
+        .applyInPandas(per_cell, "id_a BIGINT, id_b BIGINT, cosine DOUBLE")
+    )
+    w = W.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("id_a", "id_b", "cosine", "rank")
+    )
+
+
+def sql_kmeans_ctes(
+    units_sql: str,
+    hash_sql: str,
+    k: int = K_CELLS,
+    iters: int = KMEANS_ITERS,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB CTE chain replaying ``kmeans_units`` exactly (same seeds,
+    same integer distances, same tie-breaks, same centroid rounding).
+    Ends with ``kassign(vec_id, units, norm2, cell)`` and
+    ``kcents(cell, c)`` — callers build search CTEs on top."""
+    parts = [
+        f"""kunits AS (
+            SELECT {id_col} AS vec_id, {units_sql} AS units,
+                   CAST(list_sum(list_transform(list_zip({units_sql}, {units_sql}),
+                        z -> z[1] * z[2])) AS BIGINT) AS norm2
+            FROM {table}
+        ), kseeds AS (
+            SELECT vec_id, units FROM (
+                SELECT {id_col} AS vec_id, {units_sql} AS units
+                FROM {table}
+                ORDER BY {hash_sql}, {id_col} LIMIT {k}
+            )
+        ), kcents_0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY {hash_sql}, vec_id) - 1 AS cell,
+                   units AS c
+            FROM kseeds
+        )"""
+    ]
+    prev = "kcents_0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""kdist_{t} AS (
+            SELECT v.vec_id, v.units, c.cell,
+                   CAST(list_sum(list_transform(list_zip(v.units, c.c),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d
+            FROM kunits v CROSS JOIN {prev} c
+        ), kassign_{t} AS (
+            SELECT vec_id, units, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                FROM kdist_{t}
+            ) WHERE rn = 1
+        ), kcoord_{t} AS (
+            SELECT cell, pos,
+                   CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS coord
+            FROM (
+                SELECT cell, unnest(range(1, len(units) + 1)) AS pos,
+                       unnest(units) AS val
+                FROM kassign_{t}
+            ) GROUP BY cell, pos
+        ), kcents_{t} AS (
+            SELECT cell, list(coord ORDER BY pos) AS c
+            FROM kcoord_{t} GROUP BY cell
+        )"""
+        )
+        prev = f"kcents_{t}"
+    parts.append(
+        f"""kfdist AS (
+            SELECT v.vec_id, v.units, v.norm2, c.cell,
+                   CAST(list_sum(list_transform(list_zip(v.units, c.c),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d
+            FROM kunits v CROSS JOIN {prev} c
+        ), kassign AS (
+            SELECT vec_id, units, norm2, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                FROM kfdist
+            ) WHERE rn = 1
+        ), kcents AS (SELECT cell, c FROM {prev})"""
+    )
+    return ", ".join(parts)
+
+
 def topk_cosine_blocked(
     df: DataFrame,
     k: int = 5,
@@ -217,7 +535,11 @@ def topk_cosine_blocked(
         g = qu @ cu.T
         qn = np.sqrt(np.einsum("ij,ij->i", qu, qu).astype(np.float64))
         cn = np.sqrt(np.einsum("ij,ij->i", cu, cu).astype(np.float64))
-        cos = g.astype(np.float64) / np.outer(qn, cn)
+        # Zero-norm guard (same contract as topk_cosine_cells_pandas):
+        # a zero vector's cosine is NaN, which lexsort ranks last — it
+        # never displaces a real neighbor, identically on all paths.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = g.astype(np.float64) / np.outer(qn, cn)
         out = []
         kk = min(k + 1, len(ci))  # +1: self may be present when qb == cb
         for i in range(len(qi)):

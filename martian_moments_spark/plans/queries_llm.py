@@ -29,10 +29,18 @@ from martian_moments_spark.llmops.dedup import (
 )
 from martian_moments_spark.llmops.similarity import (
     FIXED_SCALE,
+    K_CELLS,
+    KMEANS_ITERS,
+    N_PROBE,
     cosine_fixed,
+    kmeans_units,
+    probe_cells,
+    sql_kmeans_ctes,
     topk_cosine,
     topk_cosine_blocked,
     topk_cosine_cells_pandas,
+    topk_units_cells_pandas,
+    topk_units_probed,
     with_units_and_norm,
 )
 from martian_moments_spark.llmops.textops import (
@@ -463,22 +471,21 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_blocked(load(spark, sf_dir, "embeddings"), k=5)
 
 
+_SQL_VEC_HASH = sql_portable_hash31("CAST(vec_id AS VARCHAR)")
+_SQL_KMEANS = sql_kmeans_ctes(_SQL_UNITS, _SQL_VEC_HASH, k=K_CELLS, iters=KMEANS_ITERS)
+
+
 @register(
     "embedding_ann_ivf",
     ops=("J2", "W2", "O2"),
     bench=True,
     oracle=f"""
-        WITH n AS (
-            SELECT vec_id, label, {_SQL_UNITS} AS units,
-                   CAST(list_sum(list_transform(list_zip({_SQL_UNITS}, {_SQL_UNITS}),
-                        z -> z[1] * z[2])) AS BIGINT) AS norm2
-            FROM embeddings
-        ), pairs AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS cell,
+        WITH {_SQL_KMEANS}, pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.cell AS INT) AS cell,
                    CAST(list_sum(list_transform(list_zip(a.units, b.units),
                         z -> z[1] * z[2])) AS BIGINT) AS dot,
                    a.norm2 AS na, b.norm2 AS nb
-            FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
+            FROM kassign a JOIN kassign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
         ), cos AS (
             SELECT id_a, id_b, cell,
                    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
@@ -490,15 +497,20 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: the ``label`` column stands in for the coarse
-    quantizer's nearest-centroid cell; top-k search runs within-cell
-    only — one shuffle on the cell key, O(sum cell^2), the 100 TB-viable
-    plan (multi-probe = union over neighboring cells). Executed as a
-    per-cell int64 numpy matmul (topk_cosine_cells_pandas): exact
-    fixed-point arithmetic, so it stays bit-identical to the JVM
-    formulation (topk_cosine) and the DuckDB oracle while ~10x faster
-    than interpreted array lambdas."""
-    return topk_cosine_cells_pandas(load(spark, sf_dir, "embeddings"), k=5)
+    """IVF ANN with a real coarse quantizer: deterministic k-means
+    (kmeans_units — md5-seeded, integer centroids, every step
+    integer/IEEE-exact, so the DuckDB oracle replays the training run
+    bit-for-bit) assigns each vector its nearest-centroid cell; top-k
+    search runs within-cell only — one shuffle on the cell key,
+    O(sum cell^2), the 100 TB-viable plan. Search is a per-cell int64
+    numpy matmul (topk_units_cells_pandas). Single-probe recall and
+    the multi-probe dial are characterized in tests/test_ann_recall.py
+    (testdata embeddings are isotropic random, so recall ~ scanned
+    fraction; the >=0.8 operating point is embedding_ann_multiprobe).
+    Quantizer scale path: train on a sample, broadcast k*dim integer
+    centroids, one streaming assignment pass over the corpus."""
+    assigned, _ = kmeans_units(load(spark, sf_dir, "embeddings"))
+    return topk_units_cells_pandas(assigned, k=5)
 
 
 FUZZY_TAU = 0.8  # Jaccard threshold the LSH candidates must verify at
@@ -647,19 +659,24 @@ def fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_ann_multiprobe",
     ops=("J2", "W2", "O2", "N3"),
     oracle=f"""
-        WITH n AS (
-            SELECT vec_id, label, {_SQL_UNITS} AS units,
-                   CAST(list_sum(list_transform(list_zip({_SQL_UNITS}, {_SQL_UNITS}),
-                        z -> z[1] * z[2])) AS BIGINT) AS norm2
-            FROM embeddings
+        WITH {_SQL_KMEANS}, kprobe AS (
+            SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY CAST(list_sum(list_transform(list_zip(v.units, c.c),
+                                     z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT), c.cell
+                       ) AS rn
+                FROM kunits v CROSS JOIN kcents c
+            ) WHERE rn <= {N_PROBE}
         ), pairs AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   CAST(list_sum(list_transform(list_zip(a.units, b.units),
+            SELECT q.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(list_sum(list_transform(list_zip(q.units, b.units),
                         z -> z[1] * z[2])) AS BIGINT) AS dot,
-                   a.norm2 AS na, b.norm2 AS nb
-            FROM n a JOIN n b
-              ON b.label BETWEEN a.label - 1 AND a.label + 1
-             AND a.vec_id <> b.vec_id
+                   q.norm2 AS na, b.norm2 AS nb
+            FROM kunits q
+            JOIN kprobe p ON p.vec_id = q.vec_id
+            JOIN kassign b ON b.cell = p.cell AND b.vec_id <> q.vec_id
         ), cos AS (
             SELECT id_a, id_b,
                    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
@@ -671,49 +688,22 @@ def fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe IVF ANN: each vector searches its own cell plus the
-    two adjacent cells — the recall/latency knob between single-probe
-    IVF (embedding_ann_ivf) and brute force (embedding_cosine_topk).
-    Implemented by replicating candidate vectors into their neighbor
-    cells (explode over the probe list) so the search join stays a pure
-    equi-join on the probe cell — broadcastable/bucketable at scale,
-    never a range join.
+    """Multi-probe IVF ANN over the k-means quantizer: each query
+    searches the N_PROBE cells whose centroids are nearest it (its own
+    cell is rank 1 by construction) — the recall/latency dial between
+    single-probe IVF and brute force. This is the engine's stated
+    operating point: recall@5 >= 0.8 at N_PROBE=3 of K_CELLS=4 on the
+    isotropic testdata (tests/test_ann_recall.py pins it).
 
-    Scale: work is O(sum of (probed cells)^2) ≈ 3x single-probe; the
-    replication factor equals the probe count, a direct dial between
-    cost and recall (characterized in tests/test_ann_recall.py).
-    """
-    base = with_units_and_norm(
-        load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    )
-    a = base.select(
-        F.col("label").alias("probe_cell"),
-        F.col("vec_id").alias("id_a"),
-        F.col("units").alias("units_a"),
-        F.col("norm2").alias("norm_a"),
-    )
-    b = base.select(
-        F.explode(
-            F.array(F.col("label") - 1, F.col("label"), F.col("label") + 1)
-        ).alias("probe_cell"),
-        F.col("vec_id").alias("id_b"),
-        F.col("units").alias("units_b"),
-        F.col("norm2").alias("norm_b"),
-    )
-    pairs = (
-        a.join(b, "probe_cell")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .withColumn(
-            "cosine",
-            cosine_fixed(F.col("units_a"), F.col("units_b"), F.col("norm_a"), F.col("norm_b")),
-        )
-    )
-    w = W.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
-        .select("id_a", "id_b", "cosine", "rank")
-    )
+    Probe replication keeps the search a pure equi-join on the cell
+    key — queries replicate N_PROBE x into (probe_cell) rows, cogroup
+    against the candidates assigned to that cell, one exact int64
+    matmul per cell, then a window re-ranks the per-cell partial
+    top-k. Work is O(sum over probed cells of |cell| per query) —
+    N_PROBE/K_CELLS of brute force, dialable."""
+    assigned, cents = kmeans_units(load(spark, sf_dir, "embeddings"))
+    probed = probe_cells(assigned, cents, n_probe=N_PROBE)
+    return topk_units_probed(probed, assigned, k=5)
 
 
 @register(

@@ -1,13 +1,22 @@
-"""IVF ANN quality/efficiency characterization: recall@k against the
-exact brute-force baseline, and the candidate-pair work reduction that
-makes the IVF plan the 100 TB path. Both formulations share the same
-fixed-point arithmetic, so any overlap difference is purely the cell
-restriction — the approximation — not numeric drift."""
+"""IVF ANN quality/efficiency characterization against the exact
+brute-force baseline.
+
+The coarse quantizer is a real deterministic k-means (kmeans_units):
+recall here measures the quantizer's approximation, not numeric drift
+(every path shares the same fixed-point arithmetic). Testdata
+embeddings are isotropic random — no cluster structure — so recall
+tracks the scanned fraction; the engine's stated operating point is
+recall@5 >= 0.8 at N_PROBE=3 of K_CELLS=4, pinned below.
+"""
 
 from __future__ import annotations
 
 from martian_moments_spark.catalog import load
-from martian_moments_spark.llmops.similarity import topk_cosine
+from martian_moments_spark.llmops.similarity import (
+    K_CELLS,
+    N_PROBE,
+    kmeans_units,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 K = 5
@@ -17,30 +26,50 @@ def _pairs(df):
     return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
 
 
-def test_ivf_recall_and_work_reduction(spark):
+def test_kmeans_quantizer_is_deterministic_and_balanced(spark):
     emb = load(spark, SF_DIR, "embeddings")
-    exact = _pairs(topk_cosine(emb, k=K))
-    ivf = _pairs(topk_cosine(emb, k=K, cell_col="label"))
+    a1, c1 = kmeans_units(emb)
+    a2, c2 = kmeans_units(emb)
+    assert [(c, v.tolist()) for c, v in c1] == [(c, v.tolist()) for c, v in c2]
+    m1 = {r["vec_id"]: r["cell"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["cell"] for r in a2.collect()}
+    assert m1 == m2
+    sizes = sorted(
+        r["count"] for r in a1.groupBy("cell").count().collect()
+    )
+    assert len(sizes) == K_CELLS
+    # no degenerate cell: largest cell must not swallow the corpus
+    assert sizes[-1] < 0.5 * sum(sizes)
+
+
+def test_ivf_single_probe_recall_and_work_reduction(spark):
+    from martian_moments_spark.plans import load_all
+
+    REGISTRY = load_all()
+    exact = _pairs(REGISTRY["embedding_cosine_topk"].fn(spark, SF_DIR))
+    ivf_df = REGISTRY["embedding_ann_ivf"].fn(spark, SF_DIR)
+    ivf = _pairs(ivf_df)
 
     recall = len(exact & ivf) / len(exact)
 
+    emb = load(spark, SF_DIR, "embeddings")
     n = emb.count()
-    cell_sizes = [r[0] for r in emb.groupBy("label").count().select("count").collect()]
+    assigned, _ = kmeans_units(emb)
+    cell_sizes = [r[0] for r in assigned.groupBy("cell").count().select("count").collect()]
     work_ratio = sum(c * c for c in cell_sizes) / (n * n)
 
-    print(f"ivf recall@{K}={recall:.3f} candidate-work ratio={work_ratio:.3f}")
-    # Random synthetic embeddings put ~1/n_cells of true neighbors in
-    # the probe cell; recall floor guards the plumbing (a broken cell
-    # join would score ~0), the work ceiling guards the efficiency
-    # claim (a degenerate single cell would score ~1).
-    assert 0.03 <= recall <= 1.0
-    assert work_ratio < 0.2
-    # every vector still gets k results (cells are larger than k)
-    ivf_df = topk_cosine(emb, k=K, cell_col="label")
-    assert ivf_df.groupBy("id_a").count().filter("count <> 5").count() == 0
+    print(f"single-probe recall@{K}={recall:.3f} candidate-work ratio={work_ratio:.3f}")
+    # isotropic data: single-probe recall ~ 1/K_CELLS-ish scanned
+    # fraction, well above a broken cell join (~0) — floor guards the
+    # plumbing, ceiling guards the efficiency claim.
+    assert recall >= 0.30
+    assert work_ratio < 0.35
+    # every vector still gets k results (cells are far larger than k)
+    assert ivf_df.groupBy("id_a").count().filter(f"count <> {K}").count() == 0
 
 
-def test_multiprobe_recall_dominates_single_probe(spark):
+def test_multiprobe_hits_stated_operating_point(spark):
+    """The headline guarantee: recall@5 >= 0.8 at N_PROBE probes."""
     from martian_moments_spark.plans import load_all
 
     REGISTRY = load_all()
@@ -50,8 +79,7 @@ def test_multiprobe_recall_dominates_single_probe(spark):
 
     r_single = len(exact & single) / len(exact)
     r_multi = len(exact & multi) / len(exact)
-    print(f"recall single-probe={r_single:.3f} multi-probe={r_multi:.3f}")
+    print(f"recall single-probe={r_single:.3f} multi-probe(x{N_PROBE})={r_multi:.3f}")
+    assert r_multi >= 0.8, f"multi-probe recall {r_multi:.3f} below operating point"
     # widening the probe set must never lose a neighbor already found
-    assert r_multi >= r_single
-    # and with 3x the candidates it should find strictly more here
     assert r_multi > r_single
