@@ -16,10 +16,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: Phase-2 merge functions by name: how a per-salt partial re-aggregates
+#: into the true per-key value. Only decomposable (algebraic) aggregates
+#: belong here — the same set Catalyst does partial aggregation for.
+#: Note ``count`` partials merge by SUM, and a mean must be carried as
+#: (sum, count) partials and divided after phase 2 — there is
+#: deliberately no 'avg' entry.
+MERGES: dict[str, object] = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, str]],
     n_salts: int = 16,
     salt_source: str | None = None,
 ) -> DataFrame:
@@ -27,14 +36,29 @@ def salted_agg(
     (keys + salt) — the hot key's rows spread over ``n_salts`` tasks —
     phase 2 merges the partials by the true keys.
 
-    ``aggs`` maps output column → phase-1 aggregate expression. Phase 2
-    re-aggregation is derived: counts/sums re-sum, min/max re-min/max —
-    the caller's aggregates must be decomposable (algebraic), which is
-    exactly the set Catalyst itself does partial aggregation for.
+    ``aggs`` maps output column → ``(phase1_expr, merge)`` where
+    ``merge`` names the phase-2 re-aggregation from ``MERGES``
+    ('sum' | 'min' | 'max'). The merge is explicit because it cannot be
+    inferred safely: a ``count`` partial merges by SUM, an ``avg``
+    partial merges by *nothing* (averaging averages is wrong — carry
+    sum and count separately and divide afterwards). An unknown merge
+    name raises rather than guessing.
 
     The salt is deterministic (hash of ``salt_source`` or a stable row
     fingerprint, never rand()) so retries/speculation don't re-deal
     rows — the same determinism rule as everywhere in this engine."""
+    for name, spec in aggs.items():
+        if not (isinstance(spec, tuple) and len(spec) == 2):
+            raise TypeError(
+                f"aggs[{name!r}] must be (phase1_expr, merge_name); "
+                f"got {type(spec).__name__} — the phase-2 merge is explicit"
+            )
+        if spec[1] not in MERGES:
+            raise ValueError(
+                f"aggs[{name!r}]: unknown merge {spec[1]!r} "
+                f"(supported: {sorted(MERGES)}); non-decomposable aggregates "
+                "(avg, count distinct, percentiles) cannot be salted this way"
+            )
     salt = (
         F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
         if salt_source
@@ -43,24 +67,8 @@ def salted_agg(
     phase1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
-        .agg(*[expr.alias(f"__p_{name}") for name, expr in aggs.items()])
+        .agg(*[expr.alias(f"__p_{name}") for name, (expr, _) in aggs.items()])
     )
-    merged = {
-        name: _merge_agg(name, expr) for name, expr in aggs.items()
-    }
     return phase1.groupBy(*keys).agg(
-        *[merged[name].alias(name) for name in aggs]
+        *[MERGES[merge](F.col(f"__p_{name}")).alias(name) for name, (_, merge) in aggs.items()]
     )
-
-
-def _merge_agg(name: str, phase1_expr: Column) -> Column:
-    """Phase-2 merge for a phase-1 partial: sums and counts re-sum,
-    min/max re-apply. Inferred from the phase-1 expression's name."""
-    s = phase1_expr._jc.toString().lower()
-    col = F.col(f"__p_{name}")
-    if s.startswith("min"):
-        return F.min(col)
-    if s.startswith("max"):
-        return F.max(col)
-    # count partials and sum partials both merge by summing.
-    return F.sum(col)

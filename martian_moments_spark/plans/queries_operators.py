@@ -145,9 +145,9 @@ def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         keys=["l_returnflag"],
         aggs={
-            "n_rows": F.count(F.lit(1)),
-            "qty_units": F.sum(F.round(F.col("l_quantity") * 100).cast("long")),
-            "max_orderkey": F.max("l_orderkey"),
+            "n_rows": (F.count(F.lit(1)), "sum"),
+            "qty_units": (F.sum(F.round(F.col("l_quantity") * 100).cast("long")), "sum"),
+            "max_orderkey": (F.max("l_orderkey"), "max"),
         },
         n_salts=16,
         salt_source="l_orderkey",

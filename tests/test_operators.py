@@ -116,3 +116,51 @@ def test_bucketed_range_join_straddles_bucket_boundary(spark):
         for r in bucketed_range_join(points, intervals, "t", "s", "e").collect()
     )
     assert got == [1, 2]  # 3 is outside; both in-window points found
+
+
+def test_salted_agg_explicit_merge_matches_plain_groupby(spark):
+    """Salting must be invisible in the result: explicit (phase1,
+    merge) pairs reproduce the unsalted GROUP BY exactly, and a mean
+    carried as (sum, count) partials divides to the exact avg."""
+    from martian_moments_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(k % 2, k, float(k)) for k in range(100)], "key INT, id BIGINT, v DOUBLE"
+    )
+    out = salted_agg(
+        df,
+        keys=["key"],
+        aggs={
+            "n": (F.count(F.lit(1)), "sum"),
+            "v_sum": (F.sum(F.col("v").cast("long")), "sum"),
+            "id_min": (F.min("id"), "min"),
+            "id_max": (F.max("id"), "max"),
+        },
+        n_salts=8,
+        salt_source="id",
+    ).withColumn("v_avg", F.col("v_sum") / F.col("n"))
+    plain = df.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("long")).alias("v_sum"),
+        F.min("id").alias("id_min"),
+        F.max("id").alias("id_max"),
+        F.avg("v").alias("v_avg"),
+    )
+    a = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in plain.collect()}
+    assert a == b
+
+
+def test_salted_agg_rejects_unmergeable_aggregates(spark):
+    """avg partials cannot be re-merged — salted_agg must refuse both
+    an unknown merge name and a bare (merge-less) expression instead of
+    silently re-summing averages."""
+    import pytest
+
+    from martian_moments_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([(1, 2.0)], "key INT, v DOUBLE")
+    with pytest.raises(ValueError, match="unknown merge 'avg'"):
+        salted_agg(df, keys=["key"], aggs={"m": (F.avg("v"), "avg")})
+    with pytest.raises(TypeError, match="merge is explicit"):
+        salted_agg(df, keys=["key"], aggs={"m": F.avg("v")})
