@@ -7,11 +7,13 @@ Runs every bench-flagged query from the registry against
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is forced through a full materialization (count of the
-result) so the measured time covers scan -> shuffle -> aggregate, not
-plan construction. A warm-up run of the flagship query first pays the
-JVM/codegen startup cost once so per-query numbers reflect steady-state
-engine throughput.
+Each query is materialized through a value-consuming sink: every
+output column feeds an xxhash64 that is summed to one scalar, so the
+measured time covers scan -> shuffle -> aggregate -> expression
+evaluation of every result column. (A bare .count() would let Catalyst
+prune projections — a projection-only query would time a row count,
+not its expressions.) A warm-up pass first pays the JVM/codegen
+startup cost so per-query numbers reflect steady-state throughput.
 """
 
 from __future__ import annotations
@@ -23,8 +25,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.types import MapType  # noqa: E402
+
 from martian_moments_spark.plans import load_all  # noqa: E402
 from martian_moments_spark.session import get_spark  # noqa: E402
+
+
+def consume(df) -> None:
+    """Materialize every output column: hash each row's full width to
+    one value, XOR the hashes to a scalar (overflow-free under ANSI
+    mode). Nothing prunes — the result depends on every column — and
+    nothing large returns to the driver."""
+    cols = [
+        F.to_json(F.col(f.name)) if isinstance(f.dataType, MapType) else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    df.select(F.xxhash64(*cols).alias("__h")).agg(F.bit_xor("__h")).collect()
 
 
 def main() -> None:
@@ -40,12 +57,12 @@ def main() -> None:
     # measured pass.
     for _ in range(2):
         for spec in bench_specs.values():
-            spec.fn(spark, sf_dir).count()
+            consume(spec.fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, spec in bench_specs.items():
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
+        consume(spec.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
