@@ -246,14 +246,18 @@ def permissive_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read with INFERRED schema — the VARIANT fallback when
-    no explicit StructType exists (SURVEY §1.3, N1 note:
-    schema_of_json for inference). The schema is inferred once from a
-    sampled document at the driver (the same scalar→literal pattern as
-    the watermark filter) and then applied JVM-side to every row;
-    explicit schemas (json_path_extract) remain the contract path."""
+    no explicit StructType exists (SURVEY §1.3, N1 note). The schema
+    is inferred from a deterministic multi-document sample
+    (functions.jsonio.infer_json_schema): Spark's own inference merges
+    the field sets of all sampled documents, so heterogeneous shapes
+    keep their union of fields — row-1-only inference would silently
+    drop any field row 1 lacks (tests/test_sources.py pins this). The
+    merged schema is then applied JVM-side to every row; explicit
+    schemas (json_path_extract) remain the contract path."""
+    from martian_moments_spark.functions.jsonio import infer_json_schema
+
     events = load(spark, sf_dir, "events").select("event_id", "props")
-    sample = events.select("props").first()["props"]
-    inferred = spark.range(1).select(F.schema_of_json(F.lit(sample))).first()[0]
+    inferred = infer_json_schema(events, "props", sample_rows=64, order_col="event_id")
     return events.select(
         "event_id",
         F.from_json("props", inferred).getField("k").cast("long").alias("prop_k"),

@@ -116,3 +116,42 @@ def test_model_runner_tag_selection_runs_deps(spark, tmp_path):
     assert order == ["base", "silver"]  # dep ran despite non-matching tag
     runner.run_tag("aggregate")
     assert spark.table("gold").first()["total"] == 2
+
+
+def test_infer_json_schema_merges_heterogeneous_documents(spark):
+    """Documents with disjoint field sets: inference must return the
+    UNION of fields (with type widening), where row-1-only inference
+    provably drops the later fields."""
+    from pyspark.sql import functions as F
+
+    from martian_moments_spark.functions.jsonio import infer_json_schema
+
+    docs = [
+        (1, '{"k": 1}'),
+        (2, '{"k": 2, "extra": "x"}'),
+        (3, '{"k": 3.5, "nested": {"a": true}}'),
+    ]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, props STRING")
+
+    merged = infer_json_schema(df, "props", order_col="doc_id")
+    assert set(merged.fieldNames()) == {"k", "extra", "nested"}
+    # type widening across documents: k saw 1 and 3.5 -> double
+    assert merged["k"].dataType.typeName() == "double"
+
+    # row-1-only inference (the anti-pattern) drops 'extra'
+    first = spark.range(1).select(
+        F.schema_of_json(F.lit(docs[0][1]))
+    ).first()[0]
+    assert "extra" not in first
+
+    out = df.select(
+        "doc_id", F.from_json("props", merged).getField("extra").alias("extra")
+    ).collect()
+    assert {r["doc_id"]: r["extra"] for r in out} == {1: None, 2: "x", 3: None}
+
+
+def test_infer_json_schema_empty_and_null_docs(spark):
+    from martian_moments_spark.functions.jsonio import infer_json_schema
+
+    df = spark.createDataFrame([(1, None)], "doc_id BIGINT, props STRING")
+    assert infer_json_schema(df, "props").fieldNames() == []
