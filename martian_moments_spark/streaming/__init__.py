@@ -18,8 +18,11 @@ Airflow-triggered DAGs — collapses in Spark to:
 """
 
 from martian_moments_spark.streaming.sources import (  # noqa: F401
+    KAFKA_SOURCE_FIELDS,
     file_json_stream,
+    kafka_contract_stream,
     kafka_stream,
+    parse_kafka_frame,
 )
 from martian_moments_spark.streaming.sinks import (  # noqa: F401
     append_parquet_sink,

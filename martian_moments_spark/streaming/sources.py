@@ -45,6 +45,34 @@ def file_json_stream(
     return reader.json(path)
 
 
+#: The column contract Spark's Kafka source emits (spark-sql-kafka's
+#: fixed output schema). Everything downstream of .load() in this
+#: engine is written against THESE columns only, so the file-backed
+#: fake below is substitutable for the real source in tests.
+KAFKA_SOURCE_FIELDS: tuple[tuple[str, str], ...] = (
+    ("key", "binary"),
+    ("value", "binary"),
+    ("topic", "string"),
+    ("partition", "int"),
+    ("offset", "bigint"),
+    ("timestamp", "timestamp"),
+    ("timestampType", "int"),
+)
+
+
+def parse_kafka_frame(raw: DataFrame, value_schema: StructType | str) -> DataFrame:
+    """Kafka records → parsed control messages: the reference's
+    topic-routed consumer parse (src/utils/kafka.py:5-24). Shared by
+    the real source (kafka_stream) and the file-backed contract fake
+    (kafka_contract_stream), so the tested parse path IS the
+    production parse path."""
+    return raw.select(
+        F.col("topic"),
+        F.col("timestamp").alias("kafka_ts"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("msg"),
+    ).select("topic", "kafka_ts", "msg.*")
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -55,8 +83,8 @@ def kafka_stream(
     """Kafka topic → parsed control-message DataFrame: the reference's
     topic-routed consumer (src/utils/kafka.py:5-24) as a declarative
     source. Requires the spark-sql-kafka package on the classpath (not
-    present in this container — covered by schema-level unit tests;
-    the parse path is identical to file_json_stream's)."""
+    present in this container — the post-.load() pipeline is exercised
+    end-to-end against kafka_contract_stream in test_streaming.py)."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
@@ -64,11 +92,37 @@ def kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
+    return parse_kafka_frame(raw, value_schema)
+
+
+def kafka_contract_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-backed micro-batch stream honoring the Kafka source
+    contract: JSONL files under ``path`` carry (topic, key, value,
+    partition, offset, timestamp) records — one file ≈ one broker
+    poll — and the returned frame has exactly the real source's
+    columns and types (KAFKA_SOURCE_FIELDS), so every downstream
+    stage (parse_kafka_frame, topic routing, foreachBatch sinks) runs
+    unmodified against it. This is the E1-E3 integration seam for
+    environments without a broker; swapping in the real source is the
+    one .load() line."""
+    json_schema = (
+        "key STRING, value STRING, topic STRING, partition INT, "
+        "offset BIGINT, timestamp TIMESTAMP, timestampType INT"
+    )
+    raw = file_json_stream(spark, path, json_schema, max_files_per_trigger)
     return raw.select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
         F.col("topic"),
-        F.col("timestamp").alias("kafka_ts"),
-        F.from_json(F.col("value").cast("string"), value_schema).alias("msg"),
-    ).select("topic", "kafka_ts", "msg.*")
+        F.col("partition"),
+        F.col("offset"),
+        F.col("timestamp"),
+        F.coalesce(F.col("timestampType"), F.lit(0)).alias("timestampType"),
+    )
 
 
 def kafka_sink_frame(df: DataFrame, key_col: str | None = None) -> DataFrame:

@@ -261,3 +261,97 @@ def test_dedup_within_watermark_drops_redelivery(spark, tmp_path):
 
     ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert ids == [1, 2, 3]
+
+
+def test_kafka_contract_stream_end_to_end(spark, tmp_path):
+    """The E1-E3 path without a broker: the file-backed fake emits the
+    real Kafka source's exact columns; parse_kafka_frame (the
+    production parse) extracts topic-routed control messages across
+    micro-batches; kafka_sink_frame output re-parses through the same
+    path (producer -> consumer round trip)."""
+    from martian_moments_spark.streaming.sources import (
+        KAFKA_SOURCE_FIELDS,
+        LOAD_COMPLETE_SCHEMA,
+        kafka_contract_stream,
+        kafka_sink_frame,
+        parse_kafka_frame,
+    )
+
+    src = tmp_path / "kafka_log"
+    src.mkdir()
+
+    def write_poll(name, records):
+        with open(src / name, "w") as f:
+            for i, (topic, value) in enumerate(records):
+                f.write(
+                    json.dumps(
+                        {
+                            "key": None,
+                            "value": json.dumps(value),
+                            "topic": topic,
+                            "partition": 0,
+                            "offset": i,
+                            "timestamp": "2024-03-01 10:00:00",
+                            "timestampType": 0,
+                        }
+                    )
+                    + "\n"
+                )
+
+    # two topics interleaved, two micro-batches (reference topics:
+    # load-complete + minio-events; src/config.py:18-20)
+    write_poll(
+        "poll1.json",
+        [
+            ("load-complete", {"tmp_jsonl_staging_path": "s/a.jsonl", "status": "success", "timestamp": "t1"}),
+            ("minio-events", {"Key": "bucket/x.json", "EventName": "s3:ObjectCreated:Put"}),
+        ],
+    )
+    write_poll(
+        "poll2.json",
+        [
+            ("load-complete", {"tmp_jsonl_staging_path": "s/b.jsonl", "status": "success", "timestamp": "t2"}),
+        ],
+    )
+
+    raw = kafka_contract_stream(spark, str(src), max_files_per_trigger=1)
+    # the fake's schema IS the Kafka source contract
+    assert [(f.name, f.dataType.simpleString()) for f in raw.schema.fields] == list(
+        KAFKA_SOURCE_FIELDS
+    )
+
+    parsed = parse_kafka_frame(raw, LOAD_COMPLETE_SCHEMA).filter(
+        F.col("topic") == "load-complete"
+    )
+    out = str(tmp_path / "parsed")
+    q = (
+        parsed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert sorted(r["tmp_jsonl_staging_path"] for r in got.collect()) == [
+        "s/a.jsonl",
+        "s/b.jsonl",
+    ]
+    # the other topic's records were routed away, not mangled into nulls
+    assert got.filter(F.col("status").isNull()).count() == 0
+
+    # producer round trip: sink frame -> re-parse through the same path
+    sink = kafka_sink_frame(got.select("tmp_jsonl_staging_path", "status", "timestamp"))
+    assert sink.columns == ["value"]
+    reparsed = (
+        sink.withColumn("topic", F.lit("load-complete"))
+        .withColumn("timestamp", F.lit("2024-03-01 10:00:01").cast("timestamp"))
+        .select(F.col("value").cast("binary").alias("value"), "topic", "timestamp")
+    )
+    back = parse_kafka_frame(reparsed, LOAD_COMPLETE_SCHEMA)
+    assert sorted(r["tmp_jsonl_staging_path"] for r in back.collect()) == [
+        "s/a.jsonl",
+        "s/b.jsonl",
+    ]
