@@ -355,3 +355,68 @@ def test_kafka_contract_stream_end_to_end(spark, tmp_path):
         "s/a.jsonl",
         "s/b.jsonl",
     ]
+
+
+def test_watermark_emitted_windows_per_run_deterministic(spark, tmp_path):
+    """Pin exactly WHICH windows finalize after each availableNow run
+    and which late rows are dropped vs accepted: a late row behind the
+    checkpointed watermark vanishes (no duplicate emission for its
+    already-final window), a row late-but-ahead of the watermark lands
+    in its still-open window."""
+    src = tmp_path / "wme_src"
+    src.mkdir()
+    out = str(tmp_path / "wme_out")
+    ck = str(tmp_path / "wme_ck")
+    schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+
+    def run_once():
+        stream = file_json_stream(spark, str(src), schema)
+        agg = watermarked_tumbling_agg(stream, window="1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def emitted():
+        try:
+            return sorted(
+                (r["window_start"].strftime("%H:%M"), r["n_events"], float(r["total_value"]))
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:  # no output committed yet
+            return []
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for ts, v in rows:
+                f.write(json.dumps({"ts": f"2024-03-01 {ts}:00", "event_type": "click", "value": v}) + "\n")
+
+    # Run 1: watermark advances to 12:10-1h = 11:10 -> only the
+    # [10:00,11:00) window (end 11:00 <= 11:10) finalizes.
+    write("r1.json", [("10:15", 1.0), ("12:10", 2.0)])
+    run_once()
+    assert emitted() == [("10:00", 1, 1.0)]
+
+    # Run 2: 10:45 is behind the checkpointed watermark (11:10) ->
+    # dropped, its finalized window must NOT re-emit; 11:20 is ahead ->
+    # accepted into the open [11:00,12:00) window; 13:30 advances the
+    # watermark to 12:30, finalizing [11:00,12:00) but not [12:00,13:00).
+    write("r2.json", [("10:45", 100.0), ("11:20", 5.0), ("13:30", 3.0)])
+    run_once()
+    assert emitted() == [("10:00", 1, 1.0), ("11:00", 1, 5.0)]
+
+    # Run 3: 15:00 advances the watermark to 14:00 -> the two remaining
+    # open windows finalize; the dropped 100.0 never surfaces anywhere.
+    write("r3.json", [("15:00", 0.0)])
+    run_once()
+    assert emitted() == [
+        ("10:00", 1, 1.0),
+        ("11:00", 1, 5.0),
+        ("12:00", 1, 2.0),
+        ("13:00", 1, 3.0),
+    ]
