@@ -1,0 +1,154 @@
+"""Declarative per-table quality contracts — the dbt ``sources.yml``
+schema-test registry (reference: sources.yml:133-236, where every
+source column declares not_null / unique / accepted_values /
+expression tests) as engine configuration.
+
+One ``TableContract`` per catalog table declares its checks; the same
+declaration drives BOTH the Spark evaluation (quality.run_checks — one
+conditional-aggregation scan per table plus one group-by per unique
+key) and the generated DuckDB oracle SQL (``sql_contract_summary``),
+so the contract is a single source of truth with an exact cross-engine
+check on its own evaluation.
+
+Expressions are written in the ANSI subset both engines parse
+identically (comparisons, IS NULL, LIKE, arithmetic).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from martian_moments_spark.quality import run_checks
+
+
+@dataclass(frozen=True)
+class TableContract:
+    table: str
+    not_null: tuple[str, ...] = ()
+    accepted: dict[str, tuple] = field(default_factory=dict)
+    expressions: dict[str, str] = field(default_factory=dict)
+    unique: tuple[tuple[str, ...], ...] = ()
+
+
+#: The engine's standing contracts for the catalog tables it curates.
+#: Shapes mirror the reference's source declarations: key not_null +
+#: unique (sources.yml:40-42), categorical accepted_values
+#: (sources.yml:144-146), sign/shape expressions (sources.yml:150-162).
+CONTRACTS: tuple[TableContract, ...] = (
+    TableContract(
+        table="orders",
+        not_null=("o_orderkey", "o_custkey"),
+        accepted={"o_orderstatus": ("F", "O", "P")},
+        expressions={"nonnegative_price": "o_totalprice >= 0"},
+        unique=(("o_orderkey",),),
+    ),
+    TableContract(
+        table="lineitem",
+        not_null=("l_orderkey", "l_linenumber"),
+        expressions={
+            "positive_quantity": "l_quantity > 0",
+            "nonnegative_extendedprice": "l_extendedprice >= 0",
+        },
+        unique=(("l_orderkey", "l_linenumber"),),
+    ),
+    TableContract(
+        table="events",
+        not_null=("event_id", "user_id", "ts"),
+        # Deliberately stricter than the data: 'purchase' events exist,
+        # so this check reports real violations — the summary must
+        # surface them, not hide them.
+        accepted={"event_type": ("click", "view", "error", "signup")},
+        unique=(("event_id",),),
+    ),
+    TableContract(
+        table="documents",
+        not_null=("doc_id", "text", "source"),
+        expressions={"nonnegative_length": "n_chars >= 0"},
+        unique=(("doc_id",),),
+    ),
+)
+
+
+def contract_results(spark, sf_dir: str, contracts: Sequence[TableContract] = CONTRACTS):
+    """Evaluate every contract: [(table, CheckResult), ...]. One
+    conditional-agg scan per table + one group-by per unique key —
+    table count, not check count, bounds the number of jobs."""
+    from martian_moments_spark.catalog import load
+
+    out = []
+    for c in contracts:
+        df = load(spark, sf_dir, c.table)
+        for r in run_checks(
+            df,
+            not_null=c.not_null,
+            accepted=c.accepted,
+            expressions=c.expressions,
+            unique=c.unique,
+        ):
+            out.append((c.table, r))
+    return out
+
+
+def _sql_violation_exprs(c: TableContract) -> list[tuple[str, str, str]]:
+    """(check_name, target, scalar-violations SQL) per declared check."""
+    out: list[tuple[str, str, str]] = []
+    for col in c.not_null:
+        out.append(
+            (
+                "not_null",
+                col,
+                f"SELECT CAST(COALESCE(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END), 0) "
+                f"AS BIGINT) FROM {c.table}",
+            )
+        )
+    for col, vals in c.accepted.items():
+        lit = ", ".join(f"'{v}'" for v in vals)
+        out.append(
+            (
+                "accepted_values",
+                col,
+                f"SELECT CAST(COALESCE(SUM(CASE WHEN {col} IS NOT NULL AND {col} NOT IN ({lit}) "
+                f"THEN 1 ELSE 0 END), 0) AS BIGINT) FROM {c.table}",
+            )
+        )
+    for name, pred in c.expressions.items():
+        out.append(
+            (
+                "expression_is_true",
+                name,
+                f"SELECT CAST(COALESCE(SUM(CASE WHEN {pred} THEN 0 ELSE 1 END), 0) "
+                f"AS BIGINT) FROM {c.table}",
+            )
+        )
+    for cols in c.unique:
+        key = ", ".join(cols)
+        out.append(
+            (
+                "unique",
+                ",".join(cols),
+                f"SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM "
+                f"(SELECT COUNT(*) AS n FROM {c.table} GROUP BY {key}) WHERE n > 1",
+            )
+        )
+    return out
+
+
+def sql_contract_summary(contracts: Sequence[TableContract] = CONTRACTS) -> str:
+    """DuckDB oracle for ``contract_results``: one UNION ALL branch per
+    declared check, long-form (table_name, check_name, target,
+    violations, passed)."""
+    branches = []
+    for c in contracts:
+        for check, target, sub in _sql_violation_exprs(c):
+            branches.append(
+                f"SELECT '{c.table}' AS table_name, '{check}' AS check_name, "
+                f"'{target}' AS target, ({sub}) AS violations"
+            )
+    body = "\n        UNION ALL ".join(branches)
+    return (
+        "SELECT table_name, check_name, target, violations, "
+        "(violations = 0) AS passed FROM (\n        "
+        + body
+        + "\n        )"
+    )

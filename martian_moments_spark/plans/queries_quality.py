@@ -59,6 +59,43 @@ def data_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contract_oracle() -> str:
+    from martian_moments_spark.contracts import sql_contract_summary
+
+    return sql_contract_summary()
+
+
+@register(
+    "contract_check_summary",
+    ops=("A3", "A1", "A6"),
+    oracle=_contract_oracle(),
+)
+def contract_check_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative quality contracts evaluated across the catalog —
+    the dbt sources.yml schema-test registry (sources.yml:133-236) as
+    one config (contracts.CONTRACTS) driving both engines: Spark runs
+    each table's suite as one conditional-agg scan (+ one group-by per
+    unique key); the DuckDB oracle is GENERATED from the same
+    declarations, so the contract definition itself is cross-checked.
+    Long-form output, one row per declared check; the events
+    accepted_values check reports real violations ('purchase' is not
+    in its declared domain) — violations surface, never hide.
+
+    Scale: job count is bounded by table count, not check count; each
+    table's scalar checks fold into a single aggregate over one scan."""
+    from martian_moments_spark.contracts import contract_results
+
+    rows = [
+        (table, r.check, r.column, r.violations, r.passed)
+        for table, r in contract_results(spark, sf_dir)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "table_name STRING, check_name STRING, target STRING, "
+        "violations BIGINT, passed BOOLEAN",
+    )
+
+
 @register(
     "ewma_per_user",
     ops=(),
