@@ -1,0 +1,130 @@
+"""Commit-log table format: snapshot isolation, atomic commits,
+crashed-writer invisibility, optimistic concurrency, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from martian_moments_spark import lakehouse as lh
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_append_commits_and_crashed_writer_is_invisible(spark, tmp_path):
+    table = str(tmp_path / "t")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING")
+    b = spark.createDataFrame([(3, "c")], "k BIGINT, v STRING")
+
+    assert lh.append(a, table) == 0
+    assert lh.append(b, table) == 1
+    assert _rows(lh.read_table(spark, table)) == {(1, "a"), (2, "b"), (3, "c")}
+
+    # a writer that stages data but dies before commit: files exist on
+    # disk, but no snapshot references them -> readers never see them
+    crashed = spark.createDataFrame([(99, "GHOST")], "k BIGINT, v STRING")
+    lh._stage_data(crashed, table)
+    assert _rows(lh.read_table(spark, table)) == {(1, "a"), (2, "b"), (3, "c")}
+    assert lh.current_version(table) == 1
+
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lh.append(spark.createDataFrame([(1, "old")], "k BIGINT, v STRING"), table)
+    v0_files = lh.snapshot_files(table, 0)
+
+    lh.overwrite(spark.createDataFrame([(1, "new"), (2, "x")], "k BIGINT, v STRING"), table)
+
+    # latest sees the replacement; version 0 still reads the old state
+    assert _rows(lh.read_table(spark, table)) == {(1, "new"), (2, "x")}
+    assert _rows(lh.read_table(spark, table, version=0)) == {(1, "old")}
+    # the old version's files were never touched by the new commit
+    assert all(os.path.exists(p) for p in v0_files)
+
+
+def test_merge_upsert_is_transactional(spark, tmp_path):
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, "old", 1) for k in range(1, 5)], "k BIGINT, v STRING, seq BIGINT"
+    )
+    lh.append(base, table)
+
+    batch = spark.createDataFrame(
+        [(3, "new", 2), (3, "newer", 3), (9, "new", 2)], "k BIGINT, v STRING, seq BIGINT"
+    )
+    v = lh.merge_upsert(spark, batch, table, keys=["k"], order_col="seq")
+
+    got = {r["k"]: r["v"] for r in lh.read_table(spark, table).collect()}
+    assert got == {1: "old", 2: "old", 3: "newer", 4: "old", 9: "new"}
+    # pre-merge snapshot still intact (readers mid-scan saw it whole)
+    pre = {r["k"]: r["v"] for r in lh.read_table(spark, table, version=v - 1).collect()}
+    assert pre == {1: "old", 2: "old", 3: "old", 4: "old"}
+
+
+def test_commit_race_loser_rebases(spark, tmp_path):
+    """A commit against a stale base must fail atomically (version file
+    already taken) and the public APIs must retry onto the new base."""
+    table = str(tmp_path / "t")
+    lh.append(spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"), table)
+
+    # direct low-level check: stale base -> FileExistsError, no
+    # corruption of the committed version
+    files = lh._stage_data(spark.createDataFrame([(2, "b")], "k BIGINT, v STRING"), table)
+    with pytest.raises(FileExistsError):
+        lh._commit(table, files, "append", base_version=None)  # thinks table is empty
+    assert _rows(lh.read_table(spark, table)) == {(1, "a")}
+
+    # public API against the same table simply lands on the next version
+    lh.append(spark.createDataFrame([(3, "c")], "k BIGINT, v STRING"), table)
+    assert _rows(lh.read_table(spark, table)) == {(1, "a"), (3, "c")}
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lh.append(spark.createDataFrame([(1, "old")], "k BIGINT, v STRING"), table)
+    old_files = lh.snapshot_files(table, 0)
+    lh.overwrite(spark.createDataFrame([(1, "new")], "k BIGINT, v STRING"), table)
+    # stage-and-crash garbage should be swept too
+    lh._stage_data(spark.createDataFrame([(9, "GHOST")], "k BIGINT, v STRING"), table)
+
+    deleted = lh.vacuum(table, keep_versions=1)
+    assert deleted  # old snapshot + crashed files went away
+    assert all(not os.path.exists(p) for p in old_files)
+    assert _rows(lh.read_table(spark, table)) == {(1, "new")}
+    # expired version is gone from the log as well
+    with pytest.raises(FileNotFoundError):
+        lh.snapshot_files(table, 0)
+
+
+def test_streaming_upsert_sink_one_version_per_batch(spark, tmp_path):
+    import json as _json
+
+    from martian_moments_spark.streaming.sources import file_json_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "t")
+    schema = "k BIGINT, v STRING, seq BIGINT"
+
+    def run(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        q = lh.upsert_sink(
+            file_json_stream(spark, str(src), schema),
+            table,
+            str(tmp_path / "ck"),
+            keys=["k"],
+            order_col="seq",
+        )
+        q.awaitTermination(120)
+
+    run("b1.json", [{"k": 1, "v": "old", "seq": 1}, {"k": 2, "v": "old", "seq": 1}])
+    run("b2.json", [{"k": 2, "v": "new", "seq": 2}, {"k": 3, "v": "new", "seq": 2}])
+
+    got = {r["k"]: r["v"] for r in lh.read_table(spark, table).collect()}
+    assert got == {1: "old", 2: "new", 3: "new"}
+    assert lh.current_version(table) == 1  # one version per micro-batch
