@@ -46,6 +46,7 @@ from martian_moments_spark.llmops.similarity import (
 from martian_moments_spark.llmops.textops import (
     portable_hash31,
     predicted_language,
+    tokens,
     word_shingles,
     language_scores,
     quality_metrics,
@@ -772,3 +773,248 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_fake_payload(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return frame_sample(docs).select("doc_id", F.col("frame_index").cast("long"))
+
+
+# ------------------------------------------------------- pipeline hygiene ops
+
+DECONTAM_BENCH_MOD = 37  # doc_id % MOD == 0 -> held-out benchmark doc
+DECONTAM_NGRAM = 4  # overlap unit: word 4-grams (bigrams match everything
+# in a small-vocabulary corpus; real pipelines use 8-13-gram spans)
+
+
+def _sql_shingles_n(n: int) -> str:
+    joined = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(generate_series(1, greatest(len(t) - {n - 1}, 0)), "
+        f"i -> {joined})"
+    )
+
+
+@register(
+    "decontamination_overlap",
+    ops=("J2", "J4", "A1", "A6"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform({_sql_shingles_n(DECONTAM_NGRAM)},
+                       x -> {sql_portable_hash31('x')}))) AS sh
+            FROM toks
+        ), bench AS (
+            SELECT DISTINCT sh FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+        ), ov AS (
+            SELECT c.doc_id, COUNT(*) AS n
+            FROM sh c JOIN bench b USING (sh)
+            WHERE c.doc_id % {DECONTAM_BENCH_MOD} <> 0
+            GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlapping,
+               COALESCE(o.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN ov o ON d.doc_id = o.doc_id
+        WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> 0
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-set hygiene pass that
+    flags corpus documents sharing any word 4-gram with a held-out
+    benchmark set (here: doc_id % 37 == 0 stands in for the benchmark;
+    in production it is a second table). Per-doc distinct shingles are
+    hashed once; the overlap test is a pure equi-join against the
+    (small, broadcastable) benchmark shingle set; count + left join
+    back gives every corpus doc an exact overlap count.
+
+    Scale: benchmark sets are tiny vs the corpus -> broadcast join, no
+    shuffle of the corpus side beyond the per-doc explode; contaminated
+    docs drop before training, counts keep the audit trail."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(word_shingles("text", n=DECONTAM_NGRAM), portable_hash31)
+            )
+        ).alias("sh"),
+    )
+    bench_sh = sh.filter(is_bench).select("sh").distinct()
+    overlap = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_overlapping"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "\\+[0-9]{8,15}"
+
+
+@register(
+    "pii_redaction",
+    ops=("F1", "P8"),
+    oracle=f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example now'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' call +14155550123 today'
+                           ELSE '' END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+               regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g') AS redacted_text
+        FROM planted
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the pre-training scrub pass: count
+    and mask email/phone shapes per document. The synthetic corpus
+    carries no PII, so a deterministic plant (doc_id-derived contact
+    lines on every 5th/3rd doc) supplies ground truth the oracle
+    reproduces exactly; the regexes stay in the ANSI-safe subset both
+    engines interpret identically.
+
+    Scale: pure per-row JVM regex work — no shuffle, whole-stage
+    codegen, linear in corpus bytes; redacted text replaces the
+    original downstream, counts feed the audit mart."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@mail.example now")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" call +14155550123 today")).otherwise(
+            F.lit("")
+        ),
+    )
+    t = docs.withColumn("t", planted)
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted_text"),
+    )
+
+
+REPETITION_TAU = 0.2  # max duplicate-bigram mass before a doc is dropped
+
+
+@register(
+    "repeated_ngram_ratio",
+    ops=("A1", "P8"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(s) AS BIGINT) AS n_bigrams,
+               CASE WHEN len(s) > 0
+                    THEN CAST(len(s) - len(list_distinct(s)) AS DOUBLE)
+                         / CAST(len(s) AS DOUBLE)
+                    ELSE 0.0 END AS dup_bigram_ratio,
+               CASE WHEN len(s) > 0
+                    THEN (CAST(len(s) - len(list_distinct(s)) AS DOUBLE)
+                          / CAST(len(s) AS DOUBLE)) <= {REPETITION_TAU}
+                    ELSE TRUE END AS keep
+        FROM sh
+    """,
+)
+def repeated_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (the Gopher-rule family): the mass of
+    duplicate word 2-grams per document — boilerplate and degenerate
+    generations repeat n-grams far above natural text — with the
+    keep/drop verdict at tau=0.2. Exact integer/integer double ratio,
+    bit-identical cross-engine.
+
+    Scale: per-row array arithmetic, no shuffle; composes with
+    text_quality_scores into the corpus-curation gate."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    s = word_shingles("text")
+    n = F.size(s).cast("long")
+    ndup = (F.size(s) - F.size(F.array_distinct(s))).cast("long")
+    ratio = F.when(n > 0, ndup.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        ratio.alias("dup_bigram_ratio"),
+        F.when(n > 0, ratio <= REPETITION_TAU).otherwise(F.lit(True)).alias("keep"),
+    )
+
+
+PACK_BUDGET_TOKENS = 256
+
+
+@register(
+    "context_window_packing",
+    ops=("W2", "A1", "F8"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, doc_id,
+                   CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), cum AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start_offset
+            FROM toks
+        )
+        SELECT source, doc_id, n_tokens, start_offset,
+               CAST(start_offset // {PACK_BUDGET_TOKENS} AS BIGINT) AS chunk_id,
+               CAST(start_offset % {PACK_BUDGET_TOKENS} AS BIGINT) AS chunk_offset
+        FROM cum
+    """,
+)
+def context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing — the pretraining concat-then-chop
+    layout: documents stream per source in deterministic (doc_id)
+    order, token offsets accumulate, and each document is addressed by
+    the fixed-budget chunk its first token lands in (chunk_id,
+    chunk_offset). Integer window cumsum + DIV/mod — exact.
+
+    Scale: one shuffle on source (the pack stream key); within-stream
+    order is a window over the sort the shuffle already established.
+    The concat boundary straddle is by design: pretraining packs
+    contiguous token streams, documents cross chunk edges."""
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    n_tok = F.size(tokens("text")).cast("long")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    cum = docs.select(
+        "source", "doc_id", n_tok.alias("n_tokens")
+    ).withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"))
+    return cum.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset DIV {PACK_BUDGET_TOKENS}").cast("long").alias("chunk_id"),
+        (F.col("start_offset") % PACK_BUDGET_TOKENS).cast("long").alias("chunk_offset"),
+    )
