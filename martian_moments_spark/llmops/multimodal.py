@@ -15,7 +15,7 @@ scan.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -36,7 +36,7 @@ FEATURE_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("media_type", StringType()),
         StructField("byte_length", LongType()),
-        StructField("checksum_crc32", LongType()),
+        StructField("checksum_md5", LongType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_frames", IntegerType()),
@@ -72,19 +72,29 @@ def decode_image(payload: bytes) -> object:
     raise NotImplementedError("image decoding requires a codec library (e.g. PIL)")
 
 
+#: Keep in lockstep with textops.portable_hash31 / sql_portable_hash31.
+_HASH_P = 2_147_483_647
+
+
+def _payload_checksum(b: bytes) -> int:
+    """Payload checksum over raw bytes — the md5-derived 31-bit hash
+    every engine can reproduce (DuckDB:
+    ('0x' || substr(md5(x), 1, 8))::BIGINT % P), which is what makes
+    the pandas decode stage's output oracle-checkable."""
+    return int(hashlib.md5(b).hexdigest()[:8], 16) % _HASH_P
+
+
 def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-Arrow-batch feature extraction (runs on executors). The
-    deterministic stand-ins (byte length, crc32, metadata passthrough)
-    occupy the exact seam a real decoder would."""
+    deterministic stand-ins (byte length, md5 checksum, metadata
+    passthrough) occupy the exact seam a real decoder would."""
     payloads = pdf["payload"]
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"].astype("int64"),
             "media_type": pdf["meta"].map(lambda m: m["media_type"]),
             "byte_length": payloads.map(len).astype("int64"),
-            "checksum_crc32": payloads.map(lambda b: zlib.crc32(b) & 0xFFFFFFFF).astype(
-                "int64"
-            ),
+            "checksum_md5": payloads.map(_payload_checksum).astype("int64"),
             "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
             "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
             "n_frames": pdf["meta"].map(lambda m: m["n_frames"]).astype("int32"),

@@ -741,14 +741,28 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_feature_extract",
     ops=(),
-    oracle=None,  # crc32 has no DuckDB equivalent — rows-only check;
-    # determinism is pinned by tests/test_llmops.py instead.
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_length,
+               {sql_portable_hash31('text')} AS checksum_md5,
+               CAST(doc_id % 1920 + 1 AS INT) AS width,
+               CAST(doc_id % 1080 + 1 AS INT) AS height,
+               CAST(doc_id % 24 + 1 AS INT) AS n_frames
+        FROM documents
+    """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary
-    payloads (decode stub: byte length + crc32 + metadata passthrough).
-    The one deliberately-Python stage in the engine — the seam where a
-    real image/audio decoder plugs in."""
+    payloads (decode stub: byte length + md5-derived checksum +
+    metadata passthrough). The one deliberately-Python stage in the
+    engine — the seam where a real image/audio decoder plugs in — and
+    still oracle-EXACT: the checksum is the engine's portable 31-bit
+    md5 hash over the payload bytes, which DuckDB reproduces on the
+    same utf-8 text, so even the Python stage's output is verified
+    value-for-value, not just row-counted."""
     from martian_moments_spark.llmops.multimodal import attach_fake_payload, extract_features
 
     docs = attach_fake_payload(load(spark, sf_dir, "documents").select("doc_id", "text"))

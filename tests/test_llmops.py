@@ -3,7 +3,7 @@ simhash locality, multimodal batch plumbing determinism."""
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 from pyspark.sql import functions as F
 
@@ -70,7 +70,7 @@ def test_hamming_distance_column(spark):
 
 def test_multimodal_feature_extract_deterministic(spark):
     """mapInPandas features must be schema-stable, partition-count-
-    independent, and match a driver-side recomputation (crc32)."""
+    independent, and match a driver-side recomputation (md5)."""
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(50)
     feats = extract_features(attach_fake_payload(docs))
     assert feats.schema == FEATURE_SCHEMA
@@ -80,7 +80,7 @@ def test_multimodal_feature_extract_deterministic(spark):
     for doc_id, r in rows.items():
         payload = src[doc_id].encode("utf-8")
         assert r["byte_length"] == len(payload)
-        assert r["checksum_crc32"] == (zlib.crc32(payload) & 0xFFFFFFFF)
+        assert r["checksum_md5"] == int(hashlib.md5(payload).hexdigest()[:8], 16) % (2**31 - 1)
 
     repart = extract_features(attach_fake_payload(docs.repartition(7)))
     assert {tuple(r) for r in repart.collect()} == {tuple(r) for r in feats.collect()}
