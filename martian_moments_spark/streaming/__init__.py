@@ -31,6 +31,8 @@ from martian_moments_spark.streaming.sinks import (  # noqa: F401
     upsert_foreach_batch,
 )
 from martian_moments_spark.streaming.windows import (  # noqa: F401
+    dedup_within_watermark,
+    watermarked_interval_join,
     watermarked_session_agg,
     watermarked_tumbling_agg,
 )

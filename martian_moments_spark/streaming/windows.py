@@ -60,6 +60,43 @@ def watermarked_session_agg(
     )
 
 
+def watermarked_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: tuple[str, ...],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval bound:
+    right-side events join left-side events with the same key whose
+    timestamp falls in [left_ts, left_ts + within] — the
+    attribution/enrichment shape (impression ⟕ click-within-horizon).
+
+    Both sides carry watermarks and the join condition bounds the time
+    range in BOTH directions, which is what lets Spark expire state:
+    a buffered left row can be dropped once the right watermark passes
+    left_ts + within, so state is O(events in the horizon), not the
+    whole stream — the property that keeps this runnable forever at
+    scale. Each micro-batch pays one co-partitioned shuffle on the key.
+
+    Input columns keep their side via the ``l``/``r`` aliases — select
+    with qualified names (``F.col("l.user_id")``) downstream."""
+    from functools import reduce
+
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    keys = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in key_cols]
+    bound = [
+        F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"),
+        F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"),
+    ]
+    cond = reduce(lambda a, b: a & b, keys + bound)
+    return l.join(r, cond, how)
+
+
 def dedup_within_watermark(
     events: DataFrame,
     id_cols: tuple[str, ...] = ("event_id",),

@@ -420,3 +420,53 @@ def test_watermark_emitted_windows_per_run_deterministic(spark, tmp_path):
         ("12:00", 1, 2.0),
         ("13:00", 1, 3.0),
     ]
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    """Two live streams joined on key + event-time horizon: purchases
+    within 30 min of a click attribute to it; outside the horizon or
+    on another user they do not."""
+    from martian_moments_spark.streaming.windows import watermarked_interval_join
+
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir()
+    buys_dir.mkdir()
+    out = str(tmp_path / "attributed")
+
+    def jl(path, rows):
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    jl(clicks_dir / "c1.json", [
+        {"user_id": 1, "click_id": 10, "ts": "2024-03-01 10:00:00"},
+        {"user_id": 2, "click_id": 20, "ts": "2024-03-01 10:05:00"},
+    ])
+    jl(buys_dir / "b1.json", [
+        {"user_id": 1, "order_id": 100, "ts": "2024-03-01 10:20:00"},  # in horizon
+        {"user_id": 1, "order_id": 101, "ts": "2024-03-01 11:30:00"},  # too late
+        {"user_id": 3, "order_id": 102, "ts": "2024-03-01 10:10:00"},  # no click
+    ])
+
+    clicks = file_json_stream(spark, str(clicks_dir), "user_id BIGINT, click_id BIGINT, ts TIMESTAMP")
+    buys = file_json_stream(spark, str(buys_dir), "user_id BIGINT, order_id BIGINT, ts TIMESTAMP")
+    joined = watermarked_interval_join(
+        clicks, buys, key_cols=("user_id",), watermark="2 hours", within="30 minutes"
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.click_id").alias("click_id"),
+        F.col("r.order_id").alias("order_id"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r["click_id"], r["order_id"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(10, 100)}
