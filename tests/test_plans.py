@@ -134,13 +134,45 @@ def test_window_queries_single_shuffle(spark):
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, name
 
 
-def test_multiprobe_is_equi_join_on_probe_cell(spark):
-    # neighbor-cell replication must keep the search an equi-join on
-    # the probe cell — never a range/theta join over label distance.
+def test_multiprobe_search_is_cell_cogroup(spark):
+    # probe replication must keep the search co-partitioned on the
+    # cell key: one cogroup (queries x candidates per cell) shuffled
+    # by hashpartitioning(cell) — never a cartesian or a theta join
+    # over centroid distance.
     plan = explain_str(REGISTRY["embedding_ann_multiprobe"].fn(spark, SF_DIR_ORACLE))
     assert "CartesianProduct" not in plan
-    assert "probe_cell" in plan
-    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "hashpartitioning(cell" in plan
+
+
+def test_decontamination_benchmark_set_broadcasts(spark):
+    # the benchmark shingle set is tiny vs the corpus: the overlap
+    # test must broadcast it, leaving the corpus side shuffle-free up
+    # to the per-doc count.
+    plan = explain_str(REGISTRY["decontamination_overlap"].fn(spark, SF_DIR_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_context_packing_single_shuffle_on_source(spark):
+    import re
+
+    plan = explain_str(REGISTRY["context_window_packing"].fn(spark, SF_DIR_ORACLE))
+    assert "hashpartitioning(source" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_pii_and_repetition_are_shuffle_free(spark):
+    # pure per-row text work: no Exchange anywhere. pii's regex
+    # pipeline additionally stays inside whole-stage codegen;
+    # repetition cannot (higher-order array lambdas evaluate
+    # interpreted — the engine-wide tradeoff documented in llmops).
+    for name in ("pii_redaction", "repeated_ngram_ratio"):
+        plan = explain_str(REGISTRY[name].fn(spark, SF_DIR_ORACLE))
+        assert "Exchange" not in plan, name
+    assert "codegen id" in explain_str(
+        REGISTRY["pii_redaction"].fn(spark, SF_DIR_ORACLE)
+    )
 
 
 def test_tfidf_corpus_size_joins_as_broadcast(spark):
