@@ -9,6 +9,7 @@ shuffle-once built-ins, never theta joins.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -159,3 +160,62 @@ def bucketed_range_join(
     return lb.join(ib, "__bucket").filter(
         F.col(point_col).between(F.col(start_col), F.col(end_col))
     ).drop("__bucket")
+
+
+def scd2_apply_snapshot(
+    current: DataFrame,
+    snapshot: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    version: int,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: fold a full snapshot
+    into a versioned dimension. ``current`` carries keys + attrs +
+    (valid_from INT, valid_to INT nullable, is_current BOOLEAN);
+    ``snapshot`` carries keys + attrs as of ``version``. Rules:
+
+    - closed history rows pass through untouched;
+    - an open row whose attrs match the snapshot stays open;
+    - an open row whose attrs changed, or whose key left the snapshot,
+      closes (valid_to = version);
+    - a snapshot row with a new key or changed attrs opens a new
+      version (valid_from = version, open-ended).
+
+    Attr comparison is null-safe. One full-outer shuffle join on the
+    key per snapshot fold — at scale both sides are bucketed by the
+    key, and only open rows join (history is partition-pruned by
+    is_current)."""
+    open_rows = current.filter(F.col("is_current"))
+    history = current.filter(~F.col("is_current"))
+
+    snap = snapshot.withColumn("__s_present", F.lit(True))
+    joined = open_rows.alias("c").join(snap.alias("s"), keys, "full_outer")
+    same = functools.reduce(
+        lambda x, y: x & y,
+        [F.col(f"c.{a}").eqNullSafe(F.col(f"s.{a}")) for a in attrs],
+    )
+    present_cur = F.col("c.valid_from").isNotNull()
+    present_snap = F.col("s.__s_present").isNotNull()
+
+    unchanged = joined.filter(present_cur & present_snap & same).select(
+        *keys,
+        *[F.col(f"c.{a}").alias(a) for a in attrs],
+        F.col("c.valid_from").alias("valid_from"),
+        F.col("c.valid_to").alias("valid_to"),
+        F.col("c.is_current").alias("is_current"),
+    )
+    closed = joined.filter(present_cur & (~present_snap | ~same)).select(
+        *keys,
+        *[F.col(f"c.{a}").alias(a) for a in attrs],
+        F.col("c.valid_from").alias("valid_from"),
+        F.lit(version).cast("int").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = joined.filter(present_snap & (~present_cur | ~same)).select(
+        *keys,
+        *[F.col(f"s.{a}").alias(a) for a in attrs],
+        F.lit(version).cast("int").alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return history.unionByName(unchanged).unionByName(closed).unionByName(opened)

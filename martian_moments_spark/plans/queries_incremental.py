@@ -136,3 +136,80 @@ def dedup_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+SCD2_CHANGE_MOD = 10  # every 10th customer's balance changes in snapshot 2
+
+
+@register(
+    "scd2_dimension_merge",
+    ops=("J3", "P8", "U1", "A6"),
+    oracle=f"""
+        WITH snap1 AS (
+            SELECT c_custkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acct_units,
+                   c_mktsegment
+            FROM customer
+        ), snap2 AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % {SCD2_CHANGE_MOD} = 0
+                        THEN acct_units * 2 ELSE acct_units END AS acct_units,
+                   c_mktsegment
+            FROM snap1
+        ), changed AS (
+            SELECT s1.c_custkey
+            FROM snap1 s1 JOIN snap2 s2 USING (c_custkey)
+            WHERE s1.acct_units <> s2.acct_units
+               OR s1.c_mktsegment <> s2.c_mktsegment
+        )
+        SELECT c_custkey, acct_units, c_mktsegment,
+               CAST(1 AS INT) AS valid_from, CAST(NULL AS INT) AS valid_to,
+               TRUE AS is_current
+        FROM snap1 WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+        UNION ALL
+        SELECT c_custkey, acct_units, c_mktsegment,
+               CAST(1 AS INT), CAST(2 AS INT), FALSE
+        FROM snap1 WHERE c_custkey IN (SELECT c_custkey FROM changed)
+        UNION ALL
+        SELECT c_custkey, acct_units, c_mktsegment,
+               CAST(2 AS INT), CAST(NULL AS INT), TRUE
+        FROM snap2 WHERE c_custkey IN (SELECT c_custkey FROM changed)
+    """,
+)
+def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 — the dimension-versioning
+    strategy a warehouse layers over MERGE (X2's history-keeping twin):
+    fold a new snapshot into a versioned dim, closing changed rows
+    (valid_to = new version) and opening replacements, while unchanged
+    rows stay open. Snapshot 2 is a deterministic variant of customer
+    (every 10th balance doubles), so the full version chain is
+    oracle-checkable. Balances are fixed-point units (never
+    SUM/compare raw doubles).
+
+    Scale: operators.relational.scd2_apply_snapshot — one full-outer
+    key join per fold over only the OPEN rows; closed history never
+    joins (at 100 TB it is partition-pruned by is_current)."""
+    from martian_moments_spark.operators.relational import scd2_apply_snapshot
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acct_units"),
+        "c_mktsegment",
+    )
+    dim = cust.select(
+        "c_custkey",
+        "acct_units",
+        "c_mktsegment",
+        F.lit(1).cast("int").alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    snap2 = cust.withColumn(
+        "acct_units",
+        F.when(
+            F.col("c_custkey") % SCD2_CHANGE_MOD == 0, F.col("acct_units") * 2
+        ).otherwise(F.col("acct_units")),
+    )
+    return scd2_apply_snapshot(
+        dim, snap2, keys=["c_custkey"], attrs=["acct_units", "c_mktsegment"], version=2
+    )

@@ -96,25 +96,58 @@ def contract_check_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.3  # spelled as the literals 0.7/0.3 in BOTH engines —
+# 1 - 0.3 and 0.7 are DIFFERENT doubles, so the recurrence must use
+# the same literal, not a derived complement.
+
+
 @register(
     "ewma_per_user",
     ops=(),
-    oracle=None,  # recursive order-dependent state — not expressible in
-    # one ANSI-SQL pass; pinned instead by tests/test_llmops-style unit
-    # test (test_quality_udaf.py) against a driver-side recomputation.
+    oracle="""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_id, ts, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ), r AS (
+            SELECT user_id, event_id, ts, value, rn,
+                   value AS ewma_value
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.event_id, s.ts, s.value, s.rn,
+                   CAST(0.7 AS DOUBLE) * r.ewma_value
+                   + CAST(0.3 AS DOUBLE) * s.value
+            FROM r JOIN seq s
+              ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, ts, value, ewma_value FROM r
+    """,
 )
 def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of event value per user —
     the applyInPandas (grouped-map pandas UDF) surface (§2.11): a
-    genuinely sequential per-key recursion (state_t = a*x_t +
-    (1-a)*state_{t-1}) that built-ins cannot express. One shuffle on
-    user_id; Arrow-batched per-group computation; deterministic order
-    (ts, event_id)."""
+    genuinely sequential per-key recursion (state_t = 0.7*state_{t-1}
+    + 0.3*x_t, seeded with x_0) that built-ins cannot express. One
+    shuffle on user_id; Arrow-batched per-group computation;
+    deterministic order (ts, event_id).
+
+    Oracle-EXACT despite being stateful: the recurrence is two IEEE
+    multiplies and one add per step with the identical literal
+    constants on both engines, so a DuckDB recursive CTE replays the
+    same float64 trajectory bit-for-bit — the UDF spells the loop
+    explicitly rather than delegating to pandas ewm() precisely so the
+    arithmetic is pinned."""
     events = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        pdf["ewma_value"] = pdf["value"].ewm(alpha=0.3, adjust=False).mean()
+        vals = pdf["value"].to_numpy(dtype="float64")
+        out = vals.copy()
+        for i in range(1, len(out)):
+            out[i] = 0.7 * out[i - 1] + 0.3 * vals[i]
+        pdf["ewma_value"] = out
         return pdf[["user_id", "event_id", "ts", "value", "ewma_value"]]
 
     schema = "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE, ewma_value DOUBLE"

@@ -182,3 +182,57 @@ def topic_routed_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("message"),
     )
+
+
+SESSION_GAP_SECONDS = 1800
+
+
+@register(
+    "sessionize_events",
+    ops=("W2", "A1", "F8"),
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, event_id, ts,
+                   LAG(CAST(epoch(ts) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_s,
+                   CAST(epoch(ts) AS BIGINT) AS ts_s
+            FROM events
+        )
+        SELECT user_id, event_id, ts,
+               CAST(SUM(CASE WHEN prev_s IS NULL
+                             OR ts_s - prev_s > {SESSION_GAP_SECONDS}
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_idx
+        FROM ordered
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session ID assignment — the per-EVENT companion to
+    session_window_agg's per-session rollup: a new session starts at
+    the first event or after a gap > 30 min, and every event carries
+    its user-local session index (lag -> gap flag -> running sum).
+    This is the labeling a sessionized training corpus or funnel
+    analysis needs when individual events must stay addressable.
+
+    Scale: one shuffle on user_id establishes the partitioning; both
+    window passes (lag, cumsum) reuse it — a single Exchange in the
+    plan. Gap arithmetic is integer epoch seconds: exact."""
+    events = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("long")
+    prev_s = F.lag(ts_s).over(order)
+    new_session = F.when(
+        prev_s.isNull() | ((ts_s - prev_s) > SESSION_GAP_SECONDS), 1
+    ).otherwise(0)
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_session)
+        .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("session_idx"),
+    )

@@ -164,3 +164,35 @@ def test_salted_agg_rejects_unmergeable_aggregates(spark):
         salted_agg(df, keys=["key"], aggs={"m": (F.avg("v"), "avg")})
     with pytest.raises(TypeError, match="merge is explicit"):
         salted_agg(df, keys=["key"], aggs={"m": F.avg("v")})
+
+
+def test_scd2_apply_snapshot_all_transitions(spark):
+    """One fold must handle every SCD2 transition: history passthrough,
+    unchanged-open, changed (close + reopen), deleted key (close), new
+    key (open)."""
+    from martian_moments_spark.operators.relational import scd2_apply_snapshot
+
+    dim = spark.createDataFrame(
+        [
+            # closed history row: must pass through untouched
+            (1, "a-old", 1, 2, False),
+            # open rows
+            (1, "a", 2, None, True),      # unchanged
+            (2, "b", 1, None, True),      # attr will change
+            (3, "c", 1, None, True),      # key deleted from snapshot
+        ],
+        "k BIGINT, attr STRING, valid_from INT, valid_to INT, is_current BOOLEAN",
+    )
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b2"), (4, "d")], "k BIGINT, attr STRING"
+    )
+    out = scd2_apply_snapshot(dim, snap, keys=["k"], attrs=["attr"], version=3)
+    got = {tuple(r) for r in out.collect()}
+    assert got == {
+        (1, "a-old", 1, 2, False),   # history untouched
+        (1, "a", 2, None, True),     # unchanged stays open
+        (2, "b", 1, 3, False),       # changed: closed at v3
+        (2, "b2", 3, None, True),    # changed: reopened at v3
+        (3, "c", 1, 3, False),       # deleted: closed, no reopen
+        (4, "d", 3, None, True),     # new key opens at v3
+    }

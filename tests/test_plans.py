@@ -128,6 +128,7 @@ def test_window_queries_single_shuffle(spark):
     for name, key in (
         ("percent_rank_distribution", "o_orderpriority"),
         ("trailing_range_frame_sum", "o_custkey"),
+        ("sessionize_events", "user_id"),
     ):
         plan = explain_str(REGISTRY[name].fn(spark, SF_DIR_ORACLE))
         assert f"hashpartitioning({key}" in plan, name
