@@ -10,11 +10,12 @@ Spark and DuckDB. This is what makes an *exact* ANN oracle possible.
 Scale design (100 TB):
 - brute-force top-k is the baseline/verifier: O(n^2) pairs — run only
   inside a bounded candidate set.
-- IVF path: a coarse quantizer assigns each vector to a cell (here the
-  pre-computed ``label`` column stands in for the nearest-centroid
-  assignment); search is within-cell — the self-join shuffles on the
-  cell key only, turning O(n^2) into O(sum cell^2). Salting/AQE handle
-  hot cells; probing multiple cells = union over cell keys.
+- IVF path: a deterministic k-means coarse quantizer (kmeans_units —
+  sample-trained, integer centroids, oracle-replayable) assigns each
+  vector its nearest-centroid cell; search is within-cell — the
+  self-join shuffles on the cell key only, turning O(n^2) into
+  O(sum cell^2). Salting/AQE handle hot cells; multi-probe = the
+  probe_cells replication, still a pure equi-join.
 """
 
 from __future__ import annotations
@@ -176,21 +177,34 @@ KMEANS_ITERS = 2
 N_PROBE = 3
 
 
+#: Quantizer training-sample cap: k-means trains on the KMEANS_SAMPLE
+#: vectors with the smallest (md5-hash, id) — a deterministic,
+#: order-free sample both engines select identically. Testdata corpora
+#: are far smaller than the cap, so training sees every vector there.
+KMEANS_SAMPLE = 4096
+
+
 def kmeans_units(
     df: DataFrame,
     k: int = K_CELLS,
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    sample: int = KMEANS_SAMPLE,
 ):
-    """Deterministic k-means coarse quantizer over fixed-point units.
+    """Deterministic k-means coarse quantizer over fixed-point units —
+    the 100 TB shape: train driver-side on a bounded deterministic
+    sample, broadcast the k*dim integer centroids, assign the whole
+    corpus in ONE vectorized streaming pass.
 
     Every step is integer or IEEE-exact arithmetic, so the assignment
     is bit-reproducible on any engine (the DuckDB oracle replays it via
     ``sql_kmeans_ctes``):
 
-    - seeds: the ``k`` vectors with the smallest
-      ``(md5-hash(vec_id), vec_id)`` — cell ids 0..k-1 in that order;
+    - training set: the ``sample`` vectors with the smallest
+      ``(md5-hash(vec_id), vec_id)`` — deterministic and order-free,
+      so SQL selects the identical set;
+    - seeds: the first ``k`` of that training order — cell ids 0..k-1;
     - assignment: argmin over cells of the exact int64 squared L2
       distance, ties to the lowest cell id;
     - update: per-coordinate ``floor(sum/count + 0.5)`` — int64 sums
@@ -198,11 +212,10 @@ def kmeans_units(
       so the rounded centroid is identical everywhere. Cells that end
       an iteration empty are dropped (their id simply stops existing).
 
-    Runs ``iters`` (assign → update) rounds then a final assignment.
-    The per-row work is vectorized numpy via ``mapInPandas`` (the
-    centroid matrix is a tiny closure broadcast); the update is one
-    posexplode + groupBy — at 100 TB the same loop runs on a sample
-    and the final assignment pass streams over the corpus once.
+    Runs ``iters`` (assign → update) rounds then the corpus-wide
+    assignment. Training is numpy on the collected sample (one Spark
+    job); the corpus pass is ``mapInPandas`` with the centroid matrix
+    as a tiny closure broadcast — no shuffle.
 
     Returns ``(assigned_df, centroids)``: the input with ``units``,
     ``norm2`` and ``cell`` columns, and the final ``[(cell_id,
@@ -212,68 +225,49 @@ def kmeans_units(
 
     from martian_moments_spark.llmops.textops import portable_hash31
 
-    # Materialize units once: the training loop makes iters + 1
-    # assignment passes plus the seed scan, and the float -> fixed-point
-    # conversion is an interpreted array lambda — recomputing it per
-    # pass would dominate. Same lineage-truncation pattern as
-    # dedup.connected_components; ~16 bytes/coord, tiny vs the corpus.
-    base = (
-        with_units_and_norm(df.select(id_col, emb_col), emb_col)
-        .select(id_col, "units", "norm2")
-        .localCheckpoint(eager=True)
+    base = with_units_and_norm(df.select(id_col, emb_col), emb_col).select(
+        id_col, "units", "norm2"
     )
-    seed_rows = (
+    train_rows = (
         base.withColumn("__h", portable_hash31(F.col(id_col).cast("string")))
         .orderBy("__h", id_col)
-        .limit(k)
+        .limit(sample)
         .select("units")
         .collect()
     )
-    cents = [(i, np.asarray(r[0], dtype=np.int64)) for i, r in enumerate(seed_rows)]
-
-    def assign(frame: DataFrame, centroids) -> DataFrame:
-        cell_ids = np.array([c for c, _ in centroids], dtype=np.int64)
-        C = np.stack([v for _, v in centroids])
-
-        def fn(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                if len(pdf) == 0:
-                    yield pdf.assign(cell=pd.Series([], dtype="int32"))
-                    continue
-                U = np.stack([np.asarray(u, dtype=np.int64) for u in pdf["units"]])
-                d = ((U[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                yield pdf.assign(cell=cell_ids[d.argmin(axis=1)].astype("int32"))
-
-        schema = f"{id_col} BIGINT, units ARRAY<BIGINT>, norm2 BIGINT, cell INT"
-        return frame.mapInPandas(fn, schema)
+    T = np.stack([np.asarray(r[0], dtype=np.int64) for r in train_rows])
+    cents = [(i, T[i].copy()) for i in range(min(k, len(T)))]
 
     for _ in range(iters):
-        assigned = assign(base, cents)
-        stats = (
-            assigned.select("cell", F.posexplode("units").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in stats:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["n"])
-        cents = [
-            (
-                cell,
-                np.array(
-                    [
-                        np.floor(coords[p][0] / coords[p][1] + 0.5)
-                        for p in sorted(coords)
-                    ],
-                    dtype=np.int64,
-                ),
-            )
-            for cell, coords in sorted(by_cell.items())
-        ]
-    return assign(base, cents), cents
+        cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
+        C = np.stack([v for _, v in cents])
+        d = ((T[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = cell_ids[d.argmin(axis=1)]
+        new_cents = []
+        for cid in cell_ids:
+            members = T[a == cid]
+            if len(members):
+                new_cents.append(
+                    (int(cid), np.floor(members.sum(axis=0) / len(members) + 0.5).astype(np.int64))
+                )
+        cents = new_cents
+
+    cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.stack([v for _, v in cents])
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cell=pd.Series([], dtype="int32"))
+                continue
+            U = np.stack([np.asarray(u, dtype=np.int64) for u in pdf["units"]])
+            d = ((U[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pdf.assign(cell=cell_ids[d.argmin(axis=1)].astype("int32"))
+
+    schema = f"{id_col} BIGINT, units ARRAY<BIGINT>, norm2 BIGINT, cell INT"
+    return base.mapInPandas(fn, schema), cents
 
 
 def probe_cells(assigned: DataFrame, centroids, n_probe: int = N_PROBE) -> DataFrame:
@@ -421,10 +415,12 @@ def sql_kmeans_ctes(
     iters: int = KMEANS_ITERS,
     table: str = "embeddings",
     id_col: str = "vec_id",
+    sample: int = KMEANS_SAMPLE,
 ) -> str:
-    """DuckDB CTE chain replaying ``kmeans_units`` exactly (same seeds,
-    same integer distances, same tie-breaks, same centroid rounding).
-    Ends with ``kassign(vec_id, units, norm2, cell)`` and
+    """DuckDB CTE chain replaying ``kmeans_units`` exactly (same
+    hash-ordered training sample, same seeds, same integer distances,
+    same tie-breaks, same centroid rounding). Ends with
+    ``kassign(vec_id, units, norm2, cell)`` over the WHOLE table and
     ``kcents(cell, c)`` — callers build search CTEs on top."""
     parts = [
         f"""kunits AS (
@@ -432,6 +428,12 @@ def sql_kmeans_ctes(
                    CAST(list_sum(list_transform(list_zip({units_sql}, {units_sql}),
                         z -> z[1] * z[2])) AS BIGINT) AS norm2
             FROM {table}
+        ), ktrain AS (
+            SELECT vec_id, units FROM (
+                SELECT {id_col} AS vec_id, {units_sql} AS units
+                FROM {table}
+                ORDER BY {hash_sql}, {id_col} LIMIT {sample}
+            )
         ), kseeds AS (
             SELECT vec_id, units FROM (
                 SELECT {id_col} AS vec_id, {units_sql} AS units
@@ -451,7 +453,7 @@ def sql_kmeans_ctes(
             SELECT v.vec_id, v.units, c.cell,
                    CAST(list_sum(list_transform(list_zip(v.units, c.c),
                         z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d
-            FROM kunits v CROSS JOIN {prev} c
+            FROM ktrain v CROSS JOIN {prev} c
         ), kassign_{t} AS (
             SELECT vec_id, units, cell FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
