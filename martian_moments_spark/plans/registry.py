@@ -100,6 +100,17 @@ PRIORITY: tuple[str, ...] = (
     "merge_upsert",          # E8
     "flatten_explode",       # E5 N2
     "permissive_corrupt_json",  # X8 (ON_ERROR=CONTINUE)
+    # -- 3: round-2 additions/upgrades — first in line if the window
+    #       extends past 50; rotate into the front next round.
+    "contract_check_summary",
+    "decontamination_overlap",
+    "pii_redaction",
+    "repeated_ngram_ratio",
+    "context_window_packing",
+    "sessionize_events",
+    "scd2_dimension_merge",
+    "ewma_per_user",
+    "multimodal_feature_extract",
 )
 
 
