@@ -16,6 +16,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join for when the small side is too large to
+    broadcast and the big side has hot keys: the big side gets a
+    deterministic row-hash salt appended to the join key, the small
+    side is replicated once per salt value, and the join runs on
+    (keys + salt) — a hot key's rows spread over ``n_salts`` tasks
+    instead of one straggler. Results are identical to the unsalted
+    join; only the shuffle distribution changes (the small side pays a
+    ``n_salts``x replication, which is the explicit cost dial).
+
+    AQE's skew-join split (on in session.py) handles most of this at
+    runtime; salting is the static form for engines/paths where AQE
+    cannot split (e.g. a skewed build side feeding a stateful stage).
+    The salt is a hash of the big side's full row — deterministic, so
+    retries and speculative tasks re-deal identically."""
+    salt_b = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_s = big.withColumn("__salt", salt_b)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return big_s.join(small_s, [*keys, "__salt"], how).drop("__salt")
+
+
 #: Phase-2 merge functions by name: how a per-salt partial re-aggregates
 #: into the true per-key value. Only decomposable (algebraic) aggregates
 #: belong here — the same set Catalyst does partial aggregation for.

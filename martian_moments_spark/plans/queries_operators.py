@@ -205,3 +205,38 @@ def travel_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_shipdate").alias("latest_shipdate"),
         )
     )
+
+
+@register(
+    "salted_skew_join",
+    ops=("J1", "J2", "A1"),
+    oracle="""
+        SELECT e.event_id, e.user_id, d.n_user_events
+        FROM events e
+        JOIN (
+            SELECT user_id, COUNT(*) AS n_user_events
+            FROM events GROUP BY user_id
+        ) d USING (user_id)
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join over a hot-keyed fact (operators.skew.
+    salted_join): events carry ~70 rows per user key — the shape where
+    one hot key pins a join task. The big side is salted by a
+    deterministic row hash, the small side replicated per salt, and
+    the join runs on (key, salt): results identical to the plain join
+    (the oracle), but no single task owns a key. The small side is
+    merge-hinted so the demonstration stays a shuffle join rather than
+    AQE broadcasting it away at test scale (at 100 TB a
+    non-broadcastable dim is the premise)."""
+    from martian_moments_spark.operators.skew import salted_join
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_user_events"))
+        .hint("merge")
+    )
+    return salted_join(events, dim, keys=["user_id"]).select(
+        "event_id", "user_id", "n_user_events"
+    )

@@ -109,6 +109,7 @@ PRIORITY: tuple[str, ...] = (
     "context_window_packing",
     "sessionize_events",
     "scd2_dimension_merge",
+    "salted_skew_join",
     "ewma_per_user",
     "multimodal_feature_extract",
 )

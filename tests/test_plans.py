@@ -182,3 +182,12 @@ def test_tfidf_corpus_size_joins_as_broadcast(spark):
     plan = explain_str(REGISTRY["tfidf_top_terms"].fn(spark, SF_DIR_ORACLE))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_spreads_key_over_salts(spark):
+    # the join must run on (key, salt) as a shuffle join — salting is
+    # pointless if AQE broadcasts the replicated small side away.
+    plan = explain_str(REGISTRY["salted_skew_join"].fn(spark, SF_DIR_ORACLE))
+    assert "__salt" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan

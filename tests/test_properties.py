@@ -90,3 +90,71 @@ def test_asof_join_matches_bruteforce(spark_h, left, right):
         cands = [(rt, rv) for rk, rt, rv in right if rk == k and rt <= t]
         expect = max(cands)[1] if cands else None
         assert got[i] == expect, (i, k, t, cands, got[i])
+
+
+def test_context_packing_invariants(spark):
+    """Offsets must be contiguous per source (no token gaps/overlaps)
+    and every chunk_offset must sit inside the budget."""
+    from martian_moments_spark.plans import load_all
+    from martian_moments_spark.plans.queries_llm import PACK_BUDGET_TOKENS
+
+    REG = load_all()
+    rows = REG["context_window_packing"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, docs in by_source.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in docs:
+            assert r["start_offset"] == expect, (src, r["doc_id"])
+            assert 0 <= r["chunk_offset"] < PACK_BUDGET_TOKENS
+            assert r["chunk_id"] == r["start_offset"] // PACK_BUDGET_TOKENS
+            expect += r["n_tokens"]
+
+
+def test_scd2_invariants(spark):
+    """Exactly one open row per key; closed rows end where a newer row
+    begins; validity intervals never overlap."""
+    from martian_moments_spark.plans import load_all
+
+    REG = load_all()
+    rows = REG["scd2_dimension_merge"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    for k, versions in by_key.items():
+        open_rows = [r for r in versions if r["is_current"]]
+        assert len(open_rows) == 1, k
+        assert open_rows[0]["valid_to"] is None
+        closed = sorted(
+            (r for r in versions if not r["is_current"]), key=lambda r: r["valid_from"]
+        )
+        for r in closed:
+            assert r["valid_to"] is not None and r["valid_to"] > r["valid_from"]
+        spans = sorted(
+            (r["valid_from"], r["valid_to"] if r["valid_to"] is not None else 1 << 30)
+            for r in versions
+        )
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 <= s2, f"overlapping validity for key {k}"
+
+
+def test_sessionize_invariants(spark):
+    """Session indexes start at 1, never decrease along a user's
+    timeline, and increment exactly at gaps > 30 minutes."""
+    from martian_moments_spark.plans import load_all
+    from martian_moments_spark.plans.queries_streaming import SESSION_GAP_SECONDS
+
+    REG = load_all()
+    rows = REG["sessionize_events"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, evs in by_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        assert evs[0]["session_idx"] == 1
+        for a, b in zip(evs, evs[1:]):
+            gap = (b["ts"] - a["ts"]).total_seconds()
+            expected = a["session_idx"] + (1 if gap > SESSION_GAP_SECONDS else 0)
+            assert b["session_idx"] == expected, (u, a["event_id"], b["event_id"])
