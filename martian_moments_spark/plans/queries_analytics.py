@@ -757,3 +757,66 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 10)
         .select("lang", "doc_id")
     )
+
+
+INTERLEAVE_LCM = 6  # LCM of the weight domain {1,2,3}: virtual time is
+# position * (LCM / weight) — exact integers, no rational comparison.
+INTERLEAVE_TAKE = 200
+
+
+@register(
+    "corpus_interleave_schedule",
+    ops=("W2", "J1", "O1", "O2"),
+    oracle=f"""
+        WITH pos AS (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS p,
+                   CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS w
+            FROM documents
+        ), keyed AS (
+            SELECT source, doc_id, p, w,
+                   p * ({INTERLEAVE_LCM} // w) AS vtime
+            FROM pos
+        ), sched AS (
+            SELECT source, doc_id, vtime
+            FROM keyed
+            ORDER BY vtime, source, doc_id
+            LIMIT {INTERLEAVE_TAKE}
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vtime, source, doc_id) AS BIGINT)
+                   AS schedule_pos,
+               source, doc_id, CAST(vtime AS BIGINT) AS vtime
+        FROM sched
+    """,
+)
+def corpus_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus interleaving — the deterministic read SCHEDULE a
+    multi-source training run follows (companion to
+    corpus_mixture_sample, which decides WHAT to keep; this decides
+    WHEN each document is read): weighted fair queuing with integer
+    virtual time. A source of weight w emits its p-th document at
+    vtime = p * (LCM / w), so heavier sources appear proportionally
+    more often in any prefix of the schedule; the first
+    INTERLEAVE_TAKE slots are materialized with their global position.
+
+    Scale: per-source position is one window over the source
+    partitioning; the global prefix is an ordered LIMIT
+    (TakeOrderedAndProject — never a full sort); the final position
+    numbering runs on the LIMIT-bounded (tiny) prefix only. All
+    arithmetic is integer — exact in any engine."""
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
+    p = F.row_number().over(W.partitionBy("source").orderBy("doc_id"))
+    w = F.substring("source", 4, 10).cast("long") % 3 + 1
+    slot = F.floor(F.lit(INTERLEAVE_LCM) / w).cast("long")  # 6 // w, exact
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        (p.cast("long") * slot).alias("vtime"),
+    )
+    sched = keyed.orderBy("vtime", "source", "doc_id").limit(INTERLEAVE_TAKE)
+    pos = F.row_number().over(
+        W.orderBy("vtime", "source", "doc_id")
+    )
+    return sched.select(
+        pos.cast("long").alias("schedule_pos"), "source", "doc_id", "vtime"
+    )

@@ -110,6 +110,7 @@ PRIORITY: tuple[str, ...] = (
     "sessionize_events",
     "scd2_dimension_merge",
     "salted_skew_join",
+    "corpus_interleave_schedule",
     "ewma_per_user",
     "multimodal_feature_extract",
 )
