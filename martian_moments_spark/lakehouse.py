@@ -208,6 +208,29 @@ def upsert_sink(
     )
 
 
+def compact(spark: SparkSession, table: str, target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Transactional OPTIMIZE: rewrite the current snapshot into
+    ceil(bytes/target) files and commit the compacted layout as a new
+    version. Contrast operators.layout.compact_small_files' rename
+    swap: under the commit log no swap window exists at all — readers
+    hold the old snapshot until the single commit lands, a crash
+    leaves only unreferenced (vacuumable) files, and time travel to
+    the pre-compaction version still works. Returns the new version."""
+    import math
+
+    while True:
+        base = current_version(table)
+        files = snapshot_files(table, base)
+        total = sum(os.path.getsize(p) for p in files)
+        n_files = max(1, math.ceil(total / target_bytes))
+        df = spark.read.parquet(*files).coalesce(n_files)
+        new = _stage_data(df, table)
+        try:
+            return _commit(table, new, "compact", base)
+        except FileExistsError:
+            continue
+
+
 def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     """Delete data files referenced by NO retained version (the last
     ``keep_versions`` log entries). Uncommitted leftovers from crashed

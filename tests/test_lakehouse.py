@@ -128,3 +128,27 @@ def test_streaming_upsert_sink_one_version_per_batch(spark, tmp_path):
     got = {r["k"]: r["v"] for r in lh.read_table(spark, table).collect()}
     assert got == {1: "old", 2: "new", 3: "new"}
     assert lh.current_version(table) == 1  # one version per micro-batch
+
+
+def test_compact_commits_new_version_keeps_history(spark, tmp_path):
+    table = str(tmp_path / "t")
+    for i in range(4):  # four appends -> many small files
+        lh.append(
+            spark.createDataFrame([(i, f"v{i}")], "k BIGINT, v STRING"), table
+        )
+    before = set(lh.snapshot_files(table))
+    assert len(before) >= 4
+
+    v = lh.compact(spark, table, target_bytes=1 << 30)
+    after = lh.snapshot_files(table)
+    assert len(after) == 1  # everything fits one target file
+    assert _rows(lh.read_table(spark, table)) == {(i, f"v{i}") for i in range(4)}
+    # pre-compaction version still time-travels; its files untouched
+    assert _rows(lh.read_table(spark, table, version=v - 1)) == {
+        (i, f"v{i}") for i in range(4)
+    }
+    assert all(os.path.exists(p) for p in before)
+    # vacuum drops the pre-compaction layout once history expires
+    lh.vacuum(table, keep_versions=1)
+    assert all(not os.path.exists(p) for p in before)
+    assert _rows(lh.read_table(spark, table)) == {(i, f"v{i}") for i in range(4)}
