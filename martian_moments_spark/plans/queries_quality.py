@@ -152,3 +152,57 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE, ewma_value DOUBLE"
     return events.groupBy("user_id").applyInPandas(ewma, schema)
+
+
+QUARANTINE_VALUE_CAP = 400.0
+
+
+def _events_domain() -> tuple:
+    from martian_moments_spark.contracts import CONTRACTS
+
+    events = next(c for c in CONTRACTS if c.table == "events")
+    return events.accepted["event_type"]
+
+
+@register(
+    "contract_quarantine_rows",
+    ops=("P7", "P8", "U1", "X8"),
+    oracle=f"""
+        SELECT event_id, event_type, value,
+               'accepted_values:event_type' AS reason
+        FROM events
+        WHERE event_type NOT IN ({", ".join(f"'{v}'" for v in _events_domain())})
+        UNION ALL
+        SELECT event_id, event_type, value,
+               'expression:value_within_cap'
+        FROM events
+        WHERE NOT (value <= {QUARANTINE_VALUE_CAP})
+    """,
+)
+def contract_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine routing — the row-level companion to the contract
+    SUMMARY (dbt's store_failures: tests capture the offending rows,
+    not just counts): every event failing a declared check lands in
+    the quarantine with a machine-readable reason, one row per
+    (event, failed check), so a row failing two checks appears twice
+    and the clean pipeline downstream sees neither. The event_type
+    domain comes from the same contracts.CONTRACTS declaration the
+    summary uses — one source of truth.
+
+    Scale: per-row predicate evaluation, no shuffle; the quarantine
+    write is an append partitioned by reason so each check's failures
+    are one pruned directory."""
+    domain = _events_domain()
+    events = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    checks = [
+        (~F.col("event_type").isin(*domain), "accepted_values:event_type"),
+        (~(F.col("value") <= QUARANTINE_VALUE_CAP), "expression:value_within_cap"),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)) for cond, name in checks]),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        events.withColumn("reason", F.explode(reasons))
+        .select("event_id", "event_type", "value", "reason")
+    )

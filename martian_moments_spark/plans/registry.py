@@ -111,6 +111,7 @@ PRIORITY: tuple[str, ...] = (
     "scd2_dimension_merge",
     "salted_skew_join",
     "corpus_interleave_schedule",
+    "contract_quarantine_rows",
     "ewma_per_user",
     "multimodal_feature_extract",
 )

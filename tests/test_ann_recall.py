@@ -83,3 +83,30 @@ def test_multiprobe_hits_stated_operating_point(spark):
     assert r_multi >= 0.8, f"multi-probe recall {r_multi:.3f} below operating point"
     # widening the probe set must never lose a neighbor already found
     assert r_multi > r_single
+
+
+def test_recall_curve_monotone_in_probe_count(spark):
+    """Characterize the recall/cost dial: recall@5 must be monotone
+    non-decreasing in n_probe and reach 1.0 at n_probe = K_CELLS
+    (probing every cell IS brute force)."""
+    from martian_moments_spark.llmops.similarity import (
+        kmeans_units,
+        probe_cells,
+        topk_units_probed,
+    )
+    from martian_moments_spark.plans import load_all
+
+    REGISTRY = load_all()
+    exact = _pairs(REGISTRY["embedding_cosine_topk"].fn(spark, SF_DIR))
+    emb = load(spark, SF_DIR, "embeddings")
+    assigned, cents = kmeans_units(emb)
+    assigned = assigned.localCheckpoint(eager=True)
+
+    recalls = []
+    for n_probe in range(1, K_CELLS + 1):
+        probed = probe_cells(assigned, cents, n_probe=n_probe)
+        got = _pairs(topk_units_probed(probed, assigned, k=K))
+        recalls.append(len(exact & got) / len(exact))
+    print("recall curve:", [round(r, 3) for r in recalls])
+    assert all(b >= a for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] == 1.0

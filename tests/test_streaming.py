@@ -470,3 +470,69 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
 
     got = {(r["click_id"], r["order_id"]) for r in spark.read.parquet(out).collect()}
     assert got == {(10, 100)}
+
+
+def test_stream_stream_left_outer_join_emits_null_after_horizon(spark, tmp_path):
+    """Left-outer interval join: an unmatched left row may only emit
+    its null-padded result once the watermark proves no match can
+    still arrive (state expiry = correctness here, not just memory)."""
+    from martian_moments_spark.streaming.windows import watermarked_interval_join
+
+    clicks_dir = tmp_path / "oc"
+    buys_dir = tmp_path / "ob"
+    clicks_dir.mkdir()
+    buys_dir.mkdir()
+    out = str(tmp_path / "o_out")
+    ck = str(tmp_path / "o_ck")
+
+    def jl(path, rows):
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run_once():
+        clicks = file_json_stream(
+            spark, str(clicks_dir), "user_id BIGINT, click_id BIGINT, ts TIMESTAMP"
+        )
+        buys = file_json_stream(
+            spark, str(buys_dir), "user_id BIGINT, order_id BIGINT, ts TIMESTAMP"
+        )
+        joined = watermarked_interval_join(
+            clicks, buys, key_cols=("user_id",),
+            watermark="10 minutes", within="30 minutes", how="leftOuter",
+        ).select(
+            F.col("l.click_id").alias("click_id"),
+            F.col("r.order_id").alias("order_id"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    jl(clicks_dir / "c1.json", [
+        {"user_id": 1, "click_id": 10, "ts": "2024-03-01 10:00:00"},  # will match
+        {"user_id": 2, "click_id": 20, "ts": "2024-03-01 10:00:00"},  # never matches
+    ])
+    jl(buys_dir / "b1.json", [
+        {"user_id": 1, "order_id": 100, "ts": "2024-03-01 10:10:00"},
+    ])
+    run_once()
+
+    # advance BOTH watermarks far past click_ts + 30min so the engine
+    # can prove click 20 is unmatched and emit its null row
+    jl(clicks_dir / "c2.json", [{"user_id": 9, "click_id": 90, "ts": "2024-03-01 12:00:00"}])
+    jl(buys_dir / "b2.json", [{"user_id": 9, "order_id": 900, "ts": "2024-03-01 12:00:00"}])
+    run_once()
+    jl(clicks_dir / "c3.json", [{"user_id": 8, "click_id": 80, "ts": "2024-03-01 14:00:00"}])
+    jl(buys_dir / "b3.json", [{"user_id": 8, "order_id": 800, "ts": "2024-03-01 14:00:00"}])
+    run_once()
+
+    got = {(r["click_id"], r["order_id"]) for r in spark.read.parquet(out).collect()}
+    assert (10, 100) in got          # matched pair
+    assert (20, None) in got         # unmatched left emitted null after horizon
+    assert (20, 100) not in got      # never cross-user matched
