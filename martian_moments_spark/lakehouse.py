@@ -76,21 +76,42 @@ def snapshot_files(table: str, version: int | None = None) -> list[str]:
 
 def read_table(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
     """Snapshot read: resolve the version's exact file list, then scan
-    only those files. Time travel via ``version``."""
-    return spark.read.parquet(*snapshot_files(table, version))
+    only those files. Time travel via ``version``. Files are read per
+    commit dir with that dir as basePath, so hive-partition columns
+    (the bucketed-merge layout) are recovered; a commit dir without
+    partition dirs contributes no extra columns."""
+    from functools import reduce
+
+    files = snapshot_files(table, version)
+    by_dir: dict[str, list[str]] = {}
+    for p in files:
+        rel = os.path.relpath(p, table)
+        by_dir.setdefault(rel.split(os.sep, 1)[0], []).append(p)
+    parts = [
+        spark.read.option("basePath", os.path.join(table, d)).parquet(*fs)
+        for d, fs in sorted(by_dir.items())
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
-def _stage_data(df: DataFrame, table: str) -> list[str]:
+def _stage_data(
+    df: DataFrame, table: str, partition_by: tuple[str, ...] = ()
+) -> list[str]:
     """Write ``df`` as new immutable data files under a unique commit
-    dir; returns table-relative paths. Invisible until committed."""
+    dir (optionally hive-partitioned); returns table-relative paths.
+    Invisible until committed."""
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table, f"data_{commit_id}")
-    df.write.mode("error").parquet(data_dir)
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
     rel = []
-    for name in sorted(os.listdir(data_dir)):
-        if name.endswith(".parquet"):
-            rel.append(os.path.join(os.path.basename(data_dir), name))
-    return rel
+    for dirpath, _dirs, files in os.walk(data_dir):
+        for name in files:
+            if name.endswith(".parquet"):
+                rel.append(os.path.relpath(os.path.join(dirpath, name), table))
+    return sorted(rel)
 
 
 def _commit(table: str, files: list[str], op: str, base_version: int | None) -> int:
@@ -208,6 +229,105 @@ def upsert_sink(
     )
 
 
+def _bucket_of(rel_path: str, bucket_col: str) -> int | None:
+    """Bucket id encoded in a file's hive-partition path, or None."""
+    marker = f"{bucket_col}="
+    for seg in rel_path.split(os.sep):
+        if seg.startswith(marker):
+            return int(seg[len(marker):])
+    return None
+
+
+def merge_upsert_bucketed(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    table: str,
+    keys: list[str],
+    order_col: str,
+    num_buckets: int = 16,
+) -> int:
+    """The full 100 TB merge: partition-scoped write amplification AND
+    snapshot isolation in ONE commit. The table is laid out by the
+    deterministic hash bucket of the merge key
+    (streaming.sinks.bucket_expr, hive-partition dirs inside each
+    commit); a batch reads only its touched buckets' files (pruned by
+    path, no scan of the rest), anti-joins, and stages replacement
+    files for exactly those buckets. The new version references the
+    untouched buckets' OLD files verbatim plus the new ones — an
+    untouched bucket's bytes are never rewritten, and the whole swap
+    is one atomic commit with optimistic retry.
+
+    Contrast the two mechanisms it composes: partitioned_upsert bounds
+    write amplification but overwrites in place (readers race);
+    lakehouse.merge_upsert isolates readers but rewrites the full
+    snapshot. This does both; per batch it writes
+    O(touched/num_buckets) of the table and commits once."""
+    from functools import reduce
+
+    from martian_moments_spark.streaming.sinks import BUCKET_COL, bucket_expr
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    while True:
+        base = current_version(table)
+        w = W.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn(BUCKET_COL, bucket_expr(keys, num_buckets))
+        )
+        if base is None:
+            new = _stage_data(batch, table, partition_by=(BUCKET_COL,))
+            try:
+                return _commit(table, new, "merge_bucketed", None)
+            except FileExistsError:
+                continue
+        touched = {r[0] for r in batch.select(BUCKET_COL).distinct().collect()}
+        files = [os.path.relpath(p, table) for p in snapshot_files(table, base)]
+        if any(_bucket_of(f, BUCKET_COL) is None for f in files):
+            # a non-bucketed commit is mixed in: its files may hold any
+            # key, so bucket pruning is unsound — fall back to a full
+            # merge (correct, just not partition-scoped) which also
+            # migrates the table to the bucketed layout.
+            touched_files, untouched_files = files, []
+        else:
+            touched_files = [f for f in files if _bucket_of(f, BUCKET_COL) in touched]
+            untouched_files = [f for f in files if _bucket_of(f, BUCKET_COL) not in touched]
+        if touched_files:
+            by_dir: dict[str, list[str]] = {}
+            for f in touched_files:
+                by_dir.setdefault(f.split(os.sep, 1)[0], []).append(
+                    os.path.join(table, f)
+                )
+            def _with_bucket(df: DataFrame) -> DataFrame:
+                # (re)derive the bucket deterministically from the keys:
+                # uniform whether the source commit was bucketed or not
+                # (the mixed-layout fallback reads unbucketed files).
+                if BUCKET_COL in df.columns:
+                    df = df.drop(BUCKET_COL)
+                return df.withColumn(BUCKET_COL, bucket_expr(keys, num_buckets))
+
+            target = reduce(
+                lambda a, b: a.unionByName(b),
+                [
+                    _with_bucket(
+                        spark.read.option("basePath", os.path.join(table, d)).parquet(*fs)
+                    )
+                    for d, fs in sorted(by_dir.items())
+                ],
+            )
+            survivors = target.join(batch.select(*keys), keys, "left_anti")
+            merged = batch.unionByName(survivors)
+        else:
+            merged = batch
+        new = _stage_data(merged, table, partition_by=(BUCKET_COL,))
+        try:
+            return _commit(table, untouched_files + new, "merge_bucketed", base)
+        except FileExistsError:
+            continue
+
+
 def compact(spark: SparkSession, table: str, target_bytes: int = 128 * 1024 * 1024) -> int:
     """Transactional OPTIMIZE: rewrite the current snapshot into
     ceil(bytes/target) files and commit the compacted layout as a new
@@ -218,13 +338,17 @@ def compact(spark: SparkSession, table: str, target_bytes: int = 128 * 1024 * 10
     the pre-compaction version still works. Returns the new version."""
     import math
 
+    from martian_moments_spark.streaming.sinks import BUCKET_COL
+
     while True:
         base = current_version(table)
         files = snapshot_files(table, base)
         total = sum(os.path.getsize(p) for p in files)
         n_files = max(1, math.ceil(total / target_bytes))
-        df = spark.read.parquet(*files).coalesce(n_files)
-        new = _stage_data(df, table)
+        df = read_table(spark, table, base).coalesce(n_files)
+        # a bucketed-merge table keeps its layout through compaction
+        part = (BUCKET_COL,) if BUCKET_COL in df.columns else ()
+        new = _stage_data(df, table, partition_by=part)
         try:
             return _commit(table, new, "compact", base)
         except FileExistsError:

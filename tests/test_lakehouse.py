@@ -152,3 +152,81 @@ def test_compact_commits_new_version_keeps_history(spark, tmp_path):
     lh.vacuum(table, keep_versions=1)
     assert all(not os.path.exists(p) for p in before)
     assert _rows(lh.read_table(spark, table)) == {(i, f"v{i}") for i in range(4)}
+
+
+def test_bucketed_merge_reuses_untouched_files_verbatim(spark, tmp_path):
+    """The composed merge: a batch's commit must reference untouched
+    buckets' OLD files (same paths, same bytes — never restaged) plus
+    new files only for touched buckets, under one atomic version."""
+    import hashlib
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, "old", 1) for k in range(1, 41)], "k BIGINT, v STRING, seq BIGINT"
+    )
+    assert lh.merge_upsert_bucketed(spark, base, table, ["k"], "seq", num_buckets=8) == 0
+
+    def digest(paths):
+        out = {}
+        for p in paths:
+            with open(p, "rb") as f:
+                out[p] = hashlib.sha256(f.read()).hexdigest()
+        return out
+
+    v0_files = lh.snapshot_files(table, 0)
+    before = digest(v0_files)
+
+    delta = spark.createDataFrame(
+        [(3, "new", 2), (99, "new", 2)], "k BIGINT, v STRING, seq BIGINT"
+    )
+    v = lh.merge_upsert_bucketed(spark, delta, table, ["k"], "seq", num_buckets=8)
+
+    from martian_moments_spark.streaming.sinks import BUCKET_COL
+    touched = {
+        r[0]
+        for r in delta.selectExpr("cast(pmod(xxhash64(k), 8) as int)").distinct().collect()
+    }
+    v1_files = lh.snapshot_files(table, v)
+    carried = [p for p in v1_files if p in set(v0_files)]
+    assert carried, "no old files were carried into the new version"
+    for p in carried:
+        assert lh._bucket_of(os.path.relpath(p, table), BUCKET_COL) not in touched
+        with open(p, "rb") as f:
+            import hashlib as h
+            assert h.sha256(f.read()).hexdigest() == before[p]
+
+    got = {r["k"]: r["v"] for r in lh.read_table(spark, table).collect()}
+    assert got == {k: "old" for k in range(1, 41)} | {3: "new", 99: "new"}
+    # time travel still sees the pre-merge state
+    pre = {r["k"]: r["v"] for r in lh.read_table(spark, table, version=0).collect()}
+    assert pre == {k: "old" for k in range(1, 41)}
+
+
+def test_bucketed_merge_full_fallback_on_mixed_layout(spark, tmp_path):
+    """A table with a non-bucketed commit cannot prune by bucket: the
+    merge must fall back to a (correct) full merge and migrate the
+    layout."""
+    table = str(tmp_path / "t")
+    lh.append(spark.createDataFrame([(1, "old", 1), (2, "old", 1)],
+                                    "k BIGINT, v STRING, seq BIGINT"), table)
+    lh.merge_upsert_bucketed(
+        spark,
+        spark.createDataFrame([(2, "new", 2)], "k BIGINT, v STRING, seq BIGINT"),
+        table, ["k"], "seq", num_buckets=4,
+    )
+    got = {r["k"]: r["v"] for r in lh.read_table(spark, table).collect()}
+    assert got == {1: "old", 2: "new"}
+    from martian_moments_spark.streaming.sinks import BUCKET_COL
+    # layout migrated: every live file now carries a bucket dir
+    assert all(
+        lh._bucket_of(os.path.relpath(p, table), BUCKET_COL) is not None
+        for p in lh.snapshot_files(table)
+    )
+    # and compaction preserves the bucketed layout
+    lh.compact(spark, table, target_bytes=1 << 30)
+    assert all(
+        lh._bucket_of(os.path.relpath(p, table), BUCKET_COL) is not None
+        for p in lh.snapshot_files(table)
+    )
+    got = {r["k"]: r["v"] for r in lh.read_table(spark, table).collect()}
+    assert got == {1: "old", 2: "new"}
