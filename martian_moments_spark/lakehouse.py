@@ -12,18 +12,30 @@ engine needs:
 - data files are immutable parquet files with unique names; they are
   NEVER deleted or modified by a commit, only referenced;
 - the table state is an append-only log ``_log/<version>.json``; each
-  entry lists the COMPLETE set of live files for that version (a
-  snapshot, not a delta — O(files) per commit, fine at this scale; a
-  production format would log deltas + periodic checkpoints);
-- a commit is one atomic ``os.rename`` of a staged manifest to the
-  next version number; rename-over-existing fails on the loser of a
-  race, giving optimistic concurrency;
+  entry is a DELTA — the files the commit adds and the files it
+  removes from the live set — so commit cost is O(changed files), not
+  O(table): an append to a million-file table logs only its own files;
+- every ``CHECKPOINT_INTERVAL`` commits a full-state checkpoint
+  (``<version>.checkpoint.json``) is written beside the log, so a
+  reader replays at most ``CHECKPOINT_INTERVAL`` deltas from the
+  nearest checkpoint instead of the whole history (the Delta/Iceberg
+  log-plus-checkpoint design); checkpoints are derived state — losing
+  one only means a longer replay;
+- a commit is one atomic no-clobber publish (``os.link``) of a staged
+  manifest to the next version number; publish-over-existing fails on
+  the loser of a race, giving optimistic concurrency;
 - readers resolve the highest committed version once, then read
   exactly those files — a concurrent commit can never tear a scan, and
   uncommitted/crashed writer files are invisible because nothing
   references them;
 - ``vacuum`` removes unreferenced data files older than the retention
-  horizon (here: not referenced by ANY retained version).
+  horizon (here: not referenced by ANY retained version); before
+  expiring log entries it checkpoints the oldest retained version so
+  everything retained stays reconstructable.
+
+Legacy round-2 entries that carry a complete ``files`` list are read
+as implicit checkpoints (state := files), so existing tables upgrade
+in place.
 
 On a real object store the rename becomes a conditional PUT
 (if-absent), which S3/GCS/ABFS all support today; everything else is
@@ -39,6 +51,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_log"
+
+# Write a full-state checkpoint every N commits. Replay cost for any
+# read is bounded by N log entries; N trades commit-time checkpoint
+# writes against read-time replay. Tests shrink it to exercise rolls.
+CHECKPOINT_INTERVAL = 10
 
 
 def _log_path(table: str) -> str:
@@ -63,15 +80,67 @@ def current_version(table: str) -> int | None:
     return vs[-1] if vs else None
 
 
+def _checkpoint_versions(table: str) -> list[int]:
+    logd = _log_path(table)
+    if not os.path.isdir(logd):
+        return []
+    suffix = ".checkpoint.json"
+    out = []
+    for name in os.listdir(logd):
+        if name.endswith(suffix) and name[: -len(suffix)].isdigit():
+            out.append(int(name[: -len(suffix)]))
+    return sorted(out)
+
+
+def _read_entry(table: str, version: int) -> dict:
+    with open(os.path.join(_log_path(table), f"{version}.json")) as f:
+        return json.load(f)
+
+
+def _reconstruct(table: str, version: int) -> list[str]:
+    """Replay the log up to ``version``: start from the nearest
+    checkpoint at or below it (else empty) and apply each delta in
+    order. Legacy full-``files`` entries reset the state wholesale.
+    Table-relative paths, sorted."""
+    state: set[str] = set()
+    start = 0
+    cps = [c for c in _checkpoint_versions(table) if c <= version]
+    if cps:
+        cp = cps[-1]
+        with open(os.path.join(_log_path(table), f"{cp}.checkpoint.json")) as f:
+            state = set(json.load(f)["files"])
+        start = cp + 1
+    for v in range(start, version + 1):
+        entry = _read_entry(table, v)
+        if "files" in entry:  # legacy snapshot entry = implicit checkpoint
+            state = set(entry["files"])
+        else:
+            state = (state - set(entry["remove"])) | set(entry["add"])
+    return sorted(state)
+
+
+def _write_checkpoint(table: str, version: int) -> None:
+    """Materialize the full live set at ``version`` beside the log.
+    Derived state: written via tmp+rename (idempotent — any writer
+    producing it computes identical content), safe to lose."""
+    files = _reconstruct(table, version)
+    logd = _log_path(table)
+    tmp = os.path.join(logd, f"{version}.{uuid.uuid4().hex[:8]}.cptmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "files": files}, f)
+    os.replace(tmp, os.path.join(logd, f"{version}.checkpoint.json"))
+
+
 def snapshot_files(table: str, version: int | None = None) -> list[str]:
     """The live data files of ``version`` (default: latest committed).
-    Absolute paths. Raises FileNotFoundError on an empty table."""
+    Absolute paths. Raises FileNotFoundError on an empty table or a
+    vacuum-expired version."""
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table!r}")
-    with open(os.path.join(_log_path(table), f"{v}.json")) as f:
-        entry = json.load(f)
-    return [os.path.join(table, p) for p in entry["files"]]
+    if not os.path.exists(os.path.join(_log_path(table), f"{v}.json")):
+        raise FileNotFoundError(f"version {v} of {table!r} does not exist (expired?)")
+    return [os.path.join(table, p) for p in _reconstruct(table, v)]
 
 
 def read_table(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
@@ -114,16 +183,28 @@ def _stage_data(
     return sorted(rel)
 
 
-def _commit(table: str, files: list[str], op: str, base_version: int | None) -> int:
-    """Atomically publish ``files`` as the next version. Optimistic:
-    if someone committed after ``base_version``, the rename target
-    exists and this raises FileExistsError — re-read and retry."""
+def _commit(
+    table: str,
+    add: list[str],
+    op: str,
+    base_version: int | None,
+    remove: list[str] = (),
+) -> int:
+    """Atomically publish a delta (``add``/``remove`` table-relative
+    paths) as the next version. Optimistic: if someone committed after
+    ``base_version``, the publish target exists and this raises
+    FileExistsError — re-read and retry. Every CHECKPOINT_INTERVAL-th
+    version also rolls a full-state checkpoint (after the commit is
+    durable; a crash between the two only costs replay length)."""
     logd = _log_path(table)
     os.makedirs(logd, exist_ok=True)
     next_v = 0 if base_version is None else base_version + 1
     staged = os.path.join(logd, f"{next_v}.{uuid.uuid4().hex[:8]}.tmp.json")
     with open(staged, "w") as f:
-        json.dump({"version": next_v, "op": op, "files": files}, f)
+        json.dump(
+            {"version": next_v, "op": op, "add": sorted(add), "remove": sorted(remove)},
+            f,
+        )
     final = os.path.join(logd, f"{next_v}.json")
     try:
         # atomic publish; os.link + unlink refuses to clobber an
@@ -134,12 +215,29 @@ def _commit(table: str, files: list[str], op: str, base_version: int | None) -> 
         os.remove(staged)
         raise
     os.remove(staged)
+    if next_v > 0 and next_v % CHECKPOINT_INTERVAL == 0:
+        _write_checkpoint(table, next_v)
     return next_v
 
 
 def append(df: DataFrame, table: str) -> int:
-    """Transactional append: new files join the previous snapshot's.
+    """Transactional append. The commit logs ONLY the new files (an
+    add-delta): append cost is independent of table size — the shape
+    that matters at 100 TB where the live set is millions of files.
     Returns the committed version."""
+    new = _stage_data(df, table)
+    while True:
+        base = current_version(table)
+        try:
+            return _commit(table, new, "append", base)
+        except FileExistsError:
+            continue  # lost the race: an append composes with any winner
+
+
+def overwrite(df: DataFrame, table: str) -> int:
+    """Transactional full replace (the commit shape a MERGE resolves
+    to): the delta removes the previous live set and adds the new
+    files; old files stay on disk for older versions until vacuumed."""
     while True:
         base = current_version(table)
         prev = (
@@ -149,20 +247,7 @@ def append(df: DataFrame, table: str) -> int:
         )
         new = _stage_data(df, table)
         try:
-            return _commit(table, prev + new, "append", base)
-        except FileExistsError:
-            continue  # lost the race: rebase on the new snapshot
-
-
-def overwrite(df: DataFrame, table: str) -> int:
-    """Transactional full replace (the commit shape a MERGE resolves
-    to): the new snapshot references only the new files; old files
-    stay on disk for older versions until vacuumed."""
-    while True:
-        base = current_version(table)
-        new = _stage_data(df, table)
-        try:
-            return _commit(table, new, "overwrite", base)
+            return _commit(table, new, "overwrite", base, remove=prev)
         except FileExistsError:
             continue
 
@@ -193,14 +278,16 @@ def merge_upsert(
             .drop("__rn")
         )
         if base is not None:
+            prev = [os.path.relpath(p, table) for p in snapshot_files(table, base)]
             target = read_table(spark, table, base)
             survivors = target.join(batch.select(*keys), keys, "left_anti")
             merged = batch.unionByName(survivors)
         else:
+            prev = []
             merged = batch
         new = _stage_data(merged, table)
         try:
-            return _commit(table, new, "merge", base)
+            return _commit(table, new, "merge", base, remove=prev)
         except FileExistsError:
             continue
 
@@ -323,7 +410,11 @@ def merge_upsert_bucketed(
             merged = batch
         new = _stage_data(merged, table, partition_by=(BUCKET_COL,))
         try:
-            return _commit(table, untouched_files + new, "merge_bucketed", base)
+            # delta commit: only the touched buckets' files are removed
+            # and only their replacements added — the untouched buckets
+            # carry over implicitly, so the LOG ENTRY (not just the
+            # data write) is O(touched), matching the write amplification.
+            return _commit(table, new, "merge_bucketed", base, remove=touched_files)
         except FileExistsError:
             continue
 
@@ -349,8 +440,9 @@ def compact(spark: SparkSession, table: str, target_bytes: int = 128 * 1024 * 10
         # a bucketed-merge table keeps its layout through compaction
         part = (BUCKET_COL,) if BUCKET_COL in df.columns else ()
         new = _stage_data(df, table, partition_by=part)
+        prev = [os.path.relpath(p, table) for p in files]
         try:
-            return _commit(table, new, "compact", base)
+            return _commit(table, new, "compact", base, remove=prev)
         except FileExistsError:
             continue
 
@@ -358,7 +450,10 @@ def compact(spark: SparkSession, table: str, target_bytes: int = 128 * 1024 * 10
 def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     """Delete data files referenced by NO retained version (the last
     ``keep_versions`` log entries). Uncommitted leftovers from crashed
-    writers are also swept. Returns deleted paths."""
+    writers are also swept. Before expiring log entries, the oldest
+    retained version is checkpointed so every retained version remains
+    reconstructable without the expired deltas; checkpoints older than
+    the horizon are dropped with them. Returns deleted paths."""
     vs = _versions(table)
     retained = vs[-keep_versions:] if keep_versions > 0 else []
     live: set[str] = set()
@@ -374,7 +469,14 @@ def vacuum(table: str, keep_versions: int = 1) -> list[str]:
             if name.endswith(".parquet") and rel not in live:
                 os.remove(p)
                 deleted.append(rel)
-    # drop expired log entries so time travel matches what is on disk
-    for v in vs[: len(vs) - keep_versions if keep_versions > 0 else len(vs)]:
+    # anchor replay for the survivors, THEN drop expired log entries so
+    # time travel matches what is on disk
+    if retained:
+        _write_checkpoint(table, retained[0])
+    expired = vs[: len(vs) - keep_versions] if keep_versions > 0 else vs
+    for v in expired:
         os.remove(os.path.join(_log_path(table), f"{v}.json"))
+    for c in _checkpoint_versions(table):
+        if retained and c < retained[0]:
+            os.remove(os.path.join(_log_path(table), f"{c}.checkpoint.json"))
     return sorted(deleted)

@@ -202,6 +202,112 @@ def test_bucketed_merge_reuses_untouched_files_verbatim(spark, tmp_path):
     assert pre == {k: "old" for k in range(1, 41)}
 
 
+def test_append_logs_only_its_own_files(spark, tmp_path):
+    """Delta log: an append's commit entry must reference only the new
+    files (commit cost independent of table size), yet the reconstructed
+    snapshot accumulates everything."""
+    import json
+
+    table = str(tmp_path / "t")
+    for i in range(3):
+        lh.append(spark.createDataFrame([(i, f"v{i}")], "k BIGINT, v STRING"), table)
+
+    entry = lh._read_entry(table, 2)
+    v1_state = {os.path.relpath(p, table) for p in lh.snapshot_files(table, 1)}
+    assert entry["remove"] == []
+    assert entry["add"], "append entry lists its new files"
+    assert not (set(entry["add"]) & v1_state), "append entry re-lists old files"
+    # full state still reconstructs across the deltas
+    assert _rows(lh.read_table(spark, table)) == {(i, f"v{i}") for i in range(3)}
+
+
+def test_checkpoint_rolls_and_bounds_replay(spark, tmp_path, monkeypatch):
+    """Every CHECKPOINT_INTERVAL commits a full-state checkpoint lands;
+    reads reconstruct identically from it, and losing a checkpoint only
+    degrades to a longer replay (derived state, never authoritative)."""
+    monkeypatch.setattr(lh, "CHECKPOINT_INTERVAL", 3)
+    table = str(tmp_path / "t")
+    for i in range(8):
+        lh.append(spark.createDataFrame([(i, f"v{i}")], "k BIGINT, v STRING"), table)
+
+    assert lh._checkpoint_versions(table) == [3, 6]
+    want = {(i, f"v{i}") for i in range(8)}
+    assert _rows(lh.read_table(spark, table)) == want
+    # time travel to a version between checkpoints replays from cp 3
+    assert _rows(lh.read_table(spark, table, version=4)) == {
+        (i, f"v{i}") for i in range(5)
+    }
+    # checkpoints are disposable: delete both, state still reconstructs
+    for c in (3, 6):
+        os.remove(os.path.join(lh._log_path(table), f"{c}.checkpoint.json"))
+    assert _rows(lh.read_table(spark, table)) == want
+
+
+def test_vacuum_checkpoints_the_expiry_boundary(spark, tmp_path, monkeypatch):
+    """Expiring delta entries must not orphan the survivors: vacuum
+    anchors a checkpoint at the oldest retained version so every
+    retained version reads without the expired deltas."""
+    monkeypatch.setattr(lh, "CHECKPOINT_INTERVAL", 100)  # no organic checkpoints
+    table = str(tmp_path / "t")
+    for i in range(5):
+        lh.append(spark.createDataFrame([(i, f"v{i}")], "k BIGINT, v STRING"), table)
+
+    lh.vacuum(table, keep_versions=2)
+    # versions 0-2 expired; 3 and 4 must both still read correctly
+    assert _rows(lh.read_table(spark, table, version=3)) == {
+        (i, f"v{i}") for i in range(4)
+    }
+    assert _rows(lh.read_table(spark, table)) == {(i, f"v{i}") for i in range(5)}
+    with pytest.raises(FileNotFoundError):
+        lh.snapshot_files(table, 2)
+    assert lh._checkpoint_versions(table) == [3]
+
+
+def test_legacy_snapshot_entries_upgrade_in_place(spark, tmp_path):
+    """A round-2 table whose log entries carry the full ``files`` list
+    must keep reading, and new delta commits must compose on top."""
+    import json
+
+    table = str(tmp_path / "t")
+    lh.append(spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"), table)
+    # rewrite version 0's entry into the legacy full-snapshot shape
+    entry = lh._read_entry(table, 0)
+    legacy = {"version": 0, "op": "append", "files": entry["add"]}
+    with open(os.path.join(lh._log_path(table), "0.json"), "w") as f:
+        json.dump(legacy, f)
+
+    assert _rows(lh.read_table(spark, table)) == {(1, "a")}
+    lh.append(spark.createDataFrame([(2, "b")], "k BIGINT, v STRING"), table)
+    assert _rows(lh.read_table(spark, table)) == {(1, "a"), (2, "b")}
+    assert _rows(lh.read_table(spark, table, version=0)) == {(1, "a")}
+
+
+def test_bucketed_merge_entry_is_touched_scoped(spark, tmp_path):
+    """The bucketed merge's LOG ENTRY (not just its data write) must be
+    O(touched buckets): removes only touched buckets' files, adds only
+    their replacements."""
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, "old", 1) for k in range(1, 41)], "k BIGINT, v STRING, seq BIGINT"
+    )
+    lh.merge_upsert_bucketed(spark, base, table, ["k"], "seq", num_buckets=8)
+    v0 = {os.path.relpath(p, table) for p in lh.snapshot_files(table, 0)}
+
+    delta = spark.createDataFrame([(3, "new", 2)], "k BIGINT, v STRING, seq BIGINT")
+    v = lh.merge_upsert_bucketed(spark, delta, table, ["k"], "seq", num_buckets=8)
+
+    from martian_moments_spark.streaming.sinks import BUCKET_COL
+
+    touched = {
+        r[0]
+        for r in delta.selectExpr("cast(pmod(xxhash64(k), 8) as int)").distinct().collect()
+    }
+    entry = lh._read_entry(table, v)
+    assert set(entry["remove"]) <= v0
+    assert all(lh._bucket_of(f, BUCKET_COL) in touched for f in entry["remove"])
+    assert all(lh._bucket_of(f, BUCKET_COL) in touched for f in entry["add"])
+
+
 def test_bucketed_merge_full_fallback_on_mixed_layout(spark, tmp_path):
     """A table with a non-bucketed commit cannot prune by bucket: the
     merge must fall back to a (correct) full merge and migrate the
