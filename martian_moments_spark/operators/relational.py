@@ -162,6 +162,49 @@ def bucketed_range_join(
     ).drop("__bucket")
 
 
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """Join with an explicit Bloom-style prefilter on the big side: the
+    small side's join keys are digested into ``pmod(xxhash64(keys),
+    num_buckets)`` bucket ids (a single-hash Bloom filter with exact
+    bucket membership — false positives possible, false negatives
+    impossible), the digest is collected (bounded by ``num_buckets``
+    ints, never by small's row count) and applied to the big side as an
+    ``isin`` — Catalyst compiles it to an O(1) InSet probe inside
+    whole-stage codegen — so non-matching big rows are dropped BEFORE
+    the join shuffle instead of after it.
+
+    This is the manual form of Spark's runtime bloom-filter join
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``), for when the
+    optimizer's stats heuristics don't fire or the digest should be
+    pinned. At 100 TB the win is shuffle bytes: with a 1%-selective
+    small side, ~99% of the big fact never leaves the scan stage.
+
+    Only ``inner`` and ``left_semi`` are allowed: the prefilter drops
+    big-side rows without matches, which an outer join must preserve.
+    A saturated digest (every bucket hit) skips the filter — no pruning
+    is possible and the probe would be pure overhead.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/left_semi, got {how!r}: "
+            "outer joins must keep unmatched big-side rows"
+        )
+    on = list(on)
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in on]), F.lit(num_buckets))
+    hit = sorted(
+        r[0] for r in small.select(bucket.alias("__bucket")).distinct().collect()
+    )
+    if len(hit) < num_buckets:
+        big = big.filter(bucket.isin(hit))
+    return big.join(small, on, how)
+
+
 def scd2_apply_snapshot(
     current: DataFrame,
     snapshot: DataFrame,

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from martian_moments_spark.catalog import load
+from martian_moments_spark.functions.numeric import fixed_sum
 from martian_moments_spark.operators.relational import asof_join, bucketed_range_join
 from martian_moments_spark.plans.registry import register
 
@@ -239,4 +240,46 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return salted_join(events, dim, keys=["user_id"]).select(
         "event_id", "user_id", "n_user_events"
+    )
+
+
+@register(
+    "bloom_prefilter_join",
+    ops=("J1", "A1", "P3"),
+    oracle="""
+        SELECT l.l_linestatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)) AS DOUBLE)
+                   / CAST(100 AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+          AND o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        GROUP BY l.l_linestatus
+    """,
+)
+def bloom_prefilter_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join pruned by an explicit Bloom-style digest
+    (operators.relational.bloom_prefilter_join): the selective order
+    filter (one priority, one quarter) is digested into hash buckets,
+    and lineitem rows whose orderkey cannot match are dropped at the
+    scan — before the join shuffle. The final join makes the digest's
+    false positives harmless, so the result (and the oracle) is the
+    plain join. At 100 TB this is the shuffle-bytes lever Spark's
+    runtime bloom filter automates; the operator pins it explicitly.
+    Revenue sums in fixed-point (functions/numeric.py) for
+    partition-order-independent doubles."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & F.col("o_orderdate").between("1995-01-01", "1995-03-31")
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_extendedprice", "l_discount"
+    )
+    from martian_moments_spark.operators.relational import bloom_prefilter_join
+
+    joined = bloom_prefilter_join(lineitem, orders, on=["l_orderkey"], how="left_semi")
+    return joined.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
     )

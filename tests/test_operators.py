@@ -196,3 +196,41 @@ def test_scd2_apply_snapshot_all_transitions(spark):
         (3, "c", 1, 3, False),       # deleted: closed, no reopen
         (4, "d", 3, None, True),     # new key opens at v3
     }
+
+
+def test_bloom_prefilter_join_matches_plain_join(spark):
+    from martian_moments_spark.operators.relational import bloom_prefilter_join
+
+    big = spark.createDataFrame([(k, k * 10) for k in range(100)], "k BIGINT, v BIGINT")
+    small = spark.createDataFrame([(3,), (7,), (7,), (42,)], "k BIGINT")
+    got = {tuple(r) for r in bloom_prefilter_join(big, small.distinct(), ["k"]).collect()}
+    want = {tuple(r) for r in big.join(small.distinct(), ["k"]).collect()}
+    assert got == want
+    # semi form: one output row per big row, duplicates on small ignored
+    semi = bloom_prefilter_join(big, small, ["k"], how="left_semi")
+    assert sorted(r["k"] for r in semi.collect()) == [3, 7, 42]
+
+
+def test_bloom_prefilter_join_rejects_outer(spark):
+    import pytest
+
+    from martian_moments_spark.operators.relational import bloom_prefilter_join
+
+    df = spark.createDataFrame([(1,)], "k BIGINT")
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        bloom_prefilter_join(df, df, ["k"], how="left")
+
+
+def test_bloom_prefilter_join_saturated_digest_skips_filter(spark):
+    from martian_moments_spark.operators.relational import bloom_prefilter_join
+
+    big = spark.createDataFrame([(k,) for k in range(50)], "k BIGINT")
+    small = spark.createDataFrame([(k,) for k in range(50)], "k BIGINT")
+    # num_buckets=1: every bucket hit -> the big-side filter must be
+    # skipped entirely (no pruning possible), join still exact
+    out = bloom_prefilter_join(big, small, ["k"], num_buckets=1)
+    plan = io.StringIO()
+    with contextlib.redirect_stdout(plan):
+        out.explain("formatted")
+    assert "xxhash64" not in plan.getvalue()
+    assert out.count() == 50

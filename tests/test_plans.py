@@ -191,3 +191,13 @@ def test_salted_join_spreads_key_over_salts(spark):
     assert "__salt" in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_bloom_prefilter_probe_sits_before_the_join(spark):
+    # the digest probe must be a big-side Filter (pre-shuffle), and the
+    # plan must stay an equi-join — the whole point is cutting shuffle
+    # bytes, not post-join filtering.
+    plan = explain_str(REGISTRY["bloom_prefilter_join"].fn(spark, SF_DIR_ORACLE))
+    assert "xxhash64" in plan
+    assert "INSET" in plan.upper() or "isin" in plan or " IN (" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
