@@ -820,3 +820,46 @@ def corpus_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sched.select(
         pos.cast("long").alias("schedule_pos"), "source", "doc_id", "vtime"
     )
+
+
+@register(
+    "ordered_event_sequences",
+    ops=("A1", "N7", "W2"),
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               array_to_string(list(event_id ORDER BY ts, event_id), ',') AS event_id_seq,
+               array_to_string(list(event_type ORDER BY ts, event_id), ',') AS event_type_seq,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def ordered_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-ordered event sequences as array columns — the
+    sequence-assembly step that turns a row-per-event log into the
+    row-per-example shape a training pipeline consumes (conversation
+    turns, session traces); serialized to canonical CSV strings so the
+    row is directly hash-comparable. ONE shuffle on user_id; ordering is
+    done INSIDE the aggregate by array_sort over (ts, event_id) structs
+    — no window, no secondary sort, and the tie-break by unique
+    event_id makes the arrays deterministic under any partitioning
+    (collect_list alone is order-nondeterministic — never ship it
+    unsorted). At 100 TB groups stream through a hash aggregate;
+    per-user state is the user's own events only."""
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    sorted_seq = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(sorted_seq, lambda x: x["event_id"].cast("string")), ","
+        ).alias("event_id_seq"),
+        F.array_join(
+            F.transform(sorted_seq, lambda x: x["event_type"]), ","
+        ).alias("event_type_seq"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -1032,3 +1032,47 @@ def context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"start_offset DIV {PACK_BUDGET_TOKENS}").cast("long").alias("chunk_id"),
         (F.col("start_offset") % PACK_BUDGET_TOKENS).cast("long").alias("chunk_offset"),
     )
+
+
+CHUNK_SIZE = 200  # chars per training chunk
+CHUNK_STRIDE = 160  # 40-char overlap between consecutive chunks
+
+
+@register(
+    "document_chunking",
+    ops=("F9", "N2", "P1"),
+    oracle=f"""
+        SELECT d.doc_id,
+               CAST((s.start - 1) / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+               substr(d.text, s.start, {CHUNK_SIZE}) AS chunk_text,
+               CAST(length(substr(d.text, s.start, {CHUNK_SIZE})) AS BIGINT) AS chunk_len
+        FROM documents d,
+             LATERAL (SELECT unnest(generate_series(1, d.n_chars, {CHUNK_STRIDE})) AS start) s
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: every document becomes
+    ceil(n_chars/stride) overlapping CHUNK_SIZE-char chunks — the
+    context-window preprocessing step of a training pipeline (contrast
+    context_window_packing, which packs WHOLE documents; this splits
+    long ones). Pure per-row expansion: sequence() + explode generates
+    start offsets 1, 1+stride, ... inside the row, substring slices
+    JVM-side, and no shuffle exists anywhere in the plan — at 100 TB
+    this runs at scan speed and parallelizes by input split.
+    1-based offsets keep Spark's and DuckDB's substr semantics
+    identical."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    out = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_chars"), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+        "text",
+    )
+    chunk = F.substring(F.col("text"), F.col("start"), CHUNK_SIZE)
+    return out.select(
+        "doc_id",
+        (((F.col("start") - 1) / CHUNK_STRIDE).cast("int")).alias("chunk_idx"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )
