@@ -61,3 +61,97 @@ def running_user_totals(stream_df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, n_events BIGINT"
+)
+SESSION_STATE_SCHEMA = "start_us BIGINT, end_us BIGINT, n_events BIGINT"
+
+
+def _close_row(user_id: int, start_us: int, end_us: int, n: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": [pd.to_datetime(start_us, unit="us")],
+            "session_end": [pd.to_datetime(end_us, unit="us")],
+            "n_events": [n],
+        }
+    )
+
+
+def _sessionize(
+    gap_us: int,
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """One open session per key in state; a batch's rows (sorted by
+    event time) either extend it or close it and open the next. The
+    open session closes through the EVENT-TIME TIMEOUT: when the
+    watermark passes session_end + gap, Spark invokes this function
+    with hasTimedOut and no data, and the final session is emitted —
+    the state-expiry path windows can't express."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, end_us, n = state.get
+        state.remove()
+        yield _close_row(user_id, start_us, end_us, n)
+        return
+
+    open_s = list(state.get) if state.exists else None
+    times: list[int] = []
+    for pdf in pdfs:
+        times.extend(int(t) for t in pdf["ts"].astype("int64") // 1000)
+    for t_us in sorted(times):
+        if open_s is None:
+            open_s = [t_us, t_us, 0]
+        elif t_us > open_s[1] + gap_us:
+            yield _close_row(user_id, open_s[0], open_s[1], open_s[2])
+            open_s = [t_us, t_us, 0]
+        open_s[1] = max(open_s[1], t_us)
+        open_s[2] += 1
+
+    if open_s is None:  # defensive: invoked with neither data nor state
+        return
+    wm_ms = state.getCurrentWatermarkMs()
+    timeout_ms = (open_s[1] + gap_us) // 1000
+    if timeout_ms <= wm_ms:
+        # the watermark already passed this session's horizon (all of
+        # its rows arrived barely inside the allowed lateness): a
+        # timeout set in the past would be rejected — close it now.
+        yield _close_row(user_id, open_s[0], open_s[1], open_s[2])
+        state.remove()
+    else:
+        state.update(tuple(open_s))
+        state.setTimeoutTimestamp(timeout_ms)
+
+
+def streaming_sessionize(
+    stream_df: DataFrame, gap_minutes: int = 30, watermark: str = "15 minutes"
+) -> DataFrame:
+    """Streaming sessionization with state expiry (the stateful twin of
+    plans.queries_analytics sessionize_events): events within
+    ``gap_minutes`` of the session's end extend it; a session is
+    emitted exactly once, either when a later event of the same key
+    overshoots the gap, or when the event-time watermark passes
+    session_end + gap and the state times out. ``stream_df`` needs
+    (user_id, ts).
+
+    Scale: state is one (start, end, count) triple per ACTIVE key —
+    closed sessions leave the store immediately, and the timeout sweep
+    is the state store's own index scan, not a full iteration. One
+    shuffle per batch on user_id, same as any keyed stateful op."""
+    import functools
+
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            functools.partial(_sessionize, gap_minutes * 60_000_000),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

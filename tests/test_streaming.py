@@ -536,3 +536,100 @@ def test_stream_stream_left_outer_join_emits_null_after_horizon(spark, tmp_path)
     assert (10, 100) in got          # matched pair
     assert (20, None) in got         # unmatched left emitted null after horizon
     assert (20, 100) not in got      # never cross-user matched
+
+
+def test_streaming_sessionize_state_timeout_closes_sessions(spark, tmp_path):
+    """Event-time state timeout: a session must emit exactly once —
+    either when a later same-key event overshoots the gap, or when the
+    checkpointed watermark passes session_end + gap with NO new data
+    for the key (the hasTimedOut path). Pins which sessions are closed
+    after each availableNow run (gap 30m, watermark delay 15m)."""
+    from martian_moments_spark.streaming.stateful import streaming_sessionize
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    out = str(tmp_path / "sess_out")
+    ck = str(tmp_path / "sess_ck")
+    schema = "user_id BIGINT, ts TIMESTAMP"
+
+    def run_once():
+        stream = file_json_stream(spark, str(src), schema)
+        q = (
+            streaming_sessionize(stream, gap_minutes=30, watermark="15 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for uid, hm in rows:
+                f.write(json.dumps({"user_id": uid, "ts": f"2024-03-01 {hm}:00"}) + "\n")
+
+    def emitted():
+        try:
+            return sorted(
+                (
+                    r["user_id"],
+                    r["session_start"].strftime("%H:%M"),
+                    r["session_end"].strftime("%H:%M"),
+                    r["n_events"],
+                )
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:  # no output committed yet
+            return []
+
+    # Timeouts are EAGER: after the data batch advances the watermark,
+    # Spark runs a no-data micro-batch (noDataMicroBatches, on by
+    # default) that evaluates event-time timeouts against the NEW
+    # watermark before the run ends.
+
+    # Run 1: user 1 has two in-batch sessions (11:30 overshoots the
+    # 30m gap from 10:10) -> the first closes inline. The run's final
+    # watermark is 11:30-15m = 11:15; the no-data batch then times out
+    # user 2 (horizon 10:05+30m = 10:35 <= 11:15). User 1's open
+    # session (horizon 12:00) survives.
+    write("r1.json", [(1, "10:00"), (1, "10:10"), (1, "11:30"), (2, "10:05")])
+    run_once()
+    assert emitted() == [(1, "10:00", "10:10", 2), (2, "10:05", "10:05", 1)]
+
+    # Run 2: user 2 opens a fresh session at 12:30 (horizon 13:00);
+    # the watermark moves to 12:15, so the no-data batch fires user
+    # 1's 12:00 horizon via the hasTimedOut path — no user-1 data
+    # anywhere in this run.
+    write("r2.json", [(2, "12:30")])
+    run_once()
+    assert emitted() == [
+        (1, "10:00", "10:10", 2),
+        (1, "11:30", "11:30", 1),
+        (2, "10:05", "10:05", 1),
+    ]
+
+    # Run 3: user 3 opens at 14:00 (horizon 14:30); watermark 13:45
+    # times out user 2's 13:00 horizon. User 3 survives.
+    write("r3.json", [(3, "14:00")])
+    run_once()
+    assert emitted() == [
+        (1, "10:00", "10:10", 2),
+        (1, "11:30", "11:30", 1),
+        (2, "10:05", "10:05", 1),
+        (2, "12:30", "12:30", 1),
+    ]
+
+    # Run 4: user 3's 15:00 overshoots the 14:00 session -> closes
+    # inline; the new 15:00 session (horizon 15:30 > watermark 14:45)
+    # stays open and is never emitted.
+    write("r4.json", [(3, "15:00")])
+    run_once()
+    assert emitted() == [
+        (1, "10:00", "10:10", 2),
+        (1, "11:30", "11:30", 1),
+        (2, "10:05", "10:05", 1),
+        (2, "12:30", "12:30", 1),
+        (3, "14:00", "14:00", 1),
+    ]
