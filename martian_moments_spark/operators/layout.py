@@ -222,3 +222,35 @@ def z_value(a, b, bits: int = 16):
         terms.append(F.shiftleft(F.shiftright(ca, i).bitwiseAND(F.lit(1)), 2 * i))
         terms.append(F.shiftleft(F.shiftright(cb, i).bitwiseAND(F.lit(1)), 2 * i + 1))
     return reduce(lambda x, y: x.bitwiseOR(y), terms).cast("long")
+
+
+def zorder_write(
+    df,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> str:
+    """Z-order-clustered parquet write (the OPTIMIZE ZORDER BY analog,
+    X4's multi-dimensional form): range-partition rows by their Morton
+    z-value into ``n_files`` output files and sort within each file by
+    the same value, so every file (and every row group inside it)
+    covers a compact region of the (col_a, col_b) plane. Parquet
+    footer min/max stats then prune predicates on EITHER column —
+    a lexicographic sort only prunes its leading column.
+
+    At 100 TB this is the difference between a b-predicate scanning
+    every file and scanning ~sqrt-fraction of them; the z computation
+    itself is pure per-row bit math (no shuffle beyond the range
+    partition, which a periodic re-cluster amortizes)."""
+    from pyspark.sql import functions as F
+
+    out = (
+        df.withColumn("__z", z_value(col_a, col_b, bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode("overwrite").parquet(path)
+    return path

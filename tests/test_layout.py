@@ -219,3 +219,60 @@ def test_compaction_recovery_cleans_leftover_backup(spark, tmp_path):
     assert stats["recovered"] == "clean"
     assert stats["files_after"] == 1
     assert _table_rows(spark, path) == rows
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """The point of z-ordering: parquet footer min/max stats must be
+    able to skip files for a predicate on the NON-leading dimension,
+    which a lexicographic sort cannot do at all."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from martian_moments_spark.operators.layout import zorder_write
+
+    rows = [(a, b) for a in range(64) for b in range(64)]
+    df = spark.createDataFrame(rows, "a INT, b INT")
+
+    zdir = str(tmp_path / "zord")
+    ldir = str(tmp_path / "lex")
+    zorder_write(df, zdir, "a", "b", n_files=16)
+    (
+        df.repartitionByRange(16, "a", "b")
+        .sortWithinPartitions("a", "b")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def file_bounds(d):
+        out = []
+        for p in sorted(glob.glob(d + "/*.parquet")):
+            md = pq.ParquetFile(p).metadata
+            mins, maxs = {}, {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+            if mins:
+                out.append((mins["a"], maxs["a"], mins["b"], maxs["b"]))
+        return out
+
+    def files_scanned_for_b_range(bounds, lo, hi):
+        return sum(1 for (_a0, _a1, b0, b1) in bounds if not (b1 < lo or b0 > hi))
+
+    zb, lb = file_bounds(zdir), file_bounds(ldir)
+    assert len(zb) > 4 and len(lb) > 4
+    # a b-only range predicate: lexicographic (a-leading) layout keeps
+    # the full b range in (nearly) every file -> scans everything;
+    # z-order must skip at least half the files.
+    z_scan = files_scanned_for_b_range(zb, 0, 7)
+    l_scan = files_scanned_for_b_range(lb, 0, 7)
+    assert l_scan == len(lb), "lexicographic layout unexpectedly pruned b"
+    assert z_scan <= len(zb) // 2, f"z-order scanned {z_scan}/{len(zb)} files"
+    # and the z layout still prunes the leading dimension too
+    assert files_scanned_for_b_range(
+        [(b0, b1, a0, a1) for (a0, a1, b0, b1) in zb], 0, 7
+    ) <= len(zb) // 2
