@@ -213,3 +213,66 @@ def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply_snapshot(
         dim, snap2, keys=["c_custkey"], attrs=["acct_units", "c_mktsegment"], version=2
     )
+
+
+ROLLUP_CUTOFF = "2024-01-20 00:00:00"
+
+
+@register(
+    "incremental_rollup_merge",
+    ops=("A1", "A4", "E7", "U1"),
+    oracle="""
+        SELECT CAST(ts AS DATE) AS event_date, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+               MAX(ts) AS last_ts
+        FROM events
+        GROUP BY CAST(ts AS DATE), event_type
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic materialized-view maintenance: a persisted daily
+    rollup (the partial aggregate of everything before the cutoff) is
+    FOLDED TOGETHER with the delta's partial aggregate instead of
+    recomputing from raw events — COUNT/SUM/MAX merge by
+    sum/sum/max over partials, so merge(partial(base), partial(delta))
+    is provably the full recompute, which is exactly what the oracle
+    computes from scratch.
+
+    Scale: at 100 TB the base partial is the stored rollup table (read
+    O(groups), not O(events)); only the delta — selected by the same
+    high-watermark predicate as incremental_append — touches raw data.
+    Non-algebraic aggregates (exact distinct) are excluded by
+    construction; they need sketch merge (HLL) instead. Fixed-point
+    units keep the two-stage double sum bit-identical to the one-stage
+    oracle."""
+    events = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cutoff = F.lit(ROLLUP_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date("ts").alias("event_date"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_units"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    base = partial(events.filter(F.col("ts") < cutoff))  # the stored rollup
+    delta = partial(events.filter(F.col("ts") >= cutoff))  # the new increment
+    return (
+        base.unionByName(delta)
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_units").alias("value_units"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .select(
+            "event_date",
+            "event_type",
+            "n_events",
+            (F.col("value_units").cast("double") / 100.0).alias("total_value"),
+            "last_ts",
+        )
+    )
