@@ -276,3 +276,51 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_ts",
         )
     )
+
+
+@register(
+    "incremental_distinct_merge",
+    ops=("A2", "A6", "U1"),
+    oracle="""
+        SELECT CAST(ts AS DATE) AS event_date,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY CAST(ts AS DATE)
+    """,
+)
+def incremental_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count maintenance across increments: COUNT(DISTINCT)
+    is NOT algebraic (you cannot sum two distinct counts), so the
+    partial state is the distinct-key SET per group; merging unions the
+    sets and sizes the result — split by the same cutoff as
+    incremental_rollup_merge and proven against a from-scratch
+    COUNT(DISTINCT) oracle.
+
+    Scale: exact set-union partials are the right call when per-group
+    key cardinality is bounded (here: users/day); for unbounded keys
+    the same merge shape swaps the set for an HLL sketch
+    (hll_sketch_agg / hll_union — the approx_count_distinct family)
+    at O(1) state per group. The count aggregate rides along to show
+    algebraic and set-merge aggregates folding in one pass."""
+    events = load(spark, sf_dir, "events").select("ts", "user_id")
+    cutoff = F.lit(ROLLUP_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.to_date("ts").alias("event_date")).agg(
+            F.collect_set("user_id").alias("user_set"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    base = partial(events.filter(F.col("ts") < cutoff))
+    delta = partial(events.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_date")
+        .agg(
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("user_set")))
+            ).cast("long").alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
