@@ -324,3 +324,40 @@ def incremental_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("n_events"),
         )
     )
+
+
+@register(
+    "incremental_hll_merge",
+    ops=("A2", "U1"),
+    oracle=None,  # HLL sketches are Spark-datasketches-specific: no DuckDB twin
+)
+def incremental_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch form of incremental_distinct_merge: per-day HLL
+    sketches (hll_sketch_agg) as partial state, merged across the
+    base/delta increments with hll_union_agg and sized with
+    hll_sketch_estimate — O(sketch) state per group regardless of key
+    cardinality, the only viable distinct-maintenance shape at 100 TB.
+    Approximate by nature, hence rows-only at the driver gate;
+    tests/test_plans.py pins the estimate against the exact count at
+    test scale (HLL in sparse mode is exact for small sets)."""
+    events = load(spark, sf_dir, "events").select("ts", "user_id")
+    cutoff = F.lit(ROLLUP_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.to_date("ts").alias("event_date")).agg(
+            F.hll_sketch_agg("user_id").alias("user_sketch"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    base = partial(events.filter(F.col("ts") < cutoff))
+    delta = partial(events.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_date")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("user_sketch")
+            ).alias("n_users_estimate"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )

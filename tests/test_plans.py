@@ -201,3 +201,19 @@ def test_bloom_prefilter_probe_sits_before_the_join(spark):
     assert "xxhash64" in plan
     assert "INSET" in plan.upper() or "isin" in plan or " IN (" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_merge_estimate_matches_exact_at_test_scale(spark):
+    # sparse-mode HLL is exact for small per-group sets: the sketch
+    # path must agree with the exact set-union path at test scale.
+    exact = {
+        r["event_date"]: r["n_users"]
+        for r in REGISTRY["incremental_distinct_merge"].fn(spark, SF_DIR_ORACLE).collect()
+    }
+    est = {
+        r["event_date"]: r["n_users_estimate"]
+        for r in REGISTRY["incremental_hll_merge"].fn(spark, SF_DIR_ORACLE).collect()
+    }
+    assert set(exact) == set(est)
+    for d, n in exact.items():
+        assert est[d] == n, (d, est[d], n)
