@@ -160,7 +160,10 @@ def read_table(spark: SparkSession, table: str, version: int | None = None) -> D
         spark.read.option("basePath", os.path.join(table, d)).parquet(*fs)
         for d, fs in sorted(by_dir.items())
     ]
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    # additive schema evolution: a commit may carry columns older
+    # commits lack (never the reverse — columns are only added);
+    # missing columns read as NULL, like parquet mergeSchema.
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
 
 
 def _stage_data(

@@ -336,3 +336,18 @@ def test_bucketed_merge_full_fallback_on_mixed_layout(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in lh.read_table(spark, table).collect()}
     assert got == {1: "old", 2: "new"}
+
+
+def test_append_with_added_column_reads_as_nulls(spark, tmp_path):
+    """Additive schema evolution: a later commit may add a column;
+    earlier commits' rows read it as NULL (and time travel to the old
+    version still sees the old schema's data)."""
+    table = str(tmp_path / "t")
+    lh.append(spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"), table)
+    lh.append(
+        spark.createDataFrame([(2, "b", "extra")], "k BIGINT, v STRING, note STRING"),
+        table,
+    )
+    got = {r["k"]: (r["v"], r["note"]) for r in lh.read_table(spark, table).collect()}
+    assert got == {1: ("a", None), 2: ("b", "extra")}
+    assert _rows(lh.read_table(spark, table, version=0)) == {(1, "a")}
