@@ -351,3 +351,35 @@ def test_append_with_added_column_reads_as_nulls(spark, tmp_path):
     got = {r["k"]: (r["v"], r["note"]) for r in lh.read_table(spark, table).collect()}
     assert got == {1: ("a", None), 2: ("b", "extra")}
     assert _rows(lh.read_table(spark, table, version=0)) == {(1, "a")}
+
+
+def test_concurrent_appenders_all_land(spark, tmp_path):
+    """Optimistic concurrency under real contention: N threads append
+    simultaneously; every commit must land as a distinct version and
+    the final state must hold every row exactly once."""
+    import threading
+
+    table = str(tmp_path / "t")
+    lh.append(spark.createDataFrame([(0, "seed")], "k BIGINT, v STRING"), table)
+
+    n = 6
+    errors = []
+
+    def worker(i):
+        try:
+            lh.append(
+                spark.createDataFrame([(i + 1, f"w{i}")], "k BIGINT, v STRING"), table
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    assert lh.current_version(table) == n  # seed=0, then n distinct versions
+    got = _rows(lh.read_table(spark, table))
+    assert got == {(0, "seed")} | {(i + 1, f"w{i}") for i in range(n)}

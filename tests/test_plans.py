@@ -217,3 +217,19 @@ def test_hll_merge_estimate_matches_exact_at_test_scale(spark):
     assert set(exact) == set(est)
     for d, n in exact.items():
         assert est[d] == n, (d, est[d], n)
+
+
+def test_document_chunking_is_shuffle_free(spark):
+    # the chunker's whole claim is scan-speed per-row expansion: any
+    # Exchange in the plan would falsify it.
+    plan = explain_str(REGISTRY["document_chunking"].fn(spark, SF_DIR_ORACLE))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_ordered_event_sequences_single_shuffle(spark):
+    # in-aggregate array_sort must not introduce a window/sort stage:
+    # exactly the one groupBy exchange.
+    plan = explain_str(REGISTRY["ordered_event_sequences"].fn(spark, SF_DIR_ORACLE))
+    assert plan.count("Exchange") <= 2  # partial->final agg pair at most
+    assert "Window" not in plan
