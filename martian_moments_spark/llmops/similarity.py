@@ -565,3 +565,59 @@ def topk_cosine_blocked(
         .filter(F.col("rank") <= k)
         .select("id_a", "id_b", "cosine", "rank")
     )
+
+
+# --- signed-random-projection LSH (the hash-family ANN, vs IVF's
+# quantizer family) -------------------------------------------------
+#
+# Hyperplane weights are ±1 drawn from md5 parity — the engine's
+# portable-hash rule, so the DuckDB oracle regenerates the identical
+# planes and the whole signature pipeline stays exactly replayable.
+
+SRP_BITS = 16  # signature bits per vector
+SRP_BAND_BITS = 4  # bits per LSH band -> SRP_BITS/SRP_BAND_BITS bands
+SRP_DIM = 64  # embedding dimensionality of the corpus
+
+
+def srp_weights(bit: int, dim: int = SRP_DIM) -> list[int]:
+    """The ±1 hyperplane for signature bit ``bit`` (md5-parity seeded,
+    identical in any engine)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"srp:{bit}:{d}".encode()).hexdigest()
+        out.append(1 if int(h[:8], 16) % 2 == 0 else -1)
+    return out
+
+
+def srp_band_col(units: Column, band: int) -> Column:
+    """Integer value of LSH band ``band``: SRP_BAND_BITS sign bits of
+    hyperplane dot products, packed little-endian. Sign convention:
+    bit = 1 iff dot >= 0 (ties to 1, identically in the oracle)."""
+    val = F.lit(0)
+    for j in range(SRP_BAND_BITS):
+        bit = band * SRP_BAND_BITS + j
+        w = F.array(*[F.lit(x) for x in srp_weights(bit)])
+        dot = F.aggregate(
+            F.zip_with(units, w, lambda u, s: u * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        val = val + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return val.cast("int")
+
+
+def sql_srp_band_expr(units_expr: str, band: int) -> str:
+    """The DuckDB rendering of ``srp_band_col`` — same planes, same
+    packing, generated from the same weight source."""
+    terms = []
+    for j in range(SRP_BAND_BITS):
+        bit = band * SRP_BAND_BITS + j
+        w = "[" + ", ".join(str(x) for x in srp_weights(bit)) + "]"
+        dot = (
+            f"CAST(list_sum(list_transform(list_zip({units_expr}, {w}), "
+            f"z -> z[1] * z[2])) AS BIGINT)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"

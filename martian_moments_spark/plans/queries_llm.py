@@ -1076,3 +1076,113 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.alias("chunk_text"),
         F.length(chunk).cast("long").alias("chunk_len"),
     )
+
+
+def _srp_bands_sql() -> str:
+    from martian_moments_spark.llmops.similarity import SRP_BAND_BITS, SRP_BITS, sql_srp_band_expr
+
+    n_bands = SRP_BITS // SRP_BAND_BITS
+    return "\n            UNION ALL\n".join(
+        f"            SELECT vec_id, units, norm2, {b} AS band_idx,"
+        f" {sql_srp_band_expr('units', b)} AS band_val FROM n"
+        for b in range(n_bands)
+    )
+
+
+@register(
+    "embedding_srp_neardup",
+    ops=("J2", "A6", "P3"),
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, {_SQL_UNITS} AS units,
+                   CAST(list_sum(list_transform(list_zip({_SQL_UNITS}, {_SQL_UNITS}),
+                        z -> z[1] * z[2])) AS BIGINT) AS norm2
+            FROM embeddings
+        ), bands AS (
+{{bands}}
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                   a.units AS units_a, b.units AS units_b,
+                   a.norm2 AS norm2_a, b.norm2 AS norm2_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               CAST(CAST(list_sum(list_transform(list_zip(units_a, units_b),
+                    z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+                 / (sqrt(CAST(norm2_a AS DOUBLE)) * sqrt(CAST(norm2_b AS DOUBLE))) AS cosine,
+               (CAST(CAST(list_sum(list_transform(list_zip(units_a, units_b),
+                    z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+                 / (sqrt(CAST(norm2_a AS DOUBLE)) * sqrt(CAST(norm2_b AS DOUBLE)))) >= {{tau}} AS is_near_dup
+        FROM cand
+    """.replace("{bands}", _srp_bands_sql()).replace("{tau}", "0.30"),
+)
+def embedding_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate candidates by signed-random-projection
+    LSH — the hash-family ANN path, complementing the quantizer family
+    (embedding_ann_ivf): each vector gets SRP_BITS sign bits against
+    md5-seeded ±1 hyperplanes, bits pack into SRP_BITS/SRP_BAND_BITS
+    band values, vectors colliding in ANY band become candidates (an
+    equi-join on (band_idx, band_val) — never all-pairs), and every
+    candidate is verified with the exact fixed-point cosine.
+
+    Scale: signature computation is per-row JVM lambda math; the only
+    shuffle is the band-bucket equi-join whose cost is O(collisions),
+    dialed by SRP_BAND_BITS exactly like LSH banding for MinHash. The
+    oracle replays the identical hyperplanes (single weight source),
+    so even the hash buckets match bit-for-bit."""
+    from martian_moments_spark.llmops.similarity import (
+        SRP_BAND_BITS,
+        SRP_BITS,
+        cosine_fixed,
+        srp_band_col,
+        with_units_and_norm,
+    )
+
+    base = with_units_and_norm(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).select("vec_id", "units", "norm2")
+    n_bands = SRP_BITS // SRP_BAND_BITS
+    bands = base.select(
+        "vec_id",
+        "units",
+        "norm2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        srp_band_col(F.col("units"), b).alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "units", "norm2", "band.band_idx", "band.band_val")
+    a = bands.select(
+        F.col("band_idx"),
+        F.col("band_val"),
+        F.col("vec_id").alias("id_a"),
+        F.col("units").alias("units_a"),
+        F.col("norm2").alias("norm2_a"),
+    )
+    b = bands.select(
+        F.col("band_idx"),
+        F.col("band_val"),
+        F.col("vec_id").alias("id_b"),
+        F.col("units").alias("units_b"),
+        F.col("norm2").alias("norm2_b"),
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "units_a", "units_b", "norm2_a", "norm2_b")
+        .distinct()
+    )
+    cos = cosine_fixed(
+        F.col("units_a"), F.col("units_b"), F.col("norm2_a"), F.col("norm2_b")
+    )
+    return cand.select(
+        "id_a", "id_b", cos.alias("cosine"), (cos >= 0.30).alias("is_near_dup")
+    )
