@@ -383,3 +383,31 @@ def test_concurrent_appenders_all_land(spark, tmp_path):
     assert lh.current_version(table) == n  # seed=0, then n distinct versions
     got = _rows(lh.read_table(spark, table))
     assert got == {(0, "seed")} | {(i + 1, f"w{i}") for i in range(n)}
+
+
+def test_diff_versions_emits_keyed_change_feed(spark, tmp_path):
+    """diff_versions must classify inserts/deletes/updates between two
+    snapshots and stay silent on unchanged keys."""
+    table = str(tmp_path / "t")
+    lh.append(
+        spark.createDataFrame(
+            [(1, "keep", 1), (2, "old", 1), (3, "gone", 1)],
+            "k BIGINT, v STRING, seq BIGINT",
+        ),
+        table,
+    )
+    lh.overwrite(
+        spark.createDataFrame(
+            [(1, "keep", 1), (2, "new", 2), (4, "born", 1)],
+            "k BIGINT, v STRING, seq BIGINT",
+        ),
+        table,
+    )
+    got = {
+        r["k"]: (r["change_type"], r["before"], r["after"])
+        for r in lh.diff_versions(spark, table, 0, 1, keys=["k"]).collect()
+    }
+    assert set(got) == {2, 3, 4}  # key 1 unchanged -> absent
+    assert got[2][0] == "update" and '"old"' in got[2][1] and '"new"' in got[2][2]
+    assert got[3][0] == "delete" and got[3][2] is None
+    assert got[4][0] == "insert" and got[4][1] is None
