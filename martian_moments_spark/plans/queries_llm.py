@@ -1186,3 +1186,64 @@ def embedding_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "id_a", "id_b", cos.alias("cosine"), (cos >= 0.30).alias("is_near_dup")
     )
+
+
+@register(
+    "line_level_dedup",
+    ops=("N2", "N3", "W2", "A1"),
+    oracle="""
+        WITH parts AS (
+            SELECT doc_id, string_split(text, '. ') AS p FROM documents
+        ), sent AS (
+            SELECT doc_id, i.i AS pos, p[i.i] AS s
+            FROM parts, LATERAL (SELECT unnest(generate_series(1, len(p))) AS i) i
+        ), ranked AS (
+            SELECT doc_id, pos, s,
+                   ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+            FROM sent
+        )
+        SELECT doc_id,
+               string_agg(s, '. ' ORDER BY pos) FILTER (WHERE rn = 1) AS cleaned_text,
+               COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+               COUNT(*) FILTER (WHERE rn > 1) AS n_dropped
+        FROM ranked
+        GROUP BY doc_id
+    """,
+)
+def line_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level deduplication (the C4-style cleaning
+    step): every sentence keeps only its FIRST occurrence across the
+    whole corpus — ordered by (doc_id, position) — and documents are
+    reassembled from their surviving sentences in original order.
+
+    Scale: posexplode is per-row; the only shuffle is the window on the
+    sentence key (first-occurrence choice), which at 100 TB is a
+    hash-partitioned window over sentence fingerprints — same shape as
+    exact dedup, grain one level finer. Reassembly aggregates back on
+    doc_id with an in-aggregate array_sort (no second window). The
+    deterministic (doc_id, pos) tie-break makes winner choice
+    hash-stable; 1-based positions align Spark's posexplode (+1) with
+    DuckDB's generate_series."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sent = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\\. ")).alias("pos0", "s"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    w = W.partitionBy("s").orderBy("doc_id", "pos")
+    ranked = sent.withColumn("rn", F.row_number().over(w))
+    kept = F.filter(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("rn") == 1, F.struct("pos", "s")).otherwise(F.lit(None))
+            )
+        ),
+        lambda x: x.isNotNull(),
+    )
+    joined = F.array_join(F.transform(kept, lambda x: x["s"]), ". ")
+    return ranked.groupBy("doc_id").agg(
+        # a fully-deduplicated document (every sentence seen earlier)
+        # must be NULL, matching string_agg over zero rows
+        F.when(F.size(kept) > 0, joined).alias("cleaned_text"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+    )

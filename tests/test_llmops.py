@@ -169,3 +169,36 @@ def test_connected_components_multi_hop_closure(spark):
         for r in connected_components(vertices, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_line_level_dedup_fully_deduped_doc_is_null(spark, tmp_path):
+    """An exact-duplicate document loses every sentence: cleaned_text
+    must be NULL (string_agg-over-zero-rows semantics), not ''."""
+    import duckdb
+
+    from martian_moments_spark.plans import load_all
+
+    REGISTRY = load_all()
+    d = str(tmp_path)
+    rows = [
+        (0, "alpha beta. gamma delta. unique zero"),
+        (1, "alpha beta. gamma delta. unique zero"),  # exact dup of doc 0
+        (2, "fresh one. gamma delta. fresh two"),
+    ]
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d + "/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_kept"], r["n_dropped"])
+        for r in REGISTRY["line_level_dedup"].fn(spark, d).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(REGISTRY["line_level_dedup"].oracle).fetchall()
+    }
+    assert got == want
+    assert got[1] == (None, 0, 3)
