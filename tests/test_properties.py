@@ -158,3 +158,74 @@ def test_sessionize_invariants(spark):
             gap = (b["ts"] - a["ts"]).total_seconds()
             expected = a["session_idx"] + (1 if gap > SESSION_GAP_SECONDS else 0)
             assert b["session_idx"] == expected, (u, a["event_id"], b["event_id"])
+
+
+op_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "overwrite", "merge"]),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=4),  # key
+                st.integers(min_value=0, max_value=9),  # seq
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(ops=op_strategy)
+@settings(max_examples=8, deadline=None)
+def test_lakehouse_log_replay_matches_model(spark_h, ops, tmp_path_factory):
+    """Model-based check of the delta log: any sequence of
+    append/overwrite/merge commits must reconstruct — at EVERY version,
+    through checkpoints or not — exactly the state an in-memory model
+    predicts. Shrunk checkpoint interval forces checkpoint rolls inside
+    the sequence."""
+    from martian_moments_spark import lakehouse as lh
+
+    old_interval = lh.CHECKPOINT_INTERVAL
+    lh.CHECKPOINT_INTERVAL = 2
+    try:
+        table = str(tmp_path_factory.mktemp("lh") / "t")
+        for op, rows in ops:
+            df = spark_h.createDataFrame(rows, "k BIGINT, seq BIGINT")
+            if op == "append":
+                lh.append(df, table)
+            elif op == "overwrite":
+                lh.overwrite(df, table)
+            else:
+                lh.merge_upsert(spark_h, df, table, keys=["k"], order_col="seq")
+
+        # the model: a multiset of rows folded op by op
+        from collections import Counter
+
+        expect = Counter()
+        per_version_expect = []
+        for op, rows in ops:
+            if op == "append":
+                expect = expect + Counter(rows)
+            elif op == "overwrite":
+                expect = Counter(rows)
+            else:  # merge: last-writer-wins per key, seq desc
+                best = {}
+                for k, s in rows:
+                    if k not in best or s > best[k]:
+                        best[k] = s
+                survivors = Counter(
+                    {(k, s): c for (k, s), c in expect.items() if k not in best}
+                )
+                expect = survivors + Counter({(k, s): 1 for k, s in best.items()})
+            per_version_expect.append(Counter(expect))
+
+        for v, want in enumerate(per_version_expect):
+            got = Counter(
+                (r["k"], r["seq"])
+                for r in lh.read_table(spark_h, table, version=v).collect()
+            )
+            assert got == want, (v, got, want)
+    finally:
+        lh.CHECKPOINT_INTERVAL = old_interval
