@@ -97,37 +97,57 @@ def _read_entry(table: str, version: int) -> dict:
         return json.load(f)
 
 
-def _reconstruct(table: str, version: int) -> list[str]:
+def _reconstruct_with_stats(table: str, version: int) -> tuple[list[str], dict]:
     """Replay the log up to ``version``: start from the nearest
     checkpoint at or below it (else empty) and apply each delta in
-    order. Legacy full-``files`` entries reset the state wholesale.
-    Table-relative paths, sorted."""
+    order, carrying per-file stats alongside the live set. Legacy
+    full-``files`` entries reset the state wholesale (no stats).
+    Returns (sorted table-relative paths, {path: stats})."""
     state: set[str] = set()
+    stats: dict[str, dict] = {}
     start = 0
     cps = [c for c in _checkpoint_versions(table) if c <= version]
     if cps:
         cp = cps[-1]
         with open(os.path.join(_log_path(table), f"{cp}.checkpoint.json")) as f:
-            state = set(json.load(f)["files"])
+            entry = json.load(f)
+        state = set(entry["files"])
+        stats = entry.get("stats", {})
         start = cp + 1
     for v in range(start, version + 1):
         entry = _read_entry(table, v)
         if "files" in entry:  # legacy snapshot entry = implicit checkpoint
             state = set(entry["files"])
+            stats = {}
         else:
             state = (state - set(entry["remove"])) | set(entry["add"])
-    return sorted(state)
+            stats.update(entry.get("stats", {}))
+    return sorted(state), {p: stats[p] for p in state if p in stats}
+
+
+def _reconstruct(table: str, version: int) -> list[str]:
+    return _reconstruct_with_stats(table, version)[0]
+
+
+def file_stats(table: str, version: int | None = None) -> dict:
+    """Per-file column min/max/rows of a version's live files, straight
+    from the manifest (no footer reads). Files committed without stats
+    (legacy entries) are absent."""
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table!r}")
+    return _reconstruct_with_stats(table, v)[1]
 
 
 def _write_checkpoint(table: str, version: int) -> None:
-    """Materialize the full live set at ``version`` beside the log.
-    Derived state: written via tmp+rename (idempotent — any writer
-    producing it computes identical content), safe to lose."""
-    files = _reconstruct(table, version)
+    """Materialize the full live set (and its stats) at ``version``
+    beside the log. Derived state: written via tmp+rename (idempotent —
+    any writer producing it computes identical content), safe to lose."""
+    files, stats = _reconstruct_with_stats(table, version)
     logd = _log_path(table)
     tmp = os.path.join(logd, f"{version}.{uuid.uuid4().hex[:8]}.cptmp")
     with open(tmp, "w") as f:
-        json.dump({"version": version, "files": files}, f)
+        json.dump({"version": version, "files": files, "stats": stats}, f)
     os.replace(tmp, os.path.join(logd, f"{version}.checkpoint.json"))
 
 
@@ -143,15 +163,13 @@ def snapshot_files(table: str, version: int | None = None) -> list[str]:
     return [os.path.join(table, p) for p in _reconstruct(table, v)]
 
 
-def read_table(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
-    """Snapshot read: resolve the version's exact file list, then scan
-    only those files. Time travel via ``version``. Files are read per
-    commit dir with that dir as basePath, so hive-partition columns
-    (the bucketed-merge layout) are recovered; a commit dir without
-    partition dirs contributes no extra columns."""
+def _read_files(spark: SparkSession, table: str, files: list[str]) -> DataFrame:
+    """Scan an explicit file list, per commit dir with that dir as
+    basePath so hive-partition columns (the bucketed-merge layout) are
+    recovered; a commit dir without partition dirs contributes no
+    extra columns."""
     from functools import reduce
 
-    files = snapshot_files(table, version)
     by_dir: dict[str, list[str]] = {}
     for p in files:
         rel = os.path.relpath(p, table)
@@ -164,6 +182,49 @@ def read_table(spark: SparkSession, table: str, version: int | None = None) -> D
     # commits lack (never the reverse — columns are only added);
     # missing columns read as NULL, like parquet mergeSchema.
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+
+
+def read_table(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+    """Snapshot read: resolve the version's exact file list, then scan
+    only those files. Time travel via ``version``."""
+    return _read_files(spark, table, snapshot_files(table, version))
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with MANIFEST-level file skipping: files whose
+    committed [min, max] for ``col`` cannot intersect [lo, hi] are
+    dropped from the scan before Spark ever lists them — no footer is
+    opened for a skipped file. The residual filter is still applied, so
+    the result equals ``read_table(...).filter(lo <= col <= hi)``
+    exactly; a file without committed stats is never skipped.
+
+    This is the planner's half of zorder_write: clustering narrows
+    per-file ranges, the manifest prunes on them, and at 100 TB the
+    scan cost follows the predicate's selectivity instead of the
+    table size."""
+    from pyspark.sql import functions as F
+
+    files = snapshot_files(table, version)
+    stats = file_stats(table, version)
+    keep = []
+    for p in files:
+        st = stats.get(os.path.relpath(p, table))
+        if st is not None and col in st["min"] and col in st["max"]:
+            if st["max"][col] < lo or st["min"][col] > hi:
+                continue
+        keep.append(p)
+    if not keep:
+        # preserve the schema: read nothing via an always-false filter
+        # on one file (never happens on a non-empty intersection)
+        return _read_files(spark, table, files).filter(F.lit(False))
+    return _read_files(spark, table, keep).filter(F.col(col).between(lo, hi))
 
 
 def _stage_data(
@@ -186,6 +247,42 @@ def _stage_data(
     return sorted(rel)
 
 
+def _collect_stats(table: str, rel_paths: list[str]) -> dict:
+    """Per-file column min/max/rows harvested from the just-written
+    parquet footers, recorded in the commit entry so scan planning can
+    skip files from the MANIFEST alone — at 100 TB the planner must
+    not open a million footers to prune a predicate. Only scalar
+    leaf columns with usable stats are kept; stats are advisory
+    (a file without stats is never skipped)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in rel_paths:
+        md = pq.ParquetFile(os.path.join(table, rel)).metadata
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        ok: set[str] = set()
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                name = col.path_in_schema
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+                if not isinstance(lo, (int, float, str, bool)):
+                    continue
+                ok.add(name)
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        out[rel] = {
+            "rows": md.num_rows,
+            "min": {k: mins[k] for k in sorted(ok)},
+            "max": {k: maxs[k] for k in sorted(ok)},
+        }
+    return out
+
+
 def _commit(
     table: str,
     add: list[str],
@@ -194,18 +291,26 @@ def _commit(
     remove: list[str] = (),
 ) -> int:
     """Atomically publish a delta (``add``/``remove`` table-relative
-    paths) as the next version. Optimistic: if someone committed after
-    ``base_version``, the publish target exists and this raises
-    FileExistsError — re-read and retry. Every CHECKPOINT_INTERVAL-th
-    version also rolls a full-state checkpoint (after the commit is
-    durable; a crash between the two only costs replay length)."""
+    paths) as the next version, harvesting per-file stats for the
+    added files into the entry (manifest-level file skipping).
+    Optimistic: if someone committed after ``base_version``, the
+    publish target exists and this raises FileExistsError — re-read
+    and retry. Every CHECKPOINT_INTERVAL-th version also rolls a
+    full-state checkpoint (after the commit is durable; a crash
+    between the two only costs replay length)."""
     logd = _log_path(table)
     os.makedirs(logd, exist_ok=True)
     next_v = 0 if base_version is None else base_version + 1
     staged = os.path.join(logd, f"{next_v}.{uuid.uuid4().hex[:8]}.tmp.json")
     with open(staged, "w") as f:
         json.dump(
-            {"version": next_v, "op": op, "add": sorted(add), "remove": sorted(remove)},
+            {
+                "version": next_v,
+                "op": op,
+                "add": sorted(add),
+                "remove": sorted(remove),
+                "stats": _collect_stats(table, sorted(add)),
+            },
             f,
         )
     final = os.path.join(logd, f"{next_v}.json")

@@ -411,3 +411,43 @@ def test_diff_versions_emits_keyed_change_feed(spark, tmp_path):
     assert got[2][0] == "update" and '"old"' in got[2][1] and '"new"' in got[2][2]
     assert got[3][0] == "delete" and got[3][2] is None
     assert got[4][0] == "insert" and got[4][1] is None
+
+
+def test_manifest_stats_prune_files_exactly(spark, tmp_path):
+    """Commit entries must carry per-file min/max; read_table_pruned
+    must skip non-intersecting files from the manifest alone and still
+    return exactly the filtered result."""
+    table = str(tmp_path / "t")
+    # three commits with disjoint key ranges -> three prunable files
+    for base in (0, 100, 200):
+        lh.append(
+            spark.createDataFrame(
+                [(base + i, f"v{base + i}") for i in range(10)], "k BIGINT, v STRING"
+            ).coalesce(1),
+            table,
+        )
+
+    stats = lh.file_stats(table)
+    assert len(stats) == 3
+    assert all("k" in s["min"] and "k" in s["max"] and s["rows"] == 10 for s in stats.values())
+
+    got = {tuple(r) for r in lh.read_table_pruned(spark, table, "k", 100, 105).collect()}
+    assert got == {(100 + i, f"v{100 + i}") for i in range(6)}
+
+    # the pruned plan must reference ONE file (the middle commit's)
+    kept = [
+        p
+        for p in lh.snapshot_files(table)
+        if not (stats[os.path.relpath(p, table)]["max"]["k"] < 100
+                or stats[os.path.relpath(p, table)]["min"]["k"] > 105)
+    ]
+    assert len(kept) == 1
+    # empty intersection: no rows, schema intact
+    empty = lh.read_table_pruned(spark, table, "k", 500, 600)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+    # stats survive checkpointing + vacuum (the manifest stays the
+    # planner's only source)
+    lh.vacuum(table, keep_versions=1)
+    assert len(lh.file_stats(table)) == 3
+    got2 = {tuple(r) for r in lh.read_table_pruned(spark, table, "k", 100, 105).collect()}
+    assert got2 == got
