@@ -1216,11 +1216,14 @@ def line_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole corpus — ordered by (doc_id, position) — and documents are
     reassembled from their surviving sentences in original order.
 
-    Scale: posexplode is per-row; the only shuffle is the window on the
-    sentence key (first-occurrence choice), which at 100 TB is a
-    hash-partitioned window over sentence fingerprints — same shape as
-    exact dedup, grain one level finer. Reassembly aggregates back on
-    doc_id with an in-aggregate array_sort (no second window). The
+    Scale: posexplode is per-row. First-occurrence choice is a
+    MIN-STRUCT aggregate per sentence — not a window: a window
+    partitioned by sentence pins every copy of a hot sentence (think
+    boilerplate lines repeated millions of times) onto one task, while
+    the aggregate combines map-side and the winner join back is
+    one-to-one per sentence, which AQE's skew-join splitting can cut
+    arbitrarily. Reassembly aggregates back on doc_id with an
+    in-aggregate array_sort (no window anywhere in the plan). The
     deterministic (doc_id, pos) tie-break makes winner choice
     hash-stable; 1-based positions align Spark's posexplode (+1) with
     DuckDB's generate_series."""
@@ -1229,8 +1232,13 @@ def line_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.col("text"), "\\. ")).alias("pos0", "s"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
-    w = W.partitionBy("s").orderBy("doc_id", "pos")
-    ranked = sent.withColumn("rn", F.row_number().over(w))
+    winners = sent.groupBy("s").agg(
+        F.min(F.struct("doc_id", "pos")).alias("__w")
+    )
+    ranked = sent.join(winners, "s").withColumn(
+        "rn",
+        F.when(F.struct("doc_id", "pos") == F.col("__w"), F.lit(1)).otherwise(F.lit(2)),
+    )
     kept = F.filter(
         F.array_sort(
             F.collect_list(

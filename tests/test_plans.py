@@ -233,3 +233,12 @@ def test_ordered_event_sequences_single_shuffle(spark):
     plan = explain_str(REGISTRY["ordered_event_sequences"].fn(spark, SF_DIR_ORACLE))
     assert plan.count("Exchange") <= 2  # partial->final agg pair at most
     assert "Window" not in plan
+
+
+def test_line_level_dedup_has_no_window(spark):
+    # first-occurrence must be the min-struct aggregate + join (skew-
+    # splittable), never a window partitioned by sentence (hot-key
+    # unsplittable).
+    plan = explain_str(REGISTRY["line_level_dedup"].fn(spark, SF_DIR_ORACLE))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
