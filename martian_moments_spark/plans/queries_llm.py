@@ -1255,3 +1255,100 @@ def line_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
     )
+
+
+@register(
+    "curation_to_training_mix",
+    ops=("A1", "A6", "J4", "J2", "P8"),
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang, text,
+                   {sql_quality_metrics("text")["n_tokens"]} AS n_tokens,
+                   {sql_quality_metrics("text")["distinct_ratio"]} AS distinct_ratio
+            FROM documents
+        ), kept AS (
+            SELECT * FROM scored
+            WHERE n_tokens >= 10 AND distinct_ratio >= 0.3
+        ), deduped AS (
+            SELECT * FROM kept
+            WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY md5(text))
+        ), toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform({_sql_shingles_n(DECONTAM_NGRAM)},
+                       x -> {sql_portable_hash31('x')}))) AS sh
+            FROM toks
+        ), bench AS (
+            SELECT DISTINCT sh FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+        ), contaminated AS (
+            SELECT DISTINCT c.doc_id FROM sh c JOIN bench b USING (sh)
+            WHERE c.doc_id % {DECONTAM_BENCH_MOD} <> 0
+        ), clean AS (
+            SELECT * FROM deduped
+            WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), assigned AS (
+            SELECT *,
+                   CASE WHEN {sql_portable_hash31("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+                        WHEN {sql_portable_hash31("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM clean
+        )
+        SELECT split, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM assigned GROUP BY split, lang
+    """,
+)
+def curation_to_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one plan: quality gate -> exact
+    dedup (first writer wins) -> benchmark decontamination (drop bench
+    docs and anything sharing a 4-gram with them) -> deterministic
+    90/5/5 split -> per (split, lang) token budget. Each stage is
+    verified on its own elsewhere (corpus_curation,
+    decontamination_overlap, deterministic_split); this composite
+    proves they COMPOSE — the mart a training run actually reads.
+
+    Scale: the gate is per-row; dedup and the winner join shuffle on
+    the content fingerprint; decontamination is an explode + broadcast
+    equi-join against the (small) benchmark shingle set; the split is
+    per-row hash math; the final rollup shuffles two tiny keys. No
+    stage materializes an intermediate — Catalyst plans the chain
+    end to end, reusing the scan."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    m = quality_metrics("text")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        m["n_tokens"].alias("n_tokens"),
+        m["distinct_ratio"].alias("distinct_ratio"),
+    )
+    kept = scored.filter((F.col("n_tokens") >= 10) & (F.col("distinct_ratio") >= 0.3))
+    winners = kept.groupBy(F.md5("text").alias("__fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = kept.join(winners.select("doc_id"), "doc_id")
+
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(word_shingles("text", n=DECONTAM_NGRAM), portable_hash31)
+            )
+        ).alias("sh"),
+    )
+    bench_sh = sh.filter(is_bench).select("sh").distinct()
+    contaminated = (
+        sh.filter(~is_bench).join(F.broadcast(bench_sh), "sh").select("doc_id").distinct()
+    )
+    clean = deduped.filter(~is_bench).join(contaminated, "doc_id", "left_anti")
+
+    h = portable_hash31(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    assigned = clean.withColumn(
+        "split", F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
