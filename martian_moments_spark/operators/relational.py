@@ -75,9 +75,14 @@ def asof_join(
     value_cols: Sequence[str],
     strict: bool = False,
     right_tiebreak: str | None = None,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for every left row, the latest right row of the same
-    key with right_time <= left_time (< if ``strict``).
+    key with right_time <= left_time (< if ``strict``). With
+    ``tolerance``, a match additionally requires
+    left_time - right_time <= tolerance (same unit as the time
+    columns; seconds for timestamps) — staler matches yield NULL, the
+    max-staleness semantics of pandas ``merge_asof(tolerance=...)``.
 
     Algorithm (the merge-sort formulation, not a range cross-join):
     union both sides tagged, sort within key by (time, side-tag,
@@ -120,6 +125,20 @@ def asof_join(
     )
     for c in value_cols:
         merged = merged.withColumn(f"__asof_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w))
+    if tolerance is not None:
+        # carry the winner's own timestamp in the same pass, then null
+        # out values whose match is staler than the tolerance window
+        merged = merged.withColumn(
+            "__vt",
+            F.when(F.col("__side") == right_tag, F.col("__t")),
+        ).withColumn("__asof_t", F.last("__vt", ignorenulls=True).over(w))
+        fresh = (
+            F.col("__t").cast("double") - F.col("__asof_t").cast("double")
+        ) <= F.lit(float(tolerance))
+        for c in value_cols:
+            merged = merged.withColumn(
+                f"__asof_{c}", F.when(fresh, F.col(f"__asof_{c}"))
+            )
     return (
         merged.filter(F.col("__side") == left_tag)
         .select(

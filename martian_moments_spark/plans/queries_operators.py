@@ -283,3 +283,65 @@ def bloom_prefilter_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
     )
+
+
+ASOF_TOLERANCE_S = 86_400  # accept purchases at most one day stale
+
+
+@register(
+    "asof_join_with_tolerance",
+    ops=("J6", "W2"),
+    oracle=f"""
+        WITH merged AS (
+            SELECT user_id, ts, 1 AS side, event_id, event_type,
+                   NULL::BIGINT AS pv_id, NULL::TIMESTAMP AS pv_ts
+            FROM events
+            UNION ALL
+            SELECT user_id, ts, 0, event_id, event_type, event_id, ts
+            FROM events WHERE event_type = 'purchase'
+        ), carried AS (
+            SELECT user_id, ts, side, event_id, event_type,
+                   last_value(pv_id IGNORE NULLS) OVER w AS asof_id,
+                   last_value(pv_ts IGNORE NULLS) OVER w AS asof_ts
+            FROM merged
+            WINDOW w AS (
+                PARTITION BY user_id
+                ORDER BY ts ASC, side ASC, pv_id ASC NULLS FIRST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
+        )
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN date_diff('microsecond', asof_ts, ts) / 1000000.0
+                         <= {ASOF_TOLERANCE_S} THEN asof_id END AS asof_event_id
+        FROM carried WHERE side = 1
+    """,
+)
+def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness bound: each event is annotated
+    with the user's latest purchase at-or-before it ONLY if that
+    purchase happened within the last day — older context is stale and
+    must read NULL (the pandas merge_asof ``tolerance`` semantics,
+    needed whenever features expire: sensor readings, session context,
+    price quotes). Same single-shuffle merge-sort plan as the plain
+    as-of; the winner's own timestamp rides along in the same window
+    pass, so the staleness test adds no extra shuffle."""
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        events,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["event_id"],
+        right_tiebreak="event_id",
+        tolerance=ASOF_TOLERANCE_S,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.col("asof_event_id"),
+    )

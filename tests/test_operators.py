@@ -234,3 +234,21 @@ def test_bloom_prefilter_join_saturated_digest_skips_filter(spark):
         out.explain("formatted")
     assert "xxhash64" not in plan.getvalue()
     assert out.count() == 50
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    l = spark.createDataFrame(
+        [(1, 10, "a"), (1, 100, "b"), (2, 50, "c")], "k INT, t INT, lid STRING"
+    )
+    r = spark.createDataFrame([(1, 8, 80), (2, 49, 90)], "k INT, t INT, val INT")
+    got = {
+        row["lid"]: row["asof_val"]
+        for row in asof_join(
+            l, r, on="k", left_time="t", right_time="t",
+            value_cols=["val"], tolerance=10,
+        ).collect()
+    }
+    # lid a: match at t=8, staleness 2 <= 10 -> kept
+    # lid b: match at t=8, staleness 92 > 10 -> NULL
+    # lid c: staleness 1 -> kept
+    assert got == {"a": 80, "b": None, "c": 90}
