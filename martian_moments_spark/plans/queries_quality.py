@@ -206,3 +206,66 @@ def contract_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.withColumn("reason", F.explode(reasons))
         .select("event_id", "event_type", "value", "reason")
     )
+
+
+PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "table_profile",
+    ops=("A1", "A2", "A4", "A3"),
+    oracle="\n        UNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               COUNT(*) AS n_rows,
+               COUNT({c}) AS n_non_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders"""
+        for c in PROFILE_COLS
+    ),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling (the deequ / dbt-docs summary): one
+    scan computes count / non-null / exact distinct / min / max for
+    every profiled column at once, then unpivots to one row per column
+    — the shape a data catalog ingests.
+
+    Scale: ONE pass over the fact regardless of column count; the
+    multi-COUNT(DISTINCT) plans through Spark's Expand (one shuffle,
+    rows replicated per distinct aggregate — the standard trade; swap
+    exact distinct for HLL at unbounded cardinality). The oracle pays
+    four scans instead, which is exactly the cost this operator
+    avoids. min/max serialize to strings for a uniform profile schema
+    (int/string columns only — float rendering differs per engine)."""
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders").select(*PROFILE_COLS)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    profile = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"nn_{c}").alias("n_non_null"),
+                        F.col(f"nd_{c}").alias("n_distinct"),
+                        F.col(f"mn_{c}").alias("min_value"),
+                        F.col(f"mx_{c}").alias("max_value"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    )
+    return profile.select("p.*")
