@@ -1160,26 +1160,30 @@ def embedding_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("vec_id", "units", "norm2", "band.band_idx", "band.band_val")
-    a = bands.select(
-        F.col("band_idx"),
-        F.col("band_val"),
+    # pair discovery carries ONLY ids through the band join and the
+    # distinct — never the 64-long unit arrays (a collision in two
+    # bands would otherwise shuffle every duplicate pair's vectors);
+    # vectors re-attach afterwards via two id-equi-joins against the
+    # (units, norm2) base, which co-partitions on the id.
+    a = bands.select("band_idx", "band_val", F.col("vec_id").alias("id_a"))
+    b = bands.select("band_idx", "band_val", F.col("vec_id").alias("id_b"))
+    pair_ids = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(
         F.col("vec_id").alias("id_a"),
         F.col("units").alias("units_a"),
         F.col("norm2").alias("norm2_a"),
     )
-    b = bands.select(
-        F.col("band_idx"),
-        F.col("band_val"),
+    vb = base.select(
         F.col("vec_id").alias("id_b"),
         F.col("units").alias("units_b"),
         F.col("norm2").alias("norm2_b"),
     )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "units_a", "units_b", "norm2_a", "norm2_b")
-        .distinct()
-    )
+    cand = pair_ids.join(va, "id_a").join(vb, "id_b")
     cos = cosine_fixed(
         F.col("units_a"), F.col("units_b"), F.col("norm2_a"), F.col("norm2_b")
     )
