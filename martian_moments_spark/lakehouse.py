@@ -527,14 +527,26 @@ def merge_upsert_bucketed(
             continue
 
 
-def compact(spark: SparkSession, table: str, target_bytes: int = 128 * 1024 * 1024) -> int:
-    """Transactional OPTIMIZE: rewrite the current snapshot into
-    ceil(bytes/target) files and commit the compacted layout as a new
-    version. Contrast operators.layout.compact_small_files' rename
-    swap: under the commit log no swap window exists at all — readers
-    hold the old snapshot until the single commit lands, a crash
-    leaves only unreferenced (vacuumable) files, and time travel to
-    the pre-compaction version still works. Returns the new version."""
+def compact(
+    spark: SparkSession,
+    table: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    buckets: list[int] | None = None,
+) -> int:
+    """Transactional OPTIMIZE: rewrite the (selected part of the)
+    current snapshot into ceil(bytes/target) files and commit the
+    compacted layout as a new version. Contrast
+    operators.layout.compact_small_files' rename swap: under the
+    commit log no swap window exists at all — readers hold the old
+    snapshot until the single commit lands, a crash leaves only
+    unreferenced (vacuumable) files, and time travel to the
+    pre-compaction version still works.
+
+    ``buckets`` is the OPTIMIZE WHERE form for bucketed-merge tables:
+    only the named buckets' files rewrite; everything else carries
+    over untouched in the delta commit — at 100 TB compaction runs
+    incrementally over the buckets whose small-file count crossed a
+    threshold, never the whole table. Returns the new version."""
     import math
 
     from martian_moments_spark.streaming.sinks import BUCKET_COL
@@ -542,9 +554,18 @@ def compact(spark: SparkSession, table: str, target_bytes: int = 128 * 1024 * 10
     while True:
         base = current_version(table)
         files = snapshot_files(table, base)
+        if buckets is not None:
+            chosen = set(buckets)
+            files = [
+                p
+                for p in files
+                if _bucket_of(os.path.relpath(p, table), BUCKET_COL) in chosen
+            ]
+            if not files:
+                return base  # nothing to do; no empty commit
         total = sum(os.path.getsize(p) for p in files)
         n_files = max(1, math.ceil(total / target_bytes))
-        df = read_table(spark, table, base).coalesce(n_files)
+        df = _read_files(spark, table, files).coalesce(n_files)
         # a bucketed-merge table keeps its layout through compaction
         part = (BUCKET_COL,) if BUCKET_COL in df.columns else ()
         new = _stage_data(df, table, partition_by=part)

@@ -451,3 +451,46 @@ def test_manifest_stats_prune_files_exactly(spark, tmp_path):
     assert len(lh.file_stats(table)) == 3
     got2 = {tuple(r) for r in lh.read_table_pruned(spark, table, "k", 100, 105).collect()}
     assert got2 == got
+
+
+def test_partial_compaction_rewrites_only_selected_buckets(spark, tmp_path):
+    """OPTIMIZE WHERE: compacting a bucket subset must leave every
+    other bucket's files byte-identical in the new version and fold
+    only the selected buckets' small files."""
+    import hashlib
+
+    from martian_moments_spark.streaming.sinks import BUCKET_COL
+
+    table = str(tmp_path / "t")
+    # two merge batches -> each bucket holds >=2 small files
+    for seq in (1, 2):
+        lh.merge_upsert_bucketed(
+            spark,
+            spark.createDataFrame(
+                [(k, f"v{seq}", seq) for k in range(1, 33)],
+                "k BIGINT, v STRING, seq BIGINT",
+            ),
+            table, ["k"], "seq", num_buckets=4,
+        )
+    before = {
+        os.path.relpath(p, table): hashlib.sha256(open(p, "rb").read()).hexdigest()
+        for p in lh.snapshot_files(table)
+    }
+    target = [0, 1]
+    v = lh.compact(spark, table, target_bytes=1 << 30, buckets=target)
+    after_files = [os.path.relpath(p, table) for p in lh.snapshot_files(table, v)]
+
+    untouched = [f for f in after_files if lh._bucket_of(f, BUCKET_COL) not in target]
+    for f in untouched:
+        assert f in before  # carried verbatim, never restaged
+    compacted = [f for f in after_files if lh._bucket_of(f, BUCKET_COL) in target]
+    assert compacted and all(f not in before for f in compacted)
+    # the commit entry itself is scoped to the selected buckets
+    entry = lh._read_entry(table, v)
+    assert entry["op"] == "compact"
+    assert all(lh._bucket_of(f, BUCKET_COL) in target for f in entry["remove"])
+    assert all(lh._bucket_of(f, BUCKET_COL) in target for f in entry["add"])
+    got = {r["k"]: r["v"] for r in lh.read_table(spark, table).collect()}
+    assert got == {k: "v2" for k in range(1, 33)}
+    # selecting buckets with no files is a no-op, not an empty commit
+    assert lh.compact(spark, table, buckets=[99]) == v
