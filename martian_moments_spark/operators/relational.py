@@ -76,13 +76,18 @@ def asof_join(
     strict: bool = False,
     right_tiebreak: str | None = None,
     tolerance: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for every left row, the latest right row of the same
-    key with right_time <= left_time (< if ``strict``). With
-    ``tolerance``, a match additionally requires
-    left_time - right_time <= tolerance (same unit as the time
-    columns; seconds for timestamps) — staler matches yield NULL, the
-    max-staleness semantics of pandas ``merge_asof(tolerance=...)``.
+    key with right_time <= left_time (< if ``strict``);
+    ``direction="forward"`` instead takes the EARLIEST right row with
+    right_time >= left_time (> if ``strict``) — the lookahead form
+    (next scheduled maintenance, next price revision). With
+    ``tolerance``, a match additionally requires the time gap
+    (left-right backward, right-left forward) to be <= tolerance
+    (same unit as the time columns; seconds for timestamps) — staler
+    matches yield NULL, the max-staleness semantics of pandas
+    ``merge_asof(tolerance=..., direction=...)``.
 
     Algorithm (the merge-sort formulation, not a range cross-join):
     union both sides tagged, sort within key by (time, side-tag,
@@ -98,8 +103,11 @@ def asof_join(
     equal-timestamp right rows deterministic (largest value wins) —
     required for hash-stable results under any partitioning.
     """
-    # side tag orders right rows before left at equal timestamps, so
-    # "at-or-before" is inclusive; strict flips the tag order.
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # side tag orders right rows before left (in scan order) at equal
+    # timestamps, so the boundary is inclusive; strict flips the tag
+    # order. Forward scans time-descending — same carry, mirrored.
     right_tag, left_tag = (1, 0) if strict else (0, 1)
     r = right.select(
         F.col(on).alias("__k"),
@@ -115,7 +123,8 @@ def asof_join(
     merged = l.select(*[f"__v_{c}" for c in value_cols], "__k", "__t", "__side", *left.columns).unionByName(
         r, allowMissingColumns=True
     )
-    order = [F.col("__t").asc(), F.col("__side").asc()]
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    order = [t_order, F.col("__side").asc()]
     if right_tiebreak:
         # NULLS FIRST so left rows (NULL value cols) never outrank the
         # right rows they tie with on (__t, __side).
@@ -132,9 +141,10 @@ def asof_join(
             "__vt",
             F.when(F.col("__side") == right_tag, F.col("__t")),
         ).withColumn("__asof_t", F.last("__vt", ignorenulls=True).over(w))
-        fresh = (
-            F.col("__t").cast("double") - F.col("__asof_t").cast("double")
-        ) <= F.lit(float(tolerance))
+        gap = F.col("__t").cast("double") - F.col("__asof_t").cast("double")
+        if direction == "forward":
+            gap = -gap
+        fresh = gap <= F.lit(float(tolerance))
         for c in value_cols:
             merged = merged.withColumn(
                 f"__asof_{c}", F.when(fresh, F.col(f"__asof_{c}"))

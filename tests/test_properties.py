@@ -229,3 +229,26 @@ def test_lakehouse_log_replay_matches_model(spark_h, ops, tmp_path_factory):
             assert got == want, (v, got, want)
     finally:
         lh.CHECKPOINT_INTERVAL = old_interval
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 999)), min_size=1, max_size=15),
+)
+@settings(**SETTINGS)
+def test_asof_join_forward_matches_bruteforce(spark_h, left, right):
+    """forward as-of == argmin_{r.t >= l.t} (r.t, -r.val) per key — the
+    earliest future right row, largest val on time ties."""
+    l = spark_h.createDataFrame([(k, t, i) for i, (k, t) in enumerate(left)], "k INT, t INT, lid INT")
+    r = spark_h.createDataFrame(right, "k INT, t INT, val INT")
+    got = {
+        row["lid"]: row["asof_val"]
+        for row in asof_join(
+            l, r, on="k", left_time="t", right_time="t",
+            value_cols=["val"], right_tiebreak="val", direction="forward",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, -rv) for rk, rt, rv in right if rk == k and rt >= t]
+        expect = -min(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, t, cands, got[i])
