@@ -15,6 +15,7 @@ def load_all() -> dict:
         queries_relational,
         queries_nested,
         queries_functions,
+        queries_events,
         queries_incremental,
         queries_llm,
         queries_analytics,

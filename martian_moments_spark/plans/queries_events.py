@@ -1,0 +1,373 @@
+"""Event-time product-analytics queries (cohorts, funnels, irregular
+time series).
+
+The reference's event surface stops at ingestion/dispatch (SURVEY §2.9
+E-series; ``dags/photo_ingestion_dag.py`` routes messages, it never
+analyzes them). These queries add the analysis layer a warehouse user
+runs on that same event stream: cohort retention, ordered-funnel
+conversion, and irregular-time-series statistics (time-weighted
+average, linear gap interpolation, per-key mode).
+
+Determinism follows the engine rules (functions/numeric.py): values
+are quantized to integer units per row, durations are integer epoch
+microseconds, every aggregate is a BIGINT sum, and only the final
+per-row/per-group scalar arithmetic runs in floating point with the
+identical expression shape on both engines. Window orders always
+carry ``event_id`` as a tiebreak so frame contents are total-ordered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from martian_moments_spark.catalog import load
+from martian_moments_spark.plans.registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+
+
+@register(
+    "retention_cohorts",
+    ops=("A1", "A2", "A6", "J2", "F8"),
+    oracle="""
+        WITH f AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ), act AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+            FROM events
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.activity_week) // 7 AS INT)
+                   AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM act a JOIN f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the week of
+    their first event; each cell counts how many of a cohort's users
+    were active N weeks later — the retention matrix behind every
+    product dashboard.
+
+    Scale: two aggregates keyed on user_id (first-seen MIN, then a
+    per-user-week DISTINCT) joined on user_id — the groupBy establishes
+    hash partitioning on user_id that the join reuses, so the chain
+    costs one effective shuffle of the fact plus a user-week rekey.
+    The final rollup is on (cohort_week, week_offset): bounded
+    cardinality (weeks^2), trivially small. Week truncation is Monday
+    in both engines, so the day-diff is an exact multiple of 7.
+    """
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("activity_week", "cohort_week") / F.lit(7))
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@register(
+    "funnel_conversion",
+    ops=("A1", "A4", "J2", "P3", "U1"),
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, MIN(e.ts) AS c_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.v_ts
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, MIN(e.ts) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+            GROUP BY e.user_id
+        )
+        SELECT CAST(1 AS INT) AS step_order, 'view' AS step,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT CAST(2 AS INT), 'click', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT CAST(3 AS INT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion view -> click -> purchase: a user
+    advances a stage only with an event strictly AFTER their first
+    qualifying event of the previous stage (the MATCH_RECOGNIZE-lite
+    semantics analytics warehouses sell as funnel analysis).
+
+    Scale: every stage is (filter -> join on user_id -> MIN per
+    user_id); all three stages and both joins are keyed on user_id, so
+    one hash partitioning is established once and reused — no
+    additional shuffles, and each stage's input shrinks monotonically
+    (later stages only scan users who survived the previous one). The
+    final UNION ALL is three 1-row aggregates.
+    """
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def stage(df: DataFrame, order: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(order).cast("int").alias("step_order"),
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return stage(v, 1, "view").unionAll(stage(c, 2, "click")).unionAll(
+        stage(p, 3, "purchase")
+    )
+
+
+@register(
+    "time_weighted_avg",
+    ops=("W2", "A1", "F8"),
+    oracle="""
+        WITH seg AS (
+            SELECT user_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vu,
+                   epoch_us(ts) AS ts_us,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(next_us - ts_us) AS BIGINT) AS total_dur_us,
+               CAST(SUM(vu * (next_us - ts_us)) AS DOUBLE)
+                   / CAST(SUM(next_us - ts_us) AS DOUBLE) / 100.0 AS twa_value
+        FROM seg WHERE next_us IS NOT NULL
+        GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled value per user:
+    each reading holds until the next one, so it is weighted by its
+    interval duration (the last reading per user carries no interval
+    and is excluded) — the standard aggregate for sensor/telemetry
+    series where plain AVG over-weights bursts.
+
+    Scale: one shuffle on user_id for the lead() window; the groupBy
+    that follows reuses the same partitioning. All weights are integer
+    microseconds and values integer hundredths, so both sums are exact
+    BIGINTs (per-user value*duration is bounded by max_units *
+    observed span, far inside int64) — the only floating-point step is
+    the final one-per-group division, identical on both engines.
+    """
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("vu"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dur = F.col("next_us") - F.col("ts_us")
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(dur).cast("long").alias("total_dur_us"),
+        (
+            F.sum(F.col("vu") * dur).cast("double")
+            / F.sum(dur).cast("double")
+            / F.lit(100.0)
+        ).alias("twa_value"),
+    )
+
+
+@register(
+    "linear_interpolation_fill",
+    ops=("W2", "P5", "P8", "F8"),
+    oracle="""
+        WITH base AS (
+            SELECT event_id, user_id, ts,
+                   event_type <> 'error' AS known,
+                   CASE WHEN event_type <> 'error'
+                        THEN CAST(ROUND(value * 100) AS BIGINT) END AS vu,
+                   epoch_us(ts) AS ts_us
+            FROM events
+        ), ctx AS (
+            SELECT *,
+                   last_value(vu IGNORE NULLS) OVER w_prev AS prev_vu,
+                   last_value(CASE WHEN known THEN ts_us END IGNORE NULLS)
+                       OVER w_prev AS prev_us,
+                   first_value(vu IGNORE NULLS) OVER w_next AS next_vu,
+                   first_value(CASE WHEN known THEN ts_us END IGNORE NULLS)
+                       OVER w_next AS next_us
+            FROM base
+            WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN known THEN 'observed'
+                    WHEN prev_vu IS NOT NULL AND next_vu IS NOT NULL
+                        THEN 'interpolated'
+                    ELSE 'edge' END AS fill_method,
+               CASE WHEN known THEN CAST(vu AS DOUBLE) / 100.0
+                    WHEN prev_vu IS NOT NULL AND next_vu IS NOT NULL THEN
+                        (CAST(prev_vu AS DOUBLE)
+                         + CAST(next_vu - prev_vu AS DOUBLE)
+                           * (CAST(ts_us - prev_us AS DOUBLE)
+                              / CAST(next_us - prev_us AS DOUBLE))) / 100.0
+               END AS filled_value
+        FROM ctx
+    """,
+)
+def linear_interpolation_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing readings: 'error' events carry
+    no trusted value, so each one is filled by interpolating between
+    the nearest known readings before and after it (by event time)
+    within the user's series; edges with only one neighbor stay NULL.
+    The gap-fill companion to forward_fill_gaps (LOCF) — interpolation
+    where LOCF would step.
+
+    Scale: one shuffle on user_id; all four context columns come from
+    two frames over the same window sort, evaluated in a single
+    window exchange. IGNORE-NULLS last/first over null-gated columns
+    picks the same source row for (value, timestamp) pairs because
+    both are gated by the same predicate. Exactness: neighbor values
+    and timestamps are exact BIGINTs; the interpolation expression has
+    the identical operation shape on both engines, and each IEEE step
+    (div, mul, add, div) on identical operands is correctly rounded —
+    bit-identical results without any epsilon.
+    """
+    ev = _events(spark, sf_dir)
+    known = F.col("event_type") != "error"
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        known.alias("known"),
+        F.when(known, F.round(F.col("value") * 100).cast("long")).alias("vu"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_next = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    gated_ts = F.when(F.col("known"), F.col("ts_us"))
+    ctx = base.select(
+        "*",
+        F.last("vu", ignorenulls=True).over(w_prev).alias("prev_vu"),
+        F.last(gated_ts, ignorenulls=True).over(w_prev).alias("prev_us"),
+        F.first("vu", ignorenulls=True).over(w_next).alias("next_vu"),
+        F.first(gated_ts, ignorenulls=True).over(w_next).alias("next_us"),
+    )
+    both = F.col("prev_vu").isNotNull() & F.col("next_vu").isNotNull()
+    frac = (F.col("ts_us") - F.col("prev_us")).cast("double") / (
+        F.col("next_us") - F.col("prev_us")
+    ).cast("double")
+    interp = (
+        F.col("prev_vu").cast("double")
+        + (F.col("next_vu") - F.col("prev_vu")).cast("double") * frac
+    ) / F.lit(100.0)
+    return ctx.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("known"), F.lit("observed"))
+        .when(both, F.lit("interpolated"))
+        .otherwise(F.lit("edge"))
+        .alias("fill_method"),
+        F.when(F.col("known"), F.col("vu").cast("double") / F.lit(100.0))
+        .when(both, interp)
+        .alias("filled_value"),
+    )
+
+
+@register(
+    "mode_per_key",
+    ops=("A1", "A4", "A6"),
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id, event_type AS mode_event_type,
+               CAST(cnt AS BIGINT) AS mode_count
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY cnt DESC, event_type
+            ) AS rn
+            FROM c
+        )
+        WHERE rn = 1
+    """,
+)
+def mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key mode: the most frequent event_type per
+    user, ties broken to the lexicographically smallest type. Spark's
+    built-in ``mode()`` is non-deterministic on ties, so the engine
+    computes it as count + argmax-by-struct, which is deterministic
+    on any partitioning.
+
+    Scale: two aggregations — (user_id, event_type) counts with full
+    map-side combine, then an argmax per user_id expressed as
+    MIN(STRUCT(-cnt, type)) so it stays a hash aggregate (mergeable
+    partial on every node) instead of a window sort. The oracle spells
+    the same semantics as a row_number()=1 window, which is the SQL a
+    user would write; results are identical because (-cnt, type) is
+    unique per user after the first groupBy.
+    """
+    ev = _events(spark, sf_dir)
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    picked = cnt.select(
+        "user_id",
+        F.struct(
+            (-F.col("cnt")).alias("neg_cnt"),
+            F.col("event_type").alias("mode_event_type"),
+            F.col("cnt").alias("mode_count"),
+        ).alias("s"),
+    ).groupBy("user_id").agg(F.min("s").alias("s"))
+    return picked.select(
+        "user_id",
+        F.col("s.mode_event_type").alias("mode_event_type"),
+        F.col("s.mode_count").alias("mode_count"),
+    )
