@@ -1356,3 +1356,58 @@ def curation_to_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+BIGRAM_TOP_K = 50  # LM-statistics head size; deterministic tie-break on bigram
+
+
+@register(
+    "corpus_bigram_counts",
+    ops=("N2", "A1", "O1", "O2"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT {_SQL_TOKS} AS t FROM documents
+        ), bg AS (
+            SELECT UNNEST(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM toks
+        ), c AS (
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM bg GROUP BY bigram
+        )
+        SELECT bigram, n_occurrences, CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  ORDER BY n_occurrences DESC, bigram) AS rn FROM c)
+        WHERE rn <= {BIGRAM_TOP_K}
+    """,
+)
+def corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequency head — the n-gram language-model
+    statistics pass (and the boilerplate detector's raw material): all
+    adjacent whitespace-token pairs across every document, counted,
+    top-K by frequency with ties broken on the bigram itself so the
+    selected set is deterministic.
+
+    Scale: the explode fans each document into ~n_tokens rows, but the
+    count aggregate gets full map-side combine, so what shuffles is
+    one partial count per distinct bigram per task — bounded by
+    vocabulary^2 head mass, not corpus size. Top-K plans as
+    TakeOrderedAndProject (no global sort); the rank window runs on
+    the K surviving rows only.
+    """
+    docs = load(spark, sf_dir, "documents").select("text")
+    with_t = docs.withColumn("t", tokens("text"))
+    bigrams = F.when(
+        F.size(F.col("t")) >= 2,
+        F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        with_t.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), "bigram").limit(BIGRAM_TOP_K)
+    w = W.orderBy(F.col("n_occurrences").desc(), "bigram")
+    return top.select(
+        "bigram", "n_occurrences", F.row_number().over(w).cast("int").alias("rank")
+    )
