@@ -576,6 +576,69 @@ def compact(
             continue
 
 
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo,
+    hi,
+) -> int:
+    """Transactional row-level DELETE (``DELETE WHERE col BETWEEN lo
+    AND hi``) by copy-on-write: the manifest's per-file [min, max] for
+    ``col`` selects the candidate files that can possibly hold a
+    matching row; only those are read, filtered to their surviving
+    rows, and restaged — every other file carries over by reference in
+    the delta commit, its bytes untouched. Readers hold the old
+    snapshot until the single commit lands; time travel to the
+    pre-delete version still sees the deleted rows until vacuum.
+
+    Write amplification is O(files whose range intersects the
+    predicate), which after zorder_write clustering tracks the
+    predicate's selectivity, not the table size — the property a
+    100 TB GDPR-erasure or retention pass needs. A candidate whose
+    rows all survive (range overlap, no actual match) rewrites
+    byte-equivalent content; avoiding that would take per-file matched
+    counts, one more scan — the stats prune is the cheap 99% of the
+    win. A file committed without stats is always a candidate (never
+    skipped), so correctness does not depend on stats coverage.
+
+    Returns the new version (or the current one when no file can
+    match — a provable no-op commits nothing)."""
+    from pyspark.sql import functions as F
+
+    while True:
+        base = current_version(table)
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {table!r}")
+        files = snapshot_files(table, base)
+        stats = file_stats(table, base)
+        candidates = []
+        for p in files:
+            st = stats.get(os.path.relpath(p, table))
+            if st is not None:
+                if st.get("rows") == 0:
+                    continue  # empty file: nothing to delete, carry over
+                if col in st["min"] and col in st["max"] and (
+                    st["max"][col] < lo or st["min"][col] > hi
+                ):
+                    continue  # cannot hold a matching row: carry over
+            candidates.append(p)
+        if not candidates:
+            return base
+        survivors = _read_files(spark, table, candidates).filter(
+            ~F.col(col).between(lo, hi)
+        )
+        from martian_moments_spark.streaming.sinks import BUCKET_COL
+
+        part = (BUCKET_COL,) if BUCKET_COL in survivors.columns else ()
+        new = _stage_data(survivors, table, partition_by=part)
+        prev = [os.path.relpath(p, table) for p in candidates]
+        try:
+            return _commit(table, new, "delete", base, remove=prev)
+        except FileExistsError:
+            continue
+
+
 def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     """Delete data files referenced by NO retained version (the last
     ``keep_versions`` log entries). Uncommitted leftovers from crashed

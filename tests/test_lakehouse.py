@@ -494,3 +494,59 @@ def test_partial_compaction_rewrites_only_selected_buckets(spark, tmp_path):
     assert got == {k: "v2" for k in range(1, 33)}
     # selecting buckets with no files is a no-op, not an empty commit
     assert lh.compact(spark, table, buckets=[99]) == v
+
+
+def test_delete_where_rewrites_only_intersecting_files(spark, tmp_path):
+    table = str(tmp_path / "t")
+    # three appends with disjoint key ranges -> three file sets with
+    # disjoint manifest [min, max] stats on k
+    lh.append(
+        spark.createDataFrame([(k, f"v{k}") for k in range(0, 10)], "k BIGINT, v STRING"),
+        table,
+    )
+    lh.append(
+        spark.createDataFrame([(k, f"v{k}") for k in range(10, 20)], "k BIGINT, v STRING"),
+        table,
+    )
+    lh.append(
+        spark.createDataFrame([(k, f"v{k}") for k in range(20, 30)], "k BIGINT, v STRING"),
+        table,
+    )
+    before = set(lh.snapshot_files(table, 2))
+
+    v = lh.delete_where(spark, table, "k", 12, 17)
+    assert v == 3
+
+    # semantics: exactly the predicate's rows are gone
+    got = {r["k"] for r in lh.read_table(spark, table).collect()}
+    assert got == set(range(0, 30)) - set(range(12, 17 + 1))
+
+    # write amplification: only the middle commit's files were
+    # rewritten; the other two ranges' files carry over BY REFERENCE
+    after = set(lh.snapshot_files(table, v))
+    carried = before & after
+    entry = lh._read_entry(table, v)
+    removed = set(entry["remove"])
+    stats = lh.file_stats(table, 2)
+    for rel in removed:
+        assert stats[rel]["min"]["k"] <= 17 and stats[rel]["max"]["k"] >= 12
+    for p in carried:
+        rel = os.path.relpath(p, table)
+        st = stats.get(rel)
+        if st and "k" in st["min"]:
+            assert st["max"]["k"] < 12 or st["min"]["k"] > 17
+
+    # time travel still sees the deleted rows; old files untouched
+    old = {r["k"] for r in lh.read_table(spark, table, version=2).collect()}
+    assert old == set(range(0, 30))
+    assert all(os.path.exists(p) for p in before)
+
+
+def test_delete_where_no_possible_match_is_a_noop(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lh.append(
+        spark.createDataFrame([(k, "x") for k in range(5)], "k BIGINT, v STRING"), table
+    )
+    v = lh.delete_where(spark, table, "k", 100, 200)
+    assert v == 0  # no new version: every file's range excludes the predicate
+    assert lh.current_version(table) == 0
