@@ -639,6 +639,63 @@ def delete_where(
             continue
 
 
+def update_where(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo,
+    hi,
+    assignments: dict,
+) -> int:
+    """Transactional row-level UPDATE (``UPDATE SET c = expr WHERE col
+    BETWEEN lo AND hi``), same copy-on-write shape as
+    ``delete_where``: manifest stats select the files that can hold a
+    matching row, only those are read and restaged with
+    ``assignments`` (column name -> Column expression) applied to the
+    matching rows, everything else carries over by reference in the
+    delta commit. Readers flip atomically from the old snapshot to the
+    new; the pre-update version stays time-travelable until vacuum.
+
+    Write amplification is O(range-intersecting files) — after
+    clustering, the cost of a backfill/correction pass follows the
+    predicate, not the table size. Returns the new version (current
+    version when no file can match)."""
+    from pyspark.sql import functions as F
+
+    while True:
+        base = current_version(table)
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {table!r}")
+        files = snapshot_files(table, base)
+        stats = file_stats(table, base)
+        candidates = []
+        for p in files:
+            st = stats.get(os.path.relpath(p, table))
+            if st is not None:
+                if st.get("rows") == 0:
+                    continue
+                if col in st["min"] and col in st["max"] and (
+                    st["max"][col] < lo or st["min"][col] > hi
+                ):
+                    continue
+            candidates.append(p)
+        if not candidates:
+            return base
+        matched = F.col(col).between(lo, hi)
+        df = _read_files(spark, table, candidates)
+        for name, expr in assignments.items():
+            df = df.withColumn(name, F.when(matched, expr).otherwise(F.col(name)))
+        from martian_moments_spark.streaming.sinks import BUCKET_COL
+
+        part = (BUCKET_COL,) if BUCKET_COL in df.columns else ()
+        new = _stage_data(df, table, partition_by=part)
+        prev = [os.path.relpath(p, table) for p in candidates]
+        try:
+            return _commit(table, new, "update", base, remove=prev)
+        except FileExistsError:
+            continue
+
+
 def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     """Delete data files referenced by NO retained version (the last
     ``keep_versions`` log entries). Uncommitted leftovers from crashed

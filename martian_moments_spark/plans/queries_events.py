@@ -117,11 +117,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics analytics warehouses sell as funnel analysis).
 
     Scale: every stage is (filter -> join on user_id -> MIN per
-    user_id); all three stages and both joins are keyed on user_id, so
-    one hash partitioning is established once and reused — no
-    additional shuffles, and each stage's input shrinks monotonically
-    (later stages only scan users who survived the previous one). The
-    final UNION ALL is three 1-row aggregates.
+    user_id). Each stage's groupBy gets full map-side combine, so what
+    shuffles per stage is one partial MIN per user per task — O(users),
+    not O(events) — which is why this beats the single-window
+    formulation (one shuffle, but of EVERY event row, windows having
+    no partial aggregation). Stage outputs are per-user single rows;
+    AQE broadcasts them into the next stage's join when they are small
+    (they shrink monotonically), else the join co-partitions with the
+    stage's own shuffle. The final UNION ALL is three 1-row aggregates.
     """
     ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
     v = (
@@ -370,4 +373,100 @@ def mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("s.mode_event_type").alias("mode_event_type"),
         F.col("s.mode_count").alias("mode_count"),
+    )
+
+
+ZSCORE_LOOKBACK = 20  # trailing readings per user in the baseline frame
+ZSCORE_MIN_N = 5  # below this many priors, no score is emitted
+ZSCORE_TAU = 3.0  # |z| above this flags the reading
+
+
+@register(
+    "rolling_zscore_anomaly",
+    ops=("W2", "P8", "F8"),
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id, user_id, ts, value,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vu
+            FROM events
+        ), ctx AS (
+            SELECT *,
+                   CAST(COUNT(vu) OVER w AS BIGINT) AS n_prev,
+                   CAST(SUM(vu) OVER w AS BIGINT) AS s,
+                   CAST(SUM(vu * vu) OVER w AS BIGINT) AS s2
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+        ), scored AS (
+            SELECT event_id, user_id, ts, value,
+                   CASE WHEN n_prev >= {ZSCORE_MIN_N}
+                             AND n_prev * s2 - s * s > 0 THEN
+                       CAST(vu * n_prev - s AS DOUBLE)
+                       / (CAST(n_prev AS DOUBLE)
+                          * sqrt(CAST(n_prev * s2 - s * s AS DOUBLE)
+                                 / CAST(n_prev * (n_prev - 1) AS DOUBLE)))
+                   END AS zscore
+            FROM ctx
+        )
+        SELECT event_id, user_id, ts, value, zscore,
+               CASE WHEN zscore IS NOT NULL
+                    THEN abs(zscore) > {ZSCORE_TAU} END AS is_anomaly
+        FROM scored
+    """,
+)
+def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each reading is scored
+    against the mean/stddev of its user's trailing ZSCORE_LOOKBACK
+    readings (the reading itself excluded, so an outlier cannot mask
+    itself); |z| > tau flags it. Readings with fewer than ZSCORE_MIN_N
+    priors or a degenerate (zero-variance) baseline emit NULL.
+
+    Scale: one shuffle on user_id; count/sum/sum-of-squares share a
+    single trailing frame in one Window node. Exactness: the frame
+    statistics are integer (vu, vu^2 sums as BIGINT — with a 20-row
+    frame and 4-digit units the variance numerator n*s2 - s^2 stays
+    exact in int64), so mean and variance derive from exact integers
+    and the only floating-point steps (div, sqrt, div) have identical
+    operand bits and expression shape on both engines. The z-score is
+    written as (x*n - s) / (n * sqrt(var)) to keep the numerator
+    integer-exact instead of subtracting two rounded doubles.
+    """
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("vu"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    ctx = base.select(
+        "*",
+        F.count("vu").over(w).cast("long").alias("n_prev"),
+        F.sum("vu").over(w).cast("long").alias("s"),
+        F.sum(F.col("vu") * F.col("vu")).over(w).cast("long").alias("s2"),
+    )
+    numer = F.col("n_prev") * F.col("s2") - F.col("s") * F.col("s")
+    variance = numer.cast("double") / (
+        F.col("n_prev") * (F.col("n_prev") - F.lit(1))
+    ).cast("double")
+    z = (F.col("vu") * F.col("n_prev") - F.col("s")).cast("double") / (
+        F.col("n_prev").cast("double") * F.sqrt(variance)
+    )
+    scored = ctx.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when((F.col("n_prev") >= ZSCORE_MIN_N) & (numer > 0), z).alias("zscore"),
+    )
+    return scored.select(
+        "*",
+        F.when(
+            F.col("zscore").isNotNull(), F.abs(F.col("zscore")) > F.lit(ZSCORE_TAU)
+        ).alias("is_anomaly"),
     )

@@ -550,3 +550,34 @@ def test_delete_where_no_possible_match_is_a_noop(spark, tmp_path):
     v = lh.delete_where(spark, table, "k", 100, 200)
     assert v == 0  # no new version: every file's range excludes the predicate
     assert lh.current_version(table) == 0
+
+
+def test_update_where_applies_only_to_matching_rows_and_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "t")
+    lh.append(
+        spark.createDataFrame([(k, 10) for k in range(0, 10)], "k BIGINT, v BIGINT"),
+        table,
+    )
+    lh.append(
+        spark.createDataFrame([(k, 10) for k in range(10, 20)], "k BIGINT, v BIGINT"),
+        table,
+    )
+    before = set(lh.snapshot_files(table, 1))
+
+    v = lh.update_where(spark, table, "k", 3, 6, {"v": F.col("v") * 10})
+    assert v == 2
+
+    got = {r["k"]: r["v"] for r in lh.read_table(spark, table).collect()}
+    assert got == {k: (100 if 3 <= k <= 6 else 10) for k in range(20)}
+
+    # only the first commit's files (k range 0-9) were rewritten
+    entry = lh._read_entry(table, v)
+    stats = lh.file_stats(table, 1)
+    for rel in entry["remove"]:
+        assert stats[rel]["min"]["k"] <= 6 and stats[rel]["max"]["k"] >= 3
+    # time travel: pre-update values intact
+    old = {r["k"]: r["v"] for r in lh.read_table(spark, table, version=1).collect()}
+    assert set(old.values()) == {10}
+    assert all(os.path.exists(p) for p in before)
