@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from martian_moments_spark.catalog import load
+from martian_moments_spark.functions.numeric import fixed_sum, sql_fixed_sum
 from martian_moments_spark.plans.registry import register
 
 
@@ -360,4 +361,74 @@ def incremental_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_users_estimate"),
             F.sum("n_events").alias("n_events"),
         )
+    )
+
+
+JOIN_CUTOFF_A = "1997-01-01 00:00:00"  # orders delta boundary (o_orderdate)
+JOIN_CUTOFF_B = "1997-06-01 00:00:00"  # lineitem delta boundary (l_shipdate)
+
+
+@register(
+    "incremental_join_merge",
+    ops=("J2", "U1", "A1", "E7"),
+    oracle=f"""
+        SELECT l.l_returnflag, l.l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {sql_fixed_sum("l.l_quantity")} AS sum_qty,
+               {sql_fixed_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_returnflag, l.l_linestatus
+    """,
+)
+def incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view by delta-join algebra:
+    with orders split at JOIN_CUTOFF_A into (A0, dA) and lineitem at
+    JOIN_CUTOFF_B into (B0, dB), the refreshed view is the stored
+    state A0><B0 plus exactly three delta terms dA><B0, A0><dB and
+    dA><dB — disjoint because the splits partition each input, so the
+    union is duplicate-free by construction and must equal the
+    from-scratch join (the oracle). This is X1/X2 lifted from
+    single-table appends to a two-table view — the algebra an
+    incremental dbt model or a materialized-view engine applies.
+
+    Scale: the whole point — the A0><B0 term is the STORED view (here
+    recomputed to make the query self-contained; a real refresh reads
+    it back), so refresh cost is the three delta joins, each with one
+    small side (the delta) that broadcasts. The final rollup merges
+    partial aggregates across the union's branches; at 100 TB the
+    stored state and both deltas share the orderkey bucketing, so the
+    delta joins co-locate without a shuffle of the big sides.
+    """
+    cut_a = F.lit(JOIN_CUTOFF_A).cast("timestamp")
+    cut_b = F.lit(JOIN_CUTOFF_B).cast("timestamp")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    )
+    a0 = orders.filter(F.col("o_orderdate") <= cut_a)
+    da = orders.filter(F.col("o_orderdate") > cut_a)
+    b0 = li.filter(F.col("l_shipdate") <= cut_b)
+    db = li.filter(F.col("l_shipdate") > cut_b)
+
+    def term(o: DataFrame, l: DataFrame) -> DataFrame:
+        return l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
+        )
+
+    stored = term(a0, b0)  # the materialized state a real refresh reads back
+    refreshed = (
+        stored.unionByName(term(da, b0))
+        .unionByName(term(a0, db))
+        .unionByName(term(da, db))
+    )
+    return refreshed.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        fixed_sum("l_quantity").alias("sum_qty"),
+        fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
     )
