@@ -1411,3 +1411,29 @@ def corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "bigram", "n_occurrences", F.row_number().over(w).cast("int").alias("rank")
     )
+
+
+BPE_NUM_MERGES = 12  # merge-table size at test scale (32k-class in production)
+BPE_TOP_V = 200  # vocabulary rows the learner iterates over
+
+
+@register(
+    "bpe_vocab_learn",
+    ops=("A1", "N2", "O2"),
+    oracle=None,  # iterative argmax loop — not SQL-expressible; exactness
+    # is pinned instead against an independent pure-Python implementation
+    # of the published algorithm in tests/test_llmops.py.
+)
+def bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich 2016) on the documents corpus:
+    reduce the corpus to its top-V word frequencies once, then learn
+    BPE_NUM_MERGES merges; returns the ordered merge table a
+    downstream tokenizer consumes. See llmops/bpe.py for the
+    distributed shape (one bounded pair-count shuffle per round, JVM
+    fold for the rewrite, no Python UDFs) and the determinism
+    argument (integer counts, totally-ordered argmax).
+    """
+    from martian_moments_spark.llmops.bpe import bpe_merge_table
+
+    docs = load(spark, sf_dir, "documents").select("text")
+    return bpe_merge_table(spark, docs, num_merges=BPE_NUM_MERGES, top_v=BPE_TOP_V)

@@ -202,3 +202,65 @@ def test_line_level_dedup_fully_deduped_doc_is_null(spark, tmp_path):
     }
     assert got == want
     assert got[1] == (None, 0, 3)
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _ref_bpe(word_counts, num_merges):
+    """Independent pure-Python BPE (Sennrich 2016): same spec, no
+    shared code with llmops/bpe.py."""
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pc = {}
+        for w, n in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + n
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append({"rank": rank, "left": l, "right": r, "merged": l + r, "pair_count": c})
+        for w, s in syms.items():
+            out = []
+            for tok in s:
+                if out and out[-1] == l and tok == r:
+                    out[-1] = l + r
+                else:
+                    out.append(tok)
+            syms[w] = out
+    return merges
+
+
+def test_bpe_matches_independent_reference(spark):
+    import re
+    from collections import Counter
+
+    from martian_moments_spark.catalog import load
+    from martian_moments_spark.llmops.bpe import learn_bpe_merges
+
+    docs = load(spark, SF, "documents").select("text")
+    got = learn_bpe_merges(spark, docs, num_merges=10, top_v=100)
+
+    wc = Counter(
+        w for r in docs.collect() for w in re.split(r"\s+", r["text"]) if w != ""
+    )
+    top = dict(sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:100])
+    ref = _ref_bpe(top, 10)
+    assert got == ref
+    assert len(got) == 10
+
+
+def test_bpe_greedy_overlap_and_early_stop(spark):
+    from martian_moments_spark.llmops.bpe import learn_bpe_merges
+
+    # 'aaaa' x3: pair (a,a) counts 3*3=9; greedy left-to-right turns
+    # aaaa into [aa, aa] (non-overlapping), NOT [aa, aa, aa]-style
+    # double counting on the next round.
+    docs = spark.createDataFrame([("aaaa aaaa aaaa",)], "text STRING")
+    got = learn_bpe_merges(spark, docs, num_merges=5, top_v=10)
+    assert got[0] == {"rank": 1, "left": "a", "right": "a", "merged": "aa", "pair_count": 9}
+    assert got[1] == {"rank": 2, "left": "aa", "right": "aa", "merged": "aaaa", "pair_count": 3}
+    # after 'aaaa' is one token there are no pairs left -> early stop
+    assert len(got) == 2
