@@ -968,3 +968,63 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_suppliers"),
         F.countDistinct("l_suppkey").alias("exact_suppliers"),
     )
+
+
+RANK_BUCKET_WIDTH = 50_000  # price units per range bucket (phase-1 split)
+
+
+@register(
+    "global_rank_range_partitioned",
+    ops=("W1", "W2", "A1", "J1"),
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+                   AS global_rank
+        FROM orders
+    """,
+)
+def global_rank_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ROW_NUMBER over a fact-sized table WITHOUT the
+    single-partition window (the W1 scale ceiling global_row_number
+    documents): two-phase range ranking. Rows are bucketed by a range
+    split of the order key's sort column; phase 1 counts each bucket
+    (tiny aggregate), phase 2 prefix-sums those counts into per-bucket
+    offsets (a window over B metadata rows, not the fact) and
+    broadcast-joins them back so every row's global rank is its
+    bucket's offset plus its WITHIN-bucket row_number — each bucket
+    ranks independently under hash partitioning. Same result as the
+    oracle's global window, but the fact table never funnels through
+    one task.
+
+    Scale: the fact shuffles once on the bucket id; B is chosen so
+    buckets fit an executor (at 100 TB: finer width, or boundaries
+    from a range sample exactly like Spark's own RangePartitioner —
+    the fixed width here keeps the split deterministic for the
+    oracle). Skewed buckets bound the parallelism, which is the
+    classic distributed-sort trade; AQE splits oversized ones.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(RANK_BUCKET_WIDTH)).cast("long")
+    rows = orders.withColumn("bucket", bucket)
+    counts = rows.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # offset of a bucket = rows in all HIGHER buckets (rank is by price
+    # DESC); a running sum over the B-row counts table — metadata-scale.
+    w_off = (
+        W.orderBy(F.col("bucket").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(w_off), F.lit(0)).cast("long").alias("offset")
+    )
+    w_in = W.partitionBy("bucket").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        rows.join(F.broadcast(offsets), "bucket")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("offset") + F.row_number().over(w_in)).cast("long").alias("global_rank"),
+        )
+    )

@@ -242,3 +242,17 @@ def test_line_level_dedup_has_no_window(spark):
     plan = explain_str(REGISTRY["line_level_dedup"].fn(spark, SF_DIR_ORACLE))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_global_rank_fact_window_is_bucket_partitioned(spark):
+    # the two-phase global rank must window the FACT under
+    # hashpartitioning(bucket); the only SinglePartition window allowed
+    # is the metadata-scale offset prefix-sum over the B bucket counts.
+    plan = explain_str(REGISTRY["global_rank_range_partitioned"].fn(spark, SF_DIR_ORACLE))
+    assert "windowspecdefinition(bucket" in plan
+    assert "BroadcastHashJoin" in plan  # offsets join back via broadcast
+    fact_window_lines = [
+        l for l in plan.splitlines()
+        if "windowspecdefinition(bucket" in l and "o_orderkey" in l
+    ]
+    assert fact_window_lines, "fact-side window not partitioned by bucket"
