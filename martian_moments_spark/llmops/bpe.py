@@ -141,3 +141,68 @@ def bpe_merge_table(
         [(m["rank"], m["left"], m["right"], m["merged"], m["pair_count"]) for m in merges],
         schema,
     )
+
+
+def apply_merges_to_word(word: str, merges: list[dict]) -> list[str]:
+    """Encode one word by replaying the merge table in rank order —
+    the exact operation training applied, so train-time and
+    encode-time segmentations agree by construction."""
+    syms = list(word)
+    for m in merges:
+        left, right, out = m["left"], m["right"], []
+        for tok in syms:
+            if out and out[-1] == left and tok == right:
+                out[-1] = left + right
+            else:
+                out.append(tok)
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table: per document,
+    whitespace words are each segmented by replaying the merges. Runs
+    as Arrow-batched mapInPandas with the merge table broadcast by
+    closure (it is merge-table-sized, i.e. tiny); per-batch
+    memoization collapses the heavy word repetition of natural text,
+    so the per-row cost is a dict lookup for all but first
+    occurrences. Deterministic: pure per-row function of (text,
+    merges) — partitioning cannot change it.
+
+    Output: (doc_id, n_subwords, subword_seq) with the sequence
+    comma-joined (array columns are serialized for the engine's
+    hash-compare rule)."""
+    import re as _re
+
+    import pandas as pd
+
+    out_schema = f"{id_col} long, n_subwords long, subword_seq string"
+    ws = _re.compile(r"\s+")
+
+    def _batches(it):
+        memo: dict[str, list[str]] = {}
+        for pdf in it:
+            ids, counts, seqs = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                pieces: list[str] = []
+                for w in ws.split(text):
+                    if w == "":
+                        continue
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = apply_merges_to_word(w, merges)
+                        memo[w] = enc
+                    pieces.extend(enc)
+                ids.append(doc_id)
+                counts.append(len(pieces))
+                seqs.append(",".join(pieces))
+            yield pd.DataFrame(
+                {id_col: ids, "n_subwords": counts, "subword_seq": seqs}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_batches, schema=out_schema)

@@ -470,3 +470,59 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("zscore").isNotNull(), F.abs(F.col("zscore")) > F.lit(ZSCORE_TAU)
         ).alias("is_anomaly"),
     )
+
+
+FUNNEL_PATTERN = "v[ce]*p"  # a view converting to purchase across clicks/errors
+
+
+@register(
+    "event_pattern_match",
+    ops=("A1", "F1", "N7"),
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id,
+                   array_to_string(list(substr(event_type, 1, 1)
+                       ORDER BY ts, event_id), '') AS type_seq
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(type_seq) AS BIGINT) AS n_events,
+               CAST(len(regexp_extract_all(type_seq, '{FUNNEL_PATTERN}'))
+                    AS BIGINT) AS n_conversions,
+               len(regexp_extract_all(type_seq, '{FUNNEL_PATTERN}')) > 0
+                   AS has_conversion
+        FROM seq
+    """,
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event streams — the
+    MATCH_RECOGNIZE shape: each user's time-ordered event types are
+    collapsed to an initials string (one char per event — the five
+    types have distinct initials) and a regex counts non-overlapping
+    conversion patterns (a view reaching a purchase through only
+    clicks/errors). Complements funnel_conversion: that measures
+    stage survival once per user, this counts every completed pattern
+    occurrence.
+
+    Scale: ONE shuffle on user_id; ordering happens inside the hash
+    aggregate via array_sort over (ts, event_id) structs — the same
+    idiom as ordered_event_sequences, no window. The regex runs once
+    per user on a compact string. Leftmost non-overlapping match
+    counting is identical between Java regex and RE2 for this
+    pattern class (character classes + star, no backtracking
+    ambiguity).
+    """
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    sorted_seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(sorted_seq, lambda x: F.substring(x["event_type"], 1, 1)), ""
+        ).alias("type_seq")
+    )
+    n = F.regexp_count(F.col("type_seq"), F.lit(FUNNEL_PATTERN)).cast("long")
+    return seq.select(
+        "user_id",
+        F.length("type_seq").cast("long").alias("n_events"),
+        n.alias("n_conversions"),
+        (n > 0).alias("has_conversion"),
+    )

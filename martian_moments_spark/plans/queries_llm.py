@@ -1437,3 +1437,26 @@ def bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("text")
     return bpe_merge_table(spark, docs, num_merges=BPE_NUM_MERGES, top_v=BPE_TOP_V)
+
+
+@register(
+    "bpe_encode_corpus",
+    ops=("A1", "N2"),
+    oracle=None,  # consumes the iteratively-learned merge table — not
+    # SQL-expressible; segmentation correctness and partitioning
+    # invariance are pinned in tests/test_llmops.py.
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the documents corpus with the BPE merge table learned
+    from it (bpe_vocab_learn): the train-then-encode round trip of a
+    tokenizer pipeline in one query. Encoding replays merges in rank
+    order, so segmentation is identical to what training produced.
+    See llmops/bpe.py: Arrow mapInPandas with per-batch word
+    memoization; the merge table travels by closure (tiny)."""
+    from martian_moments_spark.llmops.bpe import bpe_encode, learn_bpe_merges
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = learn_bpe_merges(
+        spark, docs, num_merges=BPE_NUM_MERGES, top_v=BPE_TOP_V
+    )
+    return bpe_encode(docs, merges)

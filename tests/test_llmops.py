@@ -264,3 +264,39 @@ def test_bpe_greedy_overlap_and_early_stop(spark):
     assert got[1] == {"rank": 2, "left": "aa", "right": "aa", "merged": "aaaa", "pair_count": 3}
     # after 'aaaa' is one token there are no pairs left -> early stop
     assert len(got) == 2
+
+
+def test_bpe_encode_matches_training_segmentation_and_is_partition_invariant(spark):
+    from martian_moments_spark.llmops.bpe import (
+        apply_merges_to_word,
+        bpe_encode,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aa b"), (1, "aaaa aaaa"), (2, "ab aa")],
+        "doc_id LONG, text STRING",
+    )
+    merges = learn_bpe_merges(spark, docs, num_merges=3, top_v=10)
+    # rank 1 must be (a,a): count 2*2(aaaa)+... dominated by 'a' pairs
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "a")
+
+    got = {
+        r["doc_id"]: (r["n_subwords"], r["subword_seq"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    # independent expectation: replay per word
+    import re
+    expect = {}
+    for doc_id, text in [(0, "aaaa aa b"), (1, "aaaa aaaa"), (2, "ab aa")]:
+        pieces = []
+        for w in re.split(r"\s+", text):
+            if w:
+                pieces.extend(apply_merges_to_word(w, merges))
+        expect[doc_id] = (len(pieces), ",".join(pieces))
+    assert got == expect
+
+    # partitioning invariance: 1 vs 8 partitions, identical rows
+    one = sorted(map(tuple, bpe_encode(docs.coalesce(1), merges).collect()))
+    many = sorted(map(tuple, bpe_encode(docs.repartition(8), merges).collect()))
+    assert one == many
