@@ -283,12 +283,60 @@ def _collect_stats(table: str, rel_paths: list[str]) -> dict:
     return out
 
 
+class SchemaConflictError(ValueError):
+    """An incoming write's column types conflict with the table's."""
+
+
+def _latest_schema(table: str, version: int) -> dict | None:
+    """The table's column->type mapping as of ``version``: the newest
+    log entry at or below it that recorded a schema (schemas only
+    accumulate, so the newest record is the table schema). Entries
+    expired by vacuum are skipped — after deep vacuums enforcement is
+    best-effort, like stats-based pruning."""
+    for v in range(version, -1, -1):
+        try:
+            entry = _read_entry(table, v)
+        except FileNotFoundError:
+            continue
+        sch = entry.get("schema")
+        if sch is not None:
+            return sch
+    return None
+
+
+def _enforced_schema(table: str, base: int | None, df: DataFrame, reset: bool = False) -> dict:
+    """Schema enforcement on write (the table-format contract parquet
+    directories lack): shared columns must keep their exact type —
+    a conflicting append raises instead of poisoning the table for
+    every future reader — while NEW columns are additive evolution
+    (read_table fills them as NULL for old files). ``reset=True``
+    (overwrite) replaces the schema wholesale: a full rewrite may
+    legitimately retype. Returns the merged mapping the commit entry
+    records."""
+    new = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if reset or base is None:
+        return new
+    prev = _latest_schema(table, base)
+    if prev is None:
+        return new
+    conflicts = {
+        k: (prev[k], new[k]) for k in prev.keys() & new.keys() if prev[k] != new[k]
+    }
+    if conflicts:
+        raise SchemaConflictError(
+            f"type conflicts vs table schema of {table!r}: "
+            + ", ".join(f"{k}: {a} -> {b}" for k, (a, b) in sorted(conflicts.items()))
+        )
+    return {**prev, **new}
+
+
 def _commit(
     table: str,
     add: list[str],
     op: str,
     base_version: int | None,
     remove: list[str] = (),
+    schema: dict | None = None,
 ) -> int:
     """Atomically publish a delta (``add``/``remove`` table-relative
     paths) as the next version, harvesting per-file stats for the
@@ -302,17 +350,17 @@ def _commit(
     os.makedirs(logd, exist_ok=True)
     next_v = 0 if base_version is None else base_version + 1
     staged = os.path.join(logd, f"{next_v}.{uuid.uuid4().hex[:8]}.tmp.json")
+    entry = {
+        "version": next_v,
+        "op": op,
+        "add": sorted(add),
+        "remove": sorted(remove),
+        "stats": _collect_stats(table, sorted(add)),
+    }
+    if schema is not None:
+        entry["schema"] = schema
     with open(staged, "w") as f:
-        json.dump(
-            {
-                "version": next_v,
-                "op": op,
-                "add": sorted(add),
-                "remove": sorted(remove),
-                "stats": _collect_stats(table, sorted(add)),
-            },
-            f,
-        )
+        json.dump(entry, f)
     final = os.path.join(logd, f"{next_v}.json")
     try:
         # atomic publish; os.link + unlink refuses to clobber an
@@ -333,11 +381,13 @@ def append(df: DataFrame, table: str) -> int:
     add-delta): append cost is independent of table size — the shape
     that matters at 100 TB where the live set is millions of files.
     Returns the committed version."""
+    _enforced_schema(table, current_version(table), df)  # fail fast, pre-write
     new = _stage_data(df, table)
     while True:
         base = current_version(table)
+        sch = _enforced_schema(table, base, df)  # re-check vs the race winner
         try:
-            return _commit(table, new, "append", base)
+            return _commit(table, new, "append", base, schema=sch)
         except FileExistsError:
             continue  # lost the race: an append composes with any winner
 
@@ -355,7 +405,10 @@ def overwrite(df: DataFrame, table: str) -> int:
         )
         new = _stage_data(df, table)
         try:
-            return _commit(table, new, "overwrite", base, remove=prev)
+            return _commit(
+                table, new, "overwrite", base, remove=prev,
+                schema=_enforced_schema(table, base, df, reset=True),
+            )
         except FileExistsError:
             continue
 
@@ -393,9 +446,10 @@ def merge_upsert(
         else:
             prev = []
             merged = batch
+        sch = _enforced_schema(table, base, batch) if base is not None else _enforced_schema(table, None, batch)
         new = _stage_data(merged, table)
         try:
-            return _commit(table, new, "merge", base, remove=prev)
+            return _commit(table, new, "merge", base, remove=prev, schema=sch)
         except FileExistsError:
             continue
 
@@ -475,7 +529,10 @@ def merge_upsert_bucketed(
         if base is None:
             new = _stage_data(batch, table, partition_by=(BUCKET_COL,))
             try:
-                return _commit(table, new, "merge_bucketed", None)
+                return _commit(
+                    table, new, "merge_bucketed", None,
+                    schema=_enforced_schema(table, None, batch),
+                )
             except FileExistsError:
                 continue
         touched = {r[0] for r in batch.select(BUCKET_COL).distinct().collect()}
@@ -516,13 +573,16 @@ def merge_upsert_bucketed(
             merged = batch.unionByName(survivors)
         else:
             merged = batch
+        sch = _enforced_schema(table, base, batch)
         new = _stage_data(merged, table, partition_by=(BUCKET_COL,))
         try:
             # delta commit: only the touched buckets' files are removed
             # and only their replacements added — the untouched buckets
             # carry over implicitly, so the LOG ENTRY (not just the
             # data write) is O(touched), matching the write amplification.
-            return _commit(table, new, "merge_bucketed", base, remove=touched_files)
+            return _commit(
+                table, new, "merge_bucketed", base, remove=touched_files, schema=sch
+            )
         except FileExistsError:
             continue
 

@@ -581,3 +581,35 @@ def test_update_where_applies_only_to_matching_rows_and_files(spark, tmp_path):
     old = {r["k"]: r["v"] for r in lh.read_table(spark, table, version=1).collect()}
     assert set(old.values()) == {10}
     assert all(os.path.exists(p) for p in before)
+
+
+def test_schema_enforcement_rejects_type_conflict_allows_additive(spark):
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    table = os.path.join(d, "t")
+    lh.append(spark.createDataFrame([(1, 5)], "k BIGINT, v BIGINT"), table)
+
+    # type conflict on a shared column -> rejected before any write
+    import pytest as _pytest
+
+    with _pytest.raises(lh.SchemaConflictError, match="v: bigint -> string"):
+        lh.append(spark.createDataFrame([(2, "oops")], "k BIGINT, v STRING"), table)
+    assert lh.current_version(table) == 0  # nothing committed
+
+    # additive evolution -> allowed; old files read the new column as NULL
+    lh.append(
+        spark.createDataFrame([(3, 7, "x")], "k BIGINT, v BIGINT, extra STRING"), table
+    )
+    got = {r["k"]: (r["v"], r["extra"]) for r in lh.read_table(spark, table).collect()}
+    assert got == {1: (5, None), 3: (7, "x")}
+
+    # the conflict is now also against the accumulated schema
+    with _pytest.raises(lh.SchemaConflictError):
+        lh.append(spark.createDataFrame([(4, 1.5)], "k BIGINT, extra DOUBLE"), table)
+
+    # overwrite may retype (schema reset), and future appends enforce the NEW schema
+    lh.overwrite(spark.createDataFrame([(9, "now-a-string")], "k BIGINT, v STRING"), table)
+    lh.append(spark.createDataFrame([(10, "fine")], "k BIGINT, v STRING"), table)
+    with _pytest.raises(lh.SchemaConflictError):
+        lh.append(spark.createDataFrame([(11, 1)], "k BIGINT, v BIGINT"), table)
