@@ -613,3 +613,46 @@ def test_schema_enforcement_rejects_type_conflict_allows_additive(spark):
     lh.append(spark.createDataFrame([(10, "fine")], "k BIGINT, v STRING"), table)
     with _pytest.raises(lh.SchemaConflictError):
         lh.append(spark.createDataFrame([(11, 1)], "k BIGINT, v BIGINT"), table)
+
+
+def test_delete_where_races_appends_without_losing_either(spark, tmp_path):
+    """delete_where's optimistic retry vs concurrent appends: the
+    delete must remove exactly its predicate's rows from whatever
+    snapshot it lands on, and no append may be lost. Appended rows
+    are outside the delete range, so the final state is exact."""
+    import threading
+
+    table = str(tmp_path / "t")
+    lh.append(
+        spark.createDataFrame([(k, "base") for k in range(10)], "k BIGINT, v STRING"),
+        table,
+    )
+    errors = []
+
+    def appender(i):
+        try:
+            lh.append(
+                spark.createDataFrame([(100 + i, f"a{i}")], "k BIGINT, v STRING"), table
+            )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def deleter():
+        try:
+            lh.delete_where(spark, table, "k", 3, 6)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(4)]
+    threads.append(threading.Thread(target=deleter))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    got = _rows(lh.read_table(spark, table))
+    expect = {(k, "base") for k in range(10) if not 3 <= k <= 6} | {
+        (100 + i, f"a{i}") for i in range(4)
+    }
+    assert got == expect
