@@ -45,11 +45,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Columns written as parquet TIMESTAMP(NANOS) — Spark's vectorized
-# reader has no nanos timestamp type, so these are read as epoch-nanos
-# LongType (legacy conf) and converted to microsecond timestamps. The
-# testdata generator stamps at microsecond granularity, so the
-# truncation is lossless (and matches DuckDB→pandas us canon).
+# Columns the testdata generator MAY write as parquet TIMESTAMP(NANOS)
+# — Spark's vectorized reader has no nanos timestamp type, so those are
+# read as epoch-nanos LongType (legacy conf) and converted to
+# microsecond timestamps. Generator versions differ (some emit
+# timestamp[us] directly), so the conversion is applied only when the
+# column actually reads back as LongType; a native timestamp column
+# passes through untouched. Lossless either way: stamps are at
+# microsecond granularity (matches DuckDB→pandas us canon).
 NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -61,12 +64,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for c in nanos_cols:
-        if c in df.columns:
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
             # Integer DIV, not `/`: float division of epoch-nanos loses
             # the last microsecond digit (2^53 < 1.7e18).
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # Generator variants write timestamp[us] without UTC
+            # adjustment → Spark reads TIMESTAMP_NTZ, which rejects
+            # casts to numeric epoch. The session tz is pinned UTC
+            # (ensure_engine_conf), so the NTZ→LTZ cast is the identity
+            # on the wall clock — same instants DuckDB's epoch() sees.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -170,6 +170,12 @@ def _read_files(spark: SparkSession, table: str, files: list[str]) -> DataFrame:
     extra columns."""
     from functools import reduce
 
+    if not files:
+        raise ValueError(
+            f"empty file list for {table!r} — an empty snapshot must be "
+            "handled by the caller (read_table returns a schema-correct "
+            "empty DataFrame from the commit log)"
+        )
     by_dir: dict[str, list[str]] = {}
     for p in files:
         rel = os.path.relpath(p, table)
@@ -184,10 +190,28 @@ def _read_files(spark: SparkSession, table: str, files: list[str]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
 
 
+def _empty_snapshot(spark: SparkSession, table: str, version: int | None) -> DataFrame:
+    """A version whose live file set is empty (e.g. delete_where removed
+    every row) still has a schema — reconstruct it from the commit log
+    so readers get an empty DataFrame, not a reduce() crash."""
+    v = current_version(table) if version is None else version
+    sch = None if v is None else _latest_schema(table, v)
+    if not sch:
+        raise FileNotFoundError(
+            f"version {v} of {table!r} has no files and no recorded schema"
+        )
+    ddl = ", ".join(f"`{name}` {typ}" for name, typ in sch.items())
+    return spark.createDataFrame([], ddl)
+
+
 def read_table(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
     """Snapshot read: resolve the version's exact file list, then scan
-    only those files. Time travel via ``version``."""
-    return _read_files(spark, table, snapshot_files(table, version))
+    only those files. Time travel via ``version``. A version with an
+    empty live set reads as an empty DataFrame with the logged schema."""
+    files = snapshot_files(table, version)
+    if not files:
+        return _empty_snapshot(spark, table, version)
+    return _read_files(spark, table, files)
 
 
 def read_table_pruned(
@@ -222,7 +246,9 @@ def read_table_pruned(
         keep.append(p)
     if not keep:
         # preserve the schema: read nothing via an always-false filter
-        # on one file (never happens on a non-empty intersection)
+        # (never happens on a non-empty intersection)
+        if not files:
+            return _empty_snapshot(spark, table, version)
         return _read_files(spark, table, files).filter(F.lit(False))
     return _read_files(spark, table, keep).filter(F.col(col).between(lo, hi))
 
@@ -756,15 +782,26 @@ def update_where(
             continue
 
 
-def vacuum(table: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    table: str, keep_versions: int = 1, retention_seconds: float = 3600.0
+) -> list[str]:
     """Delete data files referenced by NO retained version (the last
     ``keep_versions`` log entries). Uncommitted leftovers from crashed
-    writers are also swept. Before expiring log entries, the oldest
-    retained version is checkpointed so every retained version remains
-    reconstructable without the expired deltas; checkpoints older than
-    the horizon are dropped with them. Returns deleted paths."""
+    writers are also swept. Files younger than ``retention_seconds``
+    (mtime, Delta-style retention horizon) are never deleted: a live
+    writer's staged-but-uncommitted files, and the files of a commit
+    that lands between the version listing and the directory walk, are
+    all younger than the horizon, so vacuum is safe to run alongside
+    writers. Pass ``retention_seconds=0`` only with exclusive access to
+    the table. Before expiring log entries, the oldest retained version
+    is checkpointed so every retained version remains reconstructable
+    without the expired deltas; checkpoints older than the horizon are
+    dropped with them. Returns deleted paths."""
+    import time
+
     vs = _versions(table)
     retained = vs[-keep_versions:] if keep_versions > 0 else []
+    mtime_horizon = time.time() - retention_seconds
     live: set[str] = set()
     for v in retained:
         live.update(os.path.relpath(p, table) for p in snapshot_files(table, v))
@@ -775,14 +812,18 @@ def vacuum(table: str, keep_versions: int = 1) -> list[str]:
         for name in files:
             p = os.path.join(dirpath, name)
             rel = os.path.relpath(p, table)
-            if name.endswith(".parquet") and rel not in live:
+            if (
+                name.endswith(".parquet")
+                and rel not in live
+                and os.path.getmtime(p) <= mtime_horizon
+            ):
                 os.remove(p)
                 deleted.append(rel)
     # anchor replay for the survivors, THEN drop expired log entries so
     # time travel matches what is on disk
     if retained:
         _write_checkpoint(table, retained[0])
-    expired = vs[: len(vs) - keep_versions] if keep_versions > 0 else vs
+    expired = vs[: max(len(vs) - keep_versions, 0)] if keep_versions > 0 else vs
     for v in expired:
         os.remove(os.path.join(_log_path(table), f"{v}.json"))
     for c in _checkpoint_versions(table):

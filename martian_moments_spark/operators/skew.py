@@ -36,7 +36,20 @@ def salted_join(
     runtime; salting is the static form for engines/paths where AQE
     cannot split (e.g. a skewed build side feeding a stateful stage).
     The salt is a hash of the big side's full row — deterministic, so
-    retries and speculative tasks re-deal identically."""
+    retries and speculative tasks re-deal identically.
+
+    Only join types that never emit an unmatched SMALL-side row are
+    allowed: the small side is replicated ``n_salts`` times, so a
+    right/full outer join would emit each unmatched small-side row once
+    per salt — n_salts duplicates, not the unsalted result. Same guard
+    discipline as bloom_prefilter_join."""
+    allowed = ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti")
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            f"small side would duplicate unmatched rows (allowed: inner, "
+            f"left, left_semi, left_anti)"
+        )
     salt_b = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     big_s = big.withColumn("__salt", salt_b)
     small_s = small.withColumn(

@@ -192,11 +192,14 @@ SESSION_GAP_SECONDS = 1800
     ops=("W2", "A1", "F8"),
     oracle=f"""
         WITH ordered AS (
+            -- floor(epoch) matches Spark's ts.cast('long') truncation;
+            -- a bare CAST(epoch(..) AS BIGINT) would ROUND sub-second
+            -- parts and flip gaps within ~1s of the session boundary
             SELECT user_id, event_id, ts,
-                   LAG(CAST(epoch(ts) AS BIGINT)) OVER (
+                   LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                    ) AS prev_s,
-                   CAST(epoch(ts) AS BIGINT) AS ts_s
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
             FROM events
         )
         SELECT user_id, event_id, ts,

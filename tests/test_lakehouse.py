@@ -90,7 +90,7 @@ def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
     # stage-and-crash garbage should be swept too
     lh._stage_data(spark.createDataFrame([(9, "GHOST")], "k BIGINT, v STRING"), table)
 
-    deleted = lh.vacuum(table, keep_versions=1)
+    deleted = lh.vacuum(table, keep_versions=1, retention_seconds=0)
     assert deleted  # old snapshot + crashed files went away
     assert all(not os.path.exists(p) for p in old_files)
     assert _rows(lh.read_table(spark, table)) == {(1, "new")}
@@ -149,7 +149,7 @@ def test_compact_commits_new_version_keeps_history(spark, tmp_path):
     }
     assert all(os.path.exists(p) for p in before)
     # vacuum drops the pre-compaction layout once history expires
-    lh.vacuum(table, keep_versions=1)
+    lh.vacuum(table, keep_versions=1, retention_seconds=0)
     assert all(not os.path.exists(p) for p in before)
     assert _rows(lh.read_table(spark, table)) == {(i, f"v{i}") for i in range(4)}
 
@@ -252,7 +252,7 @@ def test_vacuum_checkpoints_the_expiry_boundary(spark, tmp_path, monkeypatch):
     for i in range(5):
         lh.append(spark.createDataFrame([(i, f"v{i}")], "k BIGINT, v STRING"), table)
 
-    lh.vacuum(table, keep_versions=2)
+    lh.vacuum(table, keep_versions=2, retention_seconds=0)
     # versions 0-2 expired; 3 and 4 must both still read correctly
     assert _rows(lh.read_table(spark, table, version=3)) == {
         (i, f"v{i}") for i in range(4)
@@ -447,7 +447,7 @@ def test_manifest_stats_prune_files_exactly(spark, tmp_path):
     assert empty.count() == 0 and empty.columns == ["k", "v"]
     # stats survive checkpointing + vacuum (the manifest stays the
     # planner's only source)
-    lh.vacuum(table, keep_versions=1)
+    lh.vacuum(table, keep_versions=1, retention_seconds=0)
     assert len(lh.file_stats(table)) == 3
     got2 = {tuple(r) for r in lh.read_table_pruned(spark, table, "k", 100, 105).collect()}
     assert got2 == got
@@ -656,3 +656,50 @@ def test_delete_where_races_appends_without_losing_either(spark, tmp_path):
         (100 + i, f"a{i}") for i in range(4)
     }
     assert got == expect
+
+
+def test_vacuum_keep_more_versions_than_exist(spark, tmp_path):
+    """keep_versions > committed versions must retain everything — a
+    negative expiry slice would delete the log entry of a RETAINED
+    version (vs[:-1] when vs=[0,1], keep=3)."""
+    table = str(tmp_path / "t")
+    lh.append(spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"), table)
+    lh.append(spark.createDataFrame([(2, "b")], "k BIGINT, v STRING"), table)
+    lh.vacuum(table, keep_versions=3, retention_seconds=0)
+    # nothing expired: both versions still read
+    assert _rows(lh.read_table(spark, table, version=0)) == {(1, "a")}
+    assert _rows(lh.read_table(spark, table, version=1)) == {(1, "a"), (2, "b")}
+
+
+def test_vacuum_retention_horizon_protects_fresh_files(spark, tmp_path):
+    """Default retention must not sweep a concurrent writer's freshly
+    staged (not-yet-committed) files — they are younger than the
+    horizon. retention_seconds=0 (exclusive access) sweeps them."""
+    table = str(tmp_path / "t")
+    lh.append(spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"), table)
+    staged = lh._stage_data(
+        spark.createDataFrame([(9, "STAGED")], "k BIGINT, v STRING"), table
+    )
+    assert lh.vacuum(table, keep_versions=1) == []  # fresh -> protected
+    assert all(os.path.exists(os.path.join(table, rel)) for rel in staged)
+    deleted = lh.vacuum(table, keep_versions=1, retention_seconds=0)
+    assert sorted(staged) == deleted
+    assert all(not os.path.exists(os.path.join(table, rel)) for rel in staged)
+
+
+def test_read_table_empty_live_set_keeps_schema(spark, tmp_path):
+    """A version whose live file set is empty (delete_where removed
+    every row) must read as an empty DataFrame with the logged schema,
+    not crash in reduce()."""
+    table = str(tmp_path / "t")
+    lh.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING"), table
+    )
+    v = lh.delete_where(spark, table, "k", 0, 100)
+    df = lh.read_table(spark, table)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "v"]
+    pruned = lh.read_table_pruned(spark, table, "k", 0, 100)
+    assert pruned.count() == 0 and pruned.columns == ["k", "v"]
+    # time travel to the pre-delete version still sees the rows
+    assert _rows(lh.read_table(spark, table, version=v - 1)) == {(1, "a"), (2, "b")}
