@@ -48,7 +48,63 @@ REGISTRY: dict[str, QuerySpec] = {}
 # stable while modules evolve); registered names absent from the list
 # sort after it.
 PRIORITY: tuple[str, ...] = (
-    # -- 1: no driver-green row yet (r01 window ended at ngram_jaccard_pairs)
+    # -- 1: the 35 queries with no driver-green row across r01∪r02
+    #       (VERDICT r02 What's-missing #1). With the 15-query cover set
+    #       below this fills the 50-slot window exactly → cumulative
+    #       driver coverage 121/121 after r03.
+    "contract_check_summary",
+    "contract_quarantine_rows",
+    "decontamination_overlap",
+    "pii_redaction",
+    "repeated_ngram_ratio",
+    "context_window_packing",
+    "document_chunking",
+    "line_level_dedup",
+    "embedding_srp_neardup",
+    "curation_to_training_mix",
+    "corpus_interleave_schedule",
+    "corpus_bigram_counts",
+    "sessionize_events",
+    "scd2_dimension_merge",
+    "salted_skew_join",
+    "ewma_per_user",
+    "multimodal_feature_extract",
+    "global_rank_range_partitioned",
+    "retention_cohorts",
+    "funnel_conversion",
+    "time_weighted_avg",
+    "linear_interpolation_fill",
+    "mode_per_key",
+    "rolling_zscore_anomaly",
+    "event_pattern_match",
+    "ordered_event_sequences",
+    "incremental_rollup_merge",
+    "incremental_distinct_merge",
+    "incremental_join_merge",
+    "bloom_prefilter_join",
+    "asof_join_with_tolerance",
+    "table_profile",
+    "bpe_vocab_learn",
+    "bpe_encode_corpus",
+    "incremental_hll_merge",  # rows-only by nature (estimate != SQL)
+    # -- 2: cover set — keeps every §2 op id green inside the window
+    "daily_activity",        # A1 A4 J1 J2 P1 P3
+    "validation_gaps",       # J3 J4 P5 P10 P11 P13 A2 O1
+    "json_path_extract",     # N1 N5 P2
+    "incremental_append",    # E7 P4 A5 U1
+    "case_dict_map",         # P9 A6
+    "row_number_synthetic_key",  # W2 P12
+    "array_element_access",  # N6 A7
+    "nested_double_flatten",  # N4 N7
+    "batch_filename_format",  # F3 A8
+    "like_prefix_routing",   # F2 F4
+    "url_decode_keys",       # F5
+    "timestamp_format_iso",  # F6 F7 F8
+    "merge_upsert",          # E8
+    "flatten_explode",       # E5 N2
+    "permissive_corrupt_json",  # S6 (ON_ERROR=CONTINUE)
+    # -- 3: previously driver-green (r01/r02) — verified by the sf0.01
+    #       mirror every round; rotate forward if the window grows.
     "text_quality_scores",
     "language_id",
     "token_counts",
@@ -63,19 +119,7 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "dedup_embedding_neardup",
     "corpus_curation",
-    "group_moments_stats",
-    "histogram_fixed_width",
     "shipping_priority_topk",
-    "percent_rank_distribution",
-    "trailing_range_frame_sum",
-    "percentile_exact_median",
-    "cube_aggregation",
-    "forward_fill_gaps",
-    "deterministic_split",
-    "unpivot_melt",
-    "edit_distance_pairs",
-    "corpus_mixture_sample",
-    "stratified_sample",
     "asof_join_last_purchase",
     "range_join_bucketed",
     "salted_skew_aggregation",
@@ -85,35 +129,6 @@ PRIORITY: tuple[str, ...] = (
     "sliding_window_agg",
     "session_window_agg",
     "topic_routed_dispatch",
-    # -- 2: cover set — keeps every §2 op id green inside the window
-    "validation_gaps",       # J3 J4 P5 P10 P11 P13 A2 O1
-    "json_path_extract",     # N1 N5 P2
-    "incremental_append",    # E7 P4 A5 U1
-    "case_dict_map",         # P9 A6
-    "row_number_synthetic_key",  # W2 P12
-    "array_element_access",  # N6 A7
-    "nested_double_flatten",  # N4 N7
-    "batch_filename_format",  # F3 A8
-    "like_prefix_routing",   # F2 F4
-    "url_decode_keys",       # F5
-    "timestamp_format_iso",  # F6 F7 F8
-    "merge_upsert",          # E8
-    "flatten_explode",       # E5 N2
-    "permissive_corrupt_json",  # X8 (ON_ERROR=CONTINUE)
-    # -- 3: round-2 additions/upgrades — first in line if the window
-    #       extends past 50; rotate into the front next round.
-    "contract_check_summary",
-    "decontamination_overlap",
-    "pii_redaction",
-    "repeated_ngram_ratio",
-    "context_window_packing",
-    "sessionize_events",
-    "scd2_dimension_merge",
-    "salted_skew_join",
-    "corpus_interleave_schedule",
-    "contract_quarantine_rows",
-    "ewma_per_user",
-    "multimodal_feature_extract",
 )
 
 
