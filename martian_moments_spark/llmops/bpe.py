@@ -89,40 +89,99 @@ def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
     return words.select("word", "n", fold.alias("syms"))
 
 
+def _safe_batch(rows: list, window: int, batch_limit: int) -> list:
+    """Select the prefix of sorted pair rows that a BATCH merge can
+    apply while remaining bit-identical to the sequential algorithm.
+
+    Rows arrive in the sequential tie-break order (count DESC, left
+    ASC, right ASC). The batch is the longest prefix whose pairs are
+    pairwise symbol-disjoint (no shared left/right/merged token),
+    truncated to members whose count is STRICTLY greater than the
+    first excluded row's count. Why that makes batching exact:
+
+    - a pair sharing no symbol with earlier batch members keeps its
+      count unchanged when those merges apply;
+    - every pair whose count can change (down), and every NEW pair a
+      merge creates, descends from a pair that CONFLICTS with a batch
+      member — e.g. merging (x,y)->xy turns (w,x) occurrences into
+      (w,xy) ones, so count_new(w,xy) <= count_old(w,x) — and every
+      conflicting pair sits at or after the first excluded row, hence
+      has count <= the cutoff;
+    - therefore each kept member strictly dominates every changed or
+      new pair at its turn of the sequential replay, and ties among
+      kept members resolve by the same (left, right) order the prefix
+      already has. The sequential argmax sequence is exactly the kept
+      prefix.
+
+    When the whole collected window is conflict-free but full (more
+    pairs may exist uncollected), the last collected count is the
+    conservative cutoff. The top row alone is always safe (it IS the
+    sequential argmax), so progress is guaranteed."""
+    batch: list = []
+    used: set[str] = set()
+    cutoff = None
+    for row in rows:
+        syms = {row["left"], row["right"], row["left"] + row["right"]}
+        if (batch and (syms & used)) or len(batch) >= batch_limit:
+            cutoff = row["pair_count"]
+            break
+        batch.append(row)
+        used |= syms
+    else:
+        if len(rows) == window:  # window full → uncollected pairs may exist
+            cutoff = rows[-1]["pair_count"]
+    kept = [r for r in batch if cutoff is None or r["pair_count"] > cutoff]
+    return kept or batch[:1]
+
+
 def learn_bpe_merges(
     spark: SparkSession,
     docs: DataFrame,
     num_merges: int,
     top_v: int = 300,
     text_col: str = "text",
+    batch_limit: int = 16,
 ) -> list[dict]:
     """Learn ``num_merges`` BPE merges; returns the ordered merge
     table as dicts with rank / left / right / merged / pair_count.
-    Stops early when no adjacent pair remains."""
+    Stops early when no adjacent pair remains.
+
+    Batched rounds: each round runs ONE pair-count job, collects a
+    bounded window of top pairs, and applies up to ``batch_limit``
+    provably-independent merges (see _safe_batch — the result is
+    bit-identical to merging one pair per job). At a real 32k-merge
+    vocabulary this cuts the sequential-job count by ~batch_limit x;
+    ``batch_limit=1`` degenerates to the textbook one-merge-per-round
+    loop."""
     words = word_frequency_table(docs, top_v, text_col).localCheckpoint(eager=True)
     merges: list[dict] = []
-    for rank in range(1, num_merges + 1):
+    window = 4 * batch_limit + 1
+    while len(merges) < num_merges:
         top = (
             _pair_counts(words)
             .orderBy(F.col("pair_count").desc(), "left", "right")
-            .limit(1)
+            .limit(window)
             .collect()
         )
         if not top:
             break
-        row = top[0]
-        merges.append(
-            {
-                "rank": rank,
-                "left": row["left"],
-                "right": row["right"],
-                "merged": row["left"] + row["right"],
-                "pair_count": row["pair_count"],
-            }
-        )
-        words = _apply_merge(words, row["left"], row["right"]).localCheckpoint(
-            eager=True
-        )
+        kept = _safe_batch([r.asDict() for r in top], window, batch_limit)
+        kept = kept[: num_merges - len(merges)]
+        for row in kept:
+            merges.append(
+                {
+                    "rank": len(merges) + 1,
+                    "left": row["left"],
+                    "right": row["right"],
+                    "merged": row["left"] + row["right"],
+                    "pair_count": row["pair_count"],
+                }
+            )
+            # chained folds build ONE plan; a single job applies the
+            # whole batch (symbol-disjoint, so order is immaterial,
+            # but rank order is kept for clarity)
+            words = _apply_merge(words, row["left"], row["right"])
+        words = words.localCheckpoint(eager=True)
     return merges
 
 

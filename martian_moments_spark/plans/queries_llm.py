@@ -1416,13 +1416,92 @@ def corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_NUM_MERGES = 12  # merge-table size at test scale (32k-class in production)
 BPE_TOP_V = 200  # vocabulary rows the learner iterates over
 
+# --- DuckDB oracle for BPE (recursive CTE): the sequential Sennrich
+# loop re-expressed in SQL. Symbol arrays travel as separator-wrapped
+# strings ("\x1e" around every symbol) so a merge is one replace() —
+# string replace is left-to-right non-overlapping, which is exactly
+# BPE's greedy application; "\x1f" joins words in the encode phase so
+# merges never cross a word boundary (neither char occurs in the
+# corpus). The argmax is a correlated scalar subquery with the same
+# (count DESC, left, right) total order as the Spark learner.
+_BPE_S = chr(30)
+_BPE_W = chr(31)
+
+_BPE_LEARN_CTE = f"""
+st AS (
+    SELECT 0 AS rank,
+           CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
+           CAST(NULL AS BIGINT) AS c,
+           (SELECT list({{'n': n, 's': rep}} ORDER BY n DESC, word)
+            FROM (
+              SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+                     '{_BPE_S}' || array_to_string(string_split(word, ''), '{_BPE_S}{_BPE_S}') || '{_BPE_S}' AS rep
+              FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS word
+                    FROM documents)
+              GROUP BY word
+              ORDER BY n DESC, word
+              LIMIT {BPE_TOP_V}
+            )) AS words
+    UNION ALL
+    SELECT rank + 1, m['l'], m['r'], m['c'],
+           [{{'n': w['n'],
+              's': replace(w['s'], '{_BPE_S}' || m['l'] || '{_BPE_S}{_BPE_S}' || m['r'] || '{_BPE_S}',
+                                   '{_BPE_S}' || m['l'] || m['r'] || '{_BPE_S}')}}
+            for w in words] AS words
+    FROM (
+        SELECT rank, words,
+               (SELECT {{'l': pl, 'r': pr, 'c': pc}}
+                FROM (
+                    SELECT pp[1] AS pl, pp[2] AS pr, SUM(w['n']) AS pc
+                    FROM (SELECT unnest(words) AS w) uw,
+                         UNNEST(list_filter(
+                             list_zip(list_filter(string_split(w['s'], '{_BPE_S}'), t -> t <> ''),
+                                      list_filter(string_split(w['s'], '{_BPE_S}'), t -> t <> '')[2:]),
+                             p -> p[2] IS NOT NULL)) AS t(pp)
+                    GROUP BY pl, pr
+                ) ORDER BY pc DESC, pl, pr LIMIT 1) AS m
+        FROM st
+        WHERE rank < {BPE_NUM_MERGES}
+    )
+    WHERE m IS NOT NULL
+)"""
+
+BPE_LEARN_ORACLE = f"""
+WITH RECURSIVE {_BPE_LEARN_CTE}
+SELECT rank, l AS "left", r AS "right", l || r AS merged, c AS pair_count
+FROM st WHERE rank > 0
+"""
+
+BPE_ENCODE_ORACLE = f"""
+WITH RECURSIVE {_BPE_LEARN_CTE},
+merges AS (SELECT rank, l, r FROM st WHERE rank > 0),
+enc AS (
+    SELECT 0 AS rank, doc_id,
+           array_to_string(
+             ['{_BPE_S}' || array_to_string(string_split(w, ''), '{_BPE_S}{_BPE_S}') || '{_BPE_S}'
+              for w in list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')],
+             '{_BPE_W}') AS s
+    FROM documents
+    UNION ALL
+    SELECT e.rank + 1, e.doc_id,
+           replace(e.s, '{_BPE_S}' || m.l || '{_BPE_S}{_BPE_S}' || m.r || '{_BPE_S}',
+                        '{_BPE_S}' || m.l || m.r || '{_BPE_S}') AS s
+    FROM enc e JOIN merges m ON m.rank = e.rank + 1
+)
+SELECT doc_id,
+       CAST(len(list_filter(string_split(replace(s, '{_BPE_W}', ''), '{_BPE_S}'), t -> t <> '')) AS BIGINT) AS n_subwords,
+       array_to_string(list_filter(string_split(replace(s, '{_BPE_W}', ''), '{_BPE_S}'), t -> t <> ''), ',') AS subword_seq
+FROM enc
+WHERE rank = COALESCE((SELECT MAX(rank) FROM merges), 0)
+"""
+
 
 @register(
     "bpe_vocab_learn",
     ops=("A1", "N2", "O2"),
-    oracle=None,  # iterative argmax loop — not SQL-expressible; exactness
-    # is pinned instead against an independent pure-Python implementation
-    # of the published algorithm in tests/test_llmops.py.
+    oracle=BPE_LEARN_ORACLE,  # recursive-CTE replay of the sequential
+    # algorithm (exact); independently cross-checked against a pure-
+    # Python implementation in tests/test_llmops.py.
 )
 def bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (Sennrich 2016) on the documents corpus:
@@ -1442,9 +1521,10 @@ def bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bpe_encode_corpus",
     ops=("A1", "N2"),
-    oracle=None,  # consumes the iteratively-learned merge table — not
-    # SQL-expressible; segmentation correctness and partitioning
-    # invariance are pinned in tests/test_llmops.py.
+    oracle=BPE_ENCODE_ORACLE,  # learns the merge table via the same
+    # recursive CTE, then replays the merges over every document with
+    # boundary-safe string replaces (exact; see tests/test_llmops.py
+    # for the independent cross-check).
 )
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the documents corpus with the BPE merge table learned

@@ -300,3 +300,47 @@ def test_bpe_encode_matches_training_segmentation_and_is_partition_invariant(spa
     one = sorted(map(tuple, bpe_encode(docs.coalesce(1), merges).collect()))
     many = sorted(map(tuple, bpe_encode(docs.repartition(8), merges).collect()))
     assert one == many
+
+
+def test_bpe_batched_equals_sequential(spark):
+    """batch_limit > 1 must be bit-identical to the textbook
+    one-merge-per-round loop on the real corpus (the _safe_batch
+    exactness argument, checked end-to-end)."""
+    from martian_moments_spark.catalog import load
+    from martian_moments_spark.llmops.bpe import learn_bpe_merges
+
+    docs = load(spark, SF, "documents").select("text")
+    seq = learn_bpe_merges(spark, docs, num_merges=12, top_v=200, batch_limit=1)
+    bat = learn_bpe_merges(spark, docs, num_merges=12, top_v=200, batch_limit=16)
+    assert bat == seq
+    assert len(bat) == 12
+
+
+def test_bpe_safe_batch_selection_rules():
+    """_safe_batch: conflict cutoff, strict-count truncation, full
+    window conservatism, guaranteed progress."""
+    from martian_moments_spark.llmops.bpe import _safe_batch
+
+    def row(l, r, c):
+        return {"left": l, "right": r, "pair_count": c}
+
+    # (b,c) shares 'b' with (a,b) -> cutoff at count 9; (c,d) ties the
+    # cutoff so only the strictly-greater (a,b) survives
+    rows = [row("a", "b", 10), row("b", "c", 9), row("c", "d", 9)]
+    assert _safe_batch(rows, window=65, batch_limit=16) == [row("a", "b", 10)]
+
+    # disjoint pairs above the first conflict all batch
+    rows = [row("a", "b", 10), row("c", "d", 8), row("ab", "cd", 7), row("b", "x", 7)]
+    assert _safe_batch(rows, window=65, batch_limit=16) == [
+        row("a", "b", 10), row("c", "d", 8)
+    ]  # (ab,cd) conflicts via merged tokens ab/cd -> cutoff 7
+
+    # full window, conflict-free: last count is the conservative cutoff
+    rows = [row("a", "b", 10), row("c", "d", 5)]
+    assert _safe_batch(rows, window=2, batch_limit=16) == [row("a", "b", 10)]
+    # ...but a non-full window means every pair was seen: keep all
+    assert _safe_batch(rows, window=9, batch_limit=16) == rows
+
+    # top row always survives even when the runner-up ties and conflicts
+    rows = [row("a", "b", 7), row("b", "c", 7)]
+    assert _safe_batch(rows, window=9, batch_limit=16) == [row("a", "b", 7)]
