@@ -35,8 +35,22 @@ def infer_json_schema(
     ``sample_rows`` or supply an explicit contract schema for those.
 
     Scale: one LIMIT scan (driver collects ``sample_rows`` strings)
-    plus a driver-local inference job — corpus size never matters.
+    plus one tiny-file inference job — corpus size never matters.
+
+    Spark-Connect-safe: the sampled docs go through a temp JSONL file
+    and ``spark.read.json(path)`` — no ``.rdd`` (the classic-only API
+    Connect lacks). Pass ``tmp_dir`` on a shared filesystem when the
+    driver's local /tmp is not executor-visible (multi-node clusters);
+    the file is sample-sized, never corpus-sized. Docs are compacted to
+    one line each (pretty-printed JSON would straddle JSONL rows);
+    non-parseable docs pass through newline-stripped so Spark applies
+    its own corrupt-record handling, same as before.
     """
+    import json as _json
+    import os
+    import tempfile
+    import uuid
+
     spark: SparkSession = df.sparkSession
     frame = df.select(json_col)
     if order_col is not None:
@@ -44,5 +58,20 @@ def infer_json_schema(
     docs = [r[json_col] for r in frame.limit(sample_rows).collect() if r[json_col] is not None]
     if not docs:
         return StructType([])
-    sample_df = spark.createDataFrame([(d,) for d in docs], "doc STRING")
-    return spark.read.json(sample_df.rdd.map(lambda r: r.doc)).schema
+    lines = []
+    for d in docs:
+        try:
+            lines.append(_json.dumps(_json.loads(d), separators=(",", ":")))
+        except (ValueError, TypeError):
+            lines.append(" ".join(d.splitlines()))
+    # no leading underscore/dot: Spark's file listing treats those as
+    # hidden (metadata) files and would skip the sample entirely
+    path = os.path.join(
+        tempfile.gettempdir(), f"mm-schema-sample-{uuid.uuid4().hex}.jsonl"
+    )
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    try:
+        return spark.read.json(path).schema
+    finally:
+        os.remove(path)

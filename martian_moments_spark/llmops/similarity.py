@@ -68,12 +68,25 @@ def topk_cosine(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     cell_col: str | None = None,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Top-k cosine neighbors per vector.
 
-    ``cell_col=None`` → brute force over all pairs (baseline/verifier).
+    ``cell_col=None`` → brute force over all pairs (baseline/verifier;
+    O(n²) by definition). To make misuse loud at corpus scale, the
+    brute-force arm raises unless ``allow_full_scan=True`` — callers
+    must opt in to the quadratic plan explicitly (the registered
+    exact-verifier query uses the block-partitioned
+    ``topk_cosine_blocked`` instead).
     ``cell_col='label'`` → IVF: pairs only within the same cell.
     """
+    if cell_col is None and not allow_full_scan:
+        raise ValueError(
+            "topk_cosine(cell_col=None) is the O(n^2) brute-force "
+            "baseline: pass allow_full_scan=True to opt in, or use "
+            "cell_col=... (IVF) / topk_cosine_blocked (partitioned "
+            "exact) for anything corpus-sized"
+        )
     base = with_units_and_norm(df.select(id_col, emb_col, *( [cell_col] if cell_col else [] )), emb_col)
     a = base.select(
         *( [F.col(cell_col).alias("cell")] if cell_col else [] ),

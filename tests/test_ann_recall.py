@@ -110,3 +110,48 @@ def test_recall_curve_monotone_in_probe_count(spark):
     print("recall curve:", [round(r, 3) for r in recalls])
     assert all(b >= a for a, b in zip(recalls, recalls[1:]))
     assert recalls[-1] == 1.0
+
+
+def test_recall_curve_16_cells(spark):
+    """Second operating regime: 16 cells, {1,2,4,8} probes — the
+    recall/latency dial characterized beyond the default 4-cell point.
+    On isotropic data recall tracks the scanned fraction, so the curve
+    must be monotone, roughly proportional to n_probe/16 (floor at
+    half the proportional value guards against a broken probe
+    ranking), and the candidate work at 1 probe must be ~1/16 of
+    brute force."""
+    from martian_moments_spark.llmops.similarity import (
+        kmeans_units,
+        probe_cells,
+        topk_units_probed,
+    )
+    from martian_moments_spark.plans import load_all
+
+    REGISTRY = load_all()
+    exact = _pairs(REGISTRY["embedding_cosine_topk"].fn(spark, SF_DIR))
+    emb = load(spark, SF_DIR, "embeddings")
+    assigned, cents = kmeans_units(emb, k=16)
+    assigned = assigned.localCheckpoint(eager=True)
+
+    n = emb.count()
+    cell_sizes = [r[0] for r in assigned.groupBy("cell").count().select("count").collect()]
+    assert len(cell_sizes) == 16
+    work_1probe = sum(c * c for c in cell_sizes) / (n * n)
+
+    recalls = {}
+    for n_probe in (1, 2, 4, 8):
+        probed = probe_cells(assigned, cents, n_probe=n_probe)
+        got = _pairs(topk_units_probed(probed, assigned, k=K))
+        recalls[n_probe] = len(exact & got) / len(exact)
+    print(
+        "16-cell recall curve:",
+        {p: round(r, 3) for p, r in recalls.items()},
+        f"work@1probe={work_1probe:.4f}",
+    )
+    rs = [recalls[p] for p in (1, 2, 4, 8)]
+    assert all(b >= a for a, b in zip(rs, rs[1:])), "curve not monotone"
+    for p in (1, 2, 4, 8):
+        assert recalls[p] >= 0.5 * p / 16, f"recall@{p} probes collapsed"
+    # 16-way partitioning: single-probe candidate work ~ 1/16 of n^2
+    # (loose 2x slack for cell-size imbalance)
+    assert work_1probe < 2 / 16

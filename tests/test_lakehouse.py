@@ -703,3 +703,60 @@ def test_read_table_empty_live_set_keeps_schema(spark, tmp_path):
     assert pruned.count() == 0 and pruned.columns == ["k", "v"]
     # time travel to the pre-delete version still sees the rows
     assert _rows(lh.read_table(spark, table, version=v - 1)) == {(1, "a"), (2, "b")}
+
+
+def _mp_appender(args):
+    """Worker for the cross-process contention test: stages one
+    pyarrow-written parquet file and races the optimistic commit loop
+    (the exact _commit path Spark writers use — staging via pyarrow
+    only to keep worker processes JVM-free)."""
+    table, worker_id, n_commits = args
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from martian_moments_spark import lakehouse as wlh
+
+    committed = []
+    for i in range(n_commits):
+        commit_dir = os.path.join(table, f"data_mp{worker_id}_{i}")
+        os.makedirs(commit_dir)
+        rel = os.path.join(f"data_mp{worker_id}_{i}", "part-0.parquet")
+        pq.write_table(
+            pa.table({"k": [worker_id * 1000 + i], "v": [f"w{worker_id}c{i}"]}),
+            os.path.join(table, rel),
+        )
+        while True:
+            base = wlh.current_version(table)
+            try:
+                committed.append(wlh._commit(table, [rel], "append", base))
+                break
+            except FileExistsError:
+                continue
+    return worker_id, committed
+
+
+def test_cross_process_commit_contention(spark, tmp_path):
+    """Optimistic concurrency across real OS processes (the 6-thread
+    test's gap vs deployments): 4 writer processes x 5 commits racing
+    the same table must produce exactly one winner per version, lose
+    no update, and leave every snapshot consistent."""
+    import multiprocessing as mp
+
+    table = str(tmp_path / "t")
+    lh.append(spark.createDataFrame([(0, "seed")], "k BIGINT, v STRING"), table)
+
+    with mp.get_context("spawn").Pool(4) as pool:
+        results = pool.map(_mp_appender, [(table, w, 5) for w in range(4)])
+
+    all_versions = [v for _, vs in results for v in vs]
+    # 20 commits + seed -> versions 0..20, each won exactly once
+    assert sorted(all_versions) == list(range(1, 21))
+    assert lh._versions(table) == list(range(21))
+    rows = _rows(lh.read_table(spark, table))
+    expect = {(0, "seed")} | {
+        (w * 1000 + i, f"w{w}c{i}") for w in range(4) for i in range(5)
+    }
+    assert rows == expect
+    # every intermediate snapshot reads exactly version+1 rows
+    for v in (5, 13, 20):
+        assert lh.read_table(spark, table, version=v).count() == v + 1

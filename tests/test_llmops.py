@@ -344,3 +344,19 @@ def test_bpe_safe_batch_selection_rules():
     # top row always survives even when the runner-up ties and conflicts
     rows = [row("a", "b", 7), row("b", "c", 7)]
     assert _safe_batch(rows, window=9, batch_limit=16) == [row("a", "b", 7)]
+
+
+def test_topk_cosine_brute_force_requires_opt_in(spark):
+    """The O(n^2) arm must be loud: cell_col=None raises without an
+    explicit allow_full_scan=True."""
+    import pytest as _pytest
+
+    from martian_moments_spark.llmops.similarity import topk_cosine
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with _pytest.raises(ValueError, match="allow_full_scan"):
+        topk_cosine(emb, k=1)
+    got = topk_cosine(emb, k=1, allow_full_scan=True).collect()
+    assert len(got) == 2
