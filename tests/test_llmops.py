@@ -360,3 +360,38 @@ def test_topk_cosine_brute_force_requires_opt_in(spark):
         topk_cosine(emb, k=1)
     got = topk_cosine(emb, k=1, allow_full_scan=True).collect()
     assert len(got) == 2
+
+
+def test_srp_pandas_bands_match_jvm_formulation(spark):
+    """The Arrow-vectorized signature path must be value-identical to
+    the per-band JVM higher-order-function formulation (which is also
+    what the DuckDB oracle renders)."""
+    from pyspark.sql import functions as F
+
+    from martian_moments_spark.catalog import load
+    from martian_moments_spark.llmops.similarity import (
+        SRP_BAND_BITS,
+        SRP_BITS,
+        srp_band_col,
+        srp_bands_pandas,
+        with_units_and_norm,
+    )
+
+    base = with_units_and_norm(
+        load(spark, SF, "embeddings").select("vec_id", "embedding")
+    ).select("vec_id", "units", "norm2")
+    jvm = {
+        (r["vec_id"], b): r[f"b{b}"]
+        for r in base.select(
+            "vec_id",
+            *[
+                srp_band_col(F.col("units"), b).alias(f"b{b}")
+                for b in range(SRP_BITS // SRP_BAND_BITS)
+            ],
+        ).collect()
+        for b in range(SRP_BITS // SRP_BAND_BITS)
+    }
+    pd_rows = srp_bands_pandas(base).select("vec_id", "band_idx", "band_val").collect()
+    got = {(r["vec_id"], r["band_idx"]): r["band_val"] for r in pd_rows}
+    assert got == jvm
+    assert len(got) == len(jvm)
