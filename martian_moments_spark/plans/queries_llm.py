@@ -1529,3 +1529,145 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs, num_merges=BPE_NUM_MERGES, top_v=BPE_TOP_V
     )
     return bpe_encode(docs, merges)
+
+
+# ------------------------------------------------- domain/source curation
+
+PER_SOURCE_CAP = 50  # max documents any single source may contribute
+
+
+@register(
+    "per_source_cap",
+    ops=("W2", "P3", "F1"),
+    oracle=f"""
+        SELECT source, doc_id, CAST(rn AS INT) AS cap_rank
+        FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {sql_portable_hash31("'cap:' || CAST(doc_id AS VARCHAR)")}, doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= {PER_SOURCE_CAP}
+    """,
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap — the web-corpus curation rule that
+    keeps one crawl-heavy domain from dominating the training mix: each
+    source keeps at most PER_SOURCE_CAP documents, selected by a
+    deterministic salted-hash order (a fair random-without-rand draw;
+    retries and partitionings cannot change the selection).
+
+    Scale: one shuffle on source for the window; cap K is small and
+    fixed, so each partition emits <= K rows. A pathologically hot
+    source pins its copies onto one task — the two-phase mitigation is
+    the same as global_rank_range_partitioned's (pre-aggregate the
+    per-task top-K, then re-rank the <= K * n_tasks survivors); at the
+    tested shapes the single window is the better plan."""
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
+    h = portable_hash31(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("cap_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("cap_rank") <= PER_SOURCE_CAP)
+        .select("source", "doc_id", "cap_rank")
+    )
+
+
+@register(
+    "source_mix_report",
+    ops=("A1", "A3", "P8"),
+    oracle=f"""
+        WITH scored AS (
+            SELECT source,
+                   {sql_quality_metrics("text")["n_tokens"]} AS n_tokens,
+                   {sql_quality_metrics("text")["distinct_ratio"]} AS distinct_ratio
+            FROM documents
+        ), per_source AS (
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) FILTER (WHERE n_tokens >= 10 AND distinct_ratio >= 0.3) AS BIGINT) AS n_gate_pass
+            FROM scored GROUP BY source
+        )
+        SELECT source, n_docs, total_tokens,
+               CAST(total_tokens AS DOUBLE)
+                 / CAST(SUM(total_tokens) OVER () AS DOUBLE) AS token_share,
+               n_gate_pass
+        FROM per_source
+    """,
+)
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition audit by source: document and token counts,
+    each source's share of corpus tokens, and how many of its docs
+    pass the standard quality gate — the report a curation run reads
+    before assigning mixture weights (corpus_mixture_sample consumes
+    exactly these shares).
+
+    Scale: per-row metrics then a tiny per-source aggregate; the share
+    denominator is an unpartitioned window over the HANDFUL of source
+    rows (post-aggregation cardinality, not corpus cardinality), which
+    is the cheap and correct place for a global sum."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    m = quality_metrics("text")
+    scored = docs.select(
+        "source",
+        m["n_tokens"].alias("n_tokens"),
+        m["distinct_ratio"].alias("distinct_ratio"),
+    )
+    per_source = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(
+            F.when(
+                (F.col("n_tokens") >= 10) & (F.col("distinct_ratio") >= 0.3), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_gate_pass"),
+    )
+    share = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(
+        W.partitionBy()
+    ).cast("double")
+    return per_source.select(
+        "source", "n_docs", "total_tokens", share.alias("token_share"), "n_gate_pass"
+    )
+
+
+@register(
+    "dedup_cluster_stats",
+    ops=("A1", "A6"),
+    oracle="""
+        WITH clusters AS (
+            SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM documents GROUP BY md5(text)
+        )
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+               CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_redundant
+        FROM clusters GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup diagnostic read
+    before choosing a strategy: how many exact-content clusters exist
+    at each size and how many documents deduplication would remove
+    (n_redundant = every copy beyond the keeper). An exact-dedup run
+    (dedup_exact) removes SUM(n_redundant) rows by construction.
+
+    Scale: two cascaded aggregates — fingerprint (corpus-wide shuffle
+    with map-side combine, same key as dedup itself) then cluster_size
+    (tiny: one row per distinct size). Nothing driver-side."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    clusters = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+        ((F.col("cluster_size") - F.lit(1)) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_redundant"),
+    )

@@ -129,6 +129,11 @@ PRIORITY: tuple[str, ...] = (
     "sliding_window_agg",
     "session_window_agg",
     "topic_routed_dispatch",
+    # -- 4: round-3 additions — rotate into the front next round if
+    #       still un-windowed.
+    "per_source_cap",
+    "source_mix_report",
+    "dedup_cluster_stats",
 )
 
 
