@@ -1559,12 +1559,11 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic salted-hash order (a fair random-without-rand draw;
     retries and partitionings cannot change the selection).
 
-    Scale: one shuffle on source for the window; cap K is small and
-    fixed, so each partition emits <= K rows. A pathologically hot
-    source pins its copies onto one task — the two-phase mitigation is
-    the same as global_rank_range_partitioned's (pre-aggregate the
-    per-task top-K, then re-rank the <= K * n_tasks survivors); at the
-    tested shapes the single window is the better plan."""
+    Scale: one shuffle on source for the window, and Spark already
+    plans the two-phase hot-key mitigation: rank()<=K windows get a
+    WindowGroupLimit(Partial) per upstream task BEFORE the exchange
+    (pinned in test_plans), so even a pathologically hot source ships
+    at most K rows per task into the shuffle."""
     docs = load(spark, sf_dir, "documents").select("source", "doc_id")
     h = portable_hash31(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
     w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())

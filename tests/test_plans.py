@@ -317,3 +317,44 @@ def test_salted_join_measured_win_on_hot_key(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_round3_queries_plan_properties(spark):
+    """Plan pins for the round-3 additions: no cartesian/nested-loop
+    anywhere; per_source_cap is ONE shuffle (the source window);
+    dedup_cluster_stats gets map-side partial aggregation on the
+    corpus-wide fingerprint stage; the SRP near-dup join is an
+    equi-join (band buckets), never a cross product."""
+    plans = {
+        name: explain_str(REGISTRY[name].fn(spark, SF_DIR_ORACLE))
+        for name in (
+            "per_source_cap",
+            "source_mix_report",
+            "dedup_cluster_stats",
+            "embedding_srp_neardup",
+        )
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    # one shuffle: hash-partition by source feeding the window — and
+    # the hot-source mitigation is already in the plan: WindowGroupLimit
+    # runs a PARTIAL per-task top-K before the exchange, so a skewed
+    # source ships at most K rows per upstream task
+    cap = plans["per_source_cap"]
+    assert cap.count("hashpartitioning(source") == 1
+    assert "WindowGroupLimit" in cap and "Partial" in cap
+
+    # corpus-shuffle stage must combine map-side (partial_count before
+    # the exchange), so what shuffles is one row per distinct fp/task
+    stats = plans["dedup_cluster_stats"]
+    assert "partial_count" in stats
+
+    # the share denominator is a post-aggregation window, so the plan
+    # has exactly: partial agg -> exchange -> final agg -> window
+    mix = plans["source_mix_report"]
+    assert "partial_count" in mix and "Window" in mix
+
+    srp = plans["embedding_srp_neardup"]
+    assert "SortMergeJoin" in srp or "ShuffledHashJoin" in srp or "BroadcastHashJoin" in srp
