@@ -252,3 +252,117 @@ def test_asof_join_forward_matches_bruteforce(spark_h, left, right):
         cands = [(rt, -rv) for rk, rt, rv in right if rk == k and rt >= t]
         expect = -min(cands)[1] if cands else None
         assert got[i] == expect, (i, k, t, cands, got[i])
+
+
+# ---------------------------------------------------------- batched BPE law
+
+
+def _seq_bpe(word_counts: dict[str, int], num_merges: int) -> list[tuple]:
+    """Textbook sequential Sennrich loop (pure Python, independent of
+    llmops.bpe internals) — the ground truth _safe_batch must equal."""
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(num_merges):
+        pc: dict[tuple, int] = {}
+        for w, n in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + n
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((l, r, c))
+        for w, s in syms.items():
+            out: list[str] = []
+            for tok in s:
+                if out and out[-1] == l and tok == r:
+                    out[-1] = l + r
+                else:
+                    out.append(tok)
+            syms[w] = out
+    return merges
+
+
+def _batched_bpe(word_counts: dict[str, int], num_merges: int, batch_limit: int) -> list[tuple]:
+    """Pure-Python replay of learn_bpe_merges' batched round structure
+    (same _safe_batch, same fold) so hypothesis can sweep corpora
+    without a Spark job per example."""
+    from martian_moments_spark.llmops.bpe import _safe_batch
+
+    syms = {w: list(w) for w in word_counts}
+    merges: list[tuple] = []
+    window = 4 * batch_limit + 1
+    while len(merges) < num_merges:
+        pc: dict[tuple, int] = {}
+        for w, n in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + n
+        if not pc:
+            break
+        rows = [
+            {"left": l, "right": r, "pair_count": c}
+            for (l, r), c in sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ][:window]
+        kept = _safe_batch(rows, window, batch_limit)[: num_merges - len(merges)]
+        for m in kept:
+            l, r = m["left"], m["right"]
+            merges.append((l, r, m["pair_count"]))
+            for w, s in syms.items():
+                out: list[str] = []
+                for tok in s:
+                    if out and out[-1] == l and tok == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(tok)
+                syms[w] = out
+    return merges
+
+
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=12,
+    ),
+    num_merges=st.integers(min_value=1, max_value=10),
+    batch_limit=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_batched_bpe_equals_sequential_on_random_corpora(words, num_merges, batch_limit):
+    """The _safe_batch exactness argument, swept: tiny alphabets force
+    dense symbol conflicts and count ties — exactly the regime where an
+    unsound batch rule would diverge from the sequential argmax."""
+    assert _batched_bpe(words, num_merges, batch_limit) == _seq_bpe(words, num_merges)
+
+
+# ------------------------------------------------------ SRP collision laws
+
+
+def test_srp_identical_and_negated_vectors(spark):
+    """Deterministic LSH laws: identical vectors share every band
+    (always candidates); a negated vector flips every sign bit, so it
+    shares NO band value with the original unless a zero dot pins a
+    tie (ruled out here by odd coordinates)."""
+    from martian_moments_spark.llmops.similarity import (
+        SRP_BAND_BITS,
+        SRP_BITS,
+        srp_bands_pandas,
+        with_units_and_norm,
+    )
+
+    vec = [float(2 * (i % 3) + 1) * (1 if i % 2 else -1) for i in range(64)]
+    neg = [-x for x in vec]
+    df = spark.createDataFrame(
+        [(0, vec), (1, vec), (2, neg)], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    base = with_units_and_norm(df).select("vec_id", "units", "norm2")
+    rows = srp_bands_pandas(base).select("vec_id", "band_idx", "band_val").collect()
+    bands = {}
+    for r in rows:
+        bands.setdefault(r["vec_id"], {})[r["band_idx"]] = r["band_val"]
+    n_bands = SRP_BITS // SRP_BAND_BITS
+    assert bands[0] == bands[1] and len(bands[0]) == n_bands
+    # every band differs between a vector and its negation
+    assert all(bands[0][b] != bands[2][b] for b in range(n_bands))
