@@ -1670,3 +1670,123 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_redundant"),
     )
+
+
+@register(
+    "incremental_dedup_index",
+    ops=("A1", "J4", "A6"),
+    oracle="""
+        WITH index AS (
+            SELECT DISTINCT md5(text) AS fp
+            FROM documents WHERE doc_id % 3 <> 0
+        ), incoming AS (
+            SELECT doc_id, md5(text) AS fp
+            FROM documents WHERE doc_id % 3 = 0
+        ), novel AS (
+            SELECT fp, MIN(doc_id) AS doc_id
+            FROM incoming
+            WHERE fp NOT IN (SELECT fp FROM index)
+            GROUP BY fp
+        )
+        SELECT i.doc_id,
+               i.fp,
+               (n.doc_id IS NOT NULL AND n.doc_id = i.doc_id) AS is_novel
+        FROM incoming i
+        LEFT JOIN novel n ON n.fp = i.fp
+    """,
+)
+def incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the production shape exact_dedup is
+    the batch form of: an INCOMING increment (modeled as doc_id%3==0)
+    is checked against the accumulated fingerprint INDEX of everything
+    already ingested (doc_id%3!=0). Each incoming doc is flagged
+    is_novel iff its content fingerprint is absent from the index AND
+    it is the first (min doc_id) holder of that fingerprint within the
+    increment — exactly the rows a daily crawl run appends to the
+    corpus and to the index.
+
+    Scale: the index probe is a left join on the fingerprint (the same
+    key the index table would be bucketed on, making it co-located and
+    shuffle-free against a bucketed index); within-increment first-
+    writer choice is a min aggregate, not a window — no hot-task pin
+    when a crawl re-fetches one page a million times."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    index = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .withColumn("__in_index", F.lit(1))
+    )
+    incoming = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    novel = (
+        incoming.join(index, "fp", "left")
+        .filter(F.col("__in_index").isNull())
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("__keep"))
+    )
+    return (
+        incoming.join(novel, "fp", "left")
+        .select(
+            "doc_id",
+            "fp",
+            (F.col("__keep").isNotNull() & (F.col("__keep") == F.col("doc_id"))).alias(
+                "is_novel"
+            ),
+        )
+    )
+
+
+@register(
+    "source_embedding_centroids",
+    ops=("J2", "A1", "N6"),
+    oracle="""
+        WITH j AS (
+            SELECT d.source, {units} AS units
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ), fan AS (
+            SELECT source, i AS pos, units[i] AS unit
+            FROM j, UNNEST(range(1, len(units) + 1)) AS t(i)
+        )
+        SELECT source,
+               CAST(pos AS INT) AS dim,
+               CAST(SUM(unit) AS BIGINT) AS unit_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(unit) AS DOUBLE) / (1000000.0 * COUNT(*)) AS centroid
+        FROM fan
+        GROUP BY source, pos
+    """.format(units=_SQL_UNITS),
+)
+def source_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding centroids — the domain-level semantic map
+    (which sources cluster together, which drift) a curation run uses
+    next to source_mix_report. Elementwise mean over each source's
+    vectors, computed on exact integer millionth units (the engine's
+    fixed-point rule) so the SUM is order/partitioning-independent and
+    the oracle matches bit-for-bit; the final division is one IEEE
+    double op on exact integers — deterministic in any engine.
+
+    Scale: posexplode fans each vector into (dim, unit) rows; the
+    aggregate combines map-side per (source, dim) — 64 x n_sources
+    result rows regardless of corpus size. The alternative (zip_with
+    fold over an array accumulator in one agg) saves the fan-out but
+    loses map-side combine; at 100 TB the combine wins."""
+    from martian_moments_spark.llmops.similarity import embedding_units
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", embedding_units("embedding").alias("units")
+    )
+    j = docs.join(emb, docs.doc_id == emb.vec_id).select("source", "units")
+    fan = j.select(
+        "source", F.posexplode("units").alias("pos0", "unit")
+    ).select("source", (F.col("pos0") + 1).cast("int").alias("dim"), "unit")
+    return fan.groupBy("source", "dim").agg(
+        F.sum("unit").cast("long").alias("unit_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        (
+            F.sum("unit").cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1)).cast("double"))
+        ).alias("centroid"),
+    )

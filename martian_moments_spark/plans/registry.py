@@ -134,6 +134,8 @@ PRIORITY: tuple[str, ...] = (
     "per_source_cap",
     "source_mix_report",
     "dedup_cluster_stats",
+    "incremental_dedup_index",
+    "source_embedding_centroids",
 )
 
 
