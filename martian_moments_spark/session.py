@@ -49,7 +49,11 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.setLogLevel("WARN")
+    except Exception:
+        pass  # Spark Connect sessions have no sparkContext; log level
+        # is then the server's concern, not a correctness matter
     return spark
 
 
