@@ -873,3 +873,55 @@ def diff_versions(
             F.to_json("__n").alias("after"),
         )
     )
+
+
+def table_history(spark: SparkSession, table: str) -> DataFrame:
+    """DESCRIBE HISTORY analog: one row per retained commit, newest
+    first — version, operation, files added/removed, rows added (from
+    the committed stats), and whether the commit recorded a schema
+    (evolution point). Reads ONLY the log (no data files opened), so
+    it is O(retained versions) regardless of table size."""
+    rows = []
+    for v in _versions(table):
+        try:
+            e = _read_entry(table, v)
+        except FileNotFoundError:
+            continue  # expired by vacuum
+        stats = e.get("stats", {})
+        rows.append(
+            (
+                v,
+                e.get("op", "unknown"),
+                len(e.get("add", [])),
+                len(e.get("remove", [])),
+                sum(int(s.get("rows", 0)) for s in stats.values()),
+                "schema" in e,
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows, reverse=True),
+        "version INT, op STRING, n_added_files INT, n_removed_files INT, "
+        "rows_added BIGINT, schema_change BOOLEAN",
+    )
+
+
+def restore_table(table: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION: commit a NEW version whose live
+    file set equals the target version's — history is preserved (the
+    restore is itself a commit; nothing is rewritten or deleted, so
+    the restored-from state stays time-travelable and vacuum keeps
+    honoring retention). Optimistic-retry like every writer. Returns
+    the new version."""
+    target = set(os.path.relpath(p, table) for p in snapshot_files(table, version))
+    sch = _latest_schema(table, version)
+    while True:
+        base = current_version(table)
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {table!r}")
+        current = set(os.path.relpath(p, table) for p in snapshot_files(table, base))
+        add = sorted(target - current)
+        remove = sorted(current - target)
+        try:
+            return _commit(table, add, "restore", base, remove=remove, schema=sch)
+        except FileExistsError:
+            continue

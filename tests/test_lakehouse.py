@@ -760,3 +760,30 @@ def test_cross_process_commit_contention(spark, tmp_path):
     # every intermediate snapshot reads exactly version+1 rows
     for v in (5, 13, 20):
         assert lh.read_table(spark, table, version=v).count() == v + 1
+
+
+def test_table_history_and_restore(spark, tmp_path):
+    """DESCRIBE HISTORY + RESTORE: history reads only the log; restore
+    commits a new version equal to the target snapshot while keeping
+    every intermediate version time-travelable."""
+    table = str(tmp_path / "t")
+    lh.append(spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"), table)
+    lh.append(spark.createDataFrame([(2, "b")], "k BIGINT, v STRING"), table)
+    lh.overwrite(spark.createDataFrame([(9, "z")], "k BIGINT, v STRING"), table)
+
+    hist = {r["version"]: r for r in lh.table_history(spark, table).collect()}
+    assert set(hist) == {0, 1, 2}
+    assert hist[0]["op"] == "append" and hist[0]["rows_added"] == 1
+    assert hist[2]["op"] == "overwrite" and hist[2]["n_removed_files"] >= 1
+    assert hist[0]["schema_change"]  # first commit records the schema
+
+    v = lh.restore_table(table, 1)
+    assert v == 3
+    assert _rows(lh.read_table(spark, table)) == {(1, "a"), (2, "b")}
+    # nothing lost: the overwritten state is still one time-travel away
+    assert _rows(lh.read_table(spark, table, version=2)) == {(9, "z")}
+    assert lh.table_history(spark, table).first()["op"] == "restore"
+    # restore survives vacuum of expired history (files it references
+    # are live in the NEW version)
+    lh.vacuum(table, keep_versions=1, retention_seconds=0)
+    assert _rows(lh.read_table(spark, table)) == {(1, "a"), (2, "b")}
