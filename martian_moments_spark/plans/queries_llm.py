@@ -1790,3 +1790,119 @@ def source_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1000000.0) * F.count(F.lit(1)).cast("double"))
         ).alias("centroid"),
     )
+
+
+@register(
+    "quality_weighted_sample",
+    ops=("P3", "P8", "A1"),
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   {sql_quality_metrics("text")["n_tokens"]} AS n_tokens,
+                   {sql_quality_metrics("text")["distinct_ratio"]} AS distinct_ratio
+            FROM documents
+        ), weighted AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN distinct_ratio >= 0.5 THEN 80
+                        WHEN distinct_ratio >= 0.3 THEN 50
+                        ELSE 20 END AS keep_pct
+            FROM scored
+        )
+        SELECT doc_id, n_tokens, keep_pct
+        FROM weighted
+        WHERE {sql_portable_hash31("'qws:' || CAST(doc_id AS VARCHAR)")} % 100 < keep_pct
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic downsampling — the data-mix move
+    between keep-all and drop-all: higher-quality documents survive
+    with higher probability (here a 3-tier keep percentage on the
+    distinct-token ratio), decided by a salted content-independent
+    hash so the draw is reproducible under retries, partitioning, and
+    incremental re-runs (a doc's fate never changes across runs —
+    exactly what makes downstream dedup/packing incremental).
+
+    Scale: pure per-row math, no shuffle at all; composes with
+    corpus_mixture_sample's per-source weights."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    m = quality_metrics("text")
+    weighted = docs.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        F.when(m["distinct_ratio"] >= 0.5, 80)
+        .when(m["distinct_ratio"] >= 0.3, 50)
+        .otherwise(20)
+        .alias("keep_pct"),
+    )
+    h = portable_hash31(F.concat(F.lit("qws:"), F.col("doc_id").cast("string"))) % 100
+    return weighted.filter(h < F.col("keep_pct"))
+
+
+@register(
+    "curriculum_phases",
+    ops=("W1", "W2", "A1"),
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   {sql_quality_metrics("text")["n_tokens"]} AS n_tokens,
+                   {sql_quality_metrics("text")["avg_token_len"]} AS difficulty
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, difficulty,
+               CAST(ntile(4) OVER (ORDER BY difficulty, doc_id) AS INT) AS phase
+        FROM scored
+    """,
+)
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: rank the corpus by a difficulty proxy
+    (average token length) and cut it into 4 equal phases — the
+    easy-to-hard schedule curriculum training consumes. The
+    (difficulty, doc_id) order is total, so phase boundaries are
+    deterministic.
+
+    Scale: the oracle's global ntile window would funnel the corpus
+    through ONE task (an unpartitioned Spark window is a single
+    partition), so the plan is the two-phase range-ranking shape of
+    global_rank_range_partitioned instead: bucket by difficulty range,
+    per-bucket counts prefix-summed into broadcast offsets, global
+    rank = offset + within-bucket row_number, and SQL's exact ntile
+    arithmetic (first n%k tiles take one extra row) applied to
+    (rank, total) in closed form. The corpus shuffles once on the
+    bucket id and never through a single task."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    m = quality_metrics("text")
+    scored = docs.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["avg_token_len"].alias("difficulty"),
+    )
+    rows = scored.withColumn(
+        "__b", F.floor(F.col("difficulty") / F.lit(0.25)).cast("long")
+    )
+    counts = rows.groupBy("__b").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    w_off = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).cast("long").alias("__off"),
+    )
+    total = counts.agg(F.sum("__n").cast("long").alias("__total"))
+    w_in = W.partitionBy("__b").orderBy("difficulty", "doc_id")
+    ranked = (
+        rows.join(F.broadcast(offsets), "__b")
+        .withColumn("__rn", F.col("__off") + F.row_number().over(w_in))
+        .crossJoin(F.broadcast(total))  # 1-row scalar, the engine's pattern
+    )
+    k = F.lit(4).cast("long")
+    q = (F.col("__total") / k).cast("long")  # floor: total, k > 0
+    rem = F.col("__total") % k
+    r0 = F.col("__rn") - 1
+    # SQL ntile: first `rem` tiles hold q+1 rows, the rest hold q
+    phase = F.when(
+        r0 < rem * (q + 1), (r0 / (q + 1)).cast("long")
+    ).otherwise(rem + ((r0 - rem * (q + 1)) / F.greatest(q, F.lit(1))).cast("long"))
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "difficulty",
+        (phase + 1).cast("int").alias("phase"),
+    )

@@ -136,6 +136,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_cluster_stats",
     "incremental_dedup_index",
     "source_embedding_centroids",
+    "quality_weighted_sample",
+    "curriculum_phases",
 )
 
 
