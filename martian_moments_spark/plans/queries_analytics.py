@@ -28,7 +28,7 @@ from martian_moments_spark.llmops.similarity import (
 )
 from martian_moments_spark.llmops.textops import (
     portable_hash31,
-    quality_metrics,
+    quality_metrics_packed,
     sql_portable_hash31,
     sql_quality_metrics,
 )
@@ -147,14 +147,14 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals are exact integer sums, so the budget is reproducible.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
-    m = quality_metrics("text")
+    q = quality_metrics_packed("text")  # one tokenization for both gates
     scored = docs.select(
         "doc_id",
         "lang",
         "source",
         "text",
-        m["n_tokens"].alias("n_tokens"),
-        m["distinct_ratio"].alias("distinct_ratio"),
+        q["n_tokens"].alias("n_tokens"),
+        q["distinct_ratio"].alias("distinct_ratio"),
     )
     kept = scored.filter((F.col("n_tokens") >= 10) & (F.col("distinct_ratio") >= 0.3))
     w = W.partitionBy(F.md5("text")).orderBy("doc_id")

@@ -49,7 +49,7 @@ from martian_moments_spark.llmops.textops import (
     tokens,
     word_shingles,
     language_scores,
-    quality_metrics,
+    quality_metrics_packed,
     rolling_fingerprint,
     sql_portable_hash31,
     sql_quality_metrics,
@@ -253,15 +253,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate. All ratios are int/int double divisions
     (deterministic across engines and partitionings)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    m = quality_metrics("text")
-    return docs.select(
-        "doc_id",
-        m["n_tokens"].alias("n_tokens"),
-        m["n_chars_measured"].alias("n_chars_measured"),
-        m["avg_token_len"].alias("avg_token_len"),
-        m["stopword_ratio"].alias("stopword_ratio"),
-        m["distinct_ratio"].alias("distinct_ratio"),
-    )
+    q = quality_metrics_packed("text")  # one tokenization for all five
+    return docs.select("doc_id", q.alias("__q")).select("doc_id", "__q.*")
 
 
 @register(
@@ -1310,11 +1303,11 @@ def curation_to_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage materializes an intermediate — Catalyst plans the chain
     end to end, reusing the scan."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    m = quality_metrics("text")
+    q = quality_metrics_packed("text")  # one tokenization for both gates
     scored = docs.select(
         "doc_id", "lang", "text",
-        m["n_tokens"].alias("n_tokens"),
-        m["distinct_ratio"].alias("distinct_ratio"),
+        q["n_tokens"].alias("n_tokens"),
+        q["distinct_ratio"].alias("distinct_ratio"),
     )
     kept = scored.filter((F.col("n_tokens") >= 10) & (F.col("distinct_ratio") >= 0.3))
     winners = kept.groupBy(F.md5("text").alias("__fp")).agg(
@@ -1609,11 +1602,11 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (post-aggregation cardinality, not corpus cardinality), which
     is the cheap and correct place for a global sum."""
     docs = load(spark, sf_dir, "documents").select("source", "text")
-    m = quality_metrics("text")
+    q = quality_metrics_packed("text")  # one tokenization for both metrics
     scored = docs.select(
         "source",
-        m["n_tokens"].alias("n_tokens"),
-        m["distinct_ratio"].alias("distinct_ratio"),
+        q["n_tokens"].alias("n_tokens"),
+        q["distinct_ratio"].alias("distinct_ratio"),
     )
     per_source = scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1825,12 +1818,12 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure per-row math, no shuffle at all; composes with
     corpus_mixture_sample's per-source weights."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    m = quality_metrics("text")
+    q = quality_metrics_packed("text")  # one tokenization for both metrics
     weighted = docs.select(
         "doc_id",
-        m["n_tokens"].alias("n_tokens"),
-        F.when(m["distinct_ratio"] >= 0.5, 80)
-        .when(m["distinct_ratio"] >= 0.3, 50)
+        q["n_tokens"].alias("n_tokens"),
+        F.when(q["distinct_ratio"] >= 0.5, 80)
+        .when(q["distinct_ratio"] >= 0.3, 50)
         .otherwise(20)
         .alias("keep_pct"),
     )
@@ -1870,11 +1863,11 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank, total) in closed form. The corpus shuffles once on the
     bucket id and never through a single task."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    m = quality_metrics("text")
+    q = quality_metrics_packed("text")  # one tokenization for both metrics
     scored = docs.select(
         "doc_id",
-        m["n_tokens"].alias("n_tokens"),
-        m["avg_token_len"].alias("difficulty"),
+        q["n_tokens"].alias("n_tokens"),
+        q["avg_token_len"].alias("difficulty"),
     )
     rows = scored.withColumn(
         "__b", F.floor(F.col("difficulty") / F.lit(0.25)).cast("long")

@@ -395,3 +395,24 @@ def test_srp_pandas_bands_match_jvm_formulation(spark):
     got = {(r["vec_id"], r["band_idx"]): r["band_val"] for r in pd_rows}
     assert got == jvm
     assert len(got) == len(jvm)
+
+
+def test_quality_metrics_packed_matches_unpacked(spark):
+    """The single-tokenization struct form must be value-identical to
+    selecting the individual quality_metrics expressions."""
+    from martian_moments_spark.catalog import load
+    from martian_moments_spark.llmops.textops import (
+        quality_metrics,
+        quality_metrics_packed,
+    )
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    m = quality_metrics("text")
+    a = docs.select("doc_id", *[v.alias(k) for k, v in m.items()]).orderBy("doc_id").collect()
+    b = (
+        docs.select("doc_id", quality_metrics_packed("text").alias("__q"))
+        .select("doc_id", "__q.*")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
