@@ -269,3 +269,113 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return profile.select("p.*")
+
+
+DRIFT_SPLIT_DATE = "1999-01-01"  # baseline = before, current = from this date
+DRIFT_NULL_TOL = 0.01  # absolute null-rate drift tolerance
+DRIFT_CARD_TOL = 0.5  # relative distinct-cardinality drift tolerance
+
+
+@register(
+    "profile_drift",
+    ops=("A1", "A2", "A3", "P6"),
+    oracle="\n        UNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               base_rows, cur_rows,
+               base_null_rate, cur_null_rate,
+               (abs(cur_null_rate - base_null_rate) > {DRIFT_NULL_TOL}) AS null_drift,
+               base_distinct, cur_distinct,
+               (abs(CAST(cur_distinct AS DOUBLE) / CAST(base_distinct AS DOUBLE) - 1.0)
+                   > {DRIFT_CARD_TOL}) AS cardinality_drift
+        FROM (
+            SELECT
+                CAST(COUNT(*) FILTER (WHERE o_orderdate <  DATE '{DRIFT_SPLIT_DATE}') AS BIGINT) AS base_rows,
+                CAST(COUNT(*) FILTER (WHERE o_orderdate >= DATE '{DRIFT_SPLIT_DATE}') AS BIGINT) AS cur_rows,
+                1.0 - CAST(COUNT({c}) FILTER (WHERE o_orderdate <  DATE '{DRIFT_SPLIT_DATE}') AS DOUBLE)
+                    / CAST(COUNT(*) FILTER (WHERE o_orderdate <  DATE '{DRIFT_SPLIT_DATE}') AS DOUBLE) AS base_null_rate,
+                1.0 - CAST(COUNT({c}) FILTER (WHERE o_orderdate >= DATE '{DRIFT_SPLIT_DATE}') AS DOUBLE)
+                    / CAST(COUNT(*) FILTER (WHERE o_orderdate >= DATE '{DRIFT_SPLIT_DATE}') AS DOUBLE) AS cur_null_rate,
+                CAST(COUNT(DISTINCT {c}) FILTER (WHERE o_orderdate <  DATE '{DRIFT_SPLIT_DATE}') AS BIGINT) AS base_distinct,
+                CAST(COUNT(DISTINCT {c}) FILTER (WHERE o_orderdate >= DATE '{DRIFT_SPLIT_DATE}') AS BIGINT) AS cur_distinct
+            FROM orders
+        )"""
+        for c in PROFILE_COLS
+    ),
+)
+def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile drift detection (the deequ anomaly-check shape): the
+    profile of the CURRENT data slice (orders from DRIFT_SPLIT_DATE)
+    is compared column-by-column against the BASELINE slice (before
+    it); null-rate drift beyond an absolute tolerance and distinct-
+    cardinality drift beyond a relative tolerance raise flags — the
+    check a scheduled pipeline runs before promoting a new increment.
+
+    Scale: ONE pass over the fact computes both slices' profiles as
+    conditional aggregates (no second scan, no join of two profile
+    runs); the distinct counts go through the same Expand trade as
+    table_profile. Ratios are int/int double divisions, exact in any
+    engine."""
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders").select("o_orderdate", *PROFILE_COLS)
+    base = F.col("o_orderdate") < F.lit(DRIFT_SPLIT_DATE).cast("timestamp")
+    cur = ~base
+    aggs = [
+        F.sum(base.cast("long")).cast("long").alias("base_rows"),
+        F.sum(cur.cast("long")).cast("long").alias("cur_rows"),
+    ]
+    for c in PROFILE_COLS:
+        nn_b = F.sum((base & F.col(c).isNotNull()).cast("long")).cast("double")
+        nn_c = F.sum((cur & F.col(c).isNotNull()).cast("long")).cast("double")
+        aggs += [
+            nn_b.alias(f"nnb_{c}"),
+            nn_c.alias(f"nnc_{c}"),
+            F.countDistinct(F.when(base, F.col(c))).cast("long").alias(f"ndb_{c}"),
+            F.countDistinct(F.when(cur, F.col(c))).cast("long").alias(f"ndc_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col("base_rows"),
+                        F.col("cur_rows"),
+                        (
+                            F.lit(1.0)
+                            - F.col(f"nnb_{c}") / F.col("base_rows").cast("double")
+                        ).alias("base_null_rate"),
+                        (
+                            F.lit(1.0)
+                            - F.col(f"nnc_{c}") / F.col("cur_rows").cast("double")
+                        ).alias("cur_null_rate"),
+                        F.col(f"ndb_{c}").alias("base_distinct"),
+                        F.col(f"ndc_{c}").alias("cur_distinct"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    return rows.select(
+        "column_name",
+        "base_rows",
+        "cur_rows",
+        "base_null_rate",
+        "cur_null_rate",
+        (
+            F.abs(F.col("cur_null_rate") - F.col("base_null_rate")) > DRIFT_NULL_TOL
+        ).alias("null_drift"),
+        "base_distinct",
+        "cur_distinct",
+        (
+            F.abs(
+                F.col("cur_distinct").cast("double")
+                / F.col("base_distinct").cast("double")
+                - 1.0
+            )
+            > DRIFT_CARD_TOL
+        ).alias("cardinality_drift"),
+    )

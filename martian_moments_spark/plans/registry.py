@@ -138,6 +138,7 @@ PRIORITY: tuple[str, ...] = (
     "source_embedding_centroids",
     "quality_weighted_sample",
     "curriculum_phases",
+    "profile_drift",
 )
 
 
