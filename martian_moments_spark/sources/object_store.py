@@ -68,3 +68,48 @@ def list_routed(base_dir: str, route: str) -> list[str]:
     if not os.path.isdir(d):
         return []
     return [os.path.join(d, f) for f in sorted(os.listdir(d)) if not f.startswith((".", "_"))]
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    order_col: str | None = None,
+    fmt: str = "json",
+) -> int:
+    """Export a curated corpus as bounded-size training shards (the
+    JSONL/parquet layout a training loader streams): every output file
+    holds at most ``rows_per_shard`` rows, enforced by Spark's own
+    ``maxRecordsPerFile`` (the writer rolls files JVM-side — no
+    repartition-by-count shuffle, no driver involvement).
+
+    With ``order_col`` the data is range-partitioned and sorted within
+    shards first, so shard N's key range precedes shard N+1's — the
+    deterministic, resumable layout curriculum or sequential readers
+    need; without it shards follow the upstream partitioning (cheapest).
+    Returns the number of shard files written.
+
+    Scale: ``maxRecordsPerFile`` bounds memory per writer task at one
+    shard; range partitioning samples boundaries exactly like a global
+    sort. Reference analog: the object-store JSON sink (S4,
+    src/utils/minio.py) with the file-size discipline a 100 TB corpus
+    export needs."""
+    import os
+
+    out = df
+    if order_col is not None:
+        out = df.repartitionByRange(order_col).sortWithinPartitions(order_col)
+    writer = out.write.mode("overwrite").option("maxRecordsPerFile", rows_per_shard)
+    if fmt == "json":
+        writer.json(path)
+        suffix = ".json"
+    elif fmt == "parquet":
+        writer.parquet(path)
+        suffix = ".parquet"
+    else:
+        raise ValueError(f"unsupported shard format {fmt!r} (json|parquet)")
+    return sum(
+        1
+        for name in os.listdir(path)
+        if name.endswith(suffix) and not name.startswith((".", "_"))
+    )

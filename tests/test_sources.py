@@ -155,3 +155,36 @@ def test_infer_json_schema_empty_and_null_docs(spark):
 
     df = spark.createDataFrame([(1, None)], "doc_id BIGINT, props STRING")
     assert infer_json_schema(df, "props").fieldNames() == []
+
+
+def test_write_training_shards_bounds_rows_and_orders(spark, tmp_path):
+    """Every shard holds <= rows_per_shard rows; with order_col the
+    shard key ranges are disjoint and increasing; content round-trips."""
+    import json as _json
+    import os
+
+    from martian_moments_spark.sources.object_store import write_training_shards
+
+    df = spark.range(0, 1000).selectExpr("id AS doc_id", "concat('t', id) AS text")
+    out = str(tmp_path / "shards")
+    n = write_training_shards(df, out, rows_per_shard=100, order_col="doc_id")
+    assert n >= 10  # 1000 rows / 100 per shard
+
+    files = sorted(
+        f for f in os.listdir(out) if f.endswith(".json") and not f.startswith("_")
+    )
+    seen = []
+    ranges = {}
+    for f in files:
+        with open(os.path.join(out, f)) as fh:
+            rows = [_json.loads(l) for l in fh if l.strip()]
+        assert len(rows) <= 100
+        if rows:
+            ids = [r["doc_id"] for r in rows]
+            assert ids == sorted(ids)  # sorted within shard
+            ranges[f] = (min(ids), max(ids))
+            seen.extend(ids)
+    assert sorted(seen) == list(range(1000))  # lossless
+    # range partitioning: file key ranges do not interleave
+    spans = sorted(ranges.values())
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
