@@ -680,6 +680,43 @@ def srp_bands_pandas(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     return df.select(id_col, "units", "norm2").mapInPandas(batches, schema=schema)
 
 
+def cosine_verify_pandas(cand: DataFrame, tau: float) -> DataFrame:
+    """Exact fixed-point cosine for a candidate-pair frame carrying
+    ``units_a/units_b/norm2_a/norm2_b`` — as one Arrow-batched numpy
+    pass (int64 row-wise dot then one vectorized divide) instead of an
+    interpreted zip_with+aggregate per pair. Value-identical to
+    ``cosine_fixed`` (int64 matmul == JVM long fold; the divide is one
+    IEEE double op either way) — pinned in tests."""
+    import numpy as np
+    import pandas as pd
+
+    schema = "id_a bigint, id_b bigint, cosine double, is_near_dup boolean"
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ua = np.array(list(pdf["units_a"]), dtype=np.int64)
+            ub = np.array(list(pdf["units_b"]), dtype=np.int64)
+            dot = np.einsum("ij,ij->i", ua, ub)
+            cos = dot.astype(np.float64) / (
+                np.sqrt(pdf["norm2_a"].to_numpy(dtype=np.float64))
+                * np.sqrt(pdf["norm2_b"].to_numpy(dtype=np.float64))
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(),
+                    "id_b": pdf["id_b"].to_numpy(),
+                    "cosine": cos,
+                    "is_near_dup": cos >= tau,
+                }
+            )
+
+    return cand.select(
+        "id_a", "id_b", "units_a", "units_b", "norm2_a", "norm2_b"
+    ).mapInPandas(batches, schema=schema)
+
+
 def sql_srp_band_expr(units_expr: str, band: int) -> str:
     """The DuckDB rendering of ``srp_band_col`` — same planes, same
     packing, generated from the same weight source."""

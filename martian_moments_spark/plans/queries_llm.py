@@ -1127,7 +1127,7 @@ def embedding_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical hyperplanes (single weight source),
     so even the hash buckets match bit-for-bit."""
     from martian_moments_spark.llmops.similarity import (
-        cosine_fixed,
+        cosine_verify_pandas,
         srp_bands_pandas,
         with_units_and_norm,
     )
@@ -1164,12 +1164,10 @@ def embedding_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm2").alias("norm2_b"),
     )
     cand = pair_ids.join(va, "id_a").join(vb, "id_b")
-    cos = cosine_fixed(
-        F.col("units_a"), F.col("units_b"), F.col("norm2_a"), F.col("norm2_b")
-    )
-    return cand.select(
-        "id_a", "id_b", cos.alias("cosine"), (cos >= 0.30).alias("is_near_dup")
-    )
+    # Arrow-batched exact verify (one numpy pass over all candidate
+    # pairs) — value-identical to the per-pair cosine_fixed fold,
+    # without the interpreted HOF cost per candidate
+    return cosine_verify_pandas(cand, tau=0.30)
 
 
 @register(

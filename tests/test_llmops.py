@@ -416,3 +416,37 @@ def test_quality_metrics_packed_matches_unpacked(spark):
         .collect()
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_cosine_verify_pandas_matches_jvm_fold(spark):
+    """The Arrow verify path must equal cosine_fixed bit-for-bit (the
+    oracle renders the JVM formulation)."""
+    from pyspark.sql import functions as F
+
+    from martian_moments_spark.catalog import load
+    from martian_moments_spark.llmops.similarity import (
+        cosine_fixed,
+        cosine_verify_pandas,
+        with_units_and_norm,
+    )
+
+    base = with_units_and_norm(
+        load(spark, SF, "embeddings").select("vec_id", "embedding")
+    ).select("vec_id", "units", "norm2")
+    a = base.selectExpr("vec_id AS id_a", "units AS units_a", "norm2 AS norm2_a")
+    b = base.selectExpr("vec_id AS id_b", "units AS units_b", "norm2 AS norm2_b")
+    cand = a.join(b, F.col("id_a") + 1 == F.col("id_b"))  # consecutive-id pairs
+    jvm = {
+        (r["id_a"], r["id_b"]): (r["c"], r["c"] >= 0.30)
+        for r in cand.select(
+            "id_a", "id_b",
+            cosine_fixed(
+                F.col("units_a"), F.col("units_b"), F.col("norm2_a"), F.col("norm2_b")
+            ).alias("c"),
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): (r["cosine"], r["is_near_dup"])
+        for r in cosine_verify_pandas(cand, tau=0.30).collect()
+    }
+    assert got == jvm and len(got) > 0
