@@ -526,3 +526,83 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_conversions"),
         (n > 0).alias("has_conversion"),
     )
+
+
+TREND_EPOCH = 1704067200  # 2024-01-01 UTC: x-origin keeping x^2 sums in int64
+
+
+@register(
+    "per_user_trend",
+    ops=("A1", "F8"),
+    oracle=f"""
+        WITH pts AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) - {TREND_EPOCH} AS x,
+                   CAST(round(value * 100) AS BIGINT) AS y
+            FROM events
+        ), s AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM pts GROUP BY user_id
+        )
+        SELECT user_id, n,
+               CASE WHEN n * sxx - sx * sx <> 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+                    ELSE NULL END AS slope_cents_per_sec,
+               CASE WHEN n * sxx - sx * sx <> 0
+                    THEN (CAST(sy AS DOUBLE)
+                          - (CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+                    ELSE NULL END AS intercept_cents
+        FROM s
+    """,
+)
+def per_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of event values over time — the
+    drift/engagement-slope metric — via the CLOSED FORM on exact
+    integer sums, no UDF and no per-key iteration: x is whole seconds
+    from a 2024 origin (keeps sum(x^2) inside int64), y is value in
+    exact hundredths; slope and intercept are then single IEEE double
+    ops on exact integers, so the result is bit-stable under any
+    partitioning and matches the oracle exactly (a naive sum of
+    doubles would be order-dependent and could never hash-match).
+
+    Scale: ONE aggregation with full map-side combine — the shuffle
+    carries five integers per (user, task). Degenerate users (all
+    events at one instant) yield NULL slope, matching SQL."""
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    pts = events.select(
+        "user_id",
+        (F.col("ts").cast("long") - F.lit(TREND_EPOCH)).alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(det != 0, num.cast("double") / det.cast("double"))
+    intercept = F.when(
+        det != 0,
+        (
+            F.col("sy").cast("double")
+            - (num.cast("double") / det.cast("double")) * F.col("sx").cast("double")
+        )
+        / F.col("n").cast("double"),
+    )
+    return s.select(
+        "user_id",
+        "n",
+        slope.alias("slope_cents_per_sec"),
+        intercept.alias("intercept_cents"),
+    )

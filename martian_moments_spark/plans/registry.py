@@ -139,6 +139,7 @@ PRIORITY: tuple[str, ...] = (
     "quality_weighted_sample",
     "curriculum_phases",
     "profile_drift",
+    "per_user_trend",
 )
 
 
