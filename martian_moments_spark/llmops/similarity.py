@@ -730,3 +730,56 @@ def sql_srp_band_expr(units_expr: str, band: int) -> str:
         )
         terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+# --- IVF index persistence (build once, query many) ----------------
+
+
+def save_ivf_index(spark: SparkSession, centroids, path: str) -> None:
+    """Persist a trained coarse quantizer as a tiny parquet table
+    (cell_id, centroid units) — the build-once artifact a production
+    ANN service loads instead of retraining per query job. k*dim
+    integers: always a broadcast-sized read."""
+    rows = [(int(c), [int(x) for x in v]) for c, v in centroids]
+    spark.createDataFrame(rows, "cell INT, centroid ARRAY<BIGINT>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_index(spark: SparkSession, path: str):
+    """Load the centroid list saved by save_ivf_index, in the
+    [(cell_id, np.int64[dim])] shape every probe/assign helper takes."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    return [(int(r["cell"]), np.asarray(r["centroid"], dtype=np.int64)) for r in rows]
+
+
+def assign_cells(df: DataFrame, centroids, id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Assign NEW vectors to their nearest existing centroid — the
+    incremental-ingest half of a persisted IVF index: identical argmin
+    (exact int64 squared L2, ties to the lowest cell id) as training-
+    time assignment, so an incrementally ingested vector lands in the
+    same cell a full rebuild would put it in (pinned in tests). One
+    Arrow pass, centroid matrix by closure; no shuffle."""
+    import numpy as np
+
+    cell_ids = np.array([c for c, _ in centroids], dtype=np.int64)
+    C = np.stack([v for _, v in centroids])
+    base = with_units_and_norm(df.select(id_col, emb_col), emb_col).select(
+        id_col, "units", "norm2"
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cell=pd.Series([], dtype="int32"))
+                continue
+            U = np.stack([np.asarray(u, dtype=np.int64) for u in pdf["units"]])
+            d = ((U[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pdf.assign(cell=cell_ids[d.argmin(axis=1)].astype("int32"))
+
+    schema = f"{id_col} BIGINT, units ARRAY<BIGINT>, norm2 BIGINT, cell INT"
+    return base.mapInPandas(fn, schema)

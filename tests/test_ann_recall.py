@@ -155,3 +155,35 @@ def test_recall_curve_16_cells(spark):
     # 16-way partitioning: single-probe candidate work ~ 1/16 of n^2
     # (loose 2x slack for cell-size imbalance)
     assert work_1probe < 2 / 16
+
+
+def test_ivf_index_persists_and_assigns_incrementally(spark, tmp_path):
+    """Build-once/query-many: a saved+reloaded index must reproduce
+    the trainer's centroids exactly, and incremental assignment of new
+    vectors through it must equal what a full assignment pass gives —
+    same argmin, same cells."""
+    from martian_moments_spark.llmops.similarity import (
+        assign_cells,
+        kmeans_units,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    old = emb.filter("vec_id % 5 <> 0")   # "already ingested"
+    new = emb.filter("vec_id % 5 = 0")    # "daily increment"
+
+    assigned, cents = kmeans_units(old)
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(spark, cents, path)
+    loaded = load_ivf_index(spark, path)
+    assert [(c, v.tolist()) for c, v in loaded] == [
+        (c, v.tolist()) for c, v in cents
+    ]
+
+    inc = {r["vec_id"]: r["cell"] for r in assign_cells(new, loaded).collect()}
+    # ground truth: assign the increment through the in-memory centroids
+    full = {r["vec_id"]: r["cell"] for r in assign_cells(new, cents).collect()}
+    assert inc == full and len(inc) > 0
+    # the increment only lands in cells the index defines
+    assert set(inc.values()) <= {c for c, _ in cents}
