@@ -29,6 +29,8 @@ class TableContract:
     accepted: dict[str, tuple] = field(default_factory=dict)
     expressions: dict[str, str] = field(default_factory=dict)
     unique: tuple[tuple[str, ...], ...] = ()
+    #: dbt relationships: fk column -> (parent table, parent key col)
+    relationships: dict[str, tuple[str, str]] = field(default_factory=dict)
 
 
 #: The engine's standing contracts for the catalog tables it curates.
@@ -42,6 +44,7 @@ CONTRACTS: tuple[TableContract, ...] = (
         accepted={"o_orderstatus": ("F", "O", "P")},
         expressions={"nonnegative_price": "o_totalprice >= 0"},
         unique=(("o_orderkey",),),
+        relationships={"o_custkey": ("customer", "c_custkey")},
     ),
     TableContract(
         table="lineitem",
@@ -51,6 +54,11 @@ CONTRACTS: tuple[TableContract, ...] = (
             "nonnegative_extendedprice": "l_extendedprice >= 0",
         },
         unique=(("l_orderkey", "l_linenumber"),),
+        relationships={
+            "l_orderkey": ("orders", "o_orderkey"),
+            "l_partkey": ("part", "p_partkey"),
+            "l_suppkey": ("supplier", "s_suppkey"),
+        },
     ),
     TableContract(
         table="events",
@@ -60,6 +68,7 @@ CONTRACTS: tuple[TableContract, ...] = (
         # surface them, not hide them.
         accepted={"event_type": ("click", "view", "error", "signup")},
         unique=(("event_id",),),
+        relationships={"user_id": ("customer", "c_custkey")},
     ),
     TableContract(
         table="documents",
@@ -76,6 +85,8 @@ def contract_results(spark, sf_dir: str, contracts: Sequence[TableContract] = CO
     table count, not check count, bounds the number of jobs."""
     from martian_moments_spark.catalog import load
 
+    from martian_moments_spark.quality import CheckResult, relationship_violations
+
     out = []
     for c in contracts:
         df = load(spark, sf_dir, c.table)
@@ -87,6 +98,18 @@ def contract_results(spark, sf_dir: str, contracts: Sequence[TableContract] = CO
             unique=c.unique,
         ):
             out.append((c.table, r))
+        for col, (ptable, pcol) in c.relationships.items():
+            parent = load(spark, sf_dir, ptable)
+            out.append(
+                (
+                    c.table,
+                    CheckResult(
+                        "relationships",
+                        f"{col}->{ptable}.{pcol}",
+                        relationship_violations(df, col, parent, pcol),
+                    ),
+                )
+            )
     return out
 
 
@@ -129,6 +152,17 @@ def _sql_violation_exprs(c: TableContract) -> list[tuple[str, str, str]]:
                 ",".join(cols),
                 f"SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM "
                 f"(SELECT COUNT(*) AS n FROM {c.table} GROUP BY {key}) WHERE n > 1",
+            )
+        )
+    for col, (ptable, pcol) in c.relationships.items():
+        out.append(
+            (
+                "relationships",
+                f"{col}->{ptable}.{pcol}",
+                f"SELECT CAST(COALESCE(SUM(CASE WHEN {col} IS NOT NULL "
+                f"AND {col} NOT IN (SELECT {pcol} FROM {ptable} "
+                f"WHERE {pcol} IS NOT NULL) THEN 1 ELSE 0 END), 0) "
+                f"AS BIGINT) FROM {c.table}",
             )
         )
     return out

@@ -47,6 +47,19 @@ def expression_violations(sql_predicate: str) -> Column:
     return F.sum(F.when(pred, 0).otherwise(1)).cast("long")
 
 
+def relationship_violations(
+    df: DataFrame, col: str, parent_df: DataFrame, parent_col: str
+) -> int:
+    """dbt relationships (referential integrity): child rows whose
+    non-NULL foreign key has no match in the parent key column. An
+    anti-join on the key — the parent side reduces to its distinct
+    keys first, so at 100 TB the join ships key digests, not parent
+    rows, and AQE broadcasts bounded dimensions."""
+    child = df.select(F.col(col).alias("__fk")).filter(F.col("__fk").isNotNull())
+    parent = parent_df.select(F.col(parent_col).alias("__fk")).distinct()
+    return child.join(parent, "__fk", "left_anti").count()
+
+
 def unique_violations(df: DataFrame, cols: Sequence[str]) -> int:
     """dbt unique (sources.yml:40-42): rows beyond the first per key.
     Needs a shuffle on the key — kept out of the single-pass runner."""

@@ -78,3 +78,46 @@ def test_contract_declarations_are_well_formed():
         assert c.not_null or c.accepted or c.expressions or c.unique
         for cols in c.unique:
             assert cols, f"{c.table}: empty unique key"
+
+
+def test_relationship_check_counts_orphans(spark):
+    """dbt relationships: non-NULL FKs without a parent match count as
+    violations; NULL FKs never do."""
+    from martian_moments_spark.quality import relationship_violations
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 99), (4, None)], "id BIGINT, fk BIGINT"
+    )
+    parent = spark.createDataFrame([(10,), (11,), (12,)], "pk BIGINT")
+    assert relationship_violations(child, "fk", parent, "pk") == 1  # only 99
+
+
+def test_catalog_contracts_fk_integrity_holds(spark):
+    """The star schema's declared FKs all hold in the testdata, and
+    the generated oracle agrees branch-for-branch."""
+    import duckdb
+
+    from martian_moments_spark.contracts import (
+        CONTRACTS,
+        contract_results,
+        sql_contract_summary,
+    )
+    from tests.conftest import SF_DIR_ORACLE
+    from tests.oracle_utils import duckdb_con
+
+    got = {
+        (t, r.check, r.column): r.violations
+        for t, r in contract_results(spark, SF_DIR_ORACLE)
+        if r.check == "relationships"
+    }
+    assert len(got) == 5  # the five declared FKs
+    assert all(v == 0 for v in got.values())
+
+    con = duckdb_con(SF_DIR_ORACLE)
+    oracle = {
+        (r[0], r[1], r[2]): r[3]
+        for r in con.execute(sql_contract_summary()).fetchall()
+        if r[1] == "relationships"
+    }
+    con.close()
+    assert oracle == got
