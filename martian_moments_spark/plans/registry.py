@@ -140,6 +140,56 @@ PRIORITY: tuple[str, ...] = (
     "curriculum_phases",
     "profile_drift",
     "per_user_trend",
+    # -- 5: r01-era queries, driver-green in r01, in their original
+    #       registration order (made explicit so the export order is
+    #       fully deliberate; test_registry_priority_integrity).
+    "pricing_summary",
+    "gap_detection_anti_join",
+    "dim_small_join_chain",
+    "left_join_coalesce",
+    "interval_containment",
+    "case_bucketize",
+    "in_list_category",
+    "global_row_number",
+    "ordered_limit",
+    "union_all_batches",
+    "set_operations",
+    "count_distinct",
+    "dedup_group_distinct",
+    "scalar_subquery_watermark",
+    "top_k_per_group",
+    "window_running_lag",
+    "grouping_rollup",
+    "conditional_pivot",
+    "full_outer_join",
+    "semi_join",
+    "explode_outer_empty_arrays",
+    "pivot_wide",
+    "approx_count_distinct",
+    "posexplode_index",
+    "json_serialize_envelope",
+    "json_schema_inference",
+    "regex_extract_key",
+    "sol_range_expansion",
+    "date_arithmetic",
+    "dedup_last_writer",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_fingerprints",
+    "ngram_jaccard_pairs",
+    "group_moments_stats",
+    "histogram_fixed_width",
+    "percent_rank_distribution",
+    "trailing_range_frame_sum",
+    "percentile_exact_median",
+    "cube_aggregation",
+    "forward_fill_gaps",
+    "deterministic_split",
+    "unpivot_melt",
+    "edit_distance_pairs",
+    "corpus_mixture_sample",
+    "stratified_sample",
 )
 
 

@@ -363,3 +363,18 @@ def test_round3_queries_plan_properties(spark):
 
     srp = plans["embedding_srp_neardup"]
     assert "SortMergeJoin" in srp or "ShuffledHashJoin" in srp or "BroadcastHashJoin" in srp
+
+
+def test_registry_priority_integrity():
+    """Every registered query is explicitly ordered in PRIORITY (the
+    driver's 50-slot window is a deliberate surface, not registration
+    accident), names are unique, and every oracle belongs to a
+    registered query."""
+    from martian_moments_spark.plans.registry import PRIORITY, REGISTRY, oracles
+
+    assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entries"
+    unordered = set(REGISTRY) - set(PRIORITY)
+    assert not unordered, f"registered but not in PRIORITY: {sorted(unordered)}"
+    assert set(oracles()) <= set(REGISTRY)
+    # the hard-gate window must be fully populated
+    assert len(REGISTRY) >= 50
