@@ -633,3 +633,62 @@ def test_streaming_sessionize_state_timeout_closes_sessions(spark, tmp_path):
         (2, "12:30", "12:30", 1),
         (3, "14:00", "14:00", 1),
     ]
+
+
+def test_streaming_document_ingest_pipeline(spark, tmp_path):
+    """End-to-end streaming LLM-corpus ingest — the reference's
+    file-arrival event loop (E3/E7) composed with the curation gates:
+    JSONL documents stream in, redeliveries dedup within the
+    watermark, the quality gate drops short/repetitive docs, survivors
+    append to the corpus sink. Each stage is verified alone elsewhere;
+    this pins that they COMPOSE under incremental (availableNow)
+    micro-batches."""
+    from pyspark.sql import functions as F
+
+    from martian_moments_spark.llmops.textops import quality_metrics_packed
+    from martian_moments_spark.streaming.sources import file_json_stream
+    from martian_moments_spark.streaming.windows import dedup_within_watermark
+
+    src = tmp_path / "ing_src"
+    src.mkdir()
+    out = str(tmp_path / "ing_out")
+    ck = str(tmp_path / "ing_ck")
+    schema = "doc_id BIGINT, ts TIMESTAMP, text STRING"
+
+    good = "the quick brown fox jumps over the lazy dog every single day"
+
+    def run_once():
+        stream = file_json_stream(spark, str(src), schema)
+        gated = (
+            dedup_within_watermark(stream, id_cols=("doc_id",))
+            .withColumn("__q", quality_metrics_packed("text"))
+            .filter(
+                (F.col("__q.n_tokens") >= 5) & (F.col("__q.distinct_ratio") >= 0.5)
+            )
+            .select("doc_id", "ts", "text", F.col("__q.n_tokens").alias("n_tokens"))
+        )
+        q = (
+            gated.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "ts": "2024-03-01 10:00:00", "text": good}) + "\n")
+        f.write(json.dumps({"doc_id": 1, "ts": "2024-03-01 10:00:01", "text": good}) + "\n")  # dup
+        f.write(json.dumps({"doc_id": 2, "ts": "2024-03-01 10:01:00", "text": "too short"}) + "\n")
+        f.write(json.dumps({"doc_id": 3, "ts": "2024-03-01 10:02:00", "text": "spam spam spam spam spam spam"}) + "\n")
+    run_once()
+    with open(src / "b2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "ts": "2024-03-01 10:10:00", "text": good}) + "\n")  # cross-batch dup
+        f.write(json.dumps({"doc_id": 4, "ts": "2024-03-01 10:11:00", "text": good + " again"}) + "\n")
+    run_once()
+
+    rows = {r["doc_id"]: r["n_tokens"] for r in spark.read.parquet(out).collect()}
+    # doc 1 once (dedup), 2 dropped (short), 3 dropped (repetitive),
+    # 4 kept
+    assert rows == {1: 12, 4: 13}
