@@ -162,7 +162,7 @@ def test_sessionize_invariants(spark):
 
 op_strategy = st.lists(
     st.tuples(
-        st.sampled_from(["append", "overwrite", "merge"]),
+        st.sampled_from(["append", "overwrite", "merge", "restore"]),
         st.lists(
             st.tuples(
                 st.integers(min_value=0, max_value=4),  # key
@@ -181,35 +181,45 @@ op_strategy = st.lists(
 @settings(max_examples=8, deadline=None)
 def test_lakehouse_log_replay_matches_model(spark_h, ops, tmp_path_factory):
     """Model-based check of the delta log: any sequence of
-    append/overwrite/merge commits must reconstruct — at EVERY version,
-    through checkpoints or not — exactly the state an in-memory model
-    predicts. Shrunk checkpoint interval forces checkpoint rolls inside
-    the sequence."""
+    append/overwrite/merge/restore commits must reconstruct — at EVERY
+    version, through checkpoints or not — exactly the state an
+    in-memory model predicts. A restore targets a prior version chosen
+    from the generated data (first key mod versions-so-far) and must
+    itself replay as a commit. Shrunk checkpoint interval forces
+    checkpoint rolls inside the sequence."""
     from martian_moments_spark import lakehouse as lh
 
     old_interval = lh.CHECKPOINT_INTERVAL
     lh.CHECKPOINT_INTERVAL = 2
     try:
         table = str(tmp_path_factory.mktemp("lh") / "t")
-        for op, rows in ops:
+        # a restore before any commit is meaningless: force op 0 to be
+        # a state-creating op
+        if ops[0][0] == "restore":
+            ops = [("append", ops[0][1])] + ops[1:]
+        for i, (op, rows) in enumerate(ops):
             df = spark_h.createDataFrame(rows, "k BIGINT, seq BIGINT")
             if op == "append":
                 lh.append(df, table)
             elif op == "overwrite":
                 lh.overwrite(df, table)
-            else:
+            elif op == "merge":
                 lh.merge_upsert(spark_h, df, table, keys=["k"], order_col="seq")
+            else:
+                lh.restore_table(table, rows[0][0] % i)
 
         # the model: a multiset of rows folded op by op
         from collections import Counter
 
         expect = Counter()
         per_version_expect = []
-        for op, rows in ops:
+        for i, (op, rows) in enumerate(ops):
             if op == "append":
                 expect = expect + Counter(rows)
             elif op == "overwrite":
                 expect = Counter(rows)
+            elif op == "restore":
+                expect = Counter(per_version_expect[rows[0][0] % i])
             else:  # merge: last-writer-wins per key, seq desc
                 best = {}
                 for k, s in rows:
