@@ -80,9 +80,15 @@ CONTRACTS: tuple[TableContract, ...] = (
 
 
 def contract_results(spark, sf_dir: str, contracts: Sequence[TableContract] = CONTRACTS):
-    """Evaluate every contract: [(table, CheckResult), ...]. One
-    conditional-agg scan per table + one group-by per unique key —
-    table count, not check count, bounds the number of jobs."""
+    """Evaluate every contract: [(table, CheckResult), ...]. Scalar
+    checks (not_null / accepted / expression) fold into ONE
+    conditional-agg scan per table; each unique key adds one group-by
+    job and each declared relationship one anti-join job — joins
+    cannot fold into a scan, so job count is bounded by
+    tables + unique keys + relationships (never by scalar check
+    count). At 100 TB, FK checks against the same child table share
+    its scan only if the storage layer caches it — declare only the
+    FKs worth their join."""
     from martian_moments_spark.catalog import load
 
     from martian_moments_spark.quality import CheckResult, relationship_violations

@@ -21,6 +21,7 @@ def infer_json_schema(
     json_col: str,
     sample_rows: int = 64,
     order_col: str | None = None,
+    tmp_dir: str | None = None,
 ) -> StructType:
     """Infer a merged schema from a bounded, deterministic sample of
     JSON documents.
@@ -67,7 +68,8 @@ def infer_json_schema(
     # no leading underscore/dot: Spark's file listing treats those as
     # hidden (metadata) files and would skip the sample entirely
     path = os.path.join(
-        tempfile.gettempdir(), f"mm-schema-sample-{uuid.uuid4().hex}.jsonl"
+        tmp_dir or tempfile.gettempdir(),
+        f"mm-schema-sample-{uuid.uuid4().hex}.jsonl",
     )
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(lines))

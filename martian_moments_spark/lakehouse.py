@@ -827,7 +827,10 @@ def vacuum(
     for v in expired:
         os.remove(os.path.join(_log_path(table), f"{v}.json"))
     for c in _checkpoint_versions(table):
-        if retained and c < retained[0]:
+        # keep_versions=0 retains nothing: every checkpoint must go
+        # too, or a table recreated at this path would replay a stale
+        # checkpoint referencing vacuumed files
+        if not retained or c < retained[0]:
             os.remove(os.path.join(_log_path(table), f"{c}.checkpoint.json"))
     return sorted(deleted)
 

@@ -685,8 +685,12 @@ def cosine_verify_pandas(cand: DataFrame, tau: float) -> DataFrame:
     ``units_a/units_b/norm2_a/norm2_b`` — as one Arrow-batched numpy
     pass (int64 row-wise dot then one vectorized divide) instead of an
     interpreted zip_with+aggregate per pair. Value-identical to
-    ``cosine_fixed`` (int64 matmul == JVM long fold; the divide is one
-    IEEE double op either way) — pinned in tests."""
+    ``cosine_fixed`` on nonzero norms (int64 matmul == JVM long fold;
+    the divide is one IEEE double op either way) — pinned in tests.
+
+    Zero-norm guard (same contract as the other pandas paths): a zero
+    vector's cosine is NaN and it is never a near-dup — where the
+    ANSI-mode JVM division would abort the whole job instead."""
     import numpy as np
     import pandas as pd
 
@@ -699,10 +703,11 @@ def cosine_verify_pandas(cand: DataFrame, tau: float) -> DataFrame:
             ua = np.array(list(pdf["units_a"]), dtype=np.int64)
             ub = np.array(list(pdf["units_b"]), dtype=np.int64)
             dot = np.einsum("ij,ij->i", ua, ub)
-            cos = dot.astype(np.float64) / (
-                np.sqrt(pdf["norm2_a"].to_numpy(dtype=np.float64))
-                * np.sqrt(pdf["norm2_b"].to_numpy(dtype=np.float64))
-            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot.astype(np.float64) / (
+                    np.sqrt(pdf["norm2_a"].to_numpy(dtype=np.float64))
+                    * np.sqrt(pdf["norm2_b"].to_numpy(dtype=np.float64))
+                )
             yield pd.DataFrame(
                 {
                     "id_a": pdf["id_a"].to_numpy(),

@@ -143,8 +143,14 @@ def quality_metrics_packed(col: str = "text") -> Column:
     individual quality_metrics expressions re-runs the regex split once
     per metric (HOF arguments are re-evaluated; no CSE). Same values,
     ~1.7x faster on the documents corpus — use this form whenever a
-    query consumes two or more metrics; unpack with ``.alias("q")``
-    then ``F.col("q.n_tokens")`` etc."""
+    query consumes two or more metrics. Unpack via the two-step
+    ``.select(packed.alias("q")).select(F.col("q.n_tokens"), ...)``
+    pattern — a direct ``packed["field"]`` reference makes
+    CollapseProject re-inline the whole struct per field. Predicate
+    pushdown can still substitute the struct into a FILTER on an
+    unpacked field (it has no expression-cost guard); measured on the
+    corpus, that case is a wash vs the unpacked form while projection
+    shapes keep the full ~1.7x win — so packed is never worse."""
 
     def build(toks: Column) -> Column:
         n_tok = F.size(toks).cast("long")

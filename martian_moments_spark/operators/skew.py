@@ -43,7 +43,18 @@ def salted_join(
     right/full outer join would emit each unmatched small-side row once
     per salt — n_salts duplicates, not the unsalted result. Same guard
     discipline as bloom_prefilter_join."""
-    allowed = ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti")
+    allowed = (
+        "inner",
+        "left",
+        "left_outer",
+        "leftouter",
+        "left_semi",
+        "leftsemi",
+        "semi",
+        "left_anti",
+        "leftanti",
+        "anti",
+    )
     if how not in allowed:
         raise ValueError(
             f"salted_join does not support how={how!r}: the replicated "

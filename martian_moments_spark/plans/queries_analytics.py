@@ -147,14 +147,16 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals are exact integer sums, so the budget is reproducible.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
-    q = quality_metrics_packed("text")  # one tokenization for both gates
     scored = docs.select(
+        "doc_id", "lang", "source", "text",
+        quality_metrics_packed("text").alias("__q"),
+    ).select(
         "doc_id",
         "lang",
         "source",
         "text",
-        q["n_tokens"].alias("n_tokens"),
-        q["distinct_ratio"].alias("distinct_ratio"),
+        F.col("__q.n_tokens").alias("n_tokens"),
+        F.col("__q.distinct_ratio").alias("distinct_ratio"),
     )
     kept = scored.filter((F.col("n_tokens") >= 10) & (F.col("distinct_ratio") >= 0.3))
     w = W.partitionBy(F.md5("text")).orderBy("doc_id")

@@ -1121,6 +1121,16 @@ def embedding_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (band_idx, band_val) — never all-pairs), and every
     candidate is verified with the exact fixed-point cosine.
 
+    Operating point: the banding is sized for the NEAR-DUPLICATE
+    regime — a cosine≥0.95 pair collides in ≥1 of the 4 8-bit bands
+    w.p. ≈0.9 (pinned with planted duplicates in test_llmops), while
+    random pairs collide at ~1.6%. The tau=0.30 flag labels unusually
+    similar pairs AMONG collisions; far below the design point LSH
+    samples collisions sparsely (recall at cosine~0.3 is ~6% — the
+    fundamental banding trade, not a bug). Exhaustive
+    moderate-similarity search is embedding_cosine_topk (exact) or the
+    IVF family; this query exists for the high-similarity dedup cut.
+
     Scale: signature computation is per-row JVM lambda math; the only
     shuffle is the band-bucket equi-join whose cost is O(collisions),
     dialed by SRP_BAND_BITS exactly like LSH banding for MinHash. The
@@ -1301,11 +1311,15 @@ def curation_to_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage materializes an intermediate — Catalyst plans the chain
     end to end, reusing the scan."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    q = quality_metrics_packed("text")  # one tokenization for both gates
+    # alias-then-unpack (see quality_metrics_packed): computed once in
+    # the projection; the downstream quality-gate filter may re-inline
+    # it via predicate pushdown — measured a wash, never a regression
     scored = docs.select(
+        "doc_id", "lang", "text", quality_metrics_packed("text").alias("__q")
+    ).select(
         "doc_id", "lang", "text",
-        q["n_tokens"].alias("n_tokens"),
-        q["distinct_ratio"].alias("distinct_ratio"),
+        F.col("__q.n_tokens").alias("n_tokens"),
+        F.col("__q.distinct_ratio").alias("distinct_ratio"),
     )
     kept = scored.filter((F.col("n_tokens") >= 10) & (F.col("distinct_ratio") >= 0.3))
     winners = kept.groupBy(F.md5("text").alias("__fp")).agg(
@@ -1600,11 +1614,12 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (post-aggregation cardinality, not corpus cardinality), which
     is the cheap and correct place for a global sum."""
     docs = load(spark, sf_dir, "documents").select("source", "text")
-    q = quality_metrics_packed("text")  # one tokenization for both metrics
     scored = docs.select(
+        "source", quality_metrics_packed("text").alias("__q")
+    ).select(
         "source",
-        q["n_tokens"].alias("n_tokens"),
-        q["distinct_ratio"].alias("distinct_ratio"),
+        F.col("__q.n_tokens").alias("n_tokens"),
+        F.col("__q.distinct_ratio").alias("distinct_ratio"),
     )
     per_source = scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1816,12 +1831,13 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure per-row math, no shuffle at all; composes with
     corpus_mixture_sample's per-source weights."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    q = quality_metrics_packed("text")  # one tokenization for both metrics
     weighted = docs.select(
+        "doc_id", quality_metrics_packed("text").alias("__q")
+    ).select(
         "doc_id",
-        q["n_tokens"].alias("n_tokens"),
-        F.when(q["distinct_ratio"] >= 0.5, 80)
-        .when(q["distinct_ratio"] >= 0.3, 50)
+        F.col("__q.n_tokens").alias("n_tokens"),
+        F.when(F.col("__q.distinct_ratio") >= 0.5, 80)
+        .when(F.col("__q.distinct_ratio") >= 0.3, 50)
         .otherwise(20)
         .alias("keep_pct"),
     )
@@ -1861,11 +1877,12 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank, total) in closed form. The corpus shuffles once on the
     bucket id and never through a single task."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    q = quality_metrics_packed("text")  # one tokenization for both metrics
     scored = docs.select(
+        "doc_id", quality_metrics_packed("text").alias("__q")
+    ).select(
         "doc_id",
-        q["n_tokens"].alias("n_tokens"),
-        q["avg_token_len"].alias("difficulty"),
+        F.col("__q.n_tokens").alias("n_tokens"),
+        F.col("__q.avg_token_len").alias("difficulty"),
     )
     rows = scored.withColumn(
         "__b", F.floor(F.col("difficulty") / F.lit(0.25)).cast("long")

@@ -81,8 +81,10 @@ def contract_check_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted_values check reports real violations ('purchase' is not
     in its declared domain) — violations surface, never hide.
 
-    Scale: job count is bounded by table count, not check count; each
-    table's scalar checks fold into a single aggregate over one scan."""
+    Scale: scalar checks fold into a single aggregate over one scan
+    per table; unique keys add one group-by each and relationships one
+    anti-join each (jobs ~ tables + keys + FKs, never scalar-check
+    count)."""
     from martian_moments_spark.contracts import contract_results
 
     rows = [

@@ -787,3 +787,20 @@ def test_table_history_and_restore(spark, tmp_path):
     # are live in the NEW version)
     lh.vacuum(table, keep_versions=1, retention_seconds=0)
     assert _rows(lh.read_table(spark, table)) == {(1, "a"), (2, "b")}
+
+
+def test_vacuum_keep_zero_removes_checkpoints_too(spark, tmp_path, monkeypatch):
+    """keep_versions=0 must not leave stale checkpoint files: a table
+    recreated at the same path would otherwise replay a checkpoint
+    referencing vacuumed files."""
+    monkeypatch.setattr(lh, "CHECKPOINT_INTERVAL", 2)
+    table = str(tmp_path / "t")
+    for i in range(4):
+        lh.append(spark.createDataFrame([(i, f"v{i}")], "k BIGINT, v STRING"), table)
+    assert lh._checkpoint_versions(table)  # interval=2 -> rolled
+    lh.vacuum(table, keep_versions=0, retention_seconds=0)
+    assert lh._versions(table) == []
+    assert lh._checkpoint_versions(table) == []
+    # the path is clean for a fresh table
+    lh.append(spark.createDataFrame([(9, "new")], "k BIGINT, v STRING"), table)
+    assert _rows(lh.read_table(spark, table)) == {(9, "new")}

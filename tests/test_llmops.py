@@ -450,3 +450,49 @@ def test_cosine_verify_pandas_matches_jvm_fold(spark):
         for r in cosine_verify_pandas(cand, tau=0.30).collect()
     }
     assert got == jvm and len(got) > 0
+
+
+def test_srp_banding_catches_planted_near_duplicates(spark):
+    """The banding's design point, pinned with ground truth: planted
+    near-identical vectors (tiny perturbations, cosine >= 0.95) must
+    collide in >= 1 band for >= 80% of planted pairs, while the
+    random-pair candidate rate stays under 5%."""
+    import random
+
+    from martian_moments_spark.llmops.similarity import (
+        srp_bands_pandas,
+        with_units_and_norm,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    n_planted = 60
+    for i in range(n_planted):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        w = [x + rng.gauss(0, 0.08) for x in v]  # cosine ~ 0.97
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, w))
+    for i in range(300):  # random background
+        rows.append((10_000 + i, [rng.gauss(0, 1) for _ in range(64)]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    base = with_units_and_norm(df).select("vec_id", "units", "norm2")
+    bands = {
+        (r["vec_id"], r["band_idx"]): r["band_val"]
+        for r in srp_bands_pandas(base).select(
+            "vec_id", "band_idx", "band_val"
+        ).collect()
+    }
+    n_bands = max(b for _, b in bands) + 1
+
+    def collide(a, b):
+        return any(bands[(a, i)] == bands[(b, i)] for i in range(n_bands))
+
+    hit = sum(1 for i in range(n_planted) if collide(2 * i, 2 * i + 1))
+    assert hit / n_planted >= 0.8, f"planted recall {hit}/{n_planted}"
+
+    import itertools
+
+    rand_ids = [10_000 + i for i in range(300)]
+    rand_pairs = list(itertools.combinations(rand_ids, 2))
+    rand_hits = sum(1 for a, b in rand_pairs if collide(a, b))
+    assert rand_hits / len(rand_pairs) < 0.05, f"random rate {rand_hits}/{len(rand_pairs)}"
