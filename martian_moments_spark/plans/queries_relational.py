@@ -1028,3 +1028,105 @@ def global_rank_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("offset") + F.row_number().over(w_in)).cast("long").alias("global_rank"),
         )
     )
+
+
+@register(
+    "tpch_q10_returned_items",
+    ops=("J2", "A1", "P3", "P6", "O1", "O2"),
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name,
+               {sql_fixed_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+               c.c_acctbal, n.n_name AS nation_name
+        FROM customer c
+        JOIN orders   o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation   n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= DATE '1995-10-01'
+          AND o.o_orderdate <  DATE '1996-01-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting), the classic shape on the
+    star schema: customers who returned items in a quarter ranked by
+    lost revenue. Recognizable benchmark semantics double as a
+    reference point for the engine's join ordering.
+
+    Scale: both selective predicates (quarter on orders, 'R' flag on
+    lineitem) push to their scans BEFORE the fact-fact shuffle; nation
+    broadcasts explicitly; the top-20 plans as TakeOrderedAndProject.
+    Revenue is the fixed-point money sum (order-independent, exact
+    oracle match). The deterministic (revenue DESC, custkey) tie-break
+    makes the LIMIT stable."""
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation_name"))
+        .agg(
+            fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation_name")
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    ops=("P3", "P6", "A1"),
+    oracle=f"""
+        SELECT {sql_fixed_sum("l_extendedprice * l_discount")} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate <  DATE '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure
+    predicate-pushdown showcase — a single scan where every filter
+    (date range, discount band, quantity cap) reaches the parquet
+    reader, aggregating to one row. No joins, no shuffle beyond the
+    final 1-row combine; at 100 TB this query IS the scan, which is
+    why its filters pushing down (pinned in test_plans) is the whole
+    performance story."""
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    kept = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return kept.agg(
+        fixed_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )

@@ -140,6 +140,8 @@ PRIORITY: tuple[str, ...] = (
     "curriculum_phases",
     "profile_drift",
     "per_user_trend",
+    "tpch_q10_returned_items",
+    "tpch_q6_forecast_revenue",
     # -- 5: r01-era queries, driver-green in r01, in their original
     #       registration order (made explicit so the export order is
     #       fully deliberate; test_registry_priority_integrity).
