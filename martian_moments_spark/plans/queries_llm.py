@@ -1680,6 +1680,7 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "incremental_dedup_index",
+    bench=True,
     ops=("A1", "J4", "A6"),
     oracle="""
         WITH index AS (

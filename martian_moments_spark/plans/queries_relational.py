@@ -1032,6 +1032,7 @@ def global_rank_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "tpch_q10_returned_items",
+    bench=True,
     ops=("J2", "A1", "P3", "P6", "O1", "O2"),
     oracle=f"""
         SELECT c.c_custkey, c.c_name,
