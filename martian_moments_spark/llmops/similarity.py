@@ -788,3 +788,52 @@ def assign_cells(df: DataFrame, centroids, id_col: str = "vec_id", emb_col: str 
 
     schema = f"{id_col} BIGINT, units ARRAY<BIGINT>, norm2 BIGINT, cell INT"
     return base.mapInPandas(fn, schema)
+
+
+def neardup_min_earlier_pandas(
+    df: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Within-cell near-duplicate resolution as one numpy pass per
+    cell: for every vector, the LOWEST earlier id whose exact
+    fixed-point cosine reaches ``tau`` (or NULL). Same contract as the
+    join+filter+min-aggregate formulation (the DuckDB oracle's shape)
+    — the win is replacing an interpreted HOF cosine per within-cell
+    pair with one int64 Gram matmul per cell, exactly like
+    topk_cosine_cells_pandas. Cells must fit one task (IVF sizing)."""
+    import numpy as np
+    import pandas as pd
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+
+        def half_up(v):
+            return np.sign(v) * np.floor(np.abs(v) + 0.5)
+
+        u = np.stack(
+            [half_up(np.asarray(e, dtype=np.float64) * FIXED_SCALE) for e in pdf[emb_col]]
+        ).astype(np.int64)[order]
+        g = u @ u.T
+        norms = np.sqrt(np.diag(g).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = g.astype(np.float64) / np.outer(norms, norms)
+        out_ids, out_dup = [], []
+        for j in range(len(ids)):
+            # earlier ids are exactly the prefix (ids sorted ascending)
+            hits = np.nonzero(cos[j, :j] >= tau)[0]
+            out_ids.append(ids[j])
+            out_dup.append(int(ids[hits[0]]) if len(hits) else None)
+        return pd.DataFrame({id_col: out_ids, "dup_of": out_dup}).astype(
+            {id_col: "int64", "dup_of": "Int64"}
+        )
+
+    return (
+        df.select(id_col, emb_col, cell_col)
+        .groupBy(cell_col)
+        .applyInPandas(per_cell, f"{id_col} BIGINT, dup_of BIGINT")
+    )

@@ -23,8 +23,6 @@ from martian_moments_spark.catalog import load
 from martian_moments_spark.functions.numeric import fixed_sum, sql_fixed_sum
 from martian_moments_spark.llmops.similarity import (
     FIXED_SCALE,
-    cosine_fixed,
-    with_units_and_norm,
 )
 from martian_moments_spark.llmops.textops import (
     portable_hash31,
@@ -76,37 +74,19 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: fixed-point int64 dot products make the >= tau cut
     bit-identical across engines and partitionings.
     """
-    base = with_units_and_norm(
-        load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    from martian_moments_spark.llmops.similarity import neardup_min_earlier_pandas
+
+    # per-cell Arrow matmul (the sibling paths' pattern): one int64
+    # Gram matrix per cell replaces an interpreted HOF cosine per
+    # within-cell pair; the min-earlier-dup choice happens inside the
+    # same pass. Value-identical to the join+filter+min formulation
+    # the oracle renders.
+    dup = neardup_min_earlier_pandas(
+        load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"),
+        tau=NEARDUP_TAU,
     )
-    a = base.select(
-        F.col("label").alias("cell"),
-        F.col("vec_id").alias("id_a"),
-        F.col("units").alias("units_a"),
-        F.col("norm2").alias("norm_a"),
-    )
-    b = base.select(
-        F.col("label").alias("cell"),
-        F.col("vec_id").alias("id_b"),
-        F.col("units").alias("units_b"),
-        F.col("norm2").alias("norm_b"),
-    )
-    dup = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            cosine_fixed(F.col("units_a"), F.col("units_b"), F.col("norm_a"), F.col("norm_b")),
-        )
-        .filter(F.col("cosine") >= F.lit(NEARDUP_TAU))
-        .groupBy(F.col("id_b").alias("vec_id"))
-        .agg(F.min("id_a").alias("dup_of"))
-    )
-    return (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id")
-        .join(dup, "vec_id", "left")
-        .select("vec_id", "dup_of", F.col("dup_of").isNull().alias("is_kept"))
+    return dup.select(
+        "vec_id", "dup_of", F.col("dup_of").isNull().alias("is_kept")
     )
 
 
