@@ -61,6 +61,35 @@ def bronze_load(
     )
 
 
+def csv_bronze_load(
+    spark: SparkSession,
+    paths: list[str],
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV flavor of ``bronze_load`` — same ingestion discipline for
+    the delimited files every data exchange still ships: explicit
+    schema (never inferSchema at scale: one extra full pass and
+    type drift per file), PERMISSIVE parsing with malformed rows
+    routed to the corrupt-record column instead of failing the load
+    (ON_ERROR='CONTINUE'), and the same source-file + prefix-route
+    lineage columns."""
+    df = (
+        spark.read.schema(f"{schema}, {corrupt_col} STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(paths)
+    )
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return df.withColumn("source_file", fname).withColumn(
+        "route", route_for_filename(fname)
+    )
+
+
 def list_routed(base_dir: str, route: str) -> list[str]:
     """The reference's per-prefix listing (fget_object loop) — local FS
     flavor; on S3 this is a prefix listing."""
@@ -106,8 +135,14 @@ def write_training_shards(
     elif fmt == "parquet":
         writer.parquet(path)
         suffix = ".parquet"
+    elif fmt == "orc":
+        writer.orc(path)
+        suffix = ".orc"
+    elif fmt == "csv":
+        writer.option("header", "true").csv(path)
+        suffix = ".csv"
     else:
-        raise ValueError(f"unsupported shard format {fmt!r} (json|parquet)")
+        raise ValueError(f"unsupported shard format {fmt!r} (json|parquet|orc|csv)")
     return sum(
         1
         for name in os.listdir(path)

@@ -188,3 +188,38 @@ def test_write_training_shards_bounds_rows_and_orders(spark, tmp_path):
     # range partitioning: file key ranges do not interleave
     spans = sorted(ranges.values())
     assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_csv_bronze_load_tolerates_malformed_rows(spark, tmp_path):
+    """CSV ingestion keeps the bronze discipline: malformed rows land
+    in the corrupt column with the raw line preserved; good rows parse;
+    lineage columns attach."""
+    from martian_moments_spark.sources.object_store import csv_bronze_load
+
+    p = tmp_path / "manifest_batch1.csv"
+    p.write_text(
+        "id,name,qty\n"
+        "1,alpha,10\n"
+        "2,beta,notanumber\n"   # qty fails the INT cast -> corrupt
+        "3,gamma,30\n"
+    )
+    df = csv_bronze_load(spark, [str(p)], "id INT, name STRING, qty INT")
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["qty"] == 10 and rows[1]["_corrupt_record"] is None
+    assert rows[3]["qty"] == 30
+    bad = [r for r in rows.values() if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "notanumber" in bad[0]["_corrupt_record"]
+    assert all(r["source_file"] == "manifest_batch1.csv" for r in rows.values())
+
+
+def test_write_training_shards_orc_and_csv(spark, tmp_path):
+    from martian_moments_spark.sources.object_store import write_training_shards
+
+    df = spark.range(0, 100).selectExpr("id AS doc_id", "concat('t', id) AS text")
+    n_orc = write_training_shards(df, str(tmp_path / "o"), rows_per_shard=40, fmt="orc")
+    assert n_orc >= 3
+    assert spark.read.orc(str(tmp_path / "o")).count() == 100
+    n_csv = write_training_shards(df, str(tmp_path / "c"), rows_per_shard=40, fmt="csv")
+    assert n_csv >= 3
+    back = spark.read.option("header", "true").csv(str(tmp_path / "c"))
+    assert back.count() == 100
