@@ -692,3 +692,67 @@ def test_streaming_document_ingest_pipeline(spark, tmp_path):
     # doc 1 once (dedup), 2 dropped (short), 3 dropped (repetitive),
     # 4 kept
     assert rows == {1: 12, 4: 13}
+
+
+def test_streaming_windowed_sketch_distinct(spark, tmp_path):
+    """Approximate distinct users per event-time window on a stream:
+    the HLL sketch aggregates inside watermarked streaming state (the
+    unbounded-cardinality shape at 100 TB); at test scale the sketch
+    is exact, pinned against the batch distinct count."""
+    from pyspark.sql import functions as F
+
+    from martian_moments_spark.streaming.sources import file_json_stream
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    out = str(tmp_path / "hll_out")
+    ck = str(tmp_path / "hll_ck")
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+
+    rows = [
+        {"event_id": i, "ts": f"2024-03-01 10:{i % 2 * 30:02d}:00", "user_id": i % 7}
+        for i in range(40)
+    ]
+    with open(src / "e1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    def run_once():
+        stream = file_json_stream(spark, str(src), schema)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "30 minutes").alias("w"))
+            .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n_users"))
+            .select(F.col("w.start").alias("ws"), "n_users")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # append mode emits a window only once the watermark passes it:
+    # advance event time far past both windows, then run again (the
+    # advancing event's own window stays pending - not asserted on)
+    with open(src / "e2.json", "w") as f:
+        f.write(json.dumps({"event_id": 999, "ts": "2024-03-01 13:00:00", "user_id": 0}) + "\n")
+    run_once()
+
+    got = {str(r["ws"]): r["n_users"] for r in spark.read.parquet(out).collect()}
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"]) for r in rows],
+        "event_id BIGINT, ts STRING, user_id BIGINT",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    want = {
+        str(r["ws"]): r["n"]
+        for r in batch.groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .collect()
+    }
+    assert len(got) == 2 and all(got[k] == want[k] for k in got)
