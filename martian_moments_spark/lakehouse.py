@@ -363,6 +363,7 @@ def _commit(
     base_version: int | None,
     remove: list[str] = (),
     schema: dict | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Atomically publish a delta (``add``/``remove`` table-relative
     paths) as the next version, harvesting per-file stats for the
@@ -385,6 +386,11 @@ def _commit(
     }
     if schema is not None:
         entry["schema"] = schema
+    if meta is not None:
+        # application metadata rides the atomic commit (e.g. a
+        # materialized view's source watermark) — state that must move
+        # with the data can never be torn from it by a crash
+        entry["meta"] = meta
     with open(staged, "w") as f:
         json.dump(entry, f)
     final = os.path.join(logd, f"{next_v}.json")
@@ -402,7 +408,7 @@ def _commit(
     return next_v
 
 
-def append(df: DataFrame, table: str) -> int:
+def append(df: DataFrame, table: str, meta: dict | None = None) -> int:
     """Transactional append. The commit logs ONLY the new files (an
     add-delta): append cost is independent of table size — the shape
     that matters at 100 TB where the live set is millions of files.
@@ -413,12 +419,12 @@ def append(df: DataFrame, table: str) -> int:
         base = current_version(table)
         sch = _enforced_schema(table, base, df)  # re-check vs the race winner
         try:
-            return _commit(table, new, "append", base, schema=sch)
+            return _commit(table, new, "append", base, schema=sch, meta=meta)
         except FileExistsError:
             continue  # lost the race: an append composes with any winner
 
 
-def overwrite(df: DataFrame, table: str) -> int:
+def overwrite(df: DataFrame, table: str, meta: dict | None = None) -> int:
     """Transactional full replace (the commit shape a MERGE resolves
     to): the delta removes the previous live set and adds the new
     files; old files stay on disk for older versions until vacuumed."""
@@ -434,6 +440,7 @@ def overwrite(df: DataFrame, table: str) -> int:
             return _commit(
                 table, new, "overwrite", base, remove=prev,
                 schema=_enforced_schema(table, base, df, reset=True),
+                meta=meta,
             )
         except FileExistsError:
             continue

@@ -803,7 +803,12 @@ def neardup_min_earlier_pandas(
     join+filter+min-aggregate formulation (the DuckDB oracle's shape)
     — the win is replacing an interpreted HOF cosine per within-cell
     pair with one int64 Gram matmul per cell, exactly like
-    topk_cosine_cells_pandas. Cells must fit one task (IVF sizing)."""
+    topk_cosine_cells_pandas. Cells must fit one task (IVF sizing).
+
+    NULL cell labels match NOTHING (join semantics — groupBy would
+    wrongly pool them into one pseudo-cell): NULL-labelled vectors are
+    split off and emitted as kept (dup_of NULL), identical to the
+    join+filter formulation and the oracle."""
     import numpy as np
     import pandas as pd
 
@@ -832,8 +837,13 @@ def neardup_min_earlier_pandas(
             {id_col: "int64", "dup_of": "Int64"}
         )
 
-    return (
-        df.select(id_col, emb_col, cell_col)
+    base = df.select(id_col, emb_col, cell_col)
+    labelled = (
+        base.filter(F.col(cell_col).isNotNull())
         .groupBy(cell_col)
         .applyInPandas(per_cell, f"{id_col} BIGINT, dup_of BIGINT")
     )
+    unlabelled = base.filter(F.col(cell_col).isNull()).select(
+        F.col(id_col), F.lit(None).cast("bigint").alias("dup_of")
+    )
+    return labelled.unionByName(unlabelled)

@@ -13,14 +13,18 @@ column, no full diff join. An incremental refresh therefore:
    merge discipline as ``operators.skew.salted_agg`` (sum/min/max —
    ``count`` partials merge by SUM; non-decomposable aggregates are
    rejected loudly rather than silently wrong);
-4. overwrites the rollup table transactionally and advances the
-   watermark atomically.
+4. overwrites the rollup table with the source watermark RIDING THE
+   COMMIT (lakehouse ``meta``): the watermark and the data it
+   describes are one atomic publish, so no crash point can leave a
+   rollup that silently re-applies (double-counts) a delta.
 
-A source commit that REMOVED files (overwrite, merge, delete, restore)
-breaks the append-only premise; ``refresh`` detects it from the log and
-falls back to a full recompute — correct for every workload, merely
-less incremental. The refresh-equals-recompute invariant is pinned in
-tests/test_materialized.py, including through the fallback.
+Any break in the incremental premise falls back to a full recompute —
+correct for every workload, merely less incremental: a source commit
+that REMOVED files (overwrite, merge, delete, restore), source log
+entries expired by vacuum, or a source whose version went BACKWARD
+(table recreated at the same path). The refresh-equals-recompute
+invariant is pinned in tests/test_materialized.py, including through
+every fallback path.
 
 Reference analog: the dbt incremental models the reference materializes
 in Snowflake (models/marts/*.sql) — here the maintenance is explicit,
@@ -29,9 +33,7 @@ exact, and engine-owned.
 
 from __future__ import annotations
 
-import json
 import os
-import uuid
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -51,26 +53,6 @@ MERGES: dict[str, Callable[[Column], Column]] = {
 
 class NonAppendSourceError(RuntimeError):
     """The source advanced with file removals; incremental premise gone."""
-
-
-def _state_path(rollup_table: str) -> str:
-    return os.path.join(rollup_table, "_mv_state.json")
-
-
-def _read_state(rollup_table: str) -> dict | None:
-    try:
-        with open(_state_path(rollup_table)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return None
-
-
-def _write_state(rollup_table: str, state: dict) -> None:
-    os.makedirs(rollup_table, exist_ok=True)
-    tmp = os.path.join(rollup_table, f".mv_state.{uuid.uuid4().hex[:8]}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-    os.replace(tmp, _state_path(rollup_table))  # atomic advance
 
 
 class MaterializedRollup:
@@ -119,11 +101,29 @@ class MaterializedRollup:
             ]
         )
 
+    def _watermark(self) -> int | None:
+        """The source version the rollup currently reflects — read from
+        the rollup's own commit log (it rode the commit, so it can
+        never disagree with the committed data)."""
+        v = lh.current_version(self.rollup_table)
+        if v is None:
+            return None
+        meta = lh._read_entry(self.rollup_table, v).get("meta") or {}
+        return meta.get("source_version")
+
     def _source_is_append_only_since(self, from_version: int, to_version: int) -> bool:
-        for v in range(from_version + 1, to_version + 1):
-            entry = lh._read_entry(self.source_table, v)
-            if "files" in entry or entry.get("remove"):
-                return False
+        """False on anything that breaks the incremental premise:
+        removals, legacy full-snapshot entries, a backward-moving
+        source (recreated table), or log entries expired by vacuum."""
+        if to_version < from_version:
+            return False
+        try:
+            for v in range(from_version + 1, to_version + 1):
+                entry = lh._read_entry(self.source_table, v)
+                if "files" in entry or entry.get("remove"):
+                    return False
+        except FileNotFoundError:
+            return False  # vacuum expired the delta trail
         return True
 
     def _delta_files(self, from_version: int, to_version: int) -> list[str]:
@@ -138,43 +138,45 @@ class MaterializedRollup:
         """Bring the rollup up to the source's current version.
         Incremental when every commit since the watermark was a pure
         append; full recompute otherwise (or on first run). Returns
-        {"mode": "noop"|"incremental"|"full", "source_version": v}."""
+        {"mode": "noop"|"incremental"|"full", "source_version": v}.
+
+        No localCheckpoint before the overwrite: lakehouse commits
+        never delete data files (only vacuum does, behind a retention
+        horizon), so a plan that reads the current rollup snapshot
+        stays valid while its replacement stages — the read-after-
+        supersede race the materialization would guard against cannot
+        occur in this table format. An empty delta (an append of an
+        empty DataFrame stages zero files) degenerates to re-committing
+        the current rollup with the advanced watermark."""
         src_v = lh.current_version(self.source_table)
         if src_v is None:
             raise FileNotFoundError(f"no committed version in {self.source_table!r}")
-        state = _read_state(self.rollup_table)
-        if state is not None and state["source_version"] == src_v:
+        wm = self._watermark()
+        if wm is not None and wm == src_v:
             return {"mode": "noop", "source_version": src_v}
 
-        incremental = (
-            state is not None
-            and self._source_is_append_only_since(state["source_version"], src_v)
-        )
+        meta = {"source_table": self.source_table, "source_version": src_v}
+        incremental = wm is not None and self._source_is_append_only_since(wm, src_v)
         if incremental:
-            delta = lh._read_files(
-                spark,
-                self.source_table,
-                self._delta_files(state["source_version"], src_v),
-            )
-            merged = self._merge_partials(
-                self._aggregate(delta).unionByName(
-                    lh.read_table(spark, self.rollup_table)
+            delta_files = self._delta_files(wm, src_v)
+            current = lh.read_table(spark, self.rollup_table)
+            if delta_files:
+                merged = self._merge_partials(
+                    self._aggregate(
+                        lh._read_files(spark, self.source_table, delta_files)
+                    ).unionByName(current)
                 )
-            )
-            # the rollup is key-cardinality-sized; materialize before the
-            # overwrite so the new snapshot never reads the files it is
-            # about to supersede mid-write
-            merged = merged.localCheckpoint(eager=True)
-            lh.overwrite(merged, self.rollup_table)
+            else:
+                merged = current
+            lh.overwrite(merged, self.rollup_table, meta=meta)
             mode = "incremental"
         else:
             full = self._aggregate(lh.read_table(spark, self.source_table, src_v))
             if lh.current_version(self.rollup_table) is None:
-                lh.append(full, self.rollup_table)
+                lh.append(full, self.rollup_table, meta=meta)
             else:
-                lh.overwrite(full.localCheckpoint(eager=True), self.rollup_table)
+                lh.overwrite(full, self.rollup_table, meta=meta)
             mode = "full"
-        _write_state(self.rollup_table, {"source_version": src_v})
         return {"mode": mode, "source_version": src_v}
 
     def read(self, spark: SparkSession) -> DataFrame:

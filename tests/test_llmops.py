@@ -496,3 +496,18 @@ def test_srp_banding_catches_planted_near_duplicates(spark):
     rand_pairs = list(itertools.combinations(rand_ids, 2))
     rand_hits = sum(1 for a, b in rand_pairs if collide(a, b))
     assert rand_hits / len(rand_pairs) < 0.05, f"random rate {rand_hits}/{len(rand_pairs)}"
+
+
+def test_neardup_null_cells_never_match(spark):
+    """NULL cell labels must behave like join semantics: two identical
+    NULL-labelled vectors are both kept (NULL matches nothing), never
+    pooled into a pseudo-cell."""
+    from martian_moments_spark.llmops.similarity import neardup_min_earlier_pandas
+
+    v = [1.0] * 64
+    df = spark.createDataFrame(
+        [(0, v, None), (1, v, None), (2, v, 7), (3, v, 7)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    got = {r["vec_id"]: r["dup_of"] for r in neardup_min_earlier_pandas(df, tau=0.9).collect()}
+    assert got == {0: None, 1: None, 2: None, 3: 2}

@@ -100,3 +100,51 @@ def test_many_small_appends_stay_exact(spark, tmp_path):
         out = mv.refresh(spark)
         assert out["mode"] == "incremental"
         assert _rows(mv.read(spark)) == _expect(spark, mv), f"diverged at append {i}"
+
+
+def test_watermark_rides_the_rollup_commit(spark, tmp_path):
+    """Crash-safety by construction: the watermark lives in the
+    rollup's commit entry, so no crash point can separate them — and
+    re-running a refresh after a simulated partial failure never
+    double-counts."""
+    mv = _mv(tmp_path)
+    lh.append(spark.createDataFrame([(0, 10)], "k BIGINT, v BIGINT"), mv.source_table)
+    mv.refresh(spark)
+    lh.append(spark.createDataFrame([(0, 5)], "k BIGINT, v BIGINT"), mv.source_table)
+    mv.refresh(spark)
+    entry = lh._read_entry(mv.rollup_table, lh.current_version(mv.rollup_table))
+    assert entry["meta"]["source_version"] == 1
+    # "crash recovery": calling refresh again is a pure noop — the
+    # committed data and its watermark cannot disagree
+    assert mv.refresh(spark)["mode"] == "noop"
+    assert _rows(mv.read(spark)) == _expect(spark, mv)
+
+
+def test_vacuumed_source_log_falls_back_to_full(spark, tmp_path):
+    """Vacuum expiring the source's delta trail must degrade to a full
+    recompute, not crash."""
+    mv = _mv(tmp_path)
+    lh.append(spark.createDataFrame([(0, 1)], "k BIGINT, v BIGINT"), mv.source_table)
+    mv.refresh(spark)
+    for i in range(2, 5):
+        lh.append(spark.createDataFrame([(0, i)], "k BIGINT, v BIGINT"), mv.source_table)
+    lh.vacuum(mv.source_table, keep_versions=1, retention_seconds=0)
+    out = mv.refresh(spark)
+    assert out["mode"] == "full"
+    assert _rows(mv.read(spark)) == _expect(spark, mv)
+
+
+def test_recreated_source_falls_back_to_full(spark, tmp_path):
+    """A source rebuilt at the same path (version goes backward) must
+    trigger a full recompute, not an empty-range incremental."""
+    import shutil
+
+    mv = _mv(tmp_path)
+    for i in range(4):
+        lh.append(spark.createDataFrame([(i, i)], "k BIGINT, v BIGINT"), mv.source_table)
+    mv.refresh(spark)  # watermark = 3
+    shutil.rmtree(mv.source_table)
+    lh.append(spark.createDataFrame([(9, 90)], "k BIGINT, v BIGINT"), mv.source_table)
+    out = mv.refresh(spark)  # source now at v0 < watermark 3
+    assert out["mode"] == "full"
+    assert _rows(mv.read(spark)) == {(9, 90, 1, 90)}
