@@ -51,10 +51,6 @@ MERGES: dict[str, Callable[[Column], Column]] = {
 }
 
 
-class NonAppendSourceError(RuntimeError):
-    """The source advanced with file removals; incremental premise gone."""
-
-
 class MaterializedRollup:
     """An aggregate view ``SELECT keys, aggs FROM source GROUP BY keys``
     maintained incrementally against a lakehouse source table.
