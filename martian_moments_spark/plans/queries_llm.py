@@ -1915,3 +1915,139 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "difficulty",
         (phase + 1).cast("int").alias("phase"),
     )
+
+
+def _sql_fuzzy_bands(source: str) -> str:
+    """The banded-minhash CTE chain over ``source`` (must expose
+    doc_id, text) — shared by the batch fuzzy pipeline and the
+    incremental index probe."""
+    pairs = []
+    for b in range(len(MINHASH_SEEDS) // 2):
+        lo, hi = 2 * b, 2 * b + 1
+        pairs.append(
+            f"SELECT doc_id, {b} AS band_idx,"
+            f" ((0 * 1000003 + COALESCE(mh_{lo}, 0) % 1000003) % {HASH_P} * 1000003"
+            f" + COALESCE(mh_{hi}, 0) % 1000003) % {HASH_P} AS band_val FROM __mh_{source}"
+        )
+    return "\n            UNION ALL\n            ".join(pairs)
+
+
+@register(
+    "incremental_fuzzy_dedup",
+    ops=("J2", "J3", "A6"),
+    oracle=f"""
+        WITH idx AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        ), inc AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        ), __mh_idx AS (
+            SELECT doc_id, {_sql_minhash_cols()}
+            FROM (SELECT doc_id, {_SQL_SHINGLES.replace("t[", "tt[").replace("len(t)", "len(tt)")} AS s
+                  FROM (SELECT doc_id, {_SQL_TOKS} AS tt FROM idx))
+        ), __mh_inc AS (
+            SELECT doc_id, {_sql_minhash_cols()}
+            FROM (SELECT doc_id, {_SQL_SHINGLES.replace("t[", "tt[").replace("len(t)", "len(tt)")} AS s
+                  FROM (SELECT doc_id, {_SQL_TOKS} AS tt FROM inc))
+        ), bidx AS (
+            {_sql_fuzzy_bands("idx")}
+        ), binc AS (
+            {_sql_fuzzy_bands("inc")}
+        ), cand AS (
+            SELECT DISTINCT i.doc_id AS inc_id, x.doc_id AS idx_id
+            FROM binc i JOIN bidx x
+              ON i.band_idx = x.band_idx AND i.band_val = x.band_val
+        ), dtoks AS (
+            SELECT doc_id, list_distinct({_SQL_TOKS}) AS tk FROM documents
+        ), verified AS (
+            SELECT c.inc_id, c.idx_id
+            FROM cand c
+            JOIN dtoks ti ON ti.doc_id = c.inc_id
+            JOIN dtoks tx ON tx.doc_id = c.idx_id
+            WHERE len(list_distinct(list_concat(ti.tk, tx.tk))) > 0
+              AND CAST(len(list_intersect(ti.tk, tx.tk)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(ti.tk, tx.tk))) AS DOUBLE)
+                  >= {FUZZY_TAU}
+        ), dup AS (
+            SELECT inc_id AS doc_id, MIN(idx_id) AS dup_of_index
+            FROM verified GROUP BY inc_id
+        )
+        SELECT i.doc_id, d.dup_of_index, d.dup_of_index IS NULL AS is_novel
+        FROM inc i LEFT JOIN dup d ON i.doc_id = d.doc_id
+    """,
+)
+def incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUZZY dedup — the daily-increment form of
+    fuzzy_dedup_pipeline (which handles the batch/within-corpus case):
+    an incoming increment (doc_id%3==0) probes the accumulated MinHash
+    BAND INDEX of everything already ingested, and each incoming doc
+    is flagged novel or near-duplicate-of-index (lowest matching index
+    id) after exact Jaccard verification at FUZZY_TAU. Within-increment
+    duplicates are the batch pipeline's job; composing both is the
+    production crawl loop.
+
+    Scale: the index side stores (band_idx, band_val, doc_id) — the
+    table a production system bucket-partitions by band key, making
+    the probe a co-located equi-join; the Jaccard verifier touches
+    O(collisions) pairs only. Signatures for the increment are per-row
+    math; nothing rescans the historical corpus text except the
+    verifier's candidate token sets (an id-equi-join)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sig_cols = [f"mh_{i}" for i in range(len(MINHASH_SEEDS))]
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        hashed = df.withColumn(
+            "__sh", F.transform(word_shingles("text"), portable_hash31)
+        )
+        sig = hashed.select("doc_id", *minhash_from_hashes(F.col("__sh")))
+        banded = sig.select("doc_id", *lsh_bands(sig_cols))
+        n_bands = len(MINHASH_SEEDS) // 2
+        return banded.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.col(f"band_{b}").alias("band_val"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.band_idx", "b.band_val")
+
+    idx = docs.filter(F.col("doc_id") % 3 != 0)
+    inc = docs.filter(F.col("doc_id") % 3 == 0)
+    cand = (
+        bands_of(inc)
+        .withColumnRenamed("doc_id", "inc_id")
+        .join(
+            bands_of(idx).withColumnRenamed("doc_id", "idx_id"),
+            ["band_idx", "band_val"],
+        )
+        .select("inc_id", "idx_id")
+        .distinct()
+    )
+    dtoks = docs.select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("tk"),
+    )
+    ti = dtoks.select(F.col("doc_id").alias("inc_id"), F.col("tk").alias("tk_i"))
+    tx = dtoks.select(F.col("doc_id").alias("idx_id"), F.col("tk").alias("tk_x"))
+    inter = F.size(F.array_intersect("tk_i", "tk_x")).cast("double")
+    union = F.size(F.array_union("tk_i", "tk_x")).cast("double")
+    verified = (
+        cand.join(ti, "inc_id")
+        .join(tx, "idx_id")
+        .filter((union > 0) & (inter / union >= F.lit(FUZZY_TAU)))
+    )
+    dup = verified.groupBy(F.col("inc_id").alias("doc_id")).agg(
+        F.min("idx_id").alias("dup_of_index")
+    )
+    return (
+        inc.select("doc_id")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id", "dup_of_index", F.col("dup_of_index").isNull().alias("is_novel")
+        )
+    )
