@@ -2051,3 +2051,87 @@ def incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "dup_of_index", F.col("dup_of_index").isNull().alias("is_novel")
         )
     )
+
+
+SEMDECON_BENCH_MOD = 37  # vec_id % MOD == 0 -> held-out benchmark vector
+SEMDECON_TAU = 0.30  # contamination cut (the corpus is isotropic: the
+# tau marks unusually-similar pairs; real pipelines set ~0.9 on real
+# embeddings — the dial, not the mechanism)
+
+
+@register(
+    "semantic_decontamination",
+    ops=("J2", "A1", "A4"),
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, {{units}} AS units,
+                   CAST(list_sum(list_transform(list_zip({{units}}, {{units}}),
+                        z -> z[1] * z[2])) AS BIGINT) AS norm2
+            FROM embeddings
+        ), bench AS (
+            SELECT * FROM n WHERE vec_id % {SEMDECON_BENCH_MOD} = 0
+        ), train AS (
+            SELECT * FROM n WHERE vec_id % {SEMDECON_BENCH_MOD} <> 0
+        ), scored AS (
+            SELECT t.vec_id,
+                   MAX(CAST(CAST(list_sum(list_transform(list_zip(t.units, b.units),
+                        z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST(t.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))))
+                       AS max_bench_cosine
+            FROM train t, bench b
+            GROUP BY t.vec_id
+        )
+        SELECT vec_id, max_bench_cosine,
+               (max_bench_cosine >= {SEMDECON_TAU}) AS is_contaminated
+        FROM scored
+    """.format(units=_SQL_UNITS),
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the EMBEDDING-space companion to the
+    n-gram decontamination_overlap: a training vector is contaminated
+    when its max cosine against ANY held-out benchmark vector reaches
+    the tau. Exact (fixed-point), so the oracle hash-matches.
+
+    Scale: the benchmark set is tiny relative to the corpus (held-out
+    evals always are), so its unit matrix travels as an Arrow-closure
+    broadcast and every train partition computes one
+    (rows x bench) int64 matmul + row-max — a single corpus pass, no
+    shuffle at all, no pairwise materialization. The n^2-in-bench
+    oracle exists because the bench side is small; the Spark plan
+    never builds the cross product."""
+    import numpy as np
+    import pandas as pd
+
+    from martian_moments_spark.llmops.similarity import with_units_and_norm
+
+    base = with_units_and_norm(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).select("vec_id", "units", "norm2")
+    is_bench = F.col("vec_id") % SEMDECON_BENCH_MOD == 0
+    bench_rows = base.filter(is_bench).collect()  # bounded: the eval set
+    B = np.array([list(r["units"]) for r in bench_rows], dtype=np.int64)
+    bn = np.sqrt(np.array([r["norm2"] for r in bench_rows], dtype=np.float64))
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            U = np.array(list(pdf["units"]), dtype=np.int64)
+            dots = U @ B.T  # (rows, bench) exact int64
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots.astype(np.float64) / (
+                    np.sqrt(pdf["norm2"].to_numpy(dtype=np.float64))[:, None]
+                    * bn[None, :]
+                )
+            mx = cos.max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "max_bench_cosine": mx,
+                    "is_contaminated": mx >= SEMDECON_TAU,
+                }
+            )
+
+    return base.filter(~is_bench).mapInPandas(
+        batches, "vec_id bigint, max_bench_cosine double, is_contaminated boolean"
+    )

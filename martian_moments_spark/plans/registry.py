@@ -143,6 +143,7 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q10_returned_items",
     "tpch_q6_forecast_revenue",
     "incremental_fuzzy_dedup",
+    "semantic_decontamination",
     # -- 5: r01-era queries, driver-green in r01, in their original
     #       registration order (made explicit so the export order is
     #       fully deliberate; test_registry_priority_integrity).
