@@ -845,3 +845,77 @@ def ordered_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@register(
+    "winsorized_stats",
+    ops=("A1", "A4", "J1", "P8"),
+    oracle="""
+        WITH u AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pu
+            FROM orders
+        ), cuts AS (
+            SELECT o_orderpriority,
+                   quantile_cont(pu, 0.05) AS lo,
+                   quantile_cont(pu, 0.95) AS hi
+            FROM u GROUP BY o_orderpriority
+        )
+        SELECT u.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(LEAST(GREATEST(CAST(u.pu AS DOUBLE), c.lo), c.hi)) AS BIGINT)) AS BIGINT) AS wins_total_units,
+               CAST(SUM(CAST(floor(LEAST(GREATEST(CAST(u.pu AS DOUBLE), c.lo), c.hi)) AS BIGINT)) AS DOUBLE)
+                   / (100.0 * COUNT(*)) AS winsorized_mean,
+               CAST(SUM(CASE WHEN CAST(u.pu AS DOUBLE) < c.lo
+                             OR CAST(u.pu AS DOUBLE) > c.hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        FROM u JOIN cuts c USING (o_orderpriority)
+        GROUP BY u.o_orderpriority
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) spend statistics per priority —
+    the robust-mean pattern metric pipelines use when a few huge
+    orders would otherwise dominate: values clip to the exact
+    per-group [p5, p95] interpolated percentiles, then aggregate.
+    All arithmetic is on integer price units; the percentile cuts are
+    doubles from exact ints (same interpolation both engines), the
+    clipped values truncate back to BIGINT before summing, so the
+    sums stay order-independent and the oracle hash-matches.
+
+    Scale: phase 1 computes the per-group cuts (exact percentile —
+    per-group sort, bounded groups; swap percentile_approx at
+    unbounded cardinality), phase 2 re-aggregates with the TINY cuts
+    table broadcast onto the fact — two passes over the group, no
+    row-level materialization between them."""
+    from pyspark.sql import functions as F
+
+    u = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pu"),
+    )
+    cuts = u.groupBy("o_orderpriority").agg(
+        F.percentile("pu", F.lit(0.05)).alias("lo"),
+        F.percentile("pu", F.lit(0.95)).alias("hi"),
+    )
+    pud = F.col("pu").cast("double")
+    # explicit floor: DuckDB's double->BIGINT cast ROUNDS while
+    # Spark's truncates — floor is identical in both engines
+    clipped = F.floor(F.least(F.greatest(pud, F.col("lo")), F.col("hi"))).cast("long")
+    return (
+        u.join(F.broadcast(cuts), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(clipped).cast("long").alias("wins_total_units"),
+            (
+                F.sum(clipped).cast("double")
+                / (F.lit(100.0) * F.count(F.lit(1)).cast("double"))
+            ).alias("winsorized_mean"),
+            F.sum(
+                F.when((pud < F.col("lo")) | (pud > F.col("hi")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+        )
+    )

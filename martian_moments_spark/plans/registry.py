@@ -144,6 +144,7 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q6_forecast_revenue",
     "incremental_fuzzy_dedup",
     "semantic_decontamination",
+    "winsorized_stats",
     # -- 5: r01-era queries, driver-green in r01, in their original
     #       registration order (made explicit so the export order is
     #       fully deliberate; test_registry_priority_integrity).
