@@ -1131,3 +1131,77 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_lineitems"),
     )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    ops=("J1", "J2", "A1", "P3", "P6", "O1"),
+    oracle=f"""
+        SELECT n.n_name AS nation_name,
+               {sql_fixed_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+        FROM customer c
+        JOIN orders   o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation   n ON c.c_nationkey = n.n_nationkey
+        JOIN region   r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate <  DATE '1997-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue per nation where the
+    ordering customer and the supplying supplier share the nation,
+    within one region and year — the classic 6-table join-ordering
+    exercise, the hardest relational shape in the registry.
+
+    Scale: region/nation broadcast explicitly (bounded dims); the
+    selective year filter pushes to the orders scan before the
+    fact-fact shuffle; supplier is small enough for AQE to broadcast
+    at any tested SF, leaving ONE big shuffle (orders x lineitem); the
+    c_nationkey = s_nationkey cross-dimension predicate rides the
+    supplier join as an equi-key, never a post-join filter over an
+    exploded intermediate."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    j = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "nation_name")
+    )

@@ -145,6 +145,7 @@ PRIORITY: tuple[str, ...] = (
     "incremental_fuzzy_dedup",
     "semantic_decontamination",
     "winsorized_stats",
+    "tpch_q5_local_supplier_volume",
     # -- 5: r01-era queries, driver-green in r01, in their original
     #       registration order (made explicit so the export order is
     #       fully deliberate; test_registry_priority_integrity).
