@@ -378,3 +378,42 @@ def test_registry_priority_integrity():
     assert set(oracles()) <= set(REGISTRY)
     # the hard-gate window must be fully populated
     assert len(REGISTRY) >= 50
+
+
+def test_latest_round3_queries_plan_properties(spark):
+    """Plan pins for the late round-3 additions: Q5 keeps dims
+    broadcast with the year filter pushed to the orders scan;
+    winsorized stats broadcasts the tiny cuts table; semantic
+    decontamination is shuffle-free (one corpus pass, bench matrix by
+    closure); incremental fuzzy dedup never goes cartesian."""
+    plans = {
+        name: explain_str(REGISTRY[name].fn(spark, SF_DIR_ORACLE))
+        for name in (
+            "tpch_q5_local_supplier_volume",
+            "tpch_q10_returned_items",
+            "tpch_q6_forecast_revenue",
+            "winsorized_stats",
+            "semantic_decontamination",
+            "incremental_fuzzy_dedup",
+        )
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+
+    q5 = plans["tpch_q5_local_supplier_volume"]
+    assert "BroadcastHashJoin" in q5
+    assert any(
+        "PushedFilters" in l and "o_orderdate" in l for l in q5.splitlines()
+    ), "year filter must reach the orders scan"
+
+    q6 = plans["tpch_q6_forecast_revenue"]
+    assert any(
+        "PushedFilters" in l and "l_shipdate" in l and "l_quantity" in l
+        for l in q6.splitlines()
+    ), "all Q6 predicates must reach the lineitem scan"
+
+    assert "BroadcastHashJoin" in plans["winsorized_stats"]
+
+    sd = plans["semantic_decontamination"]
+    assert "Exchange" not in sd, "semantic decon must be a single shuffle-free pass"
+    assert "MapInPandas" in sd
