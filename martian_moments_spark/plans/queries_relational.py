@@ -1205,3 +1205,47 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.col("revenue").desc(), "nation_name")
     )
+
+
+@register(
+    "set_operations_all",
+    ops=("U1",),
+    oracle="""
+        WITH a AS (
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+        ),
+        b AS (
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT 'intersect_all' AS set_kind, custkey
+        FROM (SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b)
+        UNION ALL
+        SELECT 'except_all' AS set_kind, custkey
+        FROM (SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b)
+    """,
+)
+def set_operations_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — the multiplicity-preserving
+    INTERSECT ALL / EXCEPT ALL the distinct-flavored set_operations
+    deliberately does not cover: a customer with three qualifying
+    orders on one side and one on the other contributes
+    min(3,1)/3-1 copies respectively — the semantics order-count
+    reconciliation and inventory-diff queries need.
+
+    Scale: Spark plans both as a single aggregate-on-key computing
+    per-side multiplicities then regenerating rows — one shuffle per
+    operation, no join explosion."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    a = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b).select(
+        F.lit("intersect_all").alias("set_kind"), "custkey"
+    ).unionByName(
+        a.exceptAll(b).select(F.lit("except_all").alias("set_kind"), "custkey")
+    )

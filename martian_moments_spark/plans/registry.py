@@ -146,6 +146,7 @@ PRIORITY: tuple[str, ...] = (
     "semantic_decontamination",
     "winsorized_stats",
     "tpch_q5_local_supplier_volume",
+    "set_operations_all",
     # -- 5: r01-era queries, driver-green in r01, in their original
     #       registration order (made explicit so the export order is
     #       fully deliberate; test_registry_priority_integrity).
