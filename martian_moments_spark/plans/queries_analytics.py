@@ -919,3 +919,115 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clipped"),
         )
     )
+
+
+MAD_K = 3.0  # flag |x - median| > K * MAD (the robust z-score rule)
+
+
+@register(
+    "mad_outliers",
+    ops=("A1", "A4", "J1", "P8"),
+    oracle=f"""
+        WITH u AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pu
+            FROM orders
+        ), med AS (
+            SELECT o_orderpriority, quantile_cont(pu, 0.5) AS med
+            FROM u GROUP BY o_orderpriority
+        ), dev AS (
+            SELECT u.o_orderkey, u.o_orderpriority, u.pu, m.med,
+                   abs(CAST(u.pu AS DOUBLE) - m.med) AS adev
+            FROM u JOIN med m USING (o_orderpriority)
+        ), mad AS (
+            SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY o_orderpriority
+        )
+        SELECT d.o_orderkey, d.o_orderpriority,
+               d.pu / 100.0 AS price,
+               d.med / 100.0 AS group_median,
+               m.mad / 100.0 AS group_mad,
+               (m.mad > 0 AND d.adev > {MAD_K} * m.mad) AS is_outlier
+        FROM dev d JOIN mad m USING (o_orderpriority)
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier flags per priority class —
+    the robust companion to rolling_zscore_anomaly (means and stddevs
+    are themselves dragged by the outliers they should catch; medians
+    are not). Two exact-median passes on integer price units; the
+    |x - median| deviations are doubles of exact ints, so both engines
+    interpolate identically and the K*MAD cut is bit-stable.
+
+    Scale: two grouped exact percentiles (bounded groups — swap the
+    approx sketch at unbounded cardinality) with the TINY per-group
+    median/MAD tables broadcast back onto the fact; no window over the
+    fact, no global sort."""
+    from pyspark.sql import functions as F
+
+    u = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pu"),
+    )
+    med = u.groupBy("o_orderpriority").agg(
+        F.percentile("pu", F.lit(0.5)).alias("med")
+    )
+    dev = u.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("pu").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("pu") / F.lit(100.0)).alias("price"),
+            (F.col("med") / F.lit(100.0)).alias("group_median"),
+            (F.col("mad") / F.lit(100.0)).alias("group_mad"),
+            (
+                (F.col("mad") > 0) & (F.col("adev") > F.lit(MAD_K) * F.col("mad"))
+            ).alias("is_outlier"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_report",
+    ops=("A1", "A3"),
+    oracle=f"""
+        SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+               COALESCE(o_orderstatus, '(all)') AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {{rev}} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """.format(rev=sql_fixed_sum("o_totalprice")),
+)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the arbitrary-subtotal shape that
+    rollup (prefix hierarchy) and cube (every combination) cannot
+    express: per-priority totals, per-status totals, and the grand
+    total in ONE pass, nothing else. Expressed in Spark SQL (same
+    Catalyst plan as the DataFrame API; the engine registers catalog
+    views for exactly this).
+
+    Scale: one Expand + aggregate — rows replicate once per matching
+    grouping set (3 here), shuffled with map-side combine; cheaper
+    than the 2^k cube whenever only k subtotal shapes are needed."""
+    from martian_moments_spark.catalog import load as _load
+
+    _load(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+               COALESCE(o_orderstatus, '(all)') AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS total_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )

@@ -147,6 +147,8 @@ PRIORITY: tuple[str, ...] = (
     "winsorized_stats",
     "tpch_q5_local_supplier_volume",
     "set_operations_all",
+    "mad_outliers",
+    "grouping_sets_report",
     # -- 5: r01-era queries, driver-green in r01, in their original
     #       registration order (made explicit so the export order is
     #       fully deliberate; test_registry_priority_integrity).
