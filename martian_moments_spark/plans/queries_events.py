@@ -606,3 +606,60 @@ def per_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_cents_per_sec"),
         intercept.alias("intercept_cents"),
     )
+
+
+@register(
+    "conversion_lag",
+    ops=("A1", "A4", "J2", "F8"),
+    oracle="""
+        WITH first_signup AS (
+            SELECT user_id, MIN(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id
+        ), first_purchase_after AS (
+            SELECT s.user_id, s.signup_ts, MIN(e.ts) AS purchase_ts
+            FROM first_signup s
+            JOIN events e
+              ON e.user_id = s.user_id
+             AND e.event_type = 'purchase'
+             AND e.ts >= s.signup_ts
+            GROUP BY s.user_id, s.signup_ts
+        )
+        SELECT user_id, signup_ts, purchase_ts,
+               CAST(floor(epoch(purchase_ts)) AS BIGINT)
+                 - CAST(floor(epoch(signup_ts)) AS BIGINT) AS lag_seconds
+        FROM first_purchase_after
+    """,
+)
+def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-purchase conversion lag per user — the time-to-event
+    metric funnel_conversion's counts do not give: each user's first
+    signup, the first purchase at or after it, and the whole-second
+    lag between them (users who never convert simply do not appear —
+    the inner-join semantics a conversion-time distribution needs).
+
+    Scale: two MIN aggregates on user_id sharing one partitioning (the
+    signup table re-joins events on the same key — co-located, no
+    second shuffle of the fact); whole-second floors keep the lag
+    arithmetic identical across engines (the sessionize epoch lesson)."""
+    events = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    first_purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(first_signup, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return first_purchase.select(
+        "user_id",
+        "signup_ts",
+        "purchase_ts",
+        (
+            F.col("purchase_ts").cast("long") - F.col("signup_ts").cast("long")
+        ).alias("lag_seconds"),
+    )

@@ -149,6 +149,7 @@ PRIORITY: tuple[str, ...] = (
     "set_operations_all",
     "mad_outliers",
     "grouping_sets_report",
+    "conversion_lag",
     # -- 5: r01-era queries, driver-green in r01, in their original
     #       registration order (made explicit so the export order is
     #       fully deliberate; test_registry_priority_integrity).
