@@ -663,3 +663,77 @@ def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_ts").cast("long") - F.col("signup_ts").cast("long")
         ).alias("lag_seconds"),
     )
+
+
+@register(
+    "cohort_ltv",
+    ops=("A1", "J2", "W2", "F8"),
+    oracle="""
+        WITH cohorts AS (
+            SELECT user_id, date_trunc('month', MIN(ts)) AS cohort_month
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT c.cohort_month,
+                   CAST(datediff('month', c.cohort_month,
+                                 date_trunc('month', e.ts)) AS INT) AS age_months,
+                   CAST(ROUND(e.value * 100) AS BIGINT) AS vu
+            FROM events e JOIN cohorts c USING (user_id)
+        ), grid AS (
+            SELECT cohort_month, age_months,
+                   CAST(SUM(vu) AS BIGINT) AS month_units,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM activity GROUP BY cohort_month, age_months
+        )
+        SELECT cohort_month, age_months, n_events,
+               month_units / 100.0 AS month_value,
+               CAST(SUM(month_units) OVER (
+                   PARTITION BY cohort_month ORDER BY age_months
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) / 100.0 AS cumulative_value
+        FROM grid
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value — retention_cohorts' value-weighted
+    sibling: users group into monthly cohorts by first activity, every
+    event's value lands in its (cohort, age-in-months) cell, and the
+    running sum over age gives each cohort's cumulative value curve —
+    the LTV grid a growth report plots.
+
+    Scale: the cohort assignment is one MIN per user re-joined on the
+    same user_id partitioning; the grid aggregate shuffles two tiny
+    keys with map-side combine; the cumulative window runs over the
+    cohort x age GRID (metadata-scale, months x months), never the
+    fact. Values accumulate as exact integer hundredths."""
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cohorts = events.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    activity = events.join(cohorts, "user_id").select(
+        "cohort_month",
+        (
+            (F.year("ts") - F.year("cohort_month")) * 12
+            + (F.month("ts") - F.month("cohort_month"))
+        )
+        .cast("int")
+        .alias("age_months"),
+        F.round(F.col("value") * 100).cast("long").alias("vu"),
+    )
+    grid = activity.groupBy("cohort_month", "age_months").agg(
+        F.sum("vu").cast("long").alias("month_units"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w = (
+        W.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return grid.select(
+        "cohort_month",
+        "age_months",
+        "n_events",
+        (F.col("month_units") / F.lit(100.0)).alias("month_value"),
+        (F.sum("month_units").over(w).cast("long") / F.lit(100.0)).alias(
+            "cumulative_value"
+        ),
+    )

@@ -150,6 +150,7 @@ PRIORITY: tuple[str, ...] = (
     "mad_outliers",
     "grouping_sets_report",
     "conversion_lag",
+    "cohort_ltv",
     # -- 5: r01-era queries, driver-green in r01, in their original
     #       registration order (made explicit so the export order is
     #       fully deliberate; test_registry_priority_integrity).
