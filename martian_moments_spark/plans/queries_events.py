@@ -737,3 +737,61 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_value"
         ),
     )
+
+
+@register(
+    "event_transitions",
+    ops=("W2", "A1", "O1", "O2"),
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ), trans AS (
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        )
+        SELECT from_type, to_type, n_transitions,
+               CAST(n_transitions AS DOUBLE)
+                 / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+                   AS p_transition
+        FROM trans
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-path transition matrix (first-order Markov estimate):
+    consecutive event-type pairs per user, counted corpus-wide, with
+    each row's conditional probability P(to | from) — the model behind
+    next-action prediction and funnel-drop diagnosis.
+
+    Scale: one shuffle on user_id for the lag window (the per-user
+    sequence is the unit of work, the standard sessionization
+    partitioning); the transition aggregate and the per-from_type
+    probability window both run on the TYPE x TYPE matrix —
+    metadata-scale. The probability is a division of exact integer
+    counts: bit-stable."""
+    events = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.withColumn("prev_type", F.lag("event_type").over(w))
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    w_from = W.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from).cast("double")
+        ).alias("p_transition"),
+    )

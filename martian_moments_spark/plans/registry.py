@@ -151,6 +151,7 @@ PRIORITY: tuple[str, ...] = (
     "grouping_sets_report",
     "conversion_lag",
     "cohort_ltv",
+    "event_transitions",
     # -- 5: r01-era queries, driver-green in r01, in their original
     #       registration order (made explicit so the export order is
     #       fully deliberate; test_registry_priority_integrity).
