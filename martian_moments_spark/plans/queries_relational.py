@@ -1249,3 +1249,105 @@ def set_operations_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         a.exceptAll(b).select(F.lit("except_all").alias("set_kind"), "custkey")
     )
+
+
+@register(
+    "topk_with_ties",
+    ops=("W2", "A1", "O2"),
+    oracle=f"""
+        WITH rev AS (
+            SELECT o_orderpriority, o_orderdate,
+                   {sql_fixed_sum("o_totalprice")} AS day_revenue
+            FROM orders GROUP BY o_orderpriority, o_orderdate
+        )
+        SELECT o_orderpriority, o_orderdate, day_revenue,
+               CAST(rnk AS INT) AS revenue_rank
+        FROM (
+            SELECT *, dense_rank() OVER (
+                PARTITION BY o_orderpriority
+                ORDER BY day_revenue DESC
+            ) AS rnk
+            FROM rev
+        )
+        WHERE rnk <= 3
+    """,
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES per group (dense_rank <= k) — the ranking
+    semantics row_number-based top-k silently breaks: days with equal
+    revenue share a rank and ALL of them survive the cut, and rank 2
+    means strictly-second-best regardless of how many tied for first
+    (the reference's order-dependent camera-id quirk, SURVEY §3.4, is
+    fixed with exactly this deterministic ranking family).
+
+    Scale: the window runs over the per-(priority, day) AGGREGATE
+    (metadata-scale), not the fact; ties need no tie-break column by
+    construction."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .groupBy("o_orderpriority", "o_orderdate")
+        .agg(fixed_sum(F.col("o_totalprice")).alias("day_revenue"))
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("day_revenue").desc())
+    return (
+        rev.withColumn("revenue_rank", F.dense_rank().over(w).cast("int"))
+        .filter(F.col("revenue_rank") <= 3)
+    )
+
+
+@register(
+    "date_spine_zero_fill",
+    ops=("F9", "J3", "A1", "P11"),
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('day', MIN(o_orderdate)) AS lo,
+                   date_trunc('day', MAX(o_orderdate)) AS hi
+            FROM orders
+        ), spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+            FROM bounds
+        ), daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY date_trunc('day', o_orderdate)
+        )
+        SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders,
+               (d.n_orders IS NULL) AS is_gap_day
+        FROM spine s LEFT JOIN daily d USING (day)
+    """,
+)
+def date_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: a complete day spine over the data's
+    [min, max] range left-joined onto daily order counts, zero-filled
+    — reporting and time-series models need the EXPLICIT zero rows
+    that a bare GROUP BY day can never produce (a day with no orders
+    has no row to group). The gap-day flag is the detector
+    gap_detection_anti_join generalizes.
+
+    Scale: the spine is sequence() over a 1-row bounds aggregate
+    exploded to one row per day (years of days is still metadata) and
+    broadcasts onto the daily aggregate; the fact is touched once, by
+    the GROUP BY."""
+    orders = load(spark, sf_dir, "orders").select("o_orderdate")
+    bounds = orders.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.col("n_orders").isNull().alias("is_gap_day"),
+        )
+    )
