@@ -2135,3 +2135,65 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.filter(~is_bench).mapInPandas(
         batches, "vec_id bigint, max_bench_cosine double, is_contaminated boolean"
     )
+
+
+@register(
+    "doc_top_terms",
+    ops=("N2", "N6", "A7"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ), counted AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_distinct(t),
+                       x -> struct_pack(
+                           neg_n := -CAST(len(list_filter(t, y -> y = x)) AS BIGINT),
+                           term := x)
+                   ) AS cs
+            FROM toks
+        )
+        SELECT doc_id,
+               array_to_string(list_transform(list_sort(cs)[1:3], c -> c.term), ',') AS top_terms,
+               array_to_string(list_transform(list_sort(cs)[1:3], c -> CAST(-c.neg_n AS VARCHAR)), ',') AS top_counts
+        FROM counted
+    """,
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by frequency — the per-row companion
+    to corpus-level tfidf_top_terms, computed ENTIRELY in array space:
+    tokenize, count each distinct token's occurrences, sort by
+    (count DESC, term ASC) and slice — no explode, no shuffle, no
+    group-by. The deterministic tie-break comes free from lexicographic
+    struct ordering over (negated count, term), which Spark's
+    array_sort and DuckDB's list_sort implement identically.
+
+    Scale: pure per-row expression work (the token arrays are bound
+    once — the let-binding rule); a 100 TB corpus maps through with
+    zero data movement. Quadratic in DISTINCT tokens per doc via the
+    count-inside-transform, which is the array-space trade — explode +
+    groupBy is the right shape when single documents are huge."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def top_structs(t: Column) -> Column:
+        counted = F.transform(
+            F.array_distinct(t),
+            lambda x: F.struct(
+                (-F.size(F.filter(t, lambda y: y == x))).cast("long").alias("neg_n"),
+                x.alias("term"),
+            ),
+        )
+        return F.slice(F.array_sort(counted), 1, 3)
+
+    top = F.element_at(
+        F.transform(F.array(tokens("text")), top_structs), 1
+    )
+    # arrays serialize to comma-joined strings (the engine's
+    # hash-compare rule for array outputs, as in bpe_encode_corpus)
+    return docs.select(
+        "doc_id",
+        F.array_join(F.transform(top, lambda c: c["term"]), ",").alias("top_terms"),
+        F.array_join(
+            F.transform(top, lambda c: (-c["neg_n"]).cast("string")), ","
+        ).alias("top_counts"),
+    )

@@ -154,6 +154,7 @@ PRIORITY: tuple[str, ...] = (
     "event_transitions",
     "topk_with_ties",
     "date_spine_zero_fill",
+    "doc_top_terms",
     # -- 5: r01-era queries, driver-green in r01, in their original
     #       registration order (made explicit so the export order is
     #       fully deliberate; test_registry_priority_integrity).
