@@ -113,23 +113,42 @@ def _safe_batch(rows: list, window: int, batch_limit: int) -> list:
       already has. The sequential argmax sequence is exactly the kept
       prefix.
 
+    A SELF-pair (left == right) closes its batch: merging (x,x) spawns
+    (xx,x)-family pairs whose parent is the batch member ITSELF — the
+    positional argument above cannot exclude them, and they can tie
+    and tie-break-beat any LATER member (hypothesis found
+    {'ca': 1, 'bbb': 1}: sequential picks (bb,b) second, a naive batch
+    picks (c,a)). Members sorted BEFORE the self-pair are untouched
+    (sequential reaches them first), so the self-pair simply becomes
+    the last member.
+
     When the whole collected window is conflict-free but full (more
     pairs may exist uncollected), the last collected count is the
     conservative cutoff. The top row alone is always safe (it IS the
     sequential argmax), so progress is guaranteed."""
     batch: list = []
     used: set[str] = set()
-    cutoff = None
-    for row in rows:
+    stop_idx = None  # first row index excluded from the batch
+    for i, row in enumerate(rows):
         syms = {row["left"], row["right"], row["left"] + row["right"]}
         if (batch and (syms & used)) or len(batch) >= batch_limit:
-            cutoff = row["pair_count"]
+            stop_idx = i
             break
         batch.append(row)
         used |= syms
-    else:
-        if len(rows) == window:  # window full → uncollected pairs may exist
-            cutoff = rows[-1]["pair_count"]
+        if row["left"] == row["right"]:
+            stop_idx = i + 1  # self-pair closes the batch
+            break
+    # the cutoff is the best count any pair OUTSIDE the batch can hold
+    # (first excluded collected row, else the uncollected tail bound);
+    # the STRICT > filter then rules out every tie with a changed or
+    # new pair — including the self-pair's own descendants, which only
+    # threaten members that would come after it (there are none).
+    cutoff = None
+    if stop_idx is not None and stop_idx < len(rows):
+        cutoff = rows[stop_idx]["pair_count"]
+    elif len(rows) == window:  # window full → uncollected pairs may exist
+        cutoff = rows[-1]["pair_count"]
     kept = [r for r in batch if cutoff is None or r["pair_count"] > cutoff]
     return kept or batch[:1]
 

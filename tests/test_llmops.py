@@ -511,3 +511,23 @@ def test_neardup_null_cells_never_match(spark):
     )
     got = {r["vec_id"]: r["dup_of"] for r in neardup_min_earlier_pandas(df, tau=0.9).collect()}
     assert got == {0: None, 1: None, 2: None, 3: 2}
+
+
+def test_bpe_safe_batch_self_pair_closes_batch():
+    """Regression (hypothesis counterexample {'ca':1,'bbb':1}): a
+    self-pair's own merge spawns pairs that can outrank later batch
+    members, so it must be the batch's last member."""
+    from martian_moments_spark.llmops.bpe import _safe_batch
+
+    rows = [
+        {"left": "b", "right": "b", "pair_count": 2},
+        {"left": "c", "right": "a", "pair_count": 1},
+    ]
+    assert _safe_batch(rows, window=9, batch_limit=4) == [rows[0]]
+    # members BEFORE the self-pair survive alongside it
+    rows = [
+        {"left": "x", "right": "y", "pair_count": 5},
+        {"left": "b", "right": "b", "pair_count": 3},
+        {"left": "c", "right": "a", "pair_count": 2},
+    ]
+    assert _safe_batch(rows, window=13, batch_limit=4) == rows[:2]
