@@ -2197,3 +2197,61 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(top, lambda c: (-c["neg_n"]).cast("string")), ","
         ).alias("top_counts"),
     )
+
+
+@register(
+    "ngram_novelty",
+    ops=("N2", "A1", "J2"),
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform({_sql_shingles_n(3)},
+                       x -> {sql_portable_hash31('x')}))) AS sh
+            FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)
+        ), df AS (
+            SELECT sh, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sh GROUP BY sh
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+        FROM sh s JOIN df d USING (sh)
+        GROUP BY s.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the boilerplate/template detector
+    that complements repeated_ngram_ratio's WITHIN-document view: the
+    fraction of a doc's distinct word 3-grams appearing in NO other
+    document. Low novelty = shared/templated text (cut or downweight);
+    high = unique content.
+
+    Scale: one shingle explode feeds both the document-frequency
+    aggregate and (re-joined on the shingle hash — same key, same
+    partitioning) the per-doc rollup; df counts combine map-side, so
+    the shuffle carries one partial per distinct shingle per task.
+    Documents with < 3 tokens have no shingles and (matching the
+    oracle's inner-join grain) no row."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(word_shingles("text", n=3), portable_hash31)
+            )
+        ).alias("sh"),
+    )
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    novel = F.when(F.col("n_docs") == 1, 1).otherwise(0)
+    return (
+        sh.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            (
+                F.sum(novel).cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("novelty_ratio"),
+        )
+    )

@@ -1351,3 +1351,57 @@ def date_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders").isNull().alias("is_gap_day"),
         )
     )
+
+
+RFM_ANCHOR = "2001-09-01"  # recency anchor just past the data's max date
+
+
+@register(
+    "customer_rfm",
+    ops=("A1", "A4", "P8", "F8"),
+    oracle=f"""
+        WITH base AS (
+            SELECT o_custkey,
+                   CAST(datediff('day', MAX(o_orderdate),
+                                 DATE '{RFM_ANCHOR}') AS BIGINT) AS recency_days,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   {sql_fixed_sum("o_totalprice")} AS monetary
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, recency_days, frequency, monetary,
+               CASE WHEN recency_days <= 365 AND frequency >= 10 THEN 'core'
+                    WHEN recency_days <= 365 THEN 'active'
+                    WHEN frequency >= 10 THEN 'lapsing-heavy'
+                    ELSE 'dormant' END AS segment
+        FROM base
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer RFM segmentation — the classic recency / frequency /
+    monetary mart with deterministic threshold segments (quantile-cut
+    variants compose this with curriculum_phases' two-phase ntile when
+    relative cuts are wanted). Monetary is the fixed-point money sum;
+    recency counts whole days from a fixed anchor, so every value is
+    exact and engine-identical.
+
+    Scale: one aggregate over orders on the customer key (map-side
+    combine), then per-row CASE math — no joins, no windows."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(RFM_ANCHOR).cast("date"), F.max(F.col("o_orderdate")).cast("date"))
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        fixed_sum(F.col("o_totalprice")).alias("monetary"),
+    )
+    seg = (
+        F.when((F.col("recency_days") <= 365) & (F.col("frequency") >= 10), "core")
+        .when(F.col("recency_days") <= 365, "active")
+        .when(F.col("frequency") >= 10, "lapsing-heavy")
+        .otherwise("dormant")
+    )
+    return base.select(
+        "o_custkey", "recency_days", "frequency", "monetary", seg.alias("segment")
+    )

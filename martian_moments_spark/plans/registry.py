@@ -155,6 +155,8 @@ PRIORITY: tuple[str, ...] = (
     "topk_with_ties",
     "date_spine_zero_fill",
     "doc_top_terms",
+    "ngram_novelty",
+    "customer_rfm",
     # -- 5: r01-era queries, driver-green in r01, in their original
     #       registration order (made explicit so the export order is
     #       fully deliberate; test_registry_priority_integrity).
