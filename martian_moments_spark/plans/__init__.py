@@ -22,6 +22,7 @@ def load_all() -> dict:
         queries_operators,
         queries_quality,
         queries_streaming,
+        queries_tpch,
     )
 
     return REGISTRY

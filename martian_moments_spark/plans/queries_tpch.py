@@ -1,0 +1,760 @@
+"""The remaining classic TPC-H query shapes, adapted to the fixture
+star schema (FIXTURES.md §4 role mapping).
+
+Q1/Q3/Q5/Q6/Q10 already live in the other plan modules
+(``pricing_summary``, ``shipping_priority_topk``,
+``tpch_q5_local_supplier_volume``, ``tpch_q6_forecast_revenue``,
+``tpch_q10_returned_items``). This module adds the rest of the suite's
+*distinct operator shapes* — correlated scalar subqueries (Q17),
+HAVING-IN semi-joins (Q18), scalar-max equality joins (Q15),
+disjunctive multi-column predicates (Q19), NOT-EXISTS anti-joins over a
+scalar threshold (Q22), left-outer count distributions (Q13),
+share-of-total HAVING (Q11), and multi-year nation-pair pivots
+(Q7/Q8/Q9). Queries whose TPC-H original needs columns the fixture
+lacks (partsupp, shipmode, container, phone) are adapted: the join
+topology and operator shape are preserved, the missing column is
+replaced by the nearest fixture analog, noted per-query.
+
+Determinism contract (same as every plan module): money aggregates go
+through fixed-point units (``fixed_sum`` — order-independent BIGINT
+sums), ratios divide two exact BIGINT-derived doubles, so every value
+hash-matches the single-threaded DuckDB oracle bit-for-bit regardless
+of partitioning, AQE re-plans, or retries.
+
+Scale notes: every query here keeps its selective predicates at the
+scan (pushdown pinned in test_plans for the suite's representatives),
+broadcasts bounded dims (nation/region/part-subsets), and shuffles
+facts only on their join/group keys. The per-query docstrings call out
+the 100 TB strategy where the shape needs one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from martian_moments_spark.catalog import load
+from martian_moments_spark.functions.numeric import fixed_sum, sql_fixed_sum
+from martian_moments_spark.plans.registry import register
+
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev_col() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    ops=("J1", "J2", "P7", "A1", "F8", "O1"),
+    oracle=f"""
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+               {sql_fixed_sum(_REV)} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_shipments
+        FROM lineitem l
+        JOIN orders   o  ON l.l_orderkey  = o.o_orderkey
+        JOIN customer c  ON o.o_custkey   = c.c_custkey
+        JOIN supplier s  ON l.l_suppkey   = s.s_suppkey
+        JOIN nation   ns ON s.s_nationkey = ns.n_nationkey
+        JOIN nation   nc ON c.c_nationkey = nc.n_nationkey
+        WHERE ns.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+          AND nc.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8')
+          AND l.l_shipdate >= DATE '1996-01-01'
+          AND l.l_shipdate <  DATE '1998-01-01'
+        GROUP BY ns.n_name, nc.n_name, EXTRACT(year FROM l.l_shipdate)
+        ORDER BY supp_nation, cust_nation, ship_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue between supplier-nation and
+    customer-nation pairs per ship year. The fixture has more nations
+    than classic TPC-H's FRANCE/GERMANY pair, so the filter keeps a
+    4x4 nation block (same selective-IN shape, guaranteed non-empty at
+    every SF).
+
+    Scale: the nation IN-filters semi-reduce supplier and customer
+    BEFORE the fact joins; both dims broadcast; the only big shuffle is
+    lineitem->orders on orderkey. Year comes from the fact row itself,
+    so the group-by adds no join."""
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp_nations = ["NATION_1", "NATION_2", "NATION_3", "NATION_4"]
+    cust_nations = ["NATION_5", "NATION_6", "NATION_7", "NATION_8"]
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supplier = (
+        load(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name").isin(supp_nations))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    customer = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name").isin(cust_nations))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    j = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            fixed_sum(_rev_col()).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_shipments"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    ops=("J1", "J2", "P3", "A1", "A3", "F8", "O1"),
+    oracle=f"""
+        WITH all_rev AS (
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+                   CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT) AS rev_units,
+                   ns.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders   o  ON l.l_orderkey  = o.o_orderkey
+            JOIN customer c  ON o.o_custkey   = c.c_custkey
+            JOIN nation   nc ON c.c_nationkey = nc.n_nationkey
+            JOIN region   r  ON nc.n_regionkey = r.r_regionkey
+            JOIN supplier s  ON l.l_suppkey   = s.s_suppkey
+            JOIN nation   ns ON s.s_nationkey = ns.n_nationkey
+            JOIN part     p  ON l.l_partkey   = p.p_partkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        )
+        SELECT order_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_units ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(rev_units) AS DOUBLE) AS mkt_share,
+               CAST(SUM(rev_units) AS DOUBLE) / 100.0 AS total_revenue
+        FROM all_rev
+        GROUP BY order_year
+        ORDER BY order_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of PROMO-part
+    revenue sold into ASIA customers, per order year. The share is a
+    ratio of two order-independent BIGINT unit sums, so the double
+    division is bit-identical on both engines.
+
+    Scale: part is filtered to one type then broadcast; region-filtered
+    customers broadcast; the conditional numerator folds into the same
+    single aggregate pass as the denominator (A3 conditional-agg shape),
+    so the whole query is one fact-fact shuffle plus broadcasts."""
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    asia_cust = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    promo_part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev_units = F.round(_rev_col() * 100).cast("long")
+    j = (
+        lineitem.join(F.broadcast(promo_part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            rev_units.alias("rev_units"),
+            "supp_nation",
+        )
+    )
+    nation_units = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("rev_units")).otherwise(0)
+    )
+    total_units = F.sum("rev_units")
+    return (
+        j.groupBy("order_year")
+        .agg(
+            (nation_units.cast("double") / total_units.cast("double")).alias(
+                "mkt_share"
+            ),
+            (total_units.cast("double") / F.lit(100.0)).alias("total_revenue"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    ops=("J1", "J2", "F1", "A1", "F8", "O1"),
+    oracle=f"""
+        SELECT n.n_name AS nation_name,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+               {sql_fixed_sum("l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * l.l_quantity * 0.01")} AS profit
+        FROM lineitem l
+        JOIN part     p ON l.l_partkey  = p.p_partkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN nation   n ON s.s_nationkey = n.n_nationkey
+        JOIN orders   o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%5%'
+        GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+        ORDER BY nation_name, order_year
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) adapted: the fixture has no
+    partsupp table, so supply cost is proxied as 1% of
+    ``p_retailprice`` per unit — the operator shape (LIKE part filter,
+    4-way join, profit expression grouped by supplier nation x year)
+    is unchanged.
+
+    Scale: the LIKE-filtered part dim broadcasts; supplier+nation
+    broadcast; the fact-fact orderkey shuffle dominates and is the
+    same one every other order-grain query reuses (bucket lineitem and
+    orders on orderkey at 100 TB)."""
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%5%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation_name"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _rev_col() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.01)
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "nation_name", F.year("o_orderdate").cast("int").alias("order_year")
+        )
+        .agg(fixed_sum(profit).alias("profit"))
+        .orderBy("nation_name", "order_year")
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    ops=("A1", "A5", "J1", "O1"),
+    oracle="""
+        WITH part_value AS (
+            SELECT l_partkey,
+                   SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS value_units
+            FROM lineitem
+            GROUP BY l_partkey
+        ), total AS (
+            SELECT SUM(value_units) AS total_units FROM part_value
+        )
+        SELECT pv.l_partkey AS partkey,
+               CAST(pv.value_units AS DOUBLE) / 100.0 AS part_value
+        FROM part_value pv, total t
+        WHERE pv.value_units * 1000 > t.total_units
+        ORDER BY part_value DESC, partkey
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock) adapted: no partsupp table, so
+    "value" is lineitem revenue per part; parts holding more than
+    1/1000 of total value qualify. The defining operator shape — a
+    grouped aggregate HAVING-compared against a scalar aggregate of
+    itself — is intact, and the threshold compare happens in integer
+    units (``value*1000 > total``) so no float boundary can disagree.
+
+    Scale: one shuffle groups by partkey; the scalar total is a 1-row
+    broadcast crossJoin (the engine's standard scalar-subquery
+    pattern), NOT a driver collect."""
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    units = F.round(_rev_col() * 100).cast("long")
+    part_value = lineitem.groupBy("l_partkey").agg(
+        F.sum(units).alias("value_units")
+    )
+    total = part_value.agg(F.sum("value_units").alias("total_units"))
+    return (
+        part_value.crossJoin(F.broadcast(total))
+        .filter(F.col("value_units") * 1000 > F.col("total_units"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("value_units").cast("double") / F.lit(100.0)).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    ops=("J3", "A1", "A6", "O1"),
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count,
+               CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed
+    0, 1, 2, ... non-urgent orders — the left-outer join with a
+    filter INSIDE the join condition (so unmatched customers still
+    count as zero), double-aggregated into a histogram. The fixture
+    lacks o_comment, so the classic NOT-LIKE filter becomes a
+    priority filter with the same placement.
+
+    Scale: the join shuffles on custkey, first agg rides the same
+    partitioning, second agg is over at most a few thousand distinct
+    counts — trivially small. No broadcast of orders (fact-sized)."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        customer.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    ops=("J1", "P3", "A3", "P6"),
+    oracle="""
+        WITH u AS (
+            SELECT CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)
+                        ELSE 0 END AS promo_units,
+                   CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT) AS rev_units
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= DATE '1997-01-01'
+              AND l.l_shipdate <  DATE '1997-02-01'
+        )
+        SELECT 100.0 * CAST(SUM(promo_units) AS DOUBLE) / CAST(SUM(rev_units) AS DOUBLE) AS promo_revenue_pct,
+               CAST(SUM(rev_units) AS DOUBLE) / 100.0 AS total_revenue
+        FROM u
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percentage of one month's revenue
+    from PROMO-type parts — the conditional-numerator / full-
+    denominator ratio computed in a single aggregate pass. Both sums
+    are integer units, the ratio one double division.
+
+    Scale: the month filter pushes to the lineitem scan (its
+    selectivity is the query); part broadcasts after pruning to two
+    columns. One scan, one broadcast join, a 1-row combine."""
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    kept = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    rev_units = F.round(_rev_col() * 100).cast("long")
+    promo_units = F.when(F.col("p_type") == "PROMO", rev_units).otherwise(
+        F.lit(0).cast("long")
+    )
+    return kept.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo_units).cast("double")
+            / F.sum(rev_units).cast("double")
+        ).alias("promo_revenue_pct"),
+        (F.sum(rev_units).cast("double") / F.lit(100.0)).alias("total_revenue"),
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    ops=("A1", "A5", "J1", "O1"),
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS total_units
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate <  DATE '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.total_units AS DOUBLE) / 100.0 AS total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_units = (SELECT MAX(total_units) FROM revenue)
+        ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarter revenue
+    equals the maximum — the classic view + scalar-MAX equality join,
+    which unlike a LIMIT 1 keeps ties. Equality happens on integer
+    units, never on a summed double.
+
+    Scale: revenue groups on suppkey (one shuffle); the scalar max is
+    a 1-row broadcast; supplier joins broadcast the other way (the
+    per-supplier aggregate is small next to the fact). Ties preserved
+    exactly as the reference semantics require."""
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    units = F.round(_rev_col() * 100).cast("long")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(units).alias("total_units"))
+    )
+    max_rev = revenue.agg(F.max("total_units").alias("max_units"))
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_units") == F.col("max_units"))
+        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_units").cast("double") / F.lit(100.0)).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    ops=("A5", "J1", "P3", "A1"),
+    oracle="""
+        WITH brand_lines AS (
+            SELECT l.l_partkey, l.l_quantity,
+                   CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_units
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = 'Brand#17'
+        ), part_avg AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_quantity AS BIGINT)) AS qty_sum,
+                   CAST(COUNT(*) AS BIGINT) AS qty_cnt
+            FROM brand_lines
+            GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(b.price_units) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_small_orders
+        FROM brand_lines b
+        JOIN part_avg a ON b.l_partkey = a.l_partkey
+        WHERE CAST(b.l_quantity AS BIGINT) * 5 * a.qty_cnt < a.qty_sum
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lines whose quantity
+    is below 20% of that part's average quantity — the correlated
+    per-group scalar subquery, decorrelated into a grouped aggregate
+    joined back to the detail. The 0.2*avg comparison is cleared of
+    division entirely (``qty * 5 * cnt < sum``): pure BIGINT, so both
+    engines agree at every boundary.
+
+    Scale: the brand filter broadcasts part and prunes lineitem
+    early; the per-part average and the detail re-join share the same
+    partkey shuffle (one exchange, reused). No window, no driver
+    round-trip."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#17")
+        .select("p_partkey")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_lines = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_units"),
+    )
+    part_avg = brand_lines.groupBy("l_partkey").agg(
+        F.sum("qty").alias("qty_sum"), F.count(F.lit(1)).cast("long").alias("qty_cnt")
+    )
+    small = brand_lines.join(part_avg, "l_partkey").filter(
+        F.col("qty") * 5 * F.col("qty_cnt") < F.col("qty_sum")
+    )
+    return small.agg(
+        (F.sum("price_units").cast("double") / F.lit(100.0) / F.lit(7.0)).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_small_orders"),
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    ops=("A1", "J1", "J2", "O1", "O2"),
+    oracle="""
+        WITH big_orders AS (
+            SELECT l_orderkey
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM customer c
+        JOIN orders   o ON c.c_custkey  = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM big_orders)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, with their customers — the grouped-HAVING
+    IN-subquery shape, decorrelated into a left-semi join on the
+    aggregated keyset. Quantities sum as BIGINT.
+
+    Scale: the HAVING aggregate and the detail join both key on
+    orderkey — one shuffle partitioning serves the semi-join, the
+    re-aggregation, and the orders join; the top-100 is
+    TakeOrderedAndProject, never a global sort."""
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    kept = lineitem.join(
+        big_orders.withColumnRenamed("l_orderkey", "bo_orderkey"),
+        F.col("l_orderkey") == F.col("bo_orderkey"),
+        "left_semi",
+    )
+    return (
+        kept.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("qty").cast("long").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_predicates",
+    ops=("J1", "P6", "P7", "A1"),
+    oracle=f"""
+        SELECT {sql_fixed_sum(_REV)} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#5'  AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the disjunction-of-conjunctions
+    predicate spanning both join sides — the shape that tests whether
+    an engine can still push the per-side implied filters (brand IN
+    (...), size <= 50, quantity <= 30) below the join instead of
+    evaluating the whole OR post-join.
+
+    Scale: part prunes to the union of the three brand/size boxes and
+    broadcasts; lineitem pre-filters to the quantity envelope; the
+    exact OR evaluates on the joined row. The implied-predicate
+    derivation is done by hand here because it is exactly what a
+    100 TB scan needs (Catalyst does not infer it across the join)."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    # hand-derived implied predicates: prune each side BEFORE the join
+    part_pruned = part.filter(
+        F.col("p_brand").isin("Brand#5", "Brand#13", "Brand#22")
+        & F.col("p_size").between(1, 50)
+    )
+    line_pruned = lineitem.filter(F.col("l_quantity").between(1, 30))
+    box = (
+        (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    j = line_pruned.join(
+        F.broadcast(part_pruned), F.col("l_partkey") == F.col("p_partkey")
+    ).filter(box)
+    return j.agg(
+        fixed_sum(_rev_col()).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    ops=("J4", "A5", "A1", "P3", "O1"),
+    oracle="""
+        WITH pos_avg AS (
+            SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_units,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer WHERE c_acctbal > 0.0
+        ), rich_idle AS (
+            SELECT c.c_custkey, c.c_nationkey,
+                   CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS bal_units
+            FROM customer c, pos_avg a
+            WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * a.n > a.bal_units
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '2000-01-01'
+              )
+        )
+        SELECT n.n_name AS nation_name,
+               CAST(COUNT(*) AS BIGINT) AS n_custs,
+               CAST(SUM(r.bal_units) AS DOUBLE) / 100.0 AS total_acctbal
+        FROM rich_idle r
+        JOIN nation n ON r.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY nation_name
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) adapted: customers with
+    above-average positive balances and NO recent orders (the fixture
+    has no phone column, so the country-code grouping becomes the
+    nation dim, and "never ordered" becomes "no order since
+    2000-01-01" — every fixture customer has ordered at least once).
+    Shape preserved: scalar-AVG threshold + NOT-EXISTS anti-join +
+    grouped report. The above-average compare is cross-multiplied into
+    BIGINT (``bal*n > sum``) — no float boundary.
+
+    Scale: the scalar is a 1-row broadcast; the anti-join shuffles
+    customers against date-filtered orders on custkey; nation
+    broadcasts. Each step is a single bounded exchange."""
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    bal_units = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos_avg = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_units).alias("bal_units_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+    )
+    recent_orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = customer.withColumn("bal_units", bal_units).crossJoin(
+        F.broadcast(pos_avg)
+    ).filter(F.col("bal_units") * F.col("n_pos") > F.col("bal_units_sum"))
+    idle = rich.join(
+        recent_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        idle.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            (F.sum("bal_units").cast("double") / F.lit(100.0)).alias(
+                "total_acctbal"
+            ),
+        )
+        .orderBy("nation_name")
+    )
