@@ -795,3 +795,59 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(w_from).cast("double")
         ).alias("p_transition"),
     )
+
+
+@register(
+    "gaps_islands_streaks",
+    ops=("W2", "A1", "A6", "F8"),
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), numbered AS (
+            SELECT user_id, d,
+                   d - CAST(ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY d
+                       ) AS INTEGER) AS island_key
+            FROM days
+        ), islands AS (
+            SELECT user_id, island_key,
+                   CAST(COUNT(*) AS BIGINT) AS streak_len
+            FROM numbered
+            GROUP BY user_id, island_key
+        )
+        SELECT user_id,
+               CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(MAX(streak_len) AS BIGINT) AS longest_streak
+        FROM islands
+        GROUP BY user_id
+    """,
+)
+def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of consecutive active days
+    (login-streak analytics). The classic formulation — day minus its
+    per-user row_number is constant within a consecutive run — needs
+    no self-join and no iteration.
+
+    Scale: distinct days then the window both partition by user_id
+    (one shuffle, reused); the island aggregate and the per-user
+    rollup ride the same partitioning. Day counts per user are
+    bounded (days, not events), so the window never sees a hot
+    unbounded partition."""
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("d")
+    numbered = days.withColumn(
+        "island_key", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    islands = numbered.groupBy("user_id", "island_key").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("streak_len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("streak_len").cast("long").alias("longest_streak"),
+    )

@@ -2255,3 +2255,138 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ratio"),
         )
     )
+
+
+@register(
+    "doc_rarity_score",
+    ops=("A1", "J1", "N2"),
+    oracle=f"""
+        WITH occ AS (
+            SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+        ), freq AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS corpus_freq
+            FROM occ GROUP BY tok
+        )
+        SELECT o.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(f.corpus_freq) AS BIGINT) AS freq_sum,
+               CAST(SUM(f.corpus_freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS mean_token_freq
+        FROM occ o JOIN freq f ON o.tok = f.tok
+        GROUP BY o.doc_id
+    """,
+)
+def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document rarity scoring: the mean corpus frequency of each
+    document's tokens — a unigram-LM familiarity proxy (low mean
+    frequency = rare vocabulary; the deterministic cousin of a
+    perplexity filter, kept in BIGINT ratio space so the oracle
+    hash-matches where log-space perplexity could differ in ulps).
+
+    Scale: token explode -> frequency aggregate -> re-join on the
+    token key: the frequency table and the re-join share the token
+    partitioning (one shuffle reused), df counts combine map-side,
+    and the per-doc rollup shuffles once on doc_id. Same shape as
+    TF-IDF, no driver round-trip."""
+    occ = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    freq = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("corpus_freq")
+    )
+    return (
+        occ.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("corpus_freq").cast("long").alias("freq_sum"),
+            (
+                F.sum("corpus_freq").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_token_freq"),
+        )
+    )
+
+
+@register(
+    "source_vocab_overlap",
+    ops=("A6", "J2", "A1", "O1"),
+    oracle=f"""
+        WITH vocab AS (
+            SELECT DISTINCT source, unnest({_SQL_TOKS}) AS tok
+            FROM documents
+        ), sizes AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab_size
+            FROM vocab GROUP BY source
+        ), inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM vocab a JOIN vocab b
+              ON a.tok = b.tok AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT i.source_a, i.source_b,
+               sa.vocab_size AS vocab_a,
+               sb.vocab_size AS vocab_b,
+               i.n_shared,
+               CAST(i.n_shared AS DOUBLE)
+                   / CAST(sa.vocab_size + sb.vocab_size - i.n_shared AS DOUBLE)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.source_a = sa.source
+        JOIN sizes sb ON i.source_b = sb.source
+        ORDER BY source_a, source_b
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus sources — the
+    source-redundancy report a mixture designer reads before choosing
+    corpus weights (two sources with near-identical vocabulary add
+    diversity only once). Jaccard = |A∩B| / (|A|+|B|-|A∩B|) on BIGINT
+    distinct-token counts.
+
+    Scale: the token self-join is keyed on the token (an equi-join,
+    never source-pairs x vocabulary); n_sources is bounded so the
+    pair aggregate and the two broadcast size-joins are tiny. A
+    hot token shared by all sources contributes O(n_sources^2) pair
+    rows per token — bounded by the source count, not the corpus."""
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size")
+    )
+    a = vocab.select(F.col("source").alias("source_a"), "tok")
+    b = vocab.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("vocab_size").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("vocab_size").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
