@@ -2390,3 +2390,100 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---- product quantization (IVF-PQ compression half) ----------------
+
+from martian_moments_spark.llmops.pq import (  # noqa: E402
+    PQ_K,
+    PQ_M,
+    codebook_df,
+    pq_encode,
+    pq_train_codebooks,
+    sql_pq_ctes,
+    subspace_sqdist,
+)
+
+_PQ_DIM = 64  # corpus embedding dimensionality (SRP_DIM)
+_PQ_SUB = _PQ_DIM // PQ_M
+_PQ_NQ = 5  # query-set size for the registered search
+_SQL_PQ = sql_pq_ctes(_SQL_UNITS, _SQL_VEC_HASH, dim=_PQ_DIM)
+
+
+@register(
+    "embedding_pq_topk",
+    ops=("J1", "W2", "O2"),
+    oracle=f"""
+        WITH {_SQL_PQ}, qset AS (
+            SELECT vec_id AS query_id, units AS qunits
+            FROM punits ORDER BY vec_id LIMIT {_PQ_NQ}
+        ), lut AS (
+            SELECT q.query_id, c.m, c.code,
+                   CAST(list_sum(list_transform(
+                        list_zip(list_slice(q.qunits, c.m * {_PQ_SUB} + 1,
+                                            (c.m + 1) * {_PQ_SUB}), c.c),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS pdist
+            FROM qset q CROSS JOIN pcents c
+        ), adc AS (
+            SELECT l.query_id, e.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+            FROM penc e JOIN lut l ON e.m = l.m AND e.code = l.code
+            WHERE e.vec_id <> l.query_id
+            GROUP BY l.query_id, e.vec_id
+        )
+        SELECT query_id, vec_id AS neighbor_id, adc_dist, CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+              FROM adc)
+        WHERE rn <= 5
+    """,
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (the IVF-PQ compression half): per-subspace
+    codebooks replace each 64-dim vector with 16 small codes (~32x
+    smaller), and queries scan the compressed corpus with an ADC
+    lookup-table join. Training, encoding, and search are all integer /
+    IEEE-exact arithmetic, so the DuckDB oracle replays the ENTIRE
+    pipeline (pq.py sql_pq_ctes) — a hash-exact ANN check.
+
+    Scale: codebooks train driver-side on a bounded deterministic
+    sample; encoding is one mapInPandas streaming pass (no shuffle);
+    the search joins the broadcast per-query LUT (M*K rows/query)
+    against the exploded code column and sums — a linear scan of codes,
+    the FAISS ADC shape, never a crossJoin of raw vectors. At 100 TB
+    the codes table is ~1/32nd the corpus and the LUT join + top-k
+    window are the only work per query batch."""
+    emb = load(spark, sf_dir, "embeddings")
+    base, books = pq_train_codebooks(emb)
+    enc = pq_encode(base, books)
+    enc_long = enc.select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    ).withColumn("m", F.col("m").cast("int"))
+    qset = (
+        base.orderBy("vec_id")
+        .limit(_PQ_NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("units").alias("qunits"))
+    )
+    cb = codebook_df(spark, books)
+    sub = len(books[0][0][1])
+    lut = qset.crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "m",
+        "code",
+        subspace_sqdist(
+            F.slice(F.col("qunits"), F.col("m") * sub + 1, sub), F.col("centroid")
+        ).alias("pdist"),
+    )
+    from pyspark.sql.window import Window as W
+
+    adc = (
+        enc_long.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdist").cast("long").alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist", "rank")
+    )

@@ -1,0 +1,102 @@
+"""Product-quantization characterization: determinism across
+partitionings, code-space compression, and ADC ranking quality vs the
+exact brute-force baseline.
+
+The oracle-parity test already proves the PQ pipeline hash-matches its
+SQL replay; these pin the properties parity can't see — that encoding
+is partition-invariant, that the code space actually compresses, and
+what recall the 16x64 codebook buys on isotropic testdata (a floor, so
+a codebook regression is loud).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from martian_moments_spark.catalog import load
+from martian_moments_spark.llmops.pq import (
+    PQ_K,
+    PQ_M,
+    pq_encode,
+    pq_train_codebooks,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 5
+
+
+def test_pq_training_and_encoding_deterministic(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    base1, books1 = pq_train_codebooks(emb)
+    base2, books2 = pq_train_codebooks(emb.repartition(7))
+    flat1 = [[(c, v.tolist()) for c, v in cb] for cb in books1]
+    flat2 = [[(c, v.tolist()) for c, v in cb] for cb in books2]
+    assert flat1 == flat2, "codebooks depend on partitioning"
+    codes1 = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode(base1, books1).collect()
+    }
+    codes2 = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(base2.repartition(5), books2).collect()
+    }
+    assert codes1 == codes2, "encoding depends on partitioning"
+    assert all(len(c) == PQ_M for c in codes1.values())
+
+
+def test_pq_compresses_and_uses_the_code_space(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    base, books = pq_train_codebooks(emb)
+    assert len(books) == PQ_M
+    for cb in books:
+        assert 2 <= len(cb) <= PQ_K  # empty codes may drop, most survive
+    enc = pq_encode(base, books)
+    # each subspace's code column must stay inside its codebook and
+    # actually use a spread of codes (not collapse to one centroid)
+    import pyspark.sql.functions as F
+
+    per_sub = (
+        enc.select(F.posexplode("codes").alias("m", "code"))
+        .groupBy("m")
+        .agg(F.countDistinct("code").alias("n_used"))
+        .collect()
+    )
+    assert len(per_sub) == PQ_M
+    for r in per_sub:
+        assert 2 <= r["n_used"] <= PQ_K
+
+
+def test_pq_adc_recall_floor_vs_exact(spark):
+    """ADC with a 16x64 codebook (96 bits/vector) on isotropic 64-dim
+    data — measured 0.56 on this fixture; pinned at 0.4 so a
+    codebook/LUT bug (which crashes recall to ~chance = K/n ~ 1%) is
+    caught while leaving margin for fixture regeneration."""
+    emb = load(spark, SF_DIR, "embeddings")
+    base, books = pq_train_codebooks(emb)
+    rows = base.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    U = np.stack([np.asarray(r["units"], dtype=np.int64) for r in rows])
+    order = np.argsort(ids)
+    ids, U = ids[order], U[order]
+
+    # exact top-K by int64 squared L2 for the registered query set
+    nq = 5
+    exact = {}
+    for qi in range(nq):
+        d = ((U - U[qi]) ** 2).sum(axis=1)
+        d[qi] = np.iinfo(np.int64).max
+        near = np.lexsort((ids, d))[:K]
+        exact[int(ids[qi])] = {int(i) for i in ids[near]}
+
+    from martian_moments_spark.plans import load_all
+
+    got = load_all()["embedding_pq_topk"].fn(spark, SF_DIR).collect()
+    approx: dict[int, set] = {}
+    for r in got:
+        approx.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+
+    assert set(approx) == set(exact)
+    hits = sum(len(approx[q] & exact[q]) for q in exact)
+    recall = hits / (nq * K)
+    print(f"PQ ADC recall@{K} = {recall:.3f}")
+    # chance level is K/n ~= 1%; a working 12-bit code does far better
+    assert recall >= 0.4, f"ADC recall collapsed to {recall}"
