@@ -1031,3 +1031,85 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+from martian_moments_spark.llmops.textops import sql_tokens, tokens  # noqa: E402
+
+
+@register(
+    "mixture_temperature_weights",
+    ops=("A1", "A5", "J1", "O1"),
+    oracle=f"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS n_tokens
+            FROM documents
+            GROUP BY source
+        ), tot AS (
+            SELECT SUM(n_tokens) AS total_tokens FROM per_source
+        ), raw AS (
+            SELECT s.source, s.n_docs, s.n_tokens,
+                   CAST(s.n_tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
+                       AS nat_share,
+                   CAST(floor(sqrt(CAST(s.n_tokens AS DOUBLE)
+                                   / CAST(t.total_tokens AS DOUBLE)) * 1000000000
+                              + 0.5) AS BIGINT) AS wq
+            FROM per_source s, tot t
+        ), norm AS (
+            SELECT SUM(wq) AS wq_sum FROM raw
+        )
+        SELECT r.source, r.n_docs, r.n_tokens, r.nat_share,
+               CAST(r.wq AS DOUBLE) / CAST(n.wq_sum AS DOUBLE) AS sample_weight,
+               (CAST(r.wq AS DOUBLE) / CAST(n.wq_sum AS DOUBLE)) / r.nat_share
+                   AS boost
+        FROM raw r, norm n
+        ORDER BY r.source
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed corpus mixture weights (alpha = 0.5, the
+    multilingual-LM standard): per-source sampling probability
+    proportional to its natural token share raised to alpha —
+    upweights small sources, damps head domains. The sqrt output is
+    quantized to integer 1e-9 units BEFORE normalizing, so the
+    normalizer is an order-independent BIGINT sum and every weight is
+    bit-identical to the oracle (a raw float sum over sources would
+    differ in ulps between engines).
+
+    Scale: one token-count aggregate over the corpus (map-side
+    combined), then all arithmetic on the tiny per-source table; both
+    scalars are 1-row broadcasts. The boost column is the number a
+    mixture scheduler multiplies into per-source sampling rates."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("total_tokens"))
+    nat_share = F.col("n_tokens").cast("double") / F.col("total_tokens").cast(
+        "double"
+    )
+    raw = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        nat_share.alias("nat_share"),
+        F.floor(F.sqrt(nat_share) * 1_000_000_000 + 0.5)
+        .cast("long")
+        .alias("wq"),
+    )
+    norm = raw.agg(F.sum("wq").alias("wq_sum"))
+    sample_weight = F.col("wq").cast("double") / F.col("wq_sum").cast("double")
+    return (
+        raw.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "nat_share",
+            sample_weight.alias("sample_weight"),
+            (sample_weight / F.col("nat_share")).alias("boost"),
+        )
+        .orderBy("source")
+    )

@@ -2260,6 +2260,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_rarity_score",
     ops=("A1", "J1", "N2"),
+    bench=True,
     oracle=f"""
         WITH occ AS (
             SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents

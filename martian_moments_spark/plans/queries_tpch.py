@@ -565,6 +565,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "tpch_q18_large_volume_customers",
     ops=("A1", "J1", "J2", "O1", "O2"),
+    bench=True,
     oracle="""
         WITH big_orders AS (
             SELECT l_orderkey
