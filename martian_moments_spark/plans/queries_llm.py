@@ -2488,3 +2488,87 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist", "rank")
     )
+
+
+# ---- count-min sketch heavy hitters --------------------------------
+
+from martian_moments_spark.functions.sketches import (  # noqa: E402
+    CMS_SEEDS,
+    cms_build,
+    cms_estimate,
+    sql_cms_bucket,
+)
+
+_CMS_TOPK = 50
+_SQL_CMS_CELLS = " UNION ALL ".join(
+    f"SELECT {r} AS row, {sql_cms_bucket('tok', r)} AS bucket, exact_count AS w FROM cnt"
+    for r in range(len(CMS_SEEDS))
+)
+_SQL_CMS_PROBES = " UNION ALL ".join(
+    f"SELECT tok, {r} AS row, {sql_cms_bucket('tok', r)} AS bucket FROM cand"
+    for r in range(len(CMS_SEEDS))
+)
+
+
+@register(
+    "heavy_hitters_cms",
+    ops=("A1", "J1", "U1", "O1", "O2"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+        ), cnt AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+            FROM toks GROUP BY tok
+        ), cells AS (
+            SELECT row, bucket, CAST(SUM(w) AS BIGINT) AS total
+            FROM ({_SQL_CMS_CELLS}) GROUP BY row, bucket
+        ), cand AS (
+            SELECT tok, exact_count FROM cnt
+            ORDER BY exact_count DESC, tok LIMIT {_CMS_TOPK}
+        ), probes AS ({_SQL_CMS_PROBES}),
+        est AS (
+            SELECT p.tok, CAST(MIN(c.total) AS BIGINT) AS cms_estimate
+            FROM probes p JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+            GROUP BY p.tok
+        )
+        SELECT c.tok AS token, c.exact_count, e.cms_estimate,
+               CAST(e.cms_estimate - c.exact_count AS BIGINT) AS overcount
+        FROM cand c JOIN est e ON c.tok = e.tok
+        ORDER BY c.exact_count DESC, c.tok
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (functions/sketches.py):
+    the bounded-memory frequency summary a 100 TB stream or corpus
+    uses when the full histogram cannot exist. The registered query
+    builds the D x W sketch, probes it for the exact top-50 tokens,
+    and reports estimate vs truth (overcount >= 0 always — CMS never
+    underestimates). Integer arithmetic end to end, so the whole
+    sketch replays in the DuckDB oracle.
+
+    Scale: the sketch build is one (row, bucket)-keyed aggregate with
+    map-side combine (at most D*W = 4096 cells leave each task); the
+    probe joins D rows per candidate against the broadcast sketch.
+    The exact top-50 here exists only to grade the sketch — a real
+    deployment keeps just the grid + candidate stream."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cnt = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    sketch = cms_build(cnt, "tok", weight_col="exact_count")
+    cand = cnt.orderBy(F.col("exact_count").desc(), "tok").limit(_CMS_TOPK)
+    est = cms_estimate(sketch, cand.select("tok"), "tok")
+    return (
+        cand.join(est, "tok")
+        .select(
+            F.col("tok").alias("token"),
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy(F.col("exact_count").desc(), "token")
+    )
