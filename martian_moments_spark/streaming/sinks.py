@@ -152,3 +152,50 @@ def write_load_complete(control_dir: str, path: str, batch_id: int, rows: int) -
             f,
         )
     return marker
+
+
+def cms_sketch_sink(
+    stream_df: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    key_col: str,
+    weight_col: str | None = None,
+):
+    """Maintain a running count-min sketch over a stream — the
+    bounded-memory heavy-hitter summary at unbounded key cardinality
+    (functions/sketches.py). Each micro-batch builds its own D x W
+    sketch and cell-wise sums it into the persisted grid; because the
+    CMS is algebraic (merge == sketch-of-union, pinned in
+    test_sketches.py), the running sketch after N batches is exactly
+    the sketch of everything that streamed through, regardless of
+    batch boundaries.
+
+    The persisted state is at most D*W rows — rewriting it wholesale
+    per batch is deliberate (a few thousand integers), so there is no
+    merge-target bookkeeping at all. Returns the started query."""
+    from martian_moments_spark.functions.sketches import cms_build, cms_merge
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sketch = cms_build(batch_df, key_col, weight_col=weight_col)
+        if os.path.isdir(sketch_path) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(sketch_path)
+            for f in fs
+        ):
+            prev = spark.read.parquet(sketch_path)
+            merged = cms_merge(prev, batch_sketch)
+        else:
+            merged = batch_sketch
+        # tiny grid: collect-and-rewrite keeps the sink atomic per batch
+        rows = merged.collect()
+        out = spark.createDataFrame(rows, merged.schema).coalesce(1)
+        out.write.mode("overwrite").parquet(sketch_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -69,3 +69,39 @@ def test_cms_partition_invariant(spark):
     a = cms_build(cnt, "tok", weight_col="n")
     b = cms_build(cnt.repartition(13), "tok", weight_col="n")
     assert _cells(a) == _cells(b)
+
+
+def test_streaming_cms_sink_matches_batch_sketch(spark, tmp_path):
+    """Stream the documents' tokens through the CMS sink in file-batch
+    order; the persisted grid must equal the one-shot batch sketch —
+    batch boundaries invisible, per the merge law."""
+    from martian_moments_spark.streaming.sinks import cms_sketch_sink
+
+    src = str(tmp_path / "src")
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    # two input files -> availableNow processes them as (>=1) batches
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        src + "/batch=a"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        src + "/batch=b"
+    )
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch=*")
+        .select(F.explode(tokens("text")).alias("tok"))
+    )
+    q = cms_sketch_sink(
+        stream,
+        str(tmp_path / "sketch"),
+        str(tmp_path / "ckpt"),
+        key_col="tok",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["row"], r["bucket"]): r["total"]
+        for r in spark.read.parquet(str(tmp_path / "sketch")).collect()
+    }
+    want = _cells(cms_build(_tok_counts(spark), "tok", weight_col="n"))
+    assert got == want
