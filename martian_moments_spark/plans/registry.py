@@ -207,6 +207,25 @@ PRIORITY: tuple[str, ...] = (
     "edit_distance_pairs",
     "corpus_mixture_sample",
     "stratified_sample",
+    # -- 6: round-3 second-session additions (never driver-checked;
+    #       candidates for the front of the r04 window rotation).
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q22_global_sales_opportunity",
+    "gaps_islands_streaks",
+    "doc_rarity_score",
+    "source_vocab_overlap",
+    "mixture_temperature_weights",
+    "embedding_pq_topk",
+    "heavy_hitters_cms",
 )
 
 
