@@ -122,5 +122,51 @@ timed(
     shapes,
 )
 
+# count-min sketch build over the 10M-row fingerprint column: 4 hash
+# rows explode to 40M intermediate rows, but map-side combine means at
+# most D*W = 4096 cells leave each task
+from martian_moments_spark.functions.sketches import cms_build  # noqa: E402
+
+timed(
+    "cms_build_10m_keys",
+    lambda: cms_build(fact.select("fp"), "fp")
+    .agg(F.sum("total"), F.count(F.lit(1)))
+    .collect(),
+    shapes,
+)
+
+# PQ ADC scan: 2M encoded vectors x 16 subspaces joined against a
+# broadcast 5-query LUT, summed per (query, vector) — the compressed
+# ANN search shape (llmops/pq.py) at cluster-ish scale
+n_vec, n_sub, n_codes, n_q = 2_000_000, 16, 64, 5
+codes = (
+    spark.range(0, n_vec * n_sub)
+    .select(
+        (F.col("id") / n_sub).cast("long").alias("vec_id"),
+        (F.col("id") % n_sub).cast("int").alias("m"),
+        F.pmod(F.xxhash64("id"), F.lit(n_codes)).cast("int").alias("code"),
+    )
+    .localCheckpoint(eager=True)
+)
+lut = (
+    spark.range(0, n_q * n_sub * n_codes)
+    .select(
+        (F.col("id") / (n_sub * n_codes)).cast("long").alias("query_id"),
+        ((F.col("id") / n_codes) % n_sub).cast("int").alias("m"),
+        (F.col("id") % n_codes).cast("int").alias("code"),
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("pdist"),
+    )
+    .localCheckpoint(eager=True)
+)
+timed(
+    "pq_adc_scan_2m_vectors",
+    lambda: codes.join(F.broadcast(lut), ["m", "code"])
+    .groupBy("query_id", "vec_id")
+    .agg(F.sum("pdist").alias("adc"))
+    .agg(F.count(F.lit(1)), F.sum("adc"))
+    .collect(),
+    shapes,
+)
+
 print(json.dumps({"rows": N, "shapes": shapes, "total": round(sum(shapes.values()), 2)}))
 spark.stop()
