@@ -45,22 +45,26 @@ def sql_cms_bucket(expr: str, row: int, width: int = CMS_WIDTH) -> str:
 
 def cms_build(df: DataFrame, key_col: str, weight_col: str | None = None) -> DataFrame:
     """Build the sketch: ``(row, bucket, total)`` — D rows per distinct
-    key aggregated into at most D*W cells. One shuffle keyed on
+    key aggregated into at most D*W cells, in ONE pass over ``df``
+    (the D hash rows explode from an inline array, never D union
+    branches re-scanning the source). One shuffle keyed on
     (row, bucket); partials combine map-side. ``weight_col`` (BIGINT)
     counts each key row that many times (pre-aggregated inputs)."""
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
-    rows = [
-        df.select(
-            F.lit(r).cast("int").alias("row"),
-            cms_bucket(F.col(key_col), r).cast("int").alias("bucket"),
-            w.alias("w"),
-        )
-        for r in range(len(CMS_SEEDS))
-    ]
-    u = rows[0]
-    for other in rows[1:]:
-        u = u.unionAll(other)
-    return u.groupBy("row", "bucket").agg(F.sum("w").cast("long").alias("total"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                cms_bucket(F.col(key_col), r).cast("int").alias("bucket"),
+            )
+            for r in range(len(CMS_SEEDS))
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"), w.alias("w"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("w").cast("long").alias("total"))
+    )
 
 
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -76,21 +80,25 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     """Point-estimate each key in ``keys``: min over the D rows of its
-    counter. Returns ``keys`` plus ``cms_estimate BIGINT``. The probe
-    is an equi-join of D rows per key against the tiny sketch
-    (broadcast), never a scan of the corpus."""
-    probes = [
-        keys.select(
-            F.col(key_col),
-            F.lit(r).cast("int").alias("row"),
-            cms_bucket(F.col(key_col), r).cast("int").alias("bucket"),
-        )
-        for r in range(len(CMS_SEEDS))
-    ]
-    u = probes[0]
-    for other in probes[1:]:
-        u = u.unionAll(other)
-    joined = u.join(F.broadcast(sketch), ["row", "bucket"])
+    counter, where a cell ABSENT from the sketch counts as 0 (true CMS
+    semantics — a never-seen key estimates exactly 0, via a left join,
+    never a silent drop). Returns one row per input key with
+    ``cms_estimate BIGINT``. The probe explodes D rows per key in one
+    pass and equi-joins the tiny broadcast sketch, never scanning the
+    corpus."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                cms_bucket(F.col(key_col), r).cast("int").alias("bucket"),
+            )
+            for r in range(len(CMS_SEEDS))
+        ]
+    )
+    probes = keys.select(F.col(key_col), F.explode(cells).alias("c")).select(
+        key_col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
     return joined.groupBy(key_col).agg(
-        F.min("total").cast("long").alias("cms_estimate")
+        F.min(F.coalesce(F.col("total"), F.lit(0))).cast("long").alias("cms_estimate")
     )

@@ -2556,6 +2556,9 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        # three consumers (sketch build, candidate sort, final join)
+        # would each re-run the corpus-wide tokenize+count — pay it once
+        .localCheckpoint(eager=True)
     )
     sketch = cms_build(cnt, "tok", weight_col="exact_count")
     cand = cnt.orderBy(F.col("exact_count").desc(), "tok").limit(_CMS_TOPK)

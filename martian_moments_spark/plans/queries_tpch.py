@@ -482,9 +482,14 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_rev = revenue.agg(F.max("total_units").alias("max_units"))
     supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    winners = revenue.crossJoin(F.broadcast(max_rev)).filter(
+        F.col("total_units") == F.col("max_units")
+    )
+    # winners is a handful of tied-max rows but post-filter stats are
+    # opaque to the optimizer — broadcast explicitly so supplier is
+    # never shuffled for it
     return (
-        revenue.crossJoin(F.broadcast(max_rev))
-        .filter(F.col("total_units") == F.col("max_units"))
+        F.broadcast(winners)
         .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",

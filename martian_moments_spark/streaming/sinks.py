@@ -170,27 +170,27 @@ def cms_sketch_sink(
     the sketch of everything that streamed through, regardless of
     batch boundaries.
 
-    The persisted state is at most D*W rows — rewriting it wholesale
-    per batch is deliberate (a few thousand integers), so there is no
-    merge-target bookkeeping at all. Returns the started query."""
+    foreachBatch is at-least-once and this update is additive, so the
+    state is kept in per-batch VERSIONED directories
+    (``batch_<id>/`` + Spark's ``_SUCCESS`` marker) rather than one
+    overwritten file: a replayed batch re-reads the state as of the
+    PREVIOUS batch (never its own partial output — double-count-safe),
+    and a crash mid-write leaves only an incomplete dir that the next
+    attempt rewrites. The grid is at most D*W rows, so rewriting it
+    per batch is a few thousand integers. Read the current grid with
+    ``read_cms_sketch``. Returns the started query."""
     from martian_moments_spark.functions.sketches import cms_build, cms_merge
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_sketch = cms_build(batch_df, key_col, weight_col=weight_col)
-        if os.path.isdir(sketch_path) and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(sketch_path)
-            for f in fs
-        ):
-            prev = spark.read.parquet(sketch_path)
-            merged = cms_merge(prev, batch_sketch)
+        prev_dir = _latest_cms_dir(sketch_path, before=batch_id)
+        if prev_dir is not None:
+            merged = cms_merge(spark.read.parquet(prev_dir), batch_sketch)
         else:
             merged = batch_sketch
-        # tiny grid: collect-and-rewrite keeps the sink atomic per batch
-        rows = merged.collect()
-        out = spark.createDataFrame(rows, merged.schema).coalesce(1)
-        out.write.mode("overwrite").parquet(sketch_path)
+        out_dir = os.path.join(sketch_path, f"batch_{batch_id:020d}")
+        merged.coalesce(1).write.mode("overwrite").parquet(out_dir)
 
     return (
         stream_df.writeStream.foreachBatch(_apply)
@@ -199,3 +199,34 @@ def cms_sketch_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _latest_cms_dir(sketch_path: str, before: int | None = None) -> str | None:
+    """Newest COMPLETE (``_SUCCESS``-marked) batch dir, optionally
+    restricted to batch ids strictly below ``before`` (the replay
+    case: a batch must never read its own prior partial output)."""
+    if not os.path.isdir(sketch_path):
+        return None
+    best = None
+    for name in os.listdir(sketch_path):
+        if not name.startswith("batch_"):
+            continue
+        try:
+            bid = int(name.split("_", 1)[1])
+        except ValueError:
+            continue
+        if before is not None and bid >= before:
+            continue
+        if not os.path.exists(os.path.join(sketch_path, name, "_SUCCESS")):
+            continue
+        if best is None or bid > best[0]:
+            best = (bid, name)
+    return os.path.join(sketch_path, best[1]) if best else None
+
+
+def read_cms_sketch(spark, sketch_path: str) -> DataFrame:
+    """The current cumulative sketch (latest complete batch version)."""
+    d = _latest_cms_dir(sketch_path)
+    if d is None:
+        raise FileNotFoundError(f"no complete CMS sketch under {sketch_path}")
+    return spark.read.parquet(d)

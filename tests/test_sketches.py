@@ -98,10 +98,42 @@ def test_streaming_cms_sink_matches_batch_sketch(spark, tmp_path):
         str(tmp_path / "ckpt"),
         key_col="tok",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "streaming CMS query did not finish"
+    from martian_moments_spark.streaming.sinks import read_cms_sketch
+
     got = {
         (r["row"], r["bucket"]): r["total"]
-        for r in spark.read.parquet(str(tmp_path / "sketch")).collect()
+        for r in read_cms_sketch(spark, str(tmp_path / "sketch")).collect()
     }
     want = _cells(cms_build(_tok_counts(spark), "tok", weight_col="n"))
     assert got == want
+
+
+def test_cms_estimate_unseen_key_is_zero_not_dropped(spark):
+    cnt = _tok_counts(spark)
+    sketch = cms_build(cnt, "tok", weight_col="n")
+    keys = spark.createDataFrame(
+        [("the",), ("__never_in_any_document__",)], "tok STRING"
+    )
+    rows = {r["tok"]: r["cms_estimate"] for r in cms_estimate(sketch, keys, "tok").collect()}
+    assert set(rows) == {"the", "__never_in_any_document__"}
+    # an unseen key may collide into nonzero cells, but with 4 rows of
+    # 1024 buckets over a small vocabulary at least one cell is empty
+    assert rows["__never_in_any_document__"] == 0
+
+
+def test_latest_cms_dir_picks_complete_and_respects_replay_horizon(tmp_path):
+    from martian_moments_spark.streaming.sinks import _latest_cms_dir
+
+    base = str(tmp_path / "s")
+    assert _latest_cms_dir(base) is None
+    for bid, complete in [(0, True), (1, True), (2, False)]:
+        d = tmp_path / "s" / f"batch_{bid:020d}"
+        d.mkdir(parents=True)
+        if complete:
+            (d / "_SUCCESS").touch()
+    # incomplete batch 2 (crash mid-write) is invisible
+    assert _latest_cms_dir(base).endswith(f"batch_{1:020d}")
+    # a replay of batch 1 must read state as of batch 0
+    assert _latest_cms_dir(base, before=1).endswith(f"batch_{0:020d}")
+    assert _latest_cms_dir(base, before=0) is None
