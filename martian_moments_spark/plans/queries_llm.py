@@ -2575,3 +2575,87 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_count").desc(), "token")
     )
+
+
+_FILTER_LABEL = 2  # the metadata predicate of the filtered search
+
+
+@register(
+    "embedding_ann_filtered",
+    ops=("J2", "P3", "W2", "O2"),
+    oracle=f"""
+        WITH {_SQL_KMEANS}, lab AS (
+            SELECT vec_id, label FROM embeddings
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.cell AS INT) AS cell,
+                   CAST(list_sum(list_transform(list_zip(a.units, b.units),
+                        z -> z[1] * z[2])) AS BIGINT) AS dot,
+                   a.norm2 AS na, b.norm2 AS nb
+            FROM kassign a
+            JOIN kassign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+            JOIN lab ON b.vec_id = lab.vec_id
+            WHERE lab.label = {_FILTER_LABEL}
+        ), cos AS (
+            SELECT id_a, id_b, cell,
+                   CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+            FROM pairs
+        )
+        SELECT id_a, id_b, cosine, CAST(rn AS INT) AS rank, cell
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn FROM cos)
+        WHERE rn <= 5
+    """,
+)
+def embedding_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: IVF top-k where candidates must ALSO
+    satisfy a metadata predicate (label = 2) — the
+    "WHERE category = X ORDER BY embedding <-> q LIMIT k" shape every
+    vector store is asked for. This is the PRE-filter strategy: the
+    candidate side is reduced to matching rows BEFORE the cell join,
+    so search cost tracks the filter's selectivity (post-filtering
+    top-k-then-WHERE silently returns < k when the filter is
+    selective; pre-filter keeps k whenever k matches exist in the
+    probed cells).
+
+    Scale: the label predicate prunes the candidate side at its scan;
+    the join stays the within-cell equi-join (one shuffle on the cell
+    key); per-query result size is bounded by the window's top-5. A
+    denser-metadata deployment would bucket by (cell, label) to make
+    the filter a partition key."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_units(emb)
+    labels = emb.select("vec_id", "label")
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("units").alias("ua"),
+        F.col("norm2").alias("na"),
+        "cell",
+    )
+    b = (
+        assigned.join(labels, "vec_id")
+        .filter(F.col("label") == _FILTER_LABEL)
+        .select(
+            F.col("vec_id").alias("id_b"),
+            F.col("units").alias("ub"),
+            F.col("norm2").alias("nb"),
+            "cell",
+        )
+    )
+    pairs = a.join(b, "cell").filter(F.col("id_a") != F.col("id_b"))
+    cos = pairs.select(
+        "id_a",
+        "id_b",
+        F.col("cell").cast("int").alias("cell"),
+        cosine_fixed(F.col("ua"), F.col("ub"), F.col("na"), F.col("nb")).alias(
+            "cosine"
+        ),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("id_a").orderBy(F.col("cosine").desc(), "id_b")
+    return (
+        cos.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("id_a", "id_b", "cosine", "rank", "cell")
+    )

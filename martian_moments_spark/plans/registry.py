@@ -226,6 +226,7 @@ PRIORITY: tuple[str, ...] = (
     "mixture_temperature_weights",
     "embedding_pq_topk",
     "heavy_hitters_cms",
+    "embedding_ann_filtered",
 )
 
 
