@@ -2659,3 +2659,198 @@ def embedding_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("id_a", "id_b", "cosine", "rank", "cell")
     )
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_NQ = 5  # query-set size
+_RRF_TOPK = 10
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    ops=("J2", "J3", "W2", "A6", "O2"),
+    oracle=f"""
+        WITH {_SQL_KMEANS}, qids AS (
+            SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_RRF_NQ}
+        ), dense AS (
+            SELECT q.vec_id AS query_id, b.vec_id AS cand_id,
+                   CAST(list_sum(list_transform(list_zip(q.units, b.units),
+                        z -> z[1] * z[2])) AS DOUBLE)
+                       / (sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
+                       AS cosine
+            FROM kassign q
+            JOIN kassign b ON q.cell = b.cell AND q.vec_id <> b.vec_id
+            WHERE q.vec_id IN (SELECT vec_id FROM qids)
+        ), dense_ranked AS (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS dr
+            FROM dense
+        ), corpus AS (
+            SELECT d.doc_id, list_distinct({_SQL_TOKS}) AS tk
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        ), posting AS (
+            SELECT doc_id, unnest(tk) AS tok FROM corpus
+        ), qposting AS (
+            SELECT doc_id AS query_id, unnest(tk) AS tok FROM corpus
+            WHERE doc_id IN (SELECT vec_id FROM qids)
+        ), inter AS (
+            SELECT q.query_id, p.doc_id AS cand_id,
+                   CAST(COUNT(*) AS BIGINT) AS ni
+            FROM qposting q JOIN posting p
+              ON q.tok = p.tok AND p.doc_id <> q.query_id
+            GROUP BY q.query_id, p.doc_id
+        ), sizes AS (
+            SELECT doc_id, CAST(len(tk) AS BIGINT) AS sz FROM corpus
+        ), lex_ranked AS (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY jac DESC, cand_id) AS lr
+            FROM (
+                SELECT i.query_id, i.cand_id,
+                       CAST(i.ni AS DOUBLE)
+                           / CAST(sq.sz + sc.sz - i.ni AS DOUBLE) AS jac
+                FROM inter i
+                JOIN sizes sq ON sq.doc_id = i.query_id
+                JOIN sizes sc ON sc.doc_id = i.cand_id
+            )
+        ), fused AS (
+            SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+                   COALESCE(d.cand_id, l.cand_id) AS cand_id,
+                   COALESCE(1.0 / ({_RRF_K} + d.dr), 0.0)
+                       + COALESCE(1.0 / ({_RRF_K} + l.lr), 0.0) AS rrf_score,
+                   CAST(COALESCE(d.dr, 0) AS INT) AS dense_rank,
+                   CAST(COALESCE(l.lr, 0) AS INT) AS lex_rank
+            FROM dense_ranked d
+            FULL OUTER JOIN lex_ranked l
+              ON d.query_id = l.query_id AND d.cand_id = l.cand_id
+        )
+        SELECT query_id, cand_id, rrf_score, dense_rank, lex_rank,
+               CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY rrf_score DESC, cand_id) AS rn
+              FROM fused)
+        WHERE rn <= {_RRF_TOPK}
+    """,
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: a dense arm (IVF within-cell cosine ranks over
+    the embedding column) and a lexical arm (distinct-token Jaccard via
+    an inverted-index join) fused with reciprocal rank fusion —
+    score = sum over arms of 1/(60+rank), the standard way RAG stacks
+    combine vector and keyword search without score calibration. A
+    candidate surfaced by only one arm keeps that arm's term (full
+    outer join; rank 0 = "not retrieved by this arm"). Retrieval corpus
+    = documents that have embeddings (doc_id = vec_id).
+
+    Scale: the dense arm inherits IVF's within-cell equi-join; the
+    lexical arm is a postings-list join (query tokens x corpus
+    postings — cost tracks posting sizes, never |Q| x |corpus|); the
+    fusion joins two already-top-ranked slates per query. RRF itself
+    is two IEEE divisions and one add per row — deterministic, so the
+    whole hybrid stack hash-matches the oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_units(emb)
+    qids = emb.select("vec_id").orderBy("vec_id").limit(_RRF_NQ)
+
+    q_side = assigned.join(
+        F.broadcast(qids), "vec_id", "left_semi"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("units").alias("qu"),
+        F.col("norm2").alias("qn"),
+        "cell",
+    )
+    c_side = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("units").alias("cu"),
+        F.col("norm2").alias("cn"),
+        "cell",
+    )
+    from pyspark.sql.window import Window as W
+
+    dense = (
+        q_side.join(c_side, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_fixed(F.col("qu"), F.col("cu"), F.col("qn"), F.col("cn")).alias(
+                "cosine"
+            ),
+        )
+    )
+    wd = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
+    dense_ranked = dense.select(
+        "query_id", "cand_id", F.row_number().over(wd).alias("dr")
+    )
+
+    corpus = (
+        load(spark, sf_dir, "documents")
+        .join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi")
+        .select("doc_id", F.array_distinct(tokens("text")).alias("tk"))
+    )
+    posting = corpus.select("doc_id", F.explode("tk").alias("tok"))
+    qposting = corpus.join(
+        F.broadcast(qids.select(F.col("vec_id").alias("doc_id"))),
+        "doc_id",
+        "left_semi",
+    ).select(
+        F.col("doc_id").alias("query_id"), F.explode("tk").alias("tok")
+    )
+    inter = (
+        qposting.join(posting, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    )
+    sizes = corpus.select("doc_id", F.size("tk").cast("long").alias("sz"))
+    lex = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("query_id"), F.col("sz").alias("qsz")),
+            "query_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("cand_id"), F.col("sz").alias("csz")),
+            "cand_id",
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.col("ni").cast("double")
+                / (F.col("qsz") + F.col("csz") - F.col("ni")).cast("double")
+            ).alias("jac"),
+        )
+    )
+    wl = W.partitionBy("query_id").orderBy(F.col("jac").desc(), "cand_id")
+    lex_ranked = lex.select(
+        "query_id", "cand_id", F.row_number().over(wl).alias("lr")
+    )
+
+    d = dense_ranked.select(
+        F.col("query_id").alias("dq"), F.col("cand_id").alias("dc"), "dr"
+    )
+    l = lex_ranked.select(
+        F.col("query_id").alias("lq"), F.col("cand_id").alias("lc"), "lr"
+    )
+    fused = d.join(
+        l, (F.col("dq") == F.col("lq")) & (F.col("dc") == F.col("lc")), "full"
+    ).select(
+        F.coalesce(F.col("dq"), F.col("lq")).alias("query_id"),
+        F.coalesce(F.col("dc"), F.col("lc")).alias("cand_id"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("dr")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lr")), F.lit(0.0))
+        ).alias("rrf_score"),
+        F.coalesce(F.col("dr"), F.lit(0)).cast("int").alias("dense_rank"),
+        F.coalesce(F.col("lr"), F.lit(0)).cast("int").alias("lex_rank"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), "cand_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= _RRF_TOPK)
+        .select(
+            "query_id", "cand_id", "rrf_score", "dense_rank", "lex_rank", "rank"
+        )
+    )

@@ -227,6 +227,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_pq_topk",
     "heavy_hitters_cms",
     "embedding_ann_filtered",
+    "hybrid_retrieval_rrf",
 )
 
 
