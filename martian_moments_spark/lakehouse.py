@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -212,6 +213,36 @@ def read_table(spark: SparkSession, table: str, version: int | None = None) -> D
     if not files:
         return _empty_snapshot(spark, table, version)
     return _read_files(spark, table, files)
+
+
+def version_asof(table: str, ts: float) -> int:
+    """The newest version whose recorded publish time is <= ``ts``
+    (Delta's ``TIMESTAMP AS OF``). Scans the retained log entries —
+    O(retained versions), no data files opened. Versions from before
+    this field existed (or expired entries) are treated as eligible,
+    so old tables resolve to their newest retained version. Raises
+    ValueError if every retained commit is newer than ``ts``."""
+    best = None
+    for v in _versions(table):
+        try:
+            e = _read_entry(table, v)
+        except FileNotFoundError:
+            continue  # expired by vacuum
+        if e.get("committed_at", float("-inf")) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit of {table!r} at or before timestamp {ts}"
+        )
+    return best
+
+
+def read_table_asof(spark: SparkSession, table: str, ts: float) -> DataFrame:
+    """Snapshot read AS OF a wall-clock timestamp: resolve the version
+    via ``version_asof`` then do an ordinary version read. Commit
+    timestamps are advisory (writer clocks), version order stays the
+    conflict truth — same contract as Delta time travel."""
+    return read_table(spark, table, version=version_asof(table, ts))
 
 
 def read_table_pruned(
@@ -383,6 +414,10 @@ def _commit(
         "add": sorted(add),
         "remove": sorted(remove),
         "stats": _collect_stats(table, sorted(add)),
+        # wall-clock publish time: the AS-OF-timestamp resolution key
+        # (time travel). Version order is the source of truth for
+        # conflicts; this is advisory metadata like Delta's timestamp.
+        "committed_at": time.time(),
     }
     if schema is not None:
         entry["schema"] = schema
@@ -906,12 +941,13 @@ def table_history(spark: SparkSession, table: str) -> DataFrame:
                 len(e.get("remove", [])),
                 sum(int(s.get("rows", 0)) for s in stats.values()),
                 "schema" in e,
+                float(e["committed_at"]) if "committed_at" in e else None,
             )
         )
     return spark.createDataFrame(
         sorted(rows, reverse=True),
         "version INT, op STRING, n_added_files INT, n_removed_files INT, "
-        "rows_added BIGINT, schema_change BOOLEAN",
+        "rows_added BIGINT, schema_change BOOLEAN, committed_at DOUBLE",
     )
 
 

@@ -804,3 +804,32 @@ def test_vacuum_keep_zero_removes_checkpoints_too(spark, tmp_path, monkeypatch):
     # the path is clean for a fresh table
     lh.append(spark.createDataFrame([(9, "new")], "k BIGINT, v STRING"), table)
     assert _rows(lh.read_table(spark, table)) == {(9, "new")}
+
+
+def test_read_table_asof_timestamp(spark, tmp_path):
+    """TIMESTAMP AS OF: each commit records its publish time; an as-of
+    read resolves to the newest version at or before the timestamp,
+    before-the-beginning raises, and history surfaces the clock."""
+    import time as _time
+
+    table = str(tmp_path / "t")
+    t_before = _time.time()
+    _time.sleep(0.01)
+    lh.append(spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"), table)
+    _time.sleep(0.01)
+    t_mid = _time.time()
+    _time.sleep(0.01)
+    lh.append(spark.createDataFrame([(2, "b")], "k BIGINT, v STRING"), table)
+    _time.sleep(0.01)
+    t_after = _time.time()
+
+    assert lh.version_asof(table, t_mid) == 0
+    assert lh.version_asof(table, t_after) == 1
+    assert lh.read_table_asof(spark, table, t_mid).count() == 1
+    assert lh.read_table_asof(spark, table, t_after).count() == 2
+    with pytest.raises(ValueError):
+        lh.version_asof(table, t_before)
+
+    hist = lh.table_history(spark, table).collect()
+    ts = {r["version"]: r["committed_at"] for r in hist}
+    assert ts[0] is not None and ts[1] is not None and ts[0] <= ts[1]
