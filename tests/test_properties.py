@@ -376,3 +376,43 @@ def test_srp_identical_and_negated_vectors(spark):
     assert bands[0] == bands[1] and len(bands[0]) == n_bands
     # every band differs between a vector and its negation
     assert all(bands[0][b] != bands[2][b] for b in range(n_bands))
+
+
+@given(
+    keys=st.lists(
+        st.tuples(st.text(alphabet="abcdefg", min_size=1, max_size=4),
+                  st.integers(min_value=1, max_value=20)),
+        min_size=1, max_size=25,
+    ),
+    split=st.integers(min_value=0, max_value=24),
+)
+@settings(**SETTINGS)
+def test_cms_laws_random_corpora(spark_h, keys, split):
+    """CMS laws under hypothesis: estimate >= truth for every key, and
+    merge of an arbitrary split == sketch of the whole."""
+    from martian_moments_spark.functions.sketches import (
+        cms_build, cms_estimate, cms_merge,
+    )
+
+    df = spark_h.createDataFrame(keys, "k STRING, n BIGINT")
+    whole = cms_build(df, "k", weight_col="n")
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in cms_estimate(whole, df.select("k").distinct(), "k").collect()
+    }
+    truth: dict[str, int] = {}
+    for k, n in keys:
+        truth[k] = truth.get(k, 0) + n
+    assert all(est[k] >= v for k, v in truth.items())
+
+    cut = min(split, len(keys))
+    parts = [keys[:cut], keys[cut:]]
+    sketches = [
+        cms_build(spark_h.createDataFrame(p, "k STRING, n BIGINT"), "k", weight_col="n")
+        for p in parts if p
+    ]
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = cms_merge(merged, s)
+    cells = lambda d: {(r["row"], r["bucket"]): r["total"] for r in d.collect()}
+    assert cells(merged) == cells(whole)
