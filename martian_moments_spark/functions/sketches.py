@@ -102,3 +102,114 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("total"), F.lit(0))).cast("long").alias("cms_estimate")
     )
+
+
+# ---- fixed-range histogram quantile sketch -------------------------
+#
+# The quantile analog of the CMS above: a fixed number of equal-width
+# integer bins over a known value range. Like the CMS it is ALGEBRAIC
+# (cell-wise sum merges two histograms into the histogram of the
+# union) and pure-integer, so build/merge/estimate replay exactly in
+# SQL. Estimation interpolates inside the target bin, so the error is
+# bounded by one bin width — the trade every mergeable quantile sketch
+# makes, here with a deterministic worst case instead of a
+# probabilistic one (t-digest/KLL are NOT reproducible across engines;
+# this is, which is why the engine ships it as the incremental
+# percentile path).
+
+HIST_BINS = 256
+
+
+def hist_bin(col: Column, lo: int, hi: int, bins: int = HIST_BINS) -> Column:
+    """Bin index of integer-unit values in [lo, hi]: equal-width bins,
+    endpoints clamped (values at hi land in the last bin)."""
+    raw = ((col - F.lit(lo)) * F.lit(bins)) / (F.lit(hi) - F.lit(lo))
+    return F.least(
+        F.greatest(F.floor(raw).cast("int"), F.lit(0)), F.lit(bins - 1)
+    )
+
+
+def sql_hist_bin(expr: str, lo: int, hi: int, bins: int = HIST_BINS) -> str:
+    return (
+        f"LEAST(GREATEST(CAST(floor((({expr}) - {lo}) * {bins} "
+        f"/ CAST({hi} - {lo} AS DOUBLE)) AS INT), 0), {bins - 1})"
+    )
+
+
+def hist_build(
+    df: DataFrame,
+    units_col: str,
+    lo: int,
+    hi: int,
+    group_cols: tuple[str, ...] = (),
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Per-group fixed-range histogram: ``(*group_cols, bin, cnt)``.
+    One shuffle on (group, bin) with map-side combine; at most
+    groups*bins cells survive."""
+    return (
+        df.select(
+            *group_cols, hist_bin(F.col(units_col), lo, hi, bins).alias("bin")
+        )
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hist_merge(a: DataFrame, b: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Cell-wise sum — histogram of the union (pinned in tests)."""
+    return (
+        a.unionAll(b)
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def hist_quantile(
+    hist: DataFrame,
+    q: float,
+    lo: int,
+    hi: int,
+    group_cols: tuple[str, ...] = (),
+    bins: int = HIST_BINS,
+    out_col: str = "est",
+) -> DataFrame:
+    """Estimate the q-quantile per group from the histogram: find the
+    first bin whose cumulative count reaches q*total, interpolate
+    linearly inside it. Error <= one bin width, deterministic. All
+    inputs are integers; the interpolation is a fixed sequence of IEEE
+    double ops, so two engines agree bit-for-bit."""
+    from pyspark.sql.window import Window as W
+
+    gc = list(group_cols)
+    w = W.partitionBy(*gc).orderBy("bin") if gc else W.orderBy("bin")
+    cum = hist.select(
+        *gc,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
+        F.sum("cnt").over(
+            W.partitionBy(*gc) if gc else W.partitionBy()
+        ).alias("total"),
+    )
+    target = F.lit(q) * F.col("total").cast("double")
+    hit = cum.filter(F.col("cum").cast("double") >= target)
+    first = hit.groupBy(*gc).agg(F.min("bin").alias("bin"))
+    width = (F.lit(hi) - F.lit(lo)).cast("double") / F.lit(bins)
+    est = (
+        first.join(cum, gc + ["bin"] if gc else ["bin"])
+        .select(
+            *gc,
+            (
+                F.lit(lo)
+                + (
+                    F.col("bin").cast("double")
+                    + (target - F.col("cum_prev").cast("double"))
+                    / F.col("cnt").cast("double")
+                )
+                * width
+            ).alias(out_col),
+        )
+    )
+    return est

@@ -1113,3 +1113,113 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+from martian_moments_spark.functions.sketches import (  # noqa: E402
+    HIST_BINS,
+    hist_build,
+    hist_quantile,
+    sql_hist_bin,
+)
+
+_HQ_LO, _HQ_HI = 0, 50_000_000  # price units range: $0 .. $500k
+
+
+def _sql_hist_quantile(q: float) -> str:
+    """DuckDB fragment mirroring hist_quantile's exact double-op order
+    for one quantile; expects CTEs hcum(prio, bin, cnt, cum, cum_prev,
+    total)."""
+    width = f"(CAST({_HQ_HI} - {_HQ_LO} AS DOUBLE) / {HIST_BINS})"
+    target = f"({q} * CAST(total AS DOUBLE))"
+    return f"""
+        SELECT o_orderpriority,
+               {_HQ_LO} + (CAST(bin AS DOUBLE)
+                   + ({target} - CAST(cum_prev AS DOUBLE)) / CAST(cnt AS DOUBLE))
+                   * {width} AS est_units
+        FROM hcum h
+        WHERE bin = (SELECT MIN(bin) FROM hcum h2
+                     WHERE h2.o_orderpriority = h.o_orderpriority
+                       AND CAST(h2.cum AS DOUBLE) >= {q} * CAST(h2.total AS DOUBLE))
+    """
+
+
+@register(
+    "quantile_sketch_accuracy",
+    ops=("A1", "W2", "J1", "O1"),
+    oracle=f"""
+        WITH u AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pu
+            FROM orders
+        ), hist AS (
+            SELECT o_orderpriority, {sql_hist_bin("pu", _HQ_LO, _HQ_HI)} AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM u GROUP BY o_orderpriority, {sql_hist_bin("pu", _HQ_LO, _HQ_HI)}
+        ), hcum AS (
+            SELECT o_orderpriority, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+                   SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) - cnt AS cum_prev,
+                   SUM(cnt) OVER (PARTITION BY o_orderpriority) AS total
+            FROM hist
+        ), e50 AS ({_sql_hist_quantile(0.5)}), e95 AS ({_sql_hist_quantile(0.95)}),
+        exact AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   quantile_cont(pu, 0.5) / 100.0 AS exact_p50,
+                   quantile_cont(pu, 0.95) / 100.0 AS exact_p95
+            FROM u GROUP BY o_orderpriority
+        )
+        SELECT x.o_orderpriority, x.n_orders,
+               a.est_units / 100.0 AS est_p50,
+               b.est_units / 100.0 AS est_p95,
+               x.exact_p50, x.exact_p95
+        FROM exact x
+        JOIN e50 a ON x.o_orderpriority = a.o_orderpriority
+        JOIN e95 b ON x.o_orderpriority = b.o_orderpriority
+        ORDER BY x.o_orderpriority
+    """,
+)
+def quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation (functions/sketches.py histogram
+    sketch) graded against the exact interpolated percentile: per
+    priority class, p50/p95 from a 256-bin fixed-range integer
+    histogram next to their exact values. The sketch is the engine's
+    incremental/streaming percentile path — cell-wise mergeable like
+    the CMS and HLL partials, with a DETERMINISTIC <= 1-bin-width
+    error bound where t-digest/KLL give only probabilistic,
+    non-reproducible estimates.
+
+    Scale: the histogram is one (group, bin)-keyed aggregate with
+    map-side combine (at most groups*256 cells survive); estimation
+    runs on the tiny cell table. The exact percentile column exists
+    only to grade the sketch — at 100 TB you keep the sketch and drop
+    the per-group sort the exact path needs."""
+    u = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pu"),
+    )
+    hist = hist_build(u, "pu", _HQ_LO, _HQ_HI, group_cols=("o_orderpriority",))
+    e50 = hist_quantile(
+        hist, 0.5, _HQ_LO, _HQ_HI, group_cols=("o_orderpriority",), out_col="eu50"
+    )
+    e95 = hist_quantile(
+        hist, 0.95, _HQ_LO, _HQ_HI, group_cols=("o_orderpriority",), out_col="eu95"
+    )
+    exact = u.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.percentile("pu", F.lit(0.5)) / 100.0).alias("exact_p50"),
+        (F.percentile("pu", F.lit(0.95)) / 100.0).alias("exact_p95"),
+    )
+    return (
+        exact.join(e50, "o_orderpriority")
+        .join(e95, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            (F.col("eu50") / 100.0).alias("est_p50"),
+            (F.col("eu95") / 100.0).alias("est_p95"),
+            "exact_p50",
+            "exact_p95",
+        )
+        .orderBy("o_orderpriority")
+    )

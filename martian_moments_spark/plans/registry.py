@@ -228,6 +228,7 @@ PRIORITY: tuple[str, ...] = (
     "heavy_hitters_cms",
     "embedding_ann_filtered",
     "hybrid_retrieval_rrf",
+    "quantile_sketch_accuracy",
 )
 
 

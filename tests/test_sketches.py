@@ -137,3 +137,48 @@ def test_latest_cms_dir_picks_complete_and_respects_replay_horizon(tmp_path):
     # a replay of batch 1 must read state as of batch 0
     assert _latest_cms_dir(base, before=1).endswith(f"batch_{0:020d}")
     assert _latest_cms_dir(base, before=0) is None
+
+
+def test_hist_merge_equals_hist_of_union_and_error_bound(spark):
+    """Histogram-quantile laws: merge == build-of-union, and the p50
+    estimate is within one bin width of the exact median."""
+    from martian_moments_spark.functions.sketches import (
+        HIST_BINS,
+        hist_build,
+        hist_merge,
+        hist_quantile,
+    )
+
+    lo, hi = 0, 50_000_000
+    u = load(spark, SF_DIR, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pu"),
+    )
+    whole = hist_build(u, "pu", lo, hi, group_cols=("o_orderpriority",))
+    even = hist_build(
+        u.filter(F.col("pu") % 2 == 0), "pu", lo, hi, group_cols=("o_orderpriority",)
+    )
+    odd = hist_build(
+        u.filter(F.col("pu") % 2 == 1), "pu", lo, hi, group_cols=("o_orderpriority",)
+    )
+    merged = hist_merge(even, odd, group_cols=("o_orderpriority",))
+    key = lambda d: {
+        (r["o_orderpriority"], r["bin"]): r["cnt"] for r in d.collect()
+    }
+    assert key(whole) == key(merged)
+
+    est = {
+        r["o_orderpriority"]: r["est"]
+        for r in hist_quantile(
+            whole, 0.5, lo, hi, group_cols=("o_orderpriority",)
+        ).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["m"]
+        for r in u.groupBy("o_orderpriority")
+        .agg(F.percentile("pu", F.lit(0.5)).alias("m"))
+        .collect()
+    }
+    width = (hi - lo) / HIST_BINS
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= width, (k, est[k], exact[k])
