@@ -432,3 +432,113 @@ def incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed_sum("l_quantity").alias("sum_qty"),
         fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
     )
+
+
+from martian_moments_spark.functions.sketches import (  # noqa: E402
+    HIST_BINS,
+    hist_build,
+    hist_merge,
+    hist_quantile,
+    sql_hist_bin,
+)
+
+_IQ_LO, _IQ_HI = 0, 50_000_000  # price units range, as in the sketch query
+_IQ_CUTOFF = "1999-01-01 00:00:00"  # base vs delta boundary (o_orderdate)
+
+
+@register(
+    "incremental_quantile_merge",
+    ops=("A1", "U1", "W2", "O1"),
+    oracle=f"""
+        WITH u AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pu,
+                   o_orderdate
+            FROM orders
+        ), base_h AS (
+            SELECT o_orderpriority, {sql_hist_bin("pu", _IQ_LO, _IQ_HI)} AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM u WHERE o_orderdate < TIMESTAMP '{_IQ_CUTOFF}'
+            GROUP BY o_orderpriority, {sql_hist_bin("pu", _IQ_LO, _IQ_HI)}
+        ), delta_h AS (
+            SELECT o_orderpriority, {sql_hist_bin("pu", _IQ_LO, _IQ_HI)} AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM u WHERE o_orderdate >= TIMESTAMP '{_IQ_CUTOFF}'
+            GROUP BY o_orderpriority, {sql_hist_bin("pu", _IQ_LO, _IQ_HI)}
+        ), merged AS (
+            SELECT o_orderpriority, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+            FROM (SELECT * FROM base_h UNION ALL SELECT * FROM delta_h)
+            GROUP BY o_orderpriority, bin
+        ), hcum AS (
+            SELECT o_orderpriority, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+                   SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) - cnt AS cum_prev,
+                   SUM(cnt) OVER (PARTITION BY o_orderpriority) AS total
+            FROM merged
+        )
+        SELECT o_orderpriority,
+               CAST(total AS BIGINT) AS n_orders,
+               ({_IQ_LO} + (CAST(bin AS DOUBLE)
+                   + (0.5 * CAST(total AS DOUBLE) - CAST(cum_prev AS DOUBLE))
+                       / CAST(cnt AS DOUBLE))
+                   * (CAST({_IQ_HI} - {_IQ_LO} AS DOUBLE) / {HIST_BINS})) / 100.0
+                   AS est_p50
+        FROM hcum h
+        WHERE bin = (SELECT MIN(bin) FROM hcum h2
+                     WHERE h2.o_orderpriority = h.o_orderpriority
+                       AND CAST(h2.cum AS DOUBLE) >= 0.5 * CAST(h2.total AS DOUBLE))
+        ORDER BY o_orderpriority
+    """,
+)
+def incremental_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained percentiles: the base corpus's
+    histogram sketch merges with a new batch's sketch (cell-wise BIGINT
+    sum — never reprocessing the base rows), then estimates the median
+    per priority. This is the sketch from quantile_sketch_accuracy
+    doing its actual job: where incremental_hll_merge must settle for
+    a rows-only check (HLL registers aren't SQL-expressible), the
+    histogram sketch is pure integers, so the WHOLE incremental path —
+    base build, delta build, merge, estimate — hash-matches the
+    oracle. Mergeability == build-of-union is additionally pinned in
+    test_sketches.py.
+
+    Scale: each side is one (group, bin) aggregate with map-side
+    combine; the merge touches at most groups*256 cells; the base's
+    cells would live in the lakehouse (a few KB) while deltas stream
+    in — the 100 TB percentile dashboard never re-sorts history."""
+    u = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pu"),
+        "o_orderdate",
+    )
+    cutoff = F.lit(_IQ_CUTOFF).cast("timestamp")
+    base_h = hist_build(
+        u.filter(F.col("o_orderdate") < cutoff),
+        "pu",
+        _IQ_LO,
+        _IQ_HI,
+        group_cols=("o_orderpriority",),
+    )
+    delta_h = hist_build(
+        u.filter(F.col("o_orderdate") >= cutoff),
+        "pu",
+        _IQ_LO,
+        _IQ_HI,
+        group_cols=("o_orderpriority",),
+    )
+    merged = hist_merge(base_h, delta_h, group_cols=("o_orderpriority",))
+    est = hist_quantile(
+        merged, 0.5, _IQ_LO, _IQ_HI, group_cols=("o_orderpriority",), out_col="eu50"
+    )
+    totals = merged.groupBy("o_orderpriority").agg(
+        F.sum("cnt").cast("long").alias("n_orders")
+    )
+    return (
+        totals.join(est, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            (F.col("eu50") / 100.0).alias("est_p50"),
+        )
+        .orderBy("o_orderpriority")
+    )

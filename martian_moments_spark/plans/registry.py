@@ -229,6 +229,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_ann_filtered",
     "hybrid_retrieval_rrf",
     "quantile_sketch_accuracy",
+    "incremental_quantile_merge",
 )
 
 
