@@ -851,3 +851,142 @@ def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
         F.max("streak_len").cast("long").alias("longest_streak"),
     )
+
+
+_PR_SCALE = 1_000_000_000_000  # rank fixed-point scale (1e12)
+_PR_ITERS = 10
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100  # damping 0.85 as a ratio
+
+
+def _sql_pagerank_ctes() -> str:
+    """Unrolled PageRank iterations as DuckDB CTEs (recursive terms
+    cannot aggregate, so the fixed iteration count is generated — the
+    same trick as sql_kmeans_ctes). All arithmetic is BIGINT with
+    floor division, so every iteration is bit-identical to the Spark
+    loop."""
+    parts = [
+        f"""seq AS (
+            SELECT user_id, event_id, event_type, ts,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ), edges AS (
+            SELECT prev_type AS src, event_type AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        ), nodes AS (
+            SELECT DISTINCT event_type AS node FROM events
+        ), nn AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes
+        ), outw AS (
+            SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src
+        ), pr_0 AS (
+            SELECT node, {_PR_SCALE} // n.n_nodes AS rank
+            FROM nodes, nn n
+        )"""
+    ]
+    for t in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"""contrib_{t} AS (
+            SELECT e.dst AS node,
+                   CAST(SUM((p.rank * e.w) // o.out_w) AS BIGINT) AS c
+            FROM edges e
+            JOIN pr_{t - 1} p ON e.src = p.node
+            JOIN outw o ON e.src = o.src
+            GROUP BY e.dst
+        ), pr_{t} AS (
+            SELECT nodes.node,
+                   ({15 * _PR_SCALE} // ({_PR_DAMP_DEN} * n.n_nodes))
+                       + ({_PR_DAMP_NUM} * COALESCE(c.c, 0)) // {_PR_DAMP_DEN}
+                       AS rank
+            FROM nodes
+            LEFT JOIN contrib_{t} c ON nodes.node = c.node
+            CROSS JOIN nn n
+        )"""
+        )
+    return ", ".join(parts)
+
+
+@register(
+    "pagerank_event_graph",
+    ops=("W2", "A1", "J2", "O1"),
+    oracle=f"""
+        WITH {_sql_pagerank_ctes()}
+        SELECT node AS event_type,
+               rank AS pagerank_units,
+               CAST(rank AS DOUBLE) / {_PR_SCALE} AS pagerank
+        FROM pr_{_PR_ITERS}
+        ORDER BY pagerank_units DESC, event_type
+    """,
+)
+def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-transition digraph (nodes = event
+    types, edge weights = observed transition counts) — the iterative
+    graph-algorithm shape (GraphX/Pregel's hello-world) expressed as a
+    fixed number of join+aggregate rounds. Ranks live in BIGINT
+    fixed-point (1e12 units) with floor division everywhere, so the
+    order-dependent float summation that makes textbook PageRank
+    irreproducible across engines disappears: ten iterations replay
+    bit-for-bit in the oracle's unrolled CTE chain.
+
+    Scale: each iteration is one edges-to-ranks broadcast join plus a
+    dst-keyed aggregate (map-side combined) — on a real billion-edge
+    graph the same loop shuffles on dst once per iteration and the
+    rank vector stays columnar; lineage is cut per round with
+    localCheckpoint exactly like the BPE and k-means loops. The
+    simple-variant leak at dangling nodes is absent here (every
+    observed type has out-edges) and would be a broadcast scalar per
+    round otherwise."""
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.withColumn("prev_type", F.lag("event_type").over(w))
+    edges = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = events.select(F.col("event_type").alias("node")).distinct()
+    n_nodes = nodes.count()  # bounded: the event-type vocabulary
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
+    base = (15 * _PR_SCALE) // (_PR_DAMP_DEN * n_nodes)
+    ranks = nodes.withColumn(
+        "rank", F.lit(_PR_SCALE // n_nodes).cast("long")
+    ).localCheckpoint(eager=True)
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, F.col("src") == F.col("node"))
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank * w) DIV out_w").alias("part"),
+            )
+            .groupBy("node")
+            .agg(F.sum("part").cast("long").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({_PR_DAMP_NUM} * coalesce(c, 0L)) DIV {_PR_DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias("event_type"),
+        F.col("rank").alias("pagerank_units"),
+        (F.col("rank").cast("double") / F.lit(float(_PR_SCALE))).alias("pagerank"),
+    ).orderBy(F.col("pagerank_units").desc(), "event_type")

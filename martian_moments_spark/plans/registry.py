@@ -230,6 +230,7 @@ PRIORITY: tuple[str, ...] = (
     "hybrid_retrieval_rrf",
     "quantile_sketch_accuracy",
     "incremental_quantile_merge",
+    "pagerank_event_graph",
 )
 
 
