@@ -181,12 +181,63 @@ def cms_sketch_sink(
     ``read_cms_sketch``. Returns the started query."""
     from martian_moments_spark.functions.sketches import cms_build, cms_merge
 
+    return algebraic_sketch_sink(
+        stream_df,
+        sketch_path,
+        checkpoint,
+        build_fn=lambda df: cms_build(df, key_col, weight_col=weight_col),
+        merge_fn=cms_merge,
+    )
+
+
+def hist_sketch_sink(
+    stream_df: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    units_col: str,
+    lo: int,
+    hi: int,
+    group_cols: tuple[str, ...] = (),
+):
+    """Maintain running per-group quantile histograms over a stream
+    (functions/sketches.py hist_*): the incremental-percentile sink.
+    Same versioned-state discipline as the CMS sink; the persisted
+    state is at most groups*bins cells. Returns the started query."""
+    from martian_moments_spark.functions.sketches import hist_build, hist_merge
+
+    return algebraic_sketch_sink(
+        stream_df,
+        sketch_path,
+        checkpoint,
+        build_fn=lambda df: hist_build(df, units_col, lo, hi, group_cols=group_cols),
+        merge_fn=lambda a, b: hist_merge(a, b, group_cols=group_cols),
+    )
+
+
+def algebraic_sketch_sink(
+    stream_df: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    build_fn,
+    merge_fn,
+):
+    """Maintain ANY algebraic summary over a stream: ``build_fn``
+    sketches one micro-batch, ``merge_fn`` folds it into the running
+    state. Sound whenever merge(sketch(A), sketch(B)) ==
+    sketch(A ++ B) — the law all the engine's sketches pin in tests.
+
+    State is per-batch versioned dirs (``batch_<id>/`` + ``_SUCCESS``)
+    because foreachBatch is at-least-once and merges are additive: a
+    replayed batch reads the state as of the PREVIOUS batch (never its
+    own partial output), and a torn write leaves only an incomplete
+    dir the retry rewrites. Returns the started query."""
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_sketch = cms_build(batch_df, key_col, weight_col=weight_col)
+        batch_sketch = build_fn(batch_df)
         prev_dir = _latest_cms_dir(sketch_path, before=batch_id)
         if prev_dir is not None:
-            merged = cms_merge(spark.read.parquet(prev_dir), batch_sketch)
+            merged = merge_fn(spark.read.parquet(prev_dir), batch_sketch)
         else:
             merged = batch_sketch
         out_dir = os.path.join(sketch_path, f"batch_{batch_id:020d}")

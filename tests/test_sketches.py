@@ -182,3 +182,46 @@ def test_hist_merge_equals_hist_of_union_and_error_bound(spark):
     width = (hi - lo) / HIST_BINS
     for k in exact:
         assert abs(est[k] - exact[k]) <= width, (k, est[k], exact[k])
+
+
+def test_streaming_hist_sink_matches_batch_histogram(spark, tmp_path):
+    """The generic algebraic sink with the histogram sketch: streamed
+    per-batch merges equal the one-shot per-group histogram."""
+    from martian_moments_spark.functions.sketches import hist_build
+    from martian_moments_spark.streaming.sinks import (
+        hist_sketch_sink,
+        read_cms_sketch,
+    )
+
+    lo, hi = 0, 50_000_000
+    src = str(tmp_path / "src")
+    u = load(spark, SF_DIR, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pu"),
+    )
+    u.filter(F.col("pu") % 2 == 0).coalesce(1).write.parquet(src + "/batch=a")
+    u.filter(F.col("pu") % 2 == 1).coalesce(1).write.parquet(src + "/batch=b")
+    stream = (
+        spark.readStream.schema("o_orderpriority STRING, pu BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch=*")
+    )
+    q = hist_sketch_sink(
+        stream,
+        str(tmp_path / "sketch"),
+        str(tmp_path / "ckpt"),
+        units_col="pu",
+        lo=lo,
+        hi=hi,
+        group_cols=("o_orderpriority",),
+    )
+    assert q.awaitTermination(300), "streaming histogram query did not finish"
+    got = {
+        (r["o_orderpriority"], r["bin"]): r["cnt"]
+        for r in read_cms_sketch(spark, str(tmp_path / "sketch")).collect()
+    }
+    want = {
+        (r["o_orderpriority"], r["bin"]): r["cnt"]
+        for r in hist_build(u, "pu", lo, hi, group_cols=("o_orderpriority",)).collect()
+    }
+    assert got == want
