@@ -1405,3 +1405,82 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "o_custkey", "recency_days", "frequency", "monetary", seg.alias("segment")
     )
+
+
+@register(
+    "relational_division_years",
+    ops=("J4", "A6", "A1", "O1"),
+    oracle="""
+        WITH years AS (
+            SELECT unnest(generate_series(1996, 1998)) AS y
+        ), counts AS (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders_in_window
+            FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) BETWEEN 1996 AND 1998
+            GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, n.n_orders_in_window
+        FROM customer c
+        JOIN counts n ON c.c_custkey = n.o_custkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM years yy
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND EXTRACT(year FROM o.o_orderdate) = yy.y
+            )
+        )
+        ORDER BY c.c_custkey
+    """,
+)
+def relational_division_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("customers who ordered in EVERY year of
+    1996-1998" — the suppliers-who-supply-all-parts shape), expressed
+    through the engine's pure-SQL surface: ``spark.sql`` over direct
+    ``parquet.`` file scans, no DataFrame API and no pre-registered
+    views. Spark's correlated-subquery support does not nest two
+    levels, so the SQL uses the equivalent coverage-count-free
+    formulation — divisor x dividend cross join, anti-join the
+    achieved pairs, exclude any customer with a missing pair — while
+    the oracle runs the classic double-NOT-EXISTS; the two
+    formulations agreeing IS the division semantics check.
+
+    Scale: the divisor (3 years) is a broadcast literal; achieved
+    pairs dedup on (custkey, year) — one shuffle; the anti-join and
+    the final exclusion ride the same custkey partitioning. Never a
+    per-customer subquery execution."""
+    from martian_moments_spark.catalog import table_path
+
+    orders_p = table_path(sf_dir, "orders")
+    customer_p = table_path(sf_dir, "customer")
+    return spark.sql(
+        f"""
+        WITH years AS (
+            SELECT explode(sequence(1996, 1998)) AS y
+        ), win AS (
+            SELECT o_custkey, year(o_orderdate) AS y
+            FROM parquet.`{orders_p}`
+            WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+        ), counts AS (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders_in_window
+            FROM win GROUP BY o_custkey
+        ), cust AS (
+            SELECT DISTINCT o_custkey FROM win
+        ), pairs AS (
+            SELECT c.o_custkey, yy.y FROM cust c CROSS JOIN years yy
+        ), ach AS (
+            SELECT DISTINCT o_custkey, y FROM win
+        ), missing AS (
+            SELECT p.o_custkey FROM pairs p
+            LEFT ANTI JOIN ach a ON p.o_custkey = a.o_custkey AND p.y = a.y
+        ), complete AS (
+            SELECT o_custkey FROM cust
+            LEFT ANTI JOIN missing m ON cust.o_custkey = m.o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, n.n_orders_in_window
+        FROM parquet.`{customer_p}` c
+        JOIN complete k ON c.c_custkey = k.o_custkey
+        JOIN counts n ON c.c_custkey = n.o_custkey
+        ORDER BY c.c_custkey
+        """
+    )

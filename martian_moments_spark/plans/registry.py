@@ -231,6 +231,7 @@ PRIORITY: tuple[str, ...] = (
     "quantile_sketch_accuracy",
     "incremental_quantile_merge",
     "pagerank_event_graph",
+    "relational_division_years",
 )
 
 
