@@ -1223,3 +1223,69 @@ def quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "skyline_pareto_parts",
+    ops=("W1", "P3", "O1"),
+    oracle="""
+        WITH u AS (
+            SELECT p_partkey, p_size,
+                   CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_units
+            FROM part
+        )
+        SELECT p.p_partkey, p.p_size,
+               CAST(p.price_units AS DOUBLE) / 100.0 AS p_retailprice
+        FROM u p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM u q
+            WHERE q.price_units <= p.price_units
+              AND q.p_size >= p.p_size
+              AND (q.price_units < p.price_units OR q.p_size > p.p_size)
+        )
+        ORDER BY p.price_units, p.p_partkey
+    """,
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts no other part strictly
+    dominates on (cheaper-or-equal price, bigger-or-equal size, one
+    strict). The engine runs the O(n log n) window formulation — a
+    part is dominated iff the running max size over STRICTLY cheaper
+    parts reaches its size (cheaper + at-least-as-big) or a same-price
+    part is strictly bigger — while the oracle runs the textbook
+    quadratic NOT EXISTS; the two formulations agreeing is the
+    dominance-semantics proof. Prices compare in integer units, so no
+    float boundary can split the frontier.
+
+    Scale: one range-partitioned sort on price (Spark's window with a
+    RANGE frame), no self-join, no nested loop — the quadratic
+    formulation the oracle uses is exactly what this plan avoids at
+    100 TB."""
+    u = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_units"),
+    )
+    w_cheaper = (
+        W.orderBy("price_units")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_same_price = W.partitionBy("price_units")
+    flagged = u.select(
+        "p_partkey",
+        "p_size",
+        "price_units",
+        F.max("p_size").over(w_cheaper).alias("max_size_cheaper"),
+        F.max("p_size").over(w_same_price).alias("max_size_same"),
+    )
+    skyline = flagged.filter(
+        (
+            F.coalesce(F.col("max_size_cheaper"), F.lit(-1)) < F.col("p_size")
+        )
+        & (F.col("max_size_same") <= F.col("p_size"))
+    )
+    return skyline.select(
+        "p_partkey",
+        "p_size",
+        (F.col("price_units").cast("double") / 100.0).alias("p_retailprice"),
+    ).orderBy("p_retailprice", "p_partkey")

@@ -232,6 +232,7 @@ PRIORITY: tuple[str, ...] = (
     "incremental_quantile_merge",
     "pagerank_event_graph",
     "relational_division_years",
+    "skyline_pareto_parts",
 )
 
 
