@@ -1249,25 +1249,31 @@ def quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto frontier): parts no other part strictly
     dominates on (cheaper-or-equal price, bigger-or-equal size, one
-    strict). The engine runs the O(n log n) window formulation — a
-    part is dominated iff the running max size over STRICTLY cheaper
-    parts reaches its size (cheaper + at-least-as-big) or a same-price
-    part is strictly bigger — while the oracle runs the textbook
-    quadratic NOT EXISTS; the two formulations agreeing is the
-    dominance-semantics proof. Prices compare in integer units, so no
-    float boundary can split the frontier.
+    strict). The engine runs a TWO-PHASE window formulation — price
+    buckets compute their local running-max in parallel, then a tiny
+    prefix-max over lower buckets' maxima supplies the cross-bucket
+    "strictly cheaper" bound (the same trick as
+    global_rank_range_partitioned: never a single-partition global
+    window) — while the oracle runs the textbook quadratic NOT EXISTS;
+    the two formulations agreeing is the dominance-semantics proof.
+    Prices compare in integer units, so no float boundary can split
+    the frontier.
 
-    Scale: one range-partitioned sort on price (Spark's window with a
-    RANGE frame), no self-join, no nested loop — the quadratic
-    formulation the oracle uses is exactly what this plan avoids at
-    100 TB."""
+    Scale: phase 1 windows partition by price bucket (parallel, one
+    shuffle); phase 2 is a prefix max over the per-bucket maxima —
+    rows = bucket count, computed on a broadcast-sized table. The
+    quadratic self-join the oracle uses is exactly what this plan
+    avoids at 100 TB. Equal prices share a bucket by construction, so
+    the strictness boundary never crosses buckets."""
+    bucket_width = 500_000  # price units per bucket: ~100 buckets
     u = load(spark, sf_dir, "part").select(
         "p_partkey",
         "p_size",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_units"),
-    )
-    w_cheaper = (
-        W.orderBy("price_units")
+    ).withColumn("bucket", F.expr(f"price_units DIV {bucket_width}"))
+    w_local = (
+        W.partitionBy("bucket")
+        .orderBy("price_units")
         .rangeBetween(W.unboundedPreceding, -1)
     )
     w_same_price = W.partitionBy("price_units")
@@ -1275,12 +1281,22 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_size",
         "price_units",
-        F.max("p_size").over(w_cheaper).alias("max_size_cheaper"),
+        "bucket",
+        F.max("p_size").over(w_local).alias("local_cheaper_max"),
         F.max("p_size").over(w_same_price).alias("max_size_same"),
     )
-    skyline = flagged.filter(
+    bucket_max = u.groupBy("bucket").agg(F.max("p_size").alias("bmax"))
+    w_prefix = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    prefix = bucket_max.select(
+        "bucket", F.max("bmax").over(w_prefix).alias("lower_buckets_max")
+    )
+    skyline = flagged.join(F.broadcast(prefix), "bucket").filter(
         (
-            F.coalesce(F.col("max_size_cheaper"), F.lit(-1)) < F.col("p_size")
+            F.greatest(
+                F.coalesce(F.col("local_cheaper_max"), F.lit(-1)),
+                F.coalesce(F.col("lower_buckets_max"), F.lit(-1)),
+            )
+            < F.col("p_size")
         )
         & (F.col("max_size_same") <= F.col("p_size"))
     )
