@@ -542,3 +542,127 @@ def incremental_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_PIT_CUTOFF = "1999-01-01 00:00:00"  # orders before -> dim version 1, after -> 2
+
+
+@register(
+    "scd2_point_in_time_join",
+    ops=("J2", "J6", "A1", "O1"),
+    oracle=f"""
+        WITH snap1 AS (
+            SELECT c_custkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acct_units,
+                   c_mktsegment
+            FROM customer
+        ), snap2 AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % {SCD2_CHANGE_MOD} = 0
+                        THEN acct_units * 2 ELSE acct_units END AS acct_units,
+                   c_mktsegment
+            FROM snap1
+        ), changed AS (
+            SELECT s1.c_custkey
+            FROM snap1 s1 JOIN snap2 s2 USING (c_custkey)
+            WHERE s1.acct_units <> s2.acct_units
+               OR s1.c_mktsegment <> s2.c_mktsegment
+        ), dim AS (
+            SELECT c_custkey, acct_units, c_mktsegment,
+                   CAST(1 AS INT) AS valid_from, CAST(NULL AS INT) AS valid_to
+            FROM snap1 WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+            UNION ALL
+            SELECT c_custkey, acct_units, c_mktsegment,
+                   CAST(1 AS INT), CAST(2 AS INT)
+            FROM snap1 WHERE c_custkey IN (SELECT c_custkey FROM changed)
+            UNION ALL
+            SELECT c_custkey, acct_units, c_mktsegment,
+                   CAST(2 AS INT), CAST(NULL AS INT)
+            FROM snap2 WHERE c_custkey IN (SELECT c_custkey FROM changed)
+        ), facts AS (
+            SELECT o_custkey,
+                   CAST(CASE WHEN o_orderdate < TIMESTAMP '{_PIT_CUTOFF}'
+                             THEN 1 ELSE 2 END AS INT) AS fact_version,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_units
+            FROM orders
+        )
+        SELECT f.fact_version,
+               (f.o_custkey % {SCD2_CHANGE_MOD} = 0) AS is_changed_cust,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(f.price_units) AS DOUBLE) / 100.0 AS revenue,
+               CAST(SUM(d.acct_units) AS BIGINT) AS matched_acct_total
+        FROM facts f
+        JOIN dim d
+          ON f.o_custkey = d.c_custkey
+         AND d.valid_from <= f.fact_version
+         AND (d.valid_to IS NULL OR f.fact_version < d.valid_to)
+        GROUP BY f.fact_version, f.o_custkey % {SCD2_CHANGE_MOD} = 0
+        ORDER BY fact_version, is_changed_cust
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension: each fact joins
+    the dim VERSION that was valid when the fact happened (valid_from
+    <= v < valid_to), never the current row — the as-of/temporal read
+    every SCD2 warehouse exists to serve. The matched_acct_total
+    column proves the semantics: changed customers' version-1 facts
+    pick up the original balance, version-2 facts the doubled one;
+    joining is_current instead would silently rewrite history.
+
+    Scale: an equi-join on the customer key with the validity interval
+    as a residual predicate (pinned shape: never a theta join); the
+    dim carries at most versions-per-key rows, and at 100 TB the
+    is_current/closed split is a partition key so current-only reads
+    prune history entirely."""
+    from martian_moments_spark.operators.relational import scd2_apply_snapshot
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acct_units"),
+        "c_mktsegment",
+    )
+    dim0 = cust.select(
+        "c_custkey",
+        "acct_units",
+        "c_mktsegment",
+        F.lit(1).cast("int").alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    snap2 = cust.withColumn(
+        "acct_units",
+        F.when(
+            F.col("c_custkey") % SCD2_CHANGE_MOD == 0, F.col("acct_units") * 2
+        ).otherwise(F.col("acct_units")),
+    )
+    dim = scd2_apply_snapshot(
+        dim0, snap2, keys=["c_custkey"], attrs=["acct_units", "c_mktsegment"], version=2
+    )
+    facts = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") < F.lit(_PIT_CUTOFF).cast("timestamp"), 1
+        )
+        .otherwise(2)
+        .cast("int")
+        .alias("fact_version"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_units"),
+    )
+    j = facts.join(
+        dim,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("valid_from") <= F.col("fact_version"))
+        & (F.col("valid_to").isNull() | (F.col("fact_version") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy(
+            "fact_version",
+            (F.col("o_custkey") % SCD2_CHANGE_MOD == 0).alias("is_changed_cust"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum("price_units").cast("double") / 100.0).alias("revenue"),
+            F.sum("acct_units").cast("long").alias("matched_acct_total"),
+        )
+        .orderBy("fact_version", "is_changed_cust")
+    )

@@ -233,6 +233,7 @@ PRIORITY: tuple[str, ...] = (
     "pagerank_event_graph",
     "relational_division_years",
     "skyline_pareto_parts",
+    "scd2_point_in_time_join",
 )
 
 
