@@ -345,3 +345,94 @@ def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "event_type",
         F.col("asof_event_id"),
     )
+
+
+@register(
+    "clamped_running_balance",
+    ops=("W2", "A1", "O1"),
+    oracle="""
+        WITH RECURSIVE seq AS (
+            SELECT o_custkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS rn,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        ELSE -CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   END AS delta
+            FROM orders
+        ), walk(o_custkey, rn, bal, n_resets) AS (
+            SELECT o_custkey, rn, GREATEST(CAST(0 AS BIGINT), delta),
+                   CASE WHEN delta < 0 THEN 1 ELSE 0 END
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.o_custkey, s.rn,
+                   GREATEST(CAST(0 AS BIGINT), w.bal + s.delta),
+                   w.n_resets + CASE WHEN w.bal + s.delta < 0 THEN 1 ELSE 0 END
+            FROM walk w JOIN seq s
+              ON s.o_custkey = w.o_custkey AND s.rn = w.rn + 1
+        )
+        SELECT o_custkey AS custkey,
+               CAST(bal AS DOUBLE) / 100.0 AS final_balance,
+               CAST(n_resets AS BIGINT) AS n_resets,
+               CAST(rn AS BIGINT) AS n_orders
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_custkey ORDER BY rn DESC) AS last
+              FROM walk)
+        WHERE last = 1
+        ORDER BY custkey
+    """,
+)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped (floor-at-zero) running balance per customer — urgent
+    orders credit, others debit, and the balance can never go
+    negative. The clamp makes each step depend on the PREVIOUS
+    clamped value, so no window frame can express it: this is the
+    canonical stateful-scan that justifies the engine's
+    ``applyInPandas`` seam (SURVEY §2.11), here with a full exact
+    oracle via a per-key recursive CTE — the pandas surface's
+    strongest correctness check (most stateful ops settle for
+    rows-only). Integer units throughout.
+
+    Scale: one shuffle partitions by customer; each group's scan is a
+    bounded in-memory walk over that customer's orders (Arrow batch,
+    no Python-per-row crossing); recursion depth in the oracle = max
+    orders per key. The same shape serves inventory levels, budget
+    caps, and retry-token buckets."""
+    import pandas as pd
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        )
+        .otherwise(-F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("delta"),
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        bal, resets = 0, 0
+        for d in pdf["delta"]:
+            bal += int(d)
+            if bal < 0:
+                bal = 0
+                resets += 1
+        return pd.DataFrame(
+            {
+                "custkey": [int(pdf["o_custkey"].iloc[0])],
+                "final_balance": [bal / 100.0],
+                "n_resets": [resets],
+                "n_orders": [len(pdf)],
+            }
+        )
+
+    return (
+        orders.groupBy("o_custkey")
+        .applyInPandas(
+            walk,
+            "custkey BIGINT, final_balance DOUBLE, n_resets BIGINT, n_orders BIGINT",
+        )
+        .orderBy("custkey")
+    )

@@ -234,6 +234,7 @@ PRIORITY: tuple[str, ...] = (
     "relational_division_years",
     "skyline_pareto_parts",
     "scd2_point_in_time_join",
+    "clamped_running_balance",
 )
 
 
