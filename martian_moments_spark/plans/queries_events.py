@@ -990,3 +990,112 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("pagerank_units"),
         (F.col("rank").cast("double") / F.lit(float(_PR_SCALE))).alias("pagerank"),
     ).orderBy(F.col("pagerank_units").desc(), "event_type")
+
+
+_ATTR_WINDOW_DAYS = 7
+
+
+@register(
+    "multi_touch_attribution",
+    ops=("J6", "W2", "A1", "J4", "U1", "O1"),
+    oracle=f"""
+        WITH p AS (
+            SELECT user_id, event_id AS pid, ts AS pts,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vu
+            FROM events WHERE event_type = 'purchase'
+        ), t AS (
+            SELECT user_id, event_id AS tid, ts AS tts, event_type AS ttype
+            FROM events WHERE event_type IN ('view', 'click')
+        ), cand AS (
+            SELECT p.pid, p.vu, t.tid, t.ttype,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.pid ORDER BY t.tts DESC, t.tid DESC
+                   ) AS rnk,
+                   COUNT(*) OVER (PARTITION BY p.pid) AS n_touch
+            FROM p JOIN t
+              ON p.user_id = t.user_id
+             AND t.tts < p.pts
+             AND t.tts >= p.pts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+        ), attributed AS (
+            SELECT ttype AS channel,
+                   vu // n_touch
+                       + CASE WHEN rnk = 1 THEN vu % n_touch ELSE 0 END AS units
+            FROM cand
+            UNION ALL
+            SELECT 'direct', vu FROM p
+            WHERE pid NOT IN (SELECT pid FROM cand)
+        )
+        SELECT channel,
+               CAST(COUNT(*) AS BIGINT) AS n_attributions,
+               CAST(SUM(units) AS DOUBLE) / 100.0 AS attributed_revenue
+        FROM attributed
+        GROUP BY channel
+        ORDER BY channel
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the view/click touchpoints in the preceding 7 days
+    (last touch absorbs the integer remainder — cents never appear or
+    vanish), purchases with no touchpoints attribute to 'direct'. The
+    marketing-analytics workhorse, expressed as an interval join +
+    per-purchase window + exact integer allocation, so the ledger sums
+    to exactly the purchase total and the oracle hash-matches.
+
+    Scale: the touch join is equi on user_id with the 7-day window as
+    a residual predicate (per-user activity bounds the fan-out); the
+    per-purchase count/rank windows ride the purchase key; 'direct'
+    is an anti-join on the same key. No global window, no driver
+    logic."""
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("vu"),
+    )
+    t = events.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("tid"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("ttype"),
+    )
+    cand = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("tts") < F.col("pts"))
+        & (
+            F.col("tts")
+            >= F.col("pts") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAY")
+        ),
+    )
+    w_rank = W.partitionBy("pid").orderBy(F.col("tts").desc(), F.col("tid").desc())
+    w_cnt = W.partitionBy("pid")
+    scored = cand.select(
+        "pid",
+        "vu",
+        "ttype",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count(F.lit(1)).over(w_cnt).alias("n_touch"),
+    )
+    touched = scored.select(
+        F.col("ttype").alias("channel"),
+        (
+            F.expr("vu DIV n_touch")
+            + F.when(F.col("rnk") == 1, F.expr("vu % n_touch")).otherwise(0)
+        ).alias("units"),
+    )
+    direct = p.join(scored.select("pid").distinct(), "pid", "left_anti").select(
+        F.lit("direct").alias("channel"), F.col("vu").alias("units")
+    )
+    return (
+        touched.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_attributions"),
+            (F.sum("units").cast("double") / 100.0).alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )

@@ -235,6 +235,7 @@ PRIORITY: tuple[str, ...] = (
     "skyline_pareto_parts",
     "scd2_point_in_time_join",
     "clamped_running_balance",
+    "multi_touch_attribution",
 )
 
 
