@@ -1099,3 +1099,95 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "ab_test_lift",
+    ops=("A1", "A3", "P12", "O1"),
+    oracle="""
+        WITH arms AS (
+            SELECT user_id,
+                   CASE WHEN ((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT)
+                             % 2147483647) % 2 = 0
+                        THEN 'A' ELSE 'B' END AS arm
+            FROM (SELECT DISTINCT user_id FROM events)
+        ), per_user AS (
+            SELECT a.arm, e.user_id,
+                   CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purch,
+                   CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                                 THEN CAST(ROUND(e.value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS rev_units
+            FROM events e JOIN arms a ON e.user_id = a.user_id
+            GROUP BY a.arm, e.user_id
+        )
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_converted,
+               CAST(SUM(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS conversion_rate,
+               CAST(SUM(rev_units) AS DOUBLE) / 100.0
+                   / CAST(COUNT(*) AS DOUBLE) AS revenue_per_user
+        FROM per_user
+        GROUP BY arm
+        ORDER BY arm
+    """,
+)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assign to arms by the portable
+    md5 hash (the same deterministic-split machinery as
+    deterministic_split — assignment is reproducible on any engine and
+    any rerun, the property experiment platforms call "sticky
+    bucketing"), then per-arm conversion rate and revenue per user.
+    Rates are BIGINT-count ratios, so the readout hash-matches.
+
+    Scale: arm assignment is per-row hash math on the deduped user
+    dim; the per-user rollup shuffles once on user_id and the per-arm
+    rollup reduces to two rows. Nothing here grows with event volume
+    except the first aggregate, which map-side combines."""
+    from martian_moments_spark.llmops.textops import portable_hash31
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    arms = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            portable_hash31(F.col("user_id").cast("string")) % 2 == 0, "A"
+        )
+        .otherwise("B")
+        .alias("arm"),
+    )
+    per_user = (
+        ev.join(arms, "user_id")
+        .groupBy("arm", "user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purch"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rev_units"),
+        )
+    )
+    converted = F.sum(F.when(F.col("n_purch") > 0, 1).otherwise(0))
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            converted.cast("long").alias("n_converted"),
+            (converted.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "conversion_rate"
+            ),
+            (
+                F.sum("rev_units").cast("double")
+                / F.lit(100.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("revenue_per_user"),
+        )
+        .orderBy("arm")
+    )

@@ -2854,3 +2854,65 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "cand_id", "rrf_score", "dense_rank", "lex_rank", "rank"
         )
     )
+
+
+_PHRASE = ("order", "fast")  # the exact phrase to locate
+
+
+@register(
+    "phrase_search_positions",
+    ops=("N3", "J2", "A1", "O1"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+        ), pos AS (
+            SELECT doc_id, unnest(tk) AS tok,
+                   generate_subscripts(tk, 1) AS p
+            FROM t
+        ), hits AS (
+            SELECT a.doc_id, a.p AS start_pos
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            WHERE a.tok = '{_PHRASE[0]}' AND b.tok = '{_PHRASE[1]}'
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MIN(start_pos) AS BIGINT) AS first_pos
+        FROM hits
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index: the
+    phrase "order fast" is found by equi-joining the two terms'
+    postings on (doc, adjacent positions) — how every full-text
+    engine answers quoted queries without rescanning documents. The
+    1-based position comes from posexplode (+1), matching DuckDB's
+    generate_subscripts.
+
+    Scale: each term's postings are FILTERED before the join (cost
+    tracks the rarer term's posting list, the classic phrase-query
+    bound), and the join is equi on (doc_id, position) — at 100 TB
+    the postings table is the persisted index, bucketed by term, and
+    this query never touches the corpus text."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(tokens("text")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    a = t.filter(F.col("tok") == _PHRASE[0]).select(
+        "doc_id", F.col("p").alias("pa")
+    )
+    b = t.filter(F.col("tok") == _PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")
+    )
+    hits = a.join(
+        b, (F.col("doc_id") == F.col("doc_b")) & (F.col("pb") == F.col("pa") + 1)
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("pa").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )

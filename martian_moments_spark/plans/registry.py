@@ -236,6 +236,8 @@ PRIORITY: tuple[str, ...] = (
     "scd2_point_in_time_join",
     "clamped_running_balance",
     "multi_touch_attribution",
+    "phrase_search_positions",
+    "ab_test_lift",
 )
 
 
