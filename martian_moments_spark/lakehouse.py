@@ -218,10 +218,13 @@ def read_table(spark: SparkSession, table: str, version: int | None = None) -> D
 def version_asof(table: str, ts: float) -> int:
     """The newest version whose recorded publish time is <= ``ts``
     (Delta's ``TIMESTAMP AS OF``). Scans the retained log entries —
-    O(retained versions), no data files opened. Versions from before
-    this field existed (or expired entries) are treated as eligible,
-    so old tables resolve to their newest retained version. Raises
-    ValueError if every retained commit is newer than ``ts``."""
+    O(retained versions), no data files opened. Entries from before
+    this field existed are treated as eligible (old tables resolve to
+    their newest retained version); vacuum-expired entries are
+    SKIPPED (their clock is gone — they cannot qualify). Commit
+    clocks are clamped monotone at publish (_commit), so eligibility
+    is a prefix of version order. Raises ValueError if every retained
+    commit is newer than ``ts``."""
     best = None
     for v in _versions(table):
         try:
@@ -407,6 +410,19 @@ def _commit(
     logd = _log_path(table)
     os.makedirs(logd, exist_ok=True)
     next_v = 0 if base_version is None else base_version + 1
+    # commit clock, clamped monotone over the predecessor (Delta-style
+    # max(prev + eps, now)): version_asof resolves by this field, and
+    # without the clamp a skew-backdated later version would make the
+    # eligible set a non-prefix of version order — an as-of read could
+    # then include data published after its timestamp.
+    committed_at = time.time()
+    if base_version is not None:
+        try:
+            prev_ts = _read_entry(table, base_version).get("committed_at")
+            if prev_ts is not None and committed_at <= prev_ts:
+                committed_at = prev_ts + 1e-6
+        except FileNotFoundError:
+            pass  # predecessor expired by vacuum — raw clock stands
     staged = os.path.join(logd, f"{next_v}.{uuid.uuid4().hex[:8]}.tmp.json")
     entry = {
         "version": next_v,
@@ -417,7 +433,7 @@ def _commit(
         # wall-clock publish time: the AS-OF-timestamp resolution key
         # (time travel). Version order is the source of truth for
         # conflicts; this is advisory metadata like Delta's timestamp.
-        "committed_at": time.time(),
+        "committed_at": committed_at,
     }
     if schema is not None:
         entry["schema"] = schema

@@ -952,7 +952,11 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
         .localCheckpoint(eager=True)
     )
-    nodes = events.select(F.col("event_type").alias("node")).distinct()
+    nodes = (
+        events.select(F.col("event_type").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)  # joined every iteration — scan once
+    )
     n_nodes = nodes.count()  # bounded: the event-type vocabulary
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
     base = (15 * _PR_SCALE) // (_PR_DAMP_DEN * n_nodes)
@@ -1101,14 +1105,16 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from martian_moments_spark.llmops.textops import sql_portable_hash31  # noqa: E402
+
+
 @register(
     "ab_test_lift",
     ops=("A1", "A3", "P12", "O1"),
-    oracle="""
+    oracle=f"""
         WITH arms AS (
             SELECT user_id,
-                   CASE WHEN ((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT)
-                             % 2147483647) % 2 = 0
+                   CASE WHEN ({sql_portable_hash31("CAST(user_id AS VARCHAR)")}) % 2 = 0
                         THEN 'A' ELSE 'B' END AS arm
             FROM (SELECT DISTINCT user_id FROM events)
         ), per_user AS (

@@ -435,14 +435,20 @@ def incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from martian_moments_spark.functions.sketches import (  # noqa: E402
-    HIST_BINS,
     hist_build,
     hist_merge,
     hist_quantile,
     sql_hist_bin,
 )
+from martian_moments_spark.plans.queries_analytics import (  # noqa: E402
+    _HQ_HI,
+    _HQ_LO,
+    _sql_hist_quantile,
+)
 
-_IQ_LO, _IQ_HI = 0, 50_000_000  # price units range, as in the sketch query
+# range constants shared with quantile_sketch_accuracy — one sketch,
+# two queries (accuracy grading + incremental maintenance)
+_IQ_LO, _IQ_HI = _HQ_LO, _HQ_HI
 _IQ_CUTOFF = "1999-01-01 00:00:00"  # base vs delta boundary (o_orderdate)
 
 
@@ -475,19 +481,14 @@ _IQ_CUTOFF = "1999-01-01 00:00:00"  # base vs delta boundary (o_orderdate)
                    SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) - cnt AS cum_prev,
                    SUM(cnt) OVER (PARTITION BY o_orderpriority) AS total
             FROM merged
+        ), e50 AS ({_sql_hist_quantile(0.5)}), totals AS (
+            SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS n_orders
+            FROM merged GROUP BY o_orderpriority
         )
-        SELECT o_orderpriority,
-               CAST(total AS BIGINT) AS n_orders,
-               ({_IQ_LO} + (CAST(bin AS DOUBLE)
-                   + (0.5 * CAST(total AS DOUBLE) - CAST(cum_prev AS DOUBLE))
-                       / CAST(cnt AS DOUBLE))
-                   * (CAST({_IQ_HI} - {_IQ_LO} AS DOUBLE) / {HIST_BINS})) / 100.0
-                   AS est_p50
-        FROM hcum h
-        WHERE bin = (SELECT MIN(bin) FROM hcum h2
-                     WHERE h2.o_orderpriority = h.o_orderpriority
-                       AND CAST(h2.cum AS DOUBLE) >= 0.5 * CAST(h2.total AS DOUBLE))
-        ORDER BY o_orderpriority
+        SELECT t.o_orderpriority, t.n_orders,
+               a.est_units / 100.0 AS est_p50
+        FROM totals t JOIN e50 a ON t.o_orderpriority = a.o_orderpriority
+        ORDER BY t.o_orderpriority
     """,
 )
 def incremental_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:

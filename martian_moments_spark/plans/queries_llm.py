@@ -2474,8 +2474,6 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("qunits"), F.col("m") * sub + 1, sub), F.col("centroid")
         ).alias("pdist"),
     )
-    from pyspark.sql.window import Window as W
-
     adc = (
         enc_long.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -2651,8 +2649,6 @@ def embedding_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine"
         ),
     )
-    from pyspark.sql.window import Window as W
-
     w = W.partitionBy("id_a").orderBy(F.col("cosine").desc(), "id_b")
     return (
         cos.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -2767,8 +2763,6 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm2").alias("cn"),
         "cell",
     )
-    from pyspark.sql.window import Window as W
-
     dense = (
         q_side.join(c_side, "cell")
         .filter(F.col("query_id") != F.col("cand_id"))

@@ -833,3 +833,22 @@ def test_read_table_asof_timestamp(spark, tmp_path):
     hist = lh.table_history(spark, table).collect()
     ts = {r["version"]: r["committed_at"] for r in hist}
     assert ts[0] is not None and ts[1] is not None and ts[0] <= ts[1]
+
+
+def test_committed_at_clamped_monotone_under_clock_skew(spark, tmp_path, monkeypatch):
+    """A writer with a regressed clock must not backdate a later
+    version below its predecessor — version_asof's eligibility set
+    must stay a prefix of version order."""
+    table = str(tmp_path / "t")
+    lh.append(spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"), table)
+    real = lh.time.time()
+    monkeypatch.setattr(lh.time, "time", lambda: real - 3600.0)  # clock jumps back
+    lh.append(spark.createDataFrame([(2, "b")], "k BIGINT, v STRING"), table)
+    monkeypatch.undo()
+    ts = {
+        r["version"]: r["committed_at"]
+        for r in lh.table_history(spark, table).collect()
+    }
+    assert ts[1] > ts[0], f"v1 backdated: {ts}"
+    # as-of after both commits sees the newest version despite the skew
+    assert lh.version_asof(table, lh.time.time()) == 1

@@ -53,18 +53,23 @@ def test_skyline_has_no_self_join_and_no_global_window(plans):
     plan = plans["skyline_pareto_parts"]
     # the quadratic NOT-EXISTS lives only in the oracle
     assert "SortMergeJoin" not in plan
-    # both heavy windows are partitioned (bucket / price); the only
-    # unpartitioned window runs over ~100 bucket-max rows
-    assert plan.count("Window") >= 1
+    # the per-row windows must be hash-partitioned (bucket / price) —
+    # a regression to one global price-ordered window would drop the
+    # bucket exchange and show only SinglePartition
+    assert "hashpartitioning(bucket" in plan, "bucket window lost its partitioning"
+    assert "hashpartitioning(price_units" in plan, "same-price window unpartitioned"
 
 
 def test_sketch_aggregates_are_partial(plans):
     """CMS build and histogram build must plan partial (map-side)
-    aggregation before the exchange — the bounded-cells guarantee."""
+    aggregation before the exchange — the bounded-cells guarantee.
+    Formatted plans spell partial aggregate functions as partial_*."""
     for name in ("heavy_hitters_cms", "quantile_sketch_accuracy",
                  "incremental_quantile_merge"):
         plan = plans[name]
-        assert "partial" in plan.lower() or "HashAggregate" in plan, name
+        assert "partial_count" in plan or "partial_sum" in plan, (
+            f"{name}: no map-side partial aggregation in plan"
+        )
 
 
 def test_retrieval_joins_broadcast_the_small_side(plans):
