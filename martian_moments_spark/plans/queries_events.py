@@ -1197,3 +1197,118 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+_SWEEP_GAP_S = 1800  # session gap, as in sessionize_events
+
+
+@register(
+    "peak_concurrency_sweep",
+    ops=("W2", "A1", "A4", "U1", "O1"),
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_id, ts,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                   LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_s
+            FROM events
+        ), labeled AS (
+            SELECT user_id, ts_s,
+                   SUM(CASE WHEN prev_s IS NULL
+                                 OR ts_s - prev_s > {_SWEEP_GAP_S}
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_idx
+            FROM seq
+        ), sessions AS (
+            SELECT user_id, session_idx,
+                   MIN(ts_s) AS start_s, MAX(ts_s) AS end_s
+            FROM labeled GROUP BY user_id, session_idx
+        ), points AS (
+            SELECT start_s AS t, 1 AS d, user_id, session_idx FROM sessions
+            UNION ALL
+            SELECT end_s, -1, user_id, session_idx FROM sessions
+        ), swept AS (
+            SELECT t, d,
+                   SUM(d) OVER (
+                       ORDER BY t, d DESC, user_id, session_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS conc
+            FROM points
+        )
+        SELECT CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+               CAST(MIN(CASE WHEN conc = (SELECT MAX(conc) FROM swept)
+                             THEN t END) AS BIGINT) AS first_peak_ts_s,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM sessions) AS n_sessions
+        FROM swept
+    """,
+)
+def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions via a sweep line: sessions (same 30-min
+    gap rule as sessionize_events) become +1/-1 boundary points; the
+    running sum over the time-ordered points is the live concurrency,
+    and its max is the capacity-planning number. Tie order is total
+    (time, starts-before-ends, user, session), so both engines sweep
+    the identical sequence; all arithmetic is integer epoch seconds.
+
+    Scale: the sweep is TWO-PHASE like the skyline — points bucket by
+    hour, each bucket's running sum is a partitioned window (parallel),
+    and a tiny prefix sum of per-bucket deltas supplies the carry-in,
+    so there is no single-partition global window over the points (the
+    oracle's global window is the quadratic-side formulation). Session
+    derivation reuses the user_id partitioning established by one
+    shuffle."""
+    events = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("long")
+    prev_s = F.lag(ts_s).over(order)
+    new_session = F.when(
+        prev_s.isNull() | ((ts_s - prev_s) > _SWEEP_GAP_S), 1
+    ).otherwise(0)
+    labeled = events.select(
+        "user_id",
+        ts_s.alias("ts_s"),
+        F.sum(new_session)
+        .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("session_idx"),
+    )
+    sessions = labeled.groupBy("user_id", "session_idx").agg(
+        F.min("ts_s").alias("start_s"), F.max("ts_s").alias("end_s")
+    )
+    starts = sessions.select(
+        F.col("start_s").alias("t"), F.lit(1).alias("d"), "user_id", "session_idx"
+    )
+    ends = sessions.select(
+        F.col("end_s").alias("t"), F.lit(-1).alias("d"), "user_id", "session_idx"
+    )
+    points = starts.unionByName(ends).withColumn(
+        "bucket", F.expr("t DIV 3600")
+    )
+    w_local = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("t"), F.col("d").desc(), F.col("user_id"), F.col("session_idx"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = points.withColumn("local_run", F.sum("d").over(w_local))
+    bucket_tot = points.groupBy("bucket").agg(F.sum("d").alias("btot"))
+    w_prefix = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    prefix = bucket_tot.select(
+        "bucket", F.coalesce(F.sum("btot").over(w_prefix), F.lit(0)).alias("carry")
+    )
+    swept = local.join(F.broadcast(prefix), "bucket").withColumn(
+        "conc", F.col("carry") + F.col("local_run")
+    )
+    peak = swept.agg(F.max("conc").alias("peak"))
+    n_sessions = sessions.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    return (
+        swept.crossJoin(F.broadcast(peak))
+        .filter(F.col("conc") == F.col("peak"))
+        .agg(
+            F.max("peak").cast("long").alias("peak_concurrency"),
+            F.min("t").cast("long").alias("first_peak_ts_s"),
+        )
+        .crossJoin(F.broadcast(n_sessions))
+    )

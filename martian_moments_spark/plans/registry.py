@@ -238,6 +238,7 @@ PRIORITY: tuple[str, ...] = (
     "multi_touch_attribution",
     "phrase_search_positions",
     "ab_test_lift",
+    "peak_concurrency_sweep",
 )
 
 
