@@ -764,3 +764,136 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("nation_name")
     )
+
+
+@register(
+    "tpch_q4_priority_checking",
+    ops=("J1", "P6", "A1", "O1"),
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= DATE '1996-07-01'
+          AND o.o_orderdate <  DATE '1996-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+)
+def tpch_q4_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking) adapted: the fixture lacks
+    commitdate/receiptdate, so "late" becomes shipping more than 60
+    days after the order date — the defining shape (EXISTS semi-join
+    folded into a grouped count) is intact.
+
+    Scale: the quarter filter prunes orders at the scan; the EXISTS
+    decorrelates to a left-semi join on orderkey with the lateness
+    predicate as a residual — one fact-fact shuffle, and the semi-join
+    emits each order at most once regardless of line count."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    kept = orders.join(
+        lineitem,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    ops=("J2", "A2", "A3", "W2", "O1", "O2"),
+    oracle="""
+        WITH j AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   (l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY) AS late
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM (
+            SELECT DISTINCT a.l_suppkey, a.l_orderkey
+            FROM j a
+            WHERE a.late
+              AND EXISTS (
+                  SELECT 1 FROM j b
+                  WHERE b.l_orderkey = a.l_orderkey
+                    AND b.l_suppkey <> a.l_suppkey
+              )
+              AND NOT EXISTS (
+                  SELECT 1 FROM j c
+                  WHERE c.l_orderkey = a.l_orderkey
+                    AND c.l_suppkey <> a.l_suppkey
+                    AND c.late
+              )
+        ) w
+        JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 25
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) adapted to the
+    fixture's dates (late = shipped > 45 days after ordering; the
+    classic uses receipt vs commit): suppliers who were the ONLY late
+    supplier on a multi-supplier order. The classic form quantifies
+    the same fact table twice (EXISTS another supplier / NOT EXISTS
+    another LATE supplier — the hardest correlation pattern in the
+    suite); the engine decorrelates BOTH into one per-order aggregate
+    — distinct suppliers, distinct late suppliers — and a residual
+    filter, which is also how a 100 TB plan wants it: one orderkey
+    shuffle, no repeated correlated scans.
+
+    Scale: fact-fact join on orderkey, per-order counts ride the same
+    partitioning, the supplier dim broadcasts, and the top-25 is
+    TakeOrderedAndProject."""
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = lineitem.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")
+        ).alias("late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = (
+        j.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )

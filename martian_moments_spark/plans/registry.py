@@ -239,6 +239,8 @@ PRIORITY: tuple[str, ...] = (
     "phrase_search_positions",
     "ab_test_lift",
     "peak_concurrency_sweep",
+    "tpch_q4_priority_checking",
+    "tpch_q21_waiting_suppliers",
 )
 
 
