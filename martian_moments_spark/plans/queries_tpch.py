@@ -897,3 +897,286 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
     )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    ops=("A2", "J4", "P7", "O1"),
+    oracle="""
+        WITH excluded AS (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+        )
+        SELECT p.p_brand, p.p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+          AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+        GROUP BY p.p_brand, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) adapted: no partsupp
+    table, so supply relationships come from observed lineitem
+    shipments, and the classic complaint-comment exclusion becomes a
+    negative-balance exclusion. The shape — COUNT(DISTINCT supplier)
+    per part attribute group after a NOT-IN supplier exclusion — is
+    intact.
+
+    Scale: the brand/size IN-filters prune part at the scan and the
+    pruned dim broadcasts; the NOT IN decorrelates to a left-anti
+    join against the tiny excluded set (broadcast); the distinct
+    count shuffles once on the group keys."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    excluded = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    kept = lineitem.join(
+        F.broadcast(excluded),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return (
+        kept.groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@register(
+    "tpch_q20_dominant_suppliers",
+    ops=("A5", "J1", "J2", "A1", "O1"),
+    oracle="""
+        WITH part_supp_qty AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS BIGINT)) AS supp_qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), part_qty AS (
+            SELECT l_partkey, SUM(supp_qty) AS total_qty
+            FROM part_supp_qty GROUP BY l_partkey
+        ), dominant AS (
+            SELECT ps.l_suppkey
+            FROM part_supp_qty ps
+            JOIN part_qty pq ON ps.l_partkey = pq.l_partkey
+            WHERE ps.supp_qty * 2 > pq.total_qty
+            GROUP BY ps.l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS acctbal_units
+        FROM supplier s
+        WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+        ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) adapted: no partsupp
+    availability column, so the classic "stocked more than half a
+    year's shipments" becomes "shipped more than half of some part's
+    total quantity" — preserving the nested-IN-with-aggregate-
+    threshold shape (supplier IN (... GROUP BY ... threshold on a
+    correlated aggregate)). The threshold compare is cross-multiplied
+    BIGINT (qty*2 > total), no division.
+
+    Scale: both aggregates key on partkey — the per-(part, supplier)
+    rollup and the per-part total share one shuffle lineage; the
+    dominant-supplier set is tiny and semi-joins supplier. No
+    correlated re-scan."""
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    part_supp = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("supp_qty")
+    )
+    part_qty = part_supp.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    dominant = (
+        part_supp.join(part_qty, "l_partkey")
+        .filter(F.col("supp_qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_units"),
+    )
+    return (
+        supplier.join(
+            dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name", "acctbal_units")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    ops=("A5", "J2", "P3", "O1", "O2"),
+    oracle="""
+        WITH region_supp AS (
+            SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        ), offers AS (
+            SELECT l.l_partkey, l.l_suppkey,
+                   MIN(CAST(ROUND(l.l_extendedprice / l.l_quantity * 100) AS BIGINT))
+                       AS unit_cost
+            FROM lineitem l
+            JOIN region_supp rs ON l.l_suppkey = rs.s_suppkey
+            GROUP BY l.l_partkey, l.l_suppkey
+        ), best AS (
+            SELECT l_partkey, MIN(unit_cost) AS min_cost
+            FROM offers GROUP BY l_partkey
+        )
+        SELECT CAST(ROUND(rs.s_acctbal * 100) AS BIGINT) AS acctbal_units,
+               rs.s_name, rs.n_name AS nation_name,
+               p.p_partkey, p.p_type,
+               CAST(o.unit_cost AS DOUBLE) / 100.0 AS unit_cost
+        FROM part p
+        JOIN offers o ON p.p_partkey = o.l_partkey
+        JOIN best b ON o.l_partkey = b.l_partkey AND o.unit_cost = b.min_cost
+        JOIN region_supp rs ON o.l_suppkey = rs.s_suppkey
+        WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+        ORDER BY acctbal_units DESC, nation_name, rs.s_name, p.p_partkey
+        LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) adapted: no partsupp, so an
+    "offer" is the minimum observed unit price (extendedprice /
+    quantity) a supplier shipped that part at. The defining shape —
+    a correlated MIN subquery per part selecting the tied best
+    suppliers, restricted to one region and part class — is intact.
+    Unit costs round to integer cents BEFORE the min, so the tie set
+    is engine-independent.
+
+    Scale: region suppliers prune early and broadcast into the fact
+    aggregate; the per-(part,supplier) and per-part MINs share the
+    partkey shuffle; the equality join keeps ties exactly like Q15.
+    The top-100 plans as TakeOrderedAndProject."""
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    region_supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+        .cast("long")
+        .alias("unit_cost_row"),
+    )
+    offers = (
+        lineitem.join(
+            F.broadcast(region_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_cost_row").alias("unit_cost"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_type")
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(region_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_units"),
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            "p_partkey",
+            "p_type",
+            (F.col("unit_cost").cast("double") / 100.0).alias("unit_cost"),
+        )
+        .orderBy(
+            F.col("acctbal_units").desc(), "nation_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q12_shipping_priority_classes",
+    ops=("A3", "J1", "P6", "P7", "O1"),
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          AND l.l_shipdate >= DATE '1996-01-01'
+          AND l.l_shipdate <  DATE '1998-01-01'
+        GROUP BY EXTRACT(year FROM l.l_shipdate)
+        ORDER BY ship_year
+    """,
+)
+def tpch_q12_shipping_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority) adapted: no
+    shipmode/commit/receipt columns, so the mode grouping becomes the
+    ship year and "late" becomes shipped > 30 days after ordering.
+    The defining shape — a fact-fact join whose aggregate splits into
+    priority-class conditional counts — is intact.
+
+    Scale: the date-range filter pushes to the lineitem scan; the
+    lateness predicate is a residual on the orderkey equi-join; both
+    CASE counts fold into one aggregate pass with map-side combine."""
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = lineitem.join(
+        orders,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )

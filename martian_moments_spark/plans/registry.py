@@ -241,6 +241,10 @@ PRIORITY: tuple[str, ...] = (
     "peak_concurrency_sweep",
     "tpch_q4_priority_checking",
     "tpch_q21_waiting_suppliers",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q12_shipping_priority_classes",
 )
 
 
