@@ -4,15 +4,20 @@ star schema (FIXTURES.md §4 role mapping).
 Q1/Q3/Q5/Q6/Q10 already live in the other plan modules
 (``pricing_summary``, ``shipping_priority_topk``,
 ``tpch_q5_local_supplier_volume``, ``tpch_q6_forecast_revenue``,
-``tpch_q10_returned_items``). This module adds the rest of the suite's
-*distinct operator shapes* — correlated scalar subqueries (Q17),
-HAVING-IN semi-joins (Q18), scalar-max equality joins (Q15),
-disjunctive multi-column predicates (Q19), NOT-EXISTS anti-joins over a
-scalar threshold (Q22), left-outer count distributions (Q13),
-share-of-total HAVING (Q11), and multi-year nation-pair pivots
-(Q7/Q8/Q9). Queries whose TPC-H original needs columns the fixture
-lacks (partsupp, shipmode, container, phone) are adapted: the join
-topology and operator shape are preserved, the missing column is
+``tpch_q10_returned_items``). This module completes the suite — all 22
+*distinct operator shapes* are now present: correlated MIN-cost tie
+sets (Q2), EXISTS folded into grouped counts (Q4), nation-pair/market
+-share/profit pivots (Q7/Q8/Q9), share-of-total HAVING (Q11),
+priority-class conditional counts over a residual-predicate join
+(Q12), left-outer count distributions (Q13), conditional ratio (Q14),
+scalar-max equality with ties (Q15), COUNT(DISTINCT) after NOT-IN
+exclusion (Q16), correlated scalar subqueries (Q17), HAVING-IN
+semi-joins (Q18), disjunctive multi-column predicates (Q19),
+nested-IN aggregate thresholds (Q20), double quantification over one
+fact (Q21), and NOT-EXISTS over a scalar threshold (Q22). Queries
+whose TPC-H original needs columns the fixture lacks (partsupp,
+shipmode, commit/receipt dates, container, phone) are adapted: the
+join topology and operator shape are preserved, the missing column is
 replaced by the nearest fixture analog, noted per-query.
 
 Determinism contract (same as every plan module): money aggregates go

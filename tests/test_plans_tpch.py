@@ -13,6 +13,12 @@ from tests.test_plans import explain_str
 REGISTRY = load_all()
 
 PINNED = (
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_checking",
+    "tpch_q12_shipping_priority_classes",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q21_waiting_suppliers",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
@@ -42,6 +48,16 @@ def test_no_cartesian_or_nested_loop(plans):
 
 def test_q18_topk_is_take_ordered(plans):
     assert "TakeOrderedAndProject" in plans["tpch_q18_large_volume_customers"]
+
+
+def test_q2_and_q21_topk_are_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans["tpch_q2_min_cost_supplier"]
+    assert "TakeOrderedAndProject" in plans["tpch_q21_waiting_suppliers"]
+
+
+def test_q4_exists_is_a_semi_join(plans):
+    plan = plans["tpch_q4_priority_checking"]
+    assert "LeftSemi" in plan, "EXISTS did not decorrelate to a semi-join"
 
 
 def test_q19_implied_predicates_reach_the_scans(plans):
