@@ -1305,3 +1305,93 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         (F.col("price_units").cast("double") / 100.0).alias("p_retailprice"),
     ).orderBy("p_retailprice", "p_partkey")
+
+
+@register(
+    "contingency_chi_square",
+    ops=("A1", "A3", "J1", "O1"),
+    oracle="""
+        WITH obs AS (
+            SELECT c.c_mktsegment, o.o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, o.o_orderpriority
+        ), rows_t AS (
+            SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS r FROM obs
+            GROUP BY c_mktsegment
+        ), cols_t AS (
+            SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS c FROM obs
+            GROUP BY o_orderpriority
+        ), tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS N FROM obs
+        ), cells AS (
+            SELECT o.c_mktsegment, o.o_orderpriority, r.r, c.c,
+                   t.N AS grand_total,
+                   CAST(floor(
+                       CAST((o.n * t.N - r.r * c.c) AS DOUBLE)
+                       * CAST((o.n * t.N - r.r * c.c) AS DOUBLE)
+                       / (CAST(t.N AS DOUBLE) * CAST(r.r * c.c AS DOUBLE))
+                       * 1000000000 + 0.5) AS BIGINT) AS contrib_nano
+            FROM obs o
+            JOIN rows_t r ON o.c_mktsegment = r.c_mktsegment
+            JOIN cols_t c ON o.o_orderpriority = c.o_orderpriority
+            CROSS JOIN tot t
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(contrib_nano) AS DOUBLE) / 1000000000.0 AS chi_square,
+               CAST(MAX(grand_total) AS BIGINT) AS n_total
+        FROM cells
+    """,
+)
+def contingency_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for the (market segment x order
+    priority) contingency table — the profiling statistic a feature
+    store runs before trusting a categorical crossing. Each cell's
+    contribution is computed as (n*N - r*c)^2 / (N*r*c) — exact BIGINT
+    numerators (bounded far below 2^63 at any SF), one double
+    division per cell — then quantized to 1e-9 units BEFORE the final
+    sum, so the statistic is an order-independent BIGINT sum and
+    hash-matches the oracle (a raw float sum over cells would differ
+    in ulps across partitionings).
+
+    Scale: one fact-dim join (customer broadcast by AQE or size), one
+    grouped count, and all remaining arithmetic on a segments x
+    priorities table (25 cells). Marginals re-aggregate from the
+    cells, not the fact."""
+    obs = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderpriority")
+        .join(
+            load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows_t = obs.groupBy("c_mktsegment").agg(F.sum("n").alias("r"))
+    cols_t = obs.groupBy("o_orderpriority").agg(F.sum("n").alias("c"))
+    tot = obs.agg(F.sum("n").alias("grand_total"))
+    num = F.col("n") * F.col("grand_total") - F.col("r") * F.col("c")
+    contrib = (
+        num.cast("double")
+        * num.cast("double")
+        / (F.col("grand_total").cast("double") * (F.col("r") * F.col("c")).cast("double"))
+    )
+    cells = (
+        obs.join(F.broadcast(rows_t), "c_mktsegment")
+        .join(F.broadcast(cols_t), "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "grand_total",
+            F.floor(contrib * 1_000_000_000 + 0.5).cast("long").alias(
+                "contrib_nano"
+            ),
+        )
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (F.sum("contrib_nano").cast("double") / F.lit(1_000_000_000.0)).alias(
+            "chi_square"
+        ),
+        F.max("grand_total").cast("long").alias("n_total"),
+    )

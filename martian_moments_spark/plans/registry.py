@@ -245,6 +245,7 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q20_dominant_suppliers",
     "tpch_q2_min_cost_supplier",
     "tpch_q12_shipping_priority_classes",
+    "contingency_chi_square",
 )
 
 
