@@ -381,3 +381,84 @@ def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             > DRIFT_CARD_TOL
         ).alias("cardinality_drift"),
     )
+
+
+@register(
+    "reconciliation_order_totals",
+    ops=("A1", "J3", "P8", "O1"),
+    oracle="""
+        WITH line_sums AS (
+            SELECT l_orderkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS line_units
+            FROM lineitem GROUP BY l_orderkey
+        ), joined AS (
+            SELECT o.o_orderkey,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS header_units,
+                   COALESCE(ls.line_units, 0) AS line_units
+            FROM orders o LEFT JOIN line_sums ls ON o.o_orderkey = ls.l_orderkey
+        )
+        SELECT CASE
+                   WHEN line_units = 0 THEN 'no_lines'
+                   WHEN abs(header_units - line_units) * 1000 <= header_units
+                       THEN 'reconciled_0_1pct'
+                   ELSE 'mismatched'
+               END AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MAX(abs(header_units - line_units)) AS DOUBLE) / 100.0
+                   AS max_abs_diff,
+               CAST(SUM(abs(header_units - line_units)) AS DOUBLE) / 100.0
+                   AS total_abs_diff
+        FROM joined
+        GROUP BY 1
+        ORDER BY status
+    """,
+)
+def reconciliation_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation: does each order header's total match
+    the sum of its line extended prices? — the cross-table consistency
+    check every warehouse closes its books with (the contracts
+    framework checks per-TABLE invariants; this is the inter-table
+    ledger tie-out). Orders bucket into reconciled-within-0.1%
+    (cross-multiplied integer tolerance — no float boundary),
+    mismatched, or line-less; the report carries the worst and total
+    absolute drift in dollars.
+
+    Scale: one orderkey-grouped sum over the fact (map-side combined),
+    one left join on the same key, and a 3-row rollup. This is the
+    query you run AFTER every incremental load — its cost is one fact
+    pass regardless of history depth."""
+    line_sums = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("lu"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("lu").alias("line_units"))
+    )
+    joined = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("header_units"),
+        )
+        .join(line_sums, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            "header_units", F.coalesce(F.col("line_units"), F.lit(0)).alias("line_units")
+        )
+    )
+    diff = F.abs(F.col("header_units") - F.col("line_units"))
+    status = (
+        F.when(F.col("line_units") == 0, "no_lines")
+        .when(diff * 1000 <= F.col("header_units"), "reconciled_0_1pct")
+        .otherwise("mismatched")
+    )
+    return (
+        joined.groupBy(status.alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.max(diff).cast("double") / 100.0).alias("max_abs_diff"),
+            (F.sum(diff).cast("double") / 100.0).alias("total_abs_diff"),
+        )
+        .orderBy("status")
+    )

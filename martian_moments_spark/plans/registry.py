@@ -246,6 +246,7 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q2_min_cost_supplier",
     "tpch_q12_shipping_priority_classes",
     "contingency_chi_square",
+    "reconciliation_order_totals",
 )
 
 
