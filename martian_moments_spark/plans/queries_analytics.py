@@ -1395,3 +1395,109 @@ def contingency_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("grand_total").cast("long").alias("n_total"),
     )
+
+
+@register(
+    "market_basket_lift",
+    ops=("J2", "A1", "A5", "O1", "O2"),
+    oracle="""
+        WITH baskets AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), n_orders AS (
+            SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+            FROM baskets
+        ), brand_freq AS (
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS f
+            FROM baskets GROUP BY p_brand
+        ), pair_freq AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   CAST(COUNT(*) AS BIGINT) AS f_ab
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY a.p_brand, b.p_brand
+        )
+        SELECT pf.brand_a, pf.brand_b, pf.f_ab,
+               CAST(pf.f_ab AS DOUBLE) / CAST(t.n AS DOUBLE) AS support,
+               CAST(pf.f_ab AS DOUBLE) / CAST(fa.f AS DOUBLE) AS confidence,
+               CAST(pf.f_ab AS DOUBLE) * CAST(t.n AS DOUBLE)
+                   / (CAST(fa.f AS DOUBLE) * CAST(fb.f AS DOUBLE)) AS lift
+        FROM pair_freq pf
+        JOIN brand_freq fa ON pf.brand_a = fa.p_brand
+        JOIN brand_freq fb ON pf.brand_b = fb.p_brand
+        CROSS JOIN n_orders t
+        ORDER BY lift DESC, pf.brand_a, pf.brand_b
+        LIMIT 50
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (market basket): brand pairs
+    co-purchased within an order, scored by support, confidence, and
+    lift — the a-priori first step every recommender bootstrap runs.
+    All three scores are ratios of BIGINT co-occurrence counts (one
+    double division each), so the ranking hash-matches.
+
+    Scale: baskets dedup on (order, brand) — one shuffle; the pair
+    join is keyed on the ORDER (co-occurrence within a basket, never
+    an all-pairs brand join), so its cost is sum over orders of
+    (distinct brands per order)^2 — bounded by basket width, the same
+    bound a-priori relies on; frequencies broadcast back onto the
+    pair table."""
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = baskets.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    brand_freq = baskets.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("brand_b")
+    )
+    pair_freq = (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("ok_b"))
+            & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("f_ab"))
+    )
+    fa = brand_freq.select(
+        F.col("p_brand").alias("brand_a"), F.col("f").alias("f_a")
+    )
+    fb = brand_freq.select(
+        F.col("p_brand").alias("brand_b"), F.col("f").alias("f_b")
+    )
+    return (
+        pair_freq.join(F.broadcast(fa), "brand_a")
+        .join(F.broadcast(fb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "f_ab",
+            (F.col("f_ab").cast("double") / F.col("n").cast("double")).alias(
+                "support"
+            ),
+            (F.col("f_ab").cast("double") / F.col("f_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                F.col("f_ab").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("f_a").cast("double") * F.col("f_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(50)
+    )

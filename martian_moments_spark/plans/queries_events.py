@@ -1312,3 +1312,91 @@ def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_sessions))
     )
+
+
+@register(
+    "cusum_changepoint",
+    ops=("W2", "A1", "A5", "O1"),
+    oracle="""
+        WITH u AS (
+            SELECT user_id, event_id, ts,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vu
+            FROM events
+        ), stats AS (
+            SELECT user_id,
+                   CAST(SUM(vu) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM u GROUP BY user_id
+        ), walk AS (
+            SELECT u.user_id, u.event_id, u.ts, st.n,
+                   SUM(u.vu * st.n - st.s) OVER (
+                       PARTITION BY u.user_id ORDER BY u.ts, u.event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cusum_scaled,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY u.user_id ORDER BY u.ts, u.event_id
+                   ) AS k
+            FROM u JOIN stats st ON u.user_id = st.user_id
+        )
+        , peaked AS (
+            SELECT *, MAX(abs(cusum_scaled)) OVER (PARTITION BY user_id) AS peak
+            FROM walk
+        )
+        SELECT user_id,
+               CAST(MAX(abs(cusum_scaled)) AS BIGINT) AS max_abs_cusum_scaled,
+               CAST(MIN(CASE WHEN abs(cusum_scaled) = peak THEN k END)
+                    AS BIGINT) AS changepoint_k,
+               CAST(MAX(n) AS BIGINT) AS n_events
+        FROM peaked
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint localization per user: the running sum of
+    (value - user mean) peaks, in absolute value, exactly where the
+    series' level shifts — the classic offline changepoint statistic.
+    Mean subtraction is cleared of division (``vu*n - s`` scales the
+    deviation by n), so the whole walk is BIGINT and the argmax
+    position is engine-exact; ties localize to the earliest index.
+
+    Scale: the per-user mean is a grouped aggregate re-joined on the
+    same user_id partitioning the cumsum window uses (one shuffle
+    serves both); per-user series are bounded. A streaming deployment
+    maintains the same scaled deviations incrementally (the sum and n
+    are algebraic partials, like every sketch here)."""
+    u = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("vu"),
+    )
+    stats = u.groupBy("user_id").agg(
+        F.sum("vu").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    walk = u.join(stats, "user_id").select(
+        "user_id",
+        F.col("n"),
+        F.sum(F.col("vu") * F.col("n") - F.col("s"))
+        .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cusum_scaled"),
+        F.row_number().over(order).alias("k"),
+    )
+    peak = F.max(F.abs(F.col("cusum_scaled"))).over(W.partitionBy("user_id"))
+    flagged = walk.withColumn("peak", peak)
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.max(F.abs(F.col("cusum_scaled"))).cast("long").alias(
+                "max_abs_cusum_scaled"
+            ),
+            F.min(
+                F.when(F.abs(F.col("cusum_scaled")) == F.col("peak"), F.col("k"))
+            )
+            .cast("long")
+            .alias("changepoint_k"),
+            F.max("n").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -247,6 +247,8 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q12_shipping_priority_classes",
     "contingency_chi_square",
     "reconciliation_order_totals",
+    "market_basket_lift",
+    "cusum_changepoint",
 )
 
 
