@@ -462,3 +462,91 @@ def reconciliation_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+_SKEW_HOT = 0.20  # max-key share above this -> salt
+_SKEW_BROADCASTABLE = 100_000  # distinct keys below this -> broadcast-able dim side
+
+
+@register(
+    "skew_advisor_report",
+    ops=("A1", "A2", "A4", "U1", "P8", "O1"),
+    oracle=f"""
+        WITH ok AS (
+            SELECT 'orders.o_custkey' AS join_key,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(c) AS BIGINT) AS max_key_rows
+            FROM (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey)
+        ), lp AS (
+            SELECT 'lineitem.l_partkey',
+                   CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                   CAST(MAX(c) AS BIGINT)
+            FROM (SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY l_partkey)
+        ), ls AS (
+            SELECT 'lineitem.l_suppkey',
+                   CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                   CAST(MAX(c) AS BIGINT)
+            FROM (SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey)
+        ), profiles AS (
+            SELECT * FROM ok UNION ALL SELECT * FROM lp UNION ALL SELECT * FROM ls
+        )
+        SELECT join_key, n_rows, n_keys, max_key_rows,
+               CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_key_share,
+               CASE
+                   WHEN max_key_rows * 100 > n_rows * {int(_SKEW_HOT * 100)}
+                       THEN 'salt'
+                   WHEN n_keys < {_SKEW_BROADCASTABLE} THEN 'broadcast_dim_side'
+                   ELSE 'hash_shuffle'
+               END AS advice
+        FROM profiles
+        ORDER BY join_key
+    """,
+)
+def skew_advisor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew advisor: profiles the engine's own join keys
+    (customer, part, supplier grains) and recommends the strategy the
+    operators/skew.py toolkit implements — salt when one key holds
+    more than 20% of rows, broadcast when the key space is small
+    enough to be a dim side, plain hash shuffle otherwise. The
+    threshold compare is cross-multiplied BIGINT, so the advice string
+    itself is hash-stable.
+
+    Scale: each profile is one grouped count plus a 1-row rollup —
+    exactly the reconnaissance a planner (or an engineer reading
+    BENCH numbers) runs BEFORE shipping a join at 100 TB; keeping it
+    as a registered query means the advice is recomputed on the
+    current data, not folklore."""
+    def profile(df: DataFrame, key: str, label: str) -> DataFrame:
+        per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        return per_key.agg(
+            F.lit(label).alias("join_key"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_key_rows"),
+        )
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    lineitem = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    profiles = (
+        profile(orders, "o_custkey", "orders.o_custkey")
+        .unionByName(profile(lineitem, "l_partkey", "lineitem.l_partkey"))
+        .unionByName(profile(lineitem, "l_suppkey", "lineitem.l_suppkey"))
+    )
+    advice = (
+        F.when(
+            F.col("max_key_rows") * 100 > F.col("n_rows") * int(_SKEW_HOT * 100),
+            "salt",
+        )
+        .when(F.col("n_keys") < _SKEW_BROADCASTABLE, "broadcast_dim_side")
+        .otherwise("hash_shuffle")
+    )
+    return profiles.select(
+        "join_key",
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        (F.col("max_key_rows").cast("double") / F.col("n_rows").cast("double")).alias(
+            "max_key_share"
+        ),
+        advice.alias("advice"),
+    ).orderBy("join_key")

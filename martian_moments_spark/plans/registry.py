@@ -249,6 +249,7 @@ PRIORITY: tuple[str, ...] = (
     "reconciliation_order_totals",
     "market_basket_lift",
     "cusum_changepoint",
+    "skew_advisor_report",
 )
 
 
