@@ -2910,3 +2910,112 @@ def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---- KMV (k-minimum-values) set sketches ---------------------------
+
+_KMV_K = 256
+_KMV_GROUP_A = tuple(f"src{i}" for i in range(10))  # first half of sources
+
+
+@register(
+    "kmv_set_intersection",
+    ops=("A2", "A6", "J2", "O2", "U1"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT CASE WHEN source IN {_KMV_GROUP_A} THEN 'A' ELSE 'B' END AS grp,
+                   unnest(list_distinct({_SQL_TOKS})) AS tok
+            FROM documents
+        ), hashes AS (
+            SELECT DISTINCT grp, {sql_portable_hash31('tok')} AS h FROM toks
+        ), kmv_a AS (
+            SELECT h FROM hashes WHERE grp = 'A' ORDER BY h LIMIT {_KMV_K}
+        ), kmv_b AS (
+            SELECT h FROM hashes WHERE grp = 'B' ORDER BY h LIMIT {_KMV_K}
+        ), union_h AS (
+            SELECT DISTINCT h FROM hashes
+        ), kmv_u AS (
+            SELECT h FROM union_h ORDER BY h LIMIT {_KMV_K}
+        ), exact AS (
+            SELECT CAST(COUNT(DISTINCT CASE WHEN grp = 'A' THEN h END) AS BIGINT) AS card_a,
+                   CAST(COUNT(DISTINCT CASE WHEN grp = 'B' THEN h END) AS BIGINT) AS card_b,
+                   CAST(COUNT(DISTINCT h) AS BIGINT) AS card_union
+            FROM hashes
+        ), tails AS (
+            SELECT (SELECT MAX(h) FROM kmv_a) AS hk_a,
+                   (SELECT MAX(h) FROM kmv_b) AS hk_b,
+                   (SELECT MAX(h) FROM kmv_u) AS hk_u,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM kmv_u u
+                    WHERE EXISTS (SELECT 1 FROM kmv_a a WHERE a.h = u.h)
+                      AND EXISTS (SELECT 1 FROM kmv_b b WHERE b.h = u.h)) AS n_both
+        )
+        SELECT CAST({_KMV_K} AS BIGINT) AS k,
+               e.card_a AS exact_card_a,
+               e.card_b AS exact_card_b,
+               e.card_union AS exact_card_union,
+               CAST(({_KMV_K} - 1) AS DOUBLE) * 2147483647.0
+                   / CAST(t.hk_a AS DOUBLE) AS est_card_a,
+               CAST(({_KMV_K} - 1) AS DOUBLE) * 2147483647.0
+                   / CAST(t.hk_b AS DOUBLE) AS est_card_b,
+               CAST(({_KMV_K} - 1) AS DOUBLE) * 2147483647.0
+                   / CAST(t.hk_u AS DOUBLE) AS est_card_union,
+               CAST(t.n_both AS DOUBLE) / CAST({_KMV_K} AS DOUBLE) AS kmv_jaccard
+        FROM exact e CROSS JOIN tails t
+    """,
+)
+def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketches over two source-group vocabularies —
+    the set sketch that supports INTERSECTION estimates, which HLL
+    structurally cannot (union-only): keep each set's k smallest
+    distinct hashes; cardinality ≈ (k-1)*P / h_k, and the Jaccard
+    estimate is the fraction of the union's bottom-k present in both
+    sides' sketches. The portable integer hash makes every step —
+    bottom-k, tail values, membership counts — bit-identical to the
+    oracle, and the sketch is mergeable (union of bottom-k sets,
+    re-truncated) like every summary in functions/sketches.py. Exact
+    cardinalities ride along to grade the estimates.
+
+    Scale: per-set distinct hashes are one dedup shuffle; bottom-k is
+    a TakeOrdered (never a global sort materialization); membership
+    joins touch k rows. The full-corpus distinct sets exist here only
+    for grading — a deployment keeps just 3*k integers."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.when(F.col("source").isin(*_KMV_GROUP_A), "A")
+        .otherwise("B")
+        .alias("grp"),
+        F.explode(F.array_distinct(tokens("text"))).alias("tok"),
+    )
+    hashes = toks.select(
+        "grp", portable_hash31(F.col("tok")).alias("h")
+    ).distinct()
+    kmv_a = hashes.filter(F.col("grp") == "A").select("h").orderBy("h").limit(_KMV_K)
+    kmv_b = hashes.filter(F.col("grp") == "B").select("h").orderBy("h").limit(_KMV_K)
+    kmv_u = hashes.select("h").distinct().orderBy("h").limit(_KMV_K)
+    exact = hashes.agg(
+        F.countDistinct(F.when(F.col("grp") == "A", F.col("h"))).alias("exact_card_a"),
+        F.countDistinct(F.when(F.col("grp") == "B", F.col("h"))).alias("exact_card_b"),
+        F.countDistinct("h").alias("exact_card_union"),
+    )
+    n_both = (
+        kmv_u.join(kmv_a.withColumnRenamed("h", "ha"), F.col("h") == F.col("ha"), "left_semi")
+        .join(kmv_b.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"), "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    tails = (
+        kmv_a.agg(F.max("h").alias("hk_a"))
+        .crossJoin(kmv_b.agg(F.max("h").alias("hk_b")))
+        .crossJoin(kmv_u.agg(F.max("h").alias("hk_u")))
+        .crossJoin(n_both)
+    )
+    p = 2147483647.0
+    est = lambda c: F.lit(float(_KMV_K - 1)) * F.lit(p) / F.col(c).cast("double")
+    return exact.crossJoin(F.broadcast(tails)).select(
+        F.lit(_KMV_K).cast("long").alias("k"),
+        F.col("exact_card_a").cast("long").alias("exact_card_a"),
+        F.col("exact_card_b").cast("long").alias("exact_card_b"),
+        F.col("exact_card_union").cast("long").alias("exact_card_union"),
+        est("hk_a").alias("est_card_a"),
+        est("hk_b").alias("est_card_b"),
+        est("hk_u").alias("est_card_union"),
+        (F.col("n_both").cast("double") / F.lit(float(_KMV_K))).alias("kmv_jaccard"),
+    )

@@ -250,6 +250,7 @@ PRIORITY: tuple[str, ...] = (
     "market_basket_lift",
     "cusum_changepoint",
     "skew_advisor_report",
+    "kmv_set_intersection",
 )
 
 
