@@ -100,3 +100,22 @@ def test_pq_adc_recall_floor_vs_exact(spark):
     print(f"PQ ADC recall@{K} = {recall:.3f}")
     # chance level is K/n ~= 1%; a working 12-bit code does far better
     assert recall >= 0.4, f"ADC recall collapsed to {recall}"
+
+
+def test_pq_duplicates_encode_identically_and_tiny_corpus_trains(spark):
+    """Edge laws: exact duplicate vectors must get identical code
+    words (the argmin is deterministic, ties to lowest code), and a
+    corpus smaller than PQ_K still trains (codebook simply has fewer
+    codes than K)."""
+    import pyspark.sql.functions as F
+
+    emb = load(spark, SF_DIR, "embeddings").limit(12)
+    dup = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    both = emb.unionByName(dup)
+    base, books = pq_train_codebooks(both)
+    for cb in books:
+        assert 1 <= len(cb) <= PQ_K
+    codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(base, books).collect()}
+    for r in emb.select("vec_id").collect():
+        v = r["vec_id"]
+        assert codes[v] == codes[v + 100000], f"duplicate of {v} encoded differently"
