@@ -1501,3 +1501,73 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
         .limit(50)
     )
+
+
+_GINI_BUCKET_W = 5_000_000  # revenue units per rank bucket (~100 buckets)
+
+
+@register(
+    "lorenz_gini_revenue",
+    ops=("A1", "W1", "J1", "O1"),
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS r
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i
+            FROM per_cust
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(r) AS DOUBLE) / 100.0 AS total_revenue,
+               (2.0 * CAST(SUM(i * r) AS DOUBLE)
+                - (CAST(COUNT(*) AS DOUBLE) + 1.0) * CAST(SUM(r) AS DOUBLE))
+                   / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(r) AS DOUBLE)) AS gini
+        FROM ranked
+    """,
+)
+def lorenz_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration (the Lorenz
+    summary a mixture designer checks before trusting "diverse"
+    spend/data): G = (2*sum(i*r_i) - (n+1)*S) / (n*S) over ascending-
+    rank revenue. The global rank uses the engine's two-phase
+    range-bucketed pattern (global_rank_range_partitioned) — offsets
+    from a metadata-scale prefix sum, within-bucket windows hash-
+    partitioned — never a single-partition window; every product and
+    sum stays BIGINT until the final ratio.
+
+    Scale: one shuffle to the per-customer rollup, one on the rank
+    bucket; the oracle's global window is the small-scale shortcut
+    the engine deliberately avoids."""
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("ru"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("ru").alias("r"))
+    )
+    rows = per_cust.withColumn(
+        "bucket", F.floor(F.col("r") / F.lit(_GINI_BUCKET_W)).cast("long")
+    )
+    counts = rows.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_off = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).cast("long").alias("offset"),
+    )
+    w_in = W.partitionBy("bucket").orderBy("r", "o_custkey")
+    ranked = rows.join(F.broadcast(offsets), "bucket").select(
+        "r", (F.col("offset") + F.row_number().over(w_in)).cast("long").alias("i")
+    )
+    n = F.count(F.lit(1)).cast("double")
+    s = F.sum("r").cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum("r").cast("double") / 100.0).alias("total_revenue"),
+        (
+            (F.lit(2.0) * F.sum(F.col("i") * F.col("r")).cast("double") - (n + 1.0) * s)
+            / (n * s)
+        ).alias("gini"),
+    )

@@ -251,6 +251,7 @@ PRIORITY: tuple[str, ...] = (
     "cusum_changepoint",
     "skew_advisor_report",
     "kmv_set_intersection",
+    "lorenz_gini_revenue",
 )
 
 
