@@ -1400,3 +1400,109 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_SURV_OFFSETS = (1, 3, 7, 14, 21)  # days since first view (data spans ~30)
+
+
+@register(
+    "survival_conversion_curve",
+    ops=("A1", "A5", "J3", "U1", "F9", "O1"),
+    oracle=f"""
+        WITH entry AS (
+            SELECT user_id, MIN(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), conv AS (
+            SELECT e.user_id, MIN(ev.ts) AS t_conv
+            FROM entry e JOIN events ev
+              ON ev.user_id = e.user_id
+             AND ev.event_type = 'purchase' AND ev.ts > e.t0
+            GROUP BY e.user_id
+        ), horizon AS (
+            SELECT MAX(ts) AS t_max FROM events
+        ), cohort AS (
+            SELECT e.user_id, e.t0, c.t_conv, h.t_max
+            FROM entry e
+            LEFT JOIN conv c ON e.user_id = c.user_id
+            CROSS JOIN horizon h
+        ), offsets AS (
+            SELECT unnest([{", ".join(str(d) for d in _SURV_OFFSETS)}]) AS day_offset
+        )
+        SELECT o.day_offset,
+               CAST(SUM(CASE WHEN ch.t_max >= ch.t0 + o.day_offset * INTERVAL 1 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+               CAST(SUM(CASE WHEN ch.t_max >= ch.t0 + o.day_offset * INTERVAL 1 DAY
+                              AND ch.t_conv IS NOT NULL
+                              AND ch.t_conv <= ch.t0 + o.day_offset * INTERVAL 1 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+               CASE WHEN SUM(CASE WHEN ch.t_max >= ch.t0 + o.day_offset * INTERVAL 1 DAY
+                              THEN 1 ELSE 0 END) = 0 THEN NULL
+                    ELSE 1.0 - CAST(SUM(CASE WHEN ch.t_max >= ch.t0 + o.day_offset * INTERVAL 1 DAY
+                              AND ch.t_conv IS NOT NULL
+                              AND ch.t_conv <= ch.t0 + o.day_offset * INTERVAL 1 DAY
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN ch.t_max >= ch.t0 + o.day_offset * INTERVAL 1 DAY
+                             THEN 1 ELSE 0 END) AS DOUBLE) END AS survival_share
+        FROM cohort ch CROSS JOIN offsets o
+        GROUP BY o.day_offset
+        ORDER BY o.day_offset
+    """,
+)
+def survival_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-censored conversion survival curve: for each day offset
+    since a user's first view, the share who have NOT yet purchased —
+    counting only users whose observation window actually reaches the
+    offset (censoring at the dataset horizon; naive funnel rates
+    understate late conversion by ignoring it). Counts are BIGINT,
+    shares one double division.
+
+    Scale: entry and conversion are user-keyed MIN aggregates sharing
+    one partitioning; the horizon is a 1-row broadcast; the offsets
+    axis is a 5-row broadcast crossJoin (per-user work is 5 CASE
+    evaluations, not a join explosion). This is the lazy-evaluated
+    cousin of retention_cohorts with explicit censoring."""
+    events = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    entry = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(entry, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_conv"))
+    )
+    horizon = events.agg(F.max("ts").alias("t_max"))
+    cohort = (
+        entry.join(conv, "user_id", "left").crossJoin(F.broadcast(horizon))
+    )
+    offsets = F.explode(
+        F.array(*[F.lit(d) for d in _SURV_OFFSETS])
+    ).alias("day_offset")
+    expanded = cohort.select("t0", "t_conv", "t_max", offsets)
+    deadline = F.col("t0") + F.col("day_offset") * F.expr("INTERVAL 1 DAY")
+    at_risk = F.when(F.col("t_max") >= deadline, 1).otherwise(0)
+    converted = F.when(
+        (F.col("t_max") >= deadline)
+        & F.col("t_conv").isNotNull()
+        & (F.col("t_conv") <= deadline),
+        1,
+    ).otherwise(0)
+    return (
+        expanded.groupBy("day_offset")
+        .agg(
+            F.sum(at_risk).cast("long").alias("n_at_risk"),
+            F.sum(converted).cast("long").alias("n_converted"),
+            F.when(
+                F.sum(at_risk) == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.lit(1.0)
+                - F.sum(converted).cast("double") / F.sum(at_risk).cast("double")
+            )
+            .alias("survival_share"),
+        )
+        .orderBy("day_offset")
+    )

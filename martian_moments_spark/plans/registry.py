@@ -252,6 +252,7 @@ PRIORITY: tuple[str, ...] = (
     "skew_advisor_report",
     "kmv_set_intersection",
     "lorenz_gini_revenue",
+    "survival_conversion_curve",
 )
 
 
