@@ -104,3 +104,32 @@ def run_checks(
     for cols in unique:
         results.append(CheckResult("unique", ",".join(cols), unique_violations(df, cols)))
     return results
+
+
+def observed_gate(
+    df: DataFrame, keep: Column, name: str = "quality_gate"
+):
+    """Quality gate with SINGLE-PASS metrics: returns ``(kept_df,
+    observation)`` where the Observation (Spark's observe() API)
+    records total/kept/rejected row counts as a side effect of
+    whatever action the caller runs on ``kept_df`` — a write sees its
+    own reject counts without a second scan of the input.
+
+    At 100 TB this is the difference between "write the gated corpus,
+    then re-scan to count rejects" (two corpus passes) and one pass:
+    the observe() aggregates ride the same physical plan as the
+    write. Metrics are read with ``observation.get`` AFTER the action
+    completes (it blocks until then).
+
+    ``keep`` is any boolean Column; rows failing it are filtered out
+    of the returned frame but still counted."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~keep, 1).otherwise(0)).alias("n_rejected"),
+    )
+    return observed.filter(keep), obs

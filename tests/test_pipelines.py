@@ -85,3 +85,23 @@ def test_quality_checks_clean_table(spark):
 def test_unique_violations_counts_extras(spark):
     df = spark.createDataFrame([(1,), (1,), (1,), (2,)], "k INT")
     assert unique_violations(df, ["k"]) == 2
+
+
+def test_observed_gate_counts_in_one_pass(spark, tmp_path):
+    """observe()-based gate metrics: the write action itself yields
+    total/kept/rejected counts — no second scan of the source."""
+    import pyspark.sql.functions as F
+
+    from martian_moments_spark.quality import observed_gate
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).alias("q")
+    )
+    kept, obs = observed_gate(df, F.col("q") >= 3, name="gate_test")
+    out = str(tmp_path / "out")
+    kept.write.mode("overwrite").parquet(out)  # the ONLY action
+    m = obs.get
+    assert m["n_total"] == 100
+    assert m["n_kept"] == 70
+    assert m["n_rejected"] == 30
+    assert spark.read.parquet(out).count() == 70
