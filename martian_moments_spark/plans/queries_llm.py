@@ -3019,3 +3019,94 @@ def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         est("hk_u").alias("est_card_union"),
         (F.col("n_both").cast("double") / F.lit(float(_KMV_K))).alias("kmv_jaccard"),
     )
+
+
+_COOC_WIN = 3  # +-token co-occurrence window
+_COOC_TOPK = 50
+
+
+@register(
+    "window_cooccurrence_lift",
+    ops=("N3", "J2", "A1", "A5", "O1", "O2"),
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS p
+            FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
+        ), n_tok AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pos
+        ), unigram AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM pos GROUP BY tok
+        ), pairs AS (
+            SELECT a.tok AS tok_a, b.tok AS tok_b,
+                   CAST(COUNT(*) AS BIGINT) AS f_ab
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id
+             AND b.p > a.p AND b.p <= a.p + {_COOC_WIN}
+             AND a.tok < b.tok
+            GROUP BY a.tok, b.tok
+        )
+        SELECT p.tok_a, p.tok_b, p.f_ab,
+               CAST(p.f_ab AS DOUBLE) * CAST(t.n AS DOUBLE)
+                   / (CAST(fa.f AS DOUBLE) * CAST(fb.f AS DOUBLE)) AS lift
+        FROM pairs p
+        JOIN unigram fa ON p.tok_a = fa.tok
+        JOIN unigram fb ON p.tok_b = fb.tok
+        CROSS JOIN n_tok t
+        WHERE p.f_ab >= 5
+        ORDER BY lift DESC, p.tok_a, p.tok_b
+        LIMIT {_COOC_TOPK}
+    """,
+)
+def window_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token co-occurrence with PMI-style lift (kept in
+    ratio space — exp(PMI), no logs, so BIGINT-exact): pairs appearing
+    within ±3 tokens more often than their unigram frequencies
+    predict. This is the statistic word-vector and collocation
+    pipelines are built on (the skip-gram co-occurrence matrix's
+    strongest entries).
+
+    Scale: the positional self-join is keyed on doc_id with the
+    window as a residual band (per-doc positions bound the fan-out to
+    n_tokens * window, linear in the corpus); unigram counts broadcast
+    back; the support floor (f_ab >= 5) prunes the pair table before
+    ranking; top-k is TakeOrderedAndProject."""
+    pos = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(tokens("text")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    n_tok = pos.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    unigram = pos.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    a = pos.select("doc_id", F.col("p").alias("pa"), F.col("tok").alias("tok_a"))
+    b = pos.select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), F.col("tok").alias("tok_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("pb") > F.col("pa"))
+            & (F.col("pb") <= F.col("pa") + _COOC_WIN)
+            & (F.col("tok_a") < F.col("tok_b")),
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("f_ab"))
+        .filter(F.col("f_ab") >= 5)
+    )
+    fa = unigram.select(F.col("tok").alias("tok_a"), F.col("f").alias("f_a"))
+    fb = unigram.select(F.col("tok").alias("tok_b"), F.col("f").alias("f_b"))
+    return (
+        pairs.join(F.broadcast(fa), "tok_a")
+        .join(F.broadcast(fb), "tok_b")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "tok_a",
+            "tok_b",
+            "f_ab",
+            (
+                F.col("f_ab").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("f_a").cast("double") * F.col("f_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "tok_a", "tok_b")
+        .limit(_COOC_TOPK)
+    )

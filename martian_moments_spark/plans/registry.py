@@ -253,6 +253,7 @@ PRIORITY: tuple[str, ...] = (
     "kmv_set_intersection",
     "lorenz_gini_revenue",
     "survival_conversion_curve",
+    "window_cooccurrence_lift",
 )
 
 
