@@ -1571,3 +1571,111 @@ def lorenz_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * s)
         ).alias("gini"),
     )
+
+
+@register(
+    "decile_lift_table",
+    ops=("A1", "A5", "W2", "J1", "O1"),
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                        t -> t <> '')) AS BIGINT) AS score,
+                   CAST(lang = 'en' AS INT) AS label
+            FROM documents
+        ), bounds AS (
+            SELECT quantile_cont(score, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b
+            FROM scored
+        ), assigned AS (
+            SELECT s.label,
+                   CAST(1 + len(list_filter(b.b, x -> CAST(s.score AS DOUBLE) > x))
+                        AS INT) AS decile
+            FROM scored s CROSS JOIN bounds b
+        ), per_decile AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(label) AS BIGINT) AS n_pos
+            FROM assigned GROUP BY decile
+        ), tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
+                   CAST(SUM(n_pos) AS BIGINT) AS pos_all
+            FROM per_decile
+        )
+        SELECT d.decile, d.n_docs, d.n_pos,
+               CAST(d.n_pos AS DOUBLE) / CAST(d.n_docs AS DOUBLE) AS pos_rate,
+               CAST(SUM(d.n_pos) OVER (ORDER BY d.decile DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / CAST(t.pos_all AS DOUBLE) AS cum_capture,
+               (CAST(d.n_pos AS DOUBLE) / CAST(d.n_docs AS DOUBLE))
+                   / (CAST(t.pos_all AS DOUBLE) / CAST(t.n_all AS DOUBLE)) AS lift
+        FROM per_decile d CROSS JOIN tot t
+        ORDER BY d.decile DESC
+    """,
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation decile lift table: documents rank by a score
+    (token count standing in for a classifier margin), split at the
+    exact interpolated score deciles, and each decile reports its
+    positive rate (label: lang = 'en'), cumulative capture from the
+    top, and lift over the base rate — the table every targeting /
+    quality-classifier rollout is judged on. Counts are BIGINT;
+    boundary assignment compares against the broadcast 9-value cut
+    list, so ties land identically on both engines.
+
+    Scale: the cuts here are the exact percentile aggregate; at
+    unbounded scale swap in hist_quantile (functions/sketches.py) for
+    mergeable boundaries with a bounded error — the downstream decile
+    arithmetic is unchanged. The cumulative window runs over 10
+    metadata rows."""
+    scored = load(spark, sf_dir, "documents").select(
+        F.size(tokens("text")).cast("long").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    bounds = scored.agg(
+        F.percentile(
+            "score", F.array(*[F.lit(q / 10.0) for q in range(1, 10)])
+        ).alias("b")
+    )
+    assigned = scored.crossJoin(F.broadcast(bounds)).select(
+        "label",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(
+                    F.col("b"), lambda x: F.col("score").cast("double") > x
+                )
+            )
+        )
+        .cast("int")
+        .alias("decile"),
+    )
+    per_decile = assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    tot = per_decile.agg(
+        F.sum("n_docs").alias("n_all"), F.sum("n_pos").alias("pos_all")
+    )
+    w_cum = W.orderBy(F.col("decile").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        per_decile.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n_docs").cast("double")).alias(
+                "pos_rate"
+            ),
+            (
+                F.sum("n_pos").over(w_cum).cast("double")
+                / F.col("pos_all").cast("double")
+            ).alias("cum_capture"),
+            (
+                (F.col("n_pos").cast("double") / F.col("n_docs").cast("double"))
+                / (F.col("pos_all").cast("double") / F.col("n_all").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("decile").desc())
+    )

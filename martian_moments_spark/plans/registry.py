@@ -254,6 +254,7 @@ PRIORITY: tuple[str, ...] = (
     "lorenz_gini_revenue",
     "survival_conversion_curve",
     "window_cooccurrence_lift",
+    "decile_lift_table",
 )
 
 
