@@ -255,6 +255,7 @@ PRIORITY: tuple[str, ...] = (
     "survival_conversion_curve",
     "window_cooccurrence_lift",
     "decile_lift_table",
+    "roc_auc_exact",
 )
 
 
