@@ -550,3 +550,86 @@ def skew_advisor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         advice.alias("advice"),
     ).orderBy("join_key")
+
+
+@register(
+    "fairness_gate_impact",
+    ops=("A1", "A3", "A5", "J1", "O1"),
+    oracle="""
+        WITH scored AS (
+            SELECT lang,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                        t -> t <> '')) >= 10
+                    AND len(list_distinct(list_filter(
+                            regexp_split_to_array(text, '\\s+'), t -> t <> '')))
+                        * 10 >= len(list_filter(
+                            regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+                        * 3
+                    AS INT) AS passed
+            FROM documents
+        ), per_lang AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(passed) AS BIGINT) AS n_passed
+            FROM scored GROUP BY lang
+        ), best AS (
+            SELECT MAX(CAST(n_passed AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                   AS best_rate
+            FROM per_lang
+        )
+        SELECT p.lang, p.n_docs, p.n_passed,
+               CAST(p.n_passed AS DOUBLE) / CAST(p.n_docs AS DOUBLE) AS pass_rate,
+               (CAST(p.n_passed AS DOUBLE) / CAST(p.n_docs AS DOUBLE))
+                   / b.best_rate AS disparate_impact,
+               (CAST(p.n_passed AS DOUBLE) / CAST(p.n_docs AS DOUBLE))
+                   / b.best_rate < 0.8 AS below_four_fifths
+        FROM per_lang p CROSS JOIN best b
+        ORDER BY p.lang
+    """,
+)
+def fairness_gate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disparate-impact audit of the quality gate across languages:
+    each language's gate pass rate, its ratio to the best-treated
+    language, and the four-fifths-rule flag (ratio < 0.8) — the
+    governance check a multilingual corpus runs so a length/ratio
+    heuristic doesn't silently filter out a whole language. The gate
+    predicate mirrors corpus_curation's (>=10 tokens, distinct ratio
+    >= 0.3, cross-multiplied to integers); all rates are BIGINT-count
+    ratios and the 0.8 compare happens on identical doubles.
+
+    Scale: per-row gate evaluation, one low-cardinality groupBy, a
+    1-row broadcast max — the audit costs one corpus pass and should
+    run on every curation batch, not once."""
+    from martian_moments_spark.llmops.textops import tokens
+
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    passed = (
+        (n_tokens >= 10) & (n_distinct * 10 >= n_tokens * 3)
+    ).cast("int")
+    scored = load(spark, sf_dir, "documents").select(
+        "lang", passed.alias("passed")
+    )
+    per_lang = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("passed").cast("long").alias("n_passed"),
+    )
+    rate = F.col("n_passed").cast("double") / F.col("n_docs").cast("double")
+    best = per_lang.agg(
+        F.max(
+            F.col("n_passed").cast("double") / F.col("n_docs").cast("double")
+        ).alias("best_rate")
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(best))
+        .select(
+            "lang",
+            "n_docs",
+            "n_passed",
+            rate.alias("pass_rate"),
+            (rate / F.col("best_rate")).alias("disparate_impact"),
+            ((rate / F.col("best_rate")) < 0.8).alias("below_four_fifths"),
+        )
+        .orderBy("lang")
+    )

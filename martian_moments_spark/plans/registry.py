@@ -256,6 +256,7 @@ PRIORITY: tuple[str, ...] = (
     "window_cooccurrence_lift",
     "decile_lift_table",
     "roc_auc_exact",
+    "fairness_gate_impact",
 )
 
 
