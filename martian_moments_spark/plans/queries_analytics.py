@@ -1755,3 +1755,103 @@ def roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("auc"),
     )
+
+
+@register(
+    "metric_tree_decomposition",
+    ops=("A1", "A3", "J3", "O1"),
+    oracle="""
+        WITH per AS (
+            SELECT c.c_mktsegment,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS rev_units
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE EXTRACT(year FROM o.o_orderdate) IN (1998, 1999)
+            GROUP BY c.c_mktsegment, EXTRACT(year FROM o.o_orderdate)
+        ), wide AS (
+            SELECT c_mktsegment,
+                   CAST(COALESCE(MAX(CASE WHEN yr = 1998 THEN n END), 0) AS BIGINT) AS n1,
+                   CAST(COALESCE(MAX(CASE WHEN yr = 1998 THEN rev_units END), 0) AS BIGINT) AS r1,
+                   CAST(COALESCE(MAX(CASE WHEN yr = 1999 THEN n END), 0) AS BIGINT) AS n2,
+                   CAST(COALESCE(MAX(CASE WHEN yr = 1999 THEN rev_units END), 0) AS BIGINT) AS r2
+            FROM per GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment,
+               CAST(r2 - r1 AS DOUBLE) / 100.0 AS delta_revenue,
+               CASE WHEN n1 = 0 THEN CAST(r2 AS DOUBLE) / 100.0
+                    ELSE (CAST(n2 - n1 AS DOUBLE) * (CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                         / 100.0 END AS volume_effect,
+               CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+                    ELSE (CAST(n2 AS DOUBLE)
+                          * (CAST(r2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                             - CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE))) / 100.0
+               END AS rate_effect
+        FROM wide
+        ORDER BY c_mktsegment
+    """,
+)
+def metric_tree_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-tree decomposition of the 1998->1999 revenue change per
+    market segment: delta = volume effect ((n2-n1) * old avg order
+    value) + rate effect (n2 * change in avg order value) — the
+    analytics-engineering drill-down that turns "revenue moved" into
+    "how much was order count vs order size". The identity holds
+    exactly: both effects derive from the same BIGINT (count, unit
+    sum) pairs, and the decomposition arithmetic is the identical
+    IEEE expression on both engines (degenerate empty-year segments
+    get the documented conventions).
+
+    Scale: one fact-dim join, one (segment, year) aggregate with
+    map-side combine, then arithmetic on a segments-sized table."""
+    per = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1998, 1999))
+        .select(
+            "o_custkey",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("ru"),
+        )
+        .join(
+            load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "yr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ru").alias("rev_units"),
+        )
+    )
+    wide = per.groupBy("c_mktsegment").agg(
+        F.coalesce(F.max(F.when(F.col("yr") == 1998, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n1"),
+        F.coalesce(F.max(F.when(F.col("yr") == 1998, F.col("rev_units"))), F.lit(0))
+        .cast("long")
+        .alias("r1"),
+        F.coalesce(F.max(F.when(F.col("yr") == 1999, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n2"),
+        F.coalesce(F.max(F.when(F.col("yr") == 1999, F.col("rev_units"))), F.lit(0))
+        .cast("long")
+        .alias("r2"),
+    )
+    avg1 = F.col("r1").cast("double") / F.col("n1").cast("double")
+    avg2 = F.col("r2").cast("double") / F.col("n2").cast("double")
+    volume = F.when(
+        F.col("n1") == 0, F.col("r2").cast("double") / 100.0
+    ).otherwise(
+        (F.col("n2") - F.col("n1")).cast("double") * avg1 / 100.0
+    )
+    # degenerate segments (a year with zero orders) put the whole
+    # delta in the volume term; rate needs both years' averages
+    rate = F.when(
+        (F.col("n1") == 0) | (F.col("n2") == 0), F.lit(0.0)
+    ).otherwise(F.col("n2").cast("double") * (avg2 - avg1) / 100.0)
+    return wide.select(
+        "c_mktsegment",
+        ((F.col("r2") - F.col("r1")).cast("double") / 100.0).alias("delta_revenue"),
+        volume.alias("volume_effect"),
+        rate.alias("rate_effect"),
+    ).orderBy("c_mktsegment")

@@ -257,6 +257,7 @@ PRIORITY: tuple[str, ...] = (
     "decile_lift_table",
     "roc_auc_exact",
     "fairness_gate_impact",
+    "metric_tree_decomposition",
 )
 
 
