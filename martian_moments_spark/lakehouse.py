@@ -152,6 +152,18 @@ def _write_checkpoint(table: str, version: int) -> None:
     os.replace(tmp, os.path.join(logd, f"{version}.checkpoint.json"))
 
 
+def _stored_path(table: str, p: str) -> str:
+    """Map an absolute file path back to the form the commit log stores
+    it in: table-relative for files under the table root, absolute for
+    external references (shallow clones). The inverse of
+    ``snapshot_files``'s ``os.path.join(table, stored)``."""
+    root = os.path.abspath(table)
+    ap = os.path.abspath(p)
+    if ap == root or ap.startswith(root + os.sep):
+        return os.path.relpath(ap, table)
+    return p
+
+
 def snapshot_files(table: str, version: int | None = None) -> list[str]:
     """The live data files of ``version`` (default: latest committed).
     Absolute paths. Raises FileNotFoundError on an empty table or a
@@ -177,12 +189,24 @@ def _read_files(spark: SparkSession, table: str, files: list[str]) -> DataFrame:
             "handled by the caller (read_table returns a schema-correct "
             "empty DataFrame from the commit log)"
         )
+    def commit_dir(p: str) -> str:
+        # nearest data_<id> ancestor — every lakehouse data file lives
+        # under one (_stage_data); anchoring basePath there recovers
+        # hive-partition columns identically for files INSIDE this
+        # table and for external files referenced by a shallow clone.
+        anc = os.path.dirname(p)
+        while anc and not os.path.basename(anc).startswith("data_"):
+            parent = os.path.dirname(anc)
+            if parent == anc:
+                break
+            anc = parent
+        return anc if os.path.basename(anc).startswith("data_") else os.path.dirname(p)
+
     by_dir: dict[str, list[str]] = {}
     for p in files:
-        rel = os.path.relpath(p, table)
-        by_dir.setdefault(rel.split(os.sep, 1)[0], []).append(p)
+        by_dir.setdefault(commit_dir(p), []).append(p)
     parts = [
-        spark.read.option("basePath", os.path.join(table, d)).parquet(*fs)
+        spark.read.option("basePath", d).parquet(*fs)
         for d, fs in sorted(by_dir.items())
     ]
     # additive schema evolution: a commit may carry columns older
@@ -273,7 +297,7 @@ def read_table_pruned(
     stats = file_stats(table, version)
     keep = []
     for p in files:
-        st = stats.get(os.path.relpath(p, table))
+        st = stats.get(_stored_path(table, p))
         if st is not None and col in st["min"] and col in st["max"]:
             if st["max"][col] < lo or st["min"][col] > hi:
                 continue
@@ -482,7 +506,7 @@ def overwrite(df: DataFrame, table: str, meta: dict | None = None) -> int:
     while True:
         base = current_version(table)
         prev = (
-            [os.path.relpath(p, table) for p in snapshot_files(table, base)]
+            [_stored_path(table, p) for p in snapshot_files(table, base)]
             if base is not None
             else []
         )
@@ -523,7 +547,7 @@ def merge_upsert(
             .drop("__rn")
         )
         if base is not None:
-            prev = [os.path.relpath(p, table) for p in snapshot_files(table, base)]
+            prev = [_stored_path(table, p) for p in snapshot_files(table, base)]
             target = read_table(spark, table, base)
             survivors = target.join(batch.select(*keys), keys, "left_anti")
             merged = batch.unionByName(survivors)
@@ -620,7 +644,7 @@ def merge_upsert_bucketed(
             except FileExistsError:
                 continue
         touched = {r[0] for r in batch.select(BUCKET_COL).distinct().collect()}
-        files = [os.path.relpath(p, table) for p in snapshot_files(table, base)]
+        files = [_stored_path(table, p) for p in snapshot_files(table, base)]
         if any(_bucket_of(f, BUCKET_COL) is None for f in files):
             # a non-bucketed commit is mixed in: its files may hold any
             # key, so bucket pruning is unsound — fall back to a full
@@ -703,7 +727,7 @@ def compact(
             files = [
                 p
                 for p in files
-                if _bucket_of(os.path.relpath(p, table), BUCKET_COL) in chosen
+                if _bucket_of(_stored_path(table, p), BUCKET_COL) in chosen
             ]
             if not files:
                 return base  # nothing to do; no empty commit
@@ -713,7 +737,7 @@ def compact(
         # a bucketed-merge table keeps its layout through compaction
         part = (BUCKET_COL,) if BUCKET_COL in df.columns else ()
         new = _stage_data(df, table, partition_by=part)
-        prev = [os.path.relpath(p, table) for p in files]
+        prev = [_stored_path(table, p) for p in files]
         try:
             return _commit(table, new, "compact", base, remove=prev)
         except FileExistsError:
@@ -758,7 +782,7 @@ def delete_where(
         stats = file_stats(table, base)
         candidates = []
         for p in files:
-            st = stats.get(os.path.relpath(p, table))
+            st = stats.get(_stored_path(table, p))
             if st is not None:
                 if st.get("rows") == 0:
                     continue  # empty file: nothing to delete, carry over
@@ -776,7 +800,7 @@ def delete_where(
 
         part = (BUCKET_COL,) if BUCKET_COL in survivors.columns else ()
         new = _stage_data(survivors, table, partition_by=part)
-        prev = [os.path.relpath(p, table) for p in candidates]
+        prev = [_stored_path(table, p) for p in candidates]
         try:
             return _commit(table, new, "delete", base, remove=prev)
         except FileExistsError:
@@ -814,7 +838,7 @@ def update_where(
         stats = file_stats(table, base)
         candidates = []
         for p in files:
-            st = stats.get(os.path.relpath(p, table))
+            st = stats.get(_stored_path(table, p))
             if st is not None:
                 if st.get("rows") == 0:
                     continue
@@ -833,7 +857,7 @@ def update_where(
 
         part = (BUCKET_COL,) if BUCKET_COL in df.columns else ()
         new = _stage_data(df, table, partition_by=part)
-        prev = [os.path.relpath(p, table) for p in candidates]
+        prev = [_stored_path(table, p) for p in candidates]
         try:
             return _commit(table, new, "update", base, remove=prev)
         except FileExistsError:
@@ -862,7 +886,7 @@ def vacuum(
     mtime_horizon = time.time() - retention_seconds
     live: set[str] = set()
     for v in retained:
-        live.update(os.path.relpath(p, table) for p in snapshot_files(table, v))
+        live.update(_stored_path(table, p) for p in snapshot_files(table, v))
     deleted = []
     for dirpath, _dirs, files in os.walk(table):
         if os.path.basename(dirpath) == LOG_DIR:
@@ -974,16 +998,49 @@ def restore_table(table: str, version: int) -> int:
     the restored-from state stays time-travelable and vacuum keeps
     honoring retention). Optimistic-retry like every writer. Returns
     the new version."""
-    target = set(os.path.relpath(p, table) for p in snapshot_files(table, version))
+    target = set(_stored_path(table, p) for p in snapshot_files(table, version))
     sch = _latest_schema(table, version)
     while True:
         base = current_version(table)
         if base is None:
             raise FileNotFoundError(f"no committed version in {table!r}")
-        current = set(os.path.relpath(p, table) for p in snapshot_files(table, base))
+        current = set(_stored_path(table, p) for p in snapshot_files(table, base))
         add = sorted(target - current)
         remove = sorted(current - target)
         try:
             return _commit(table, add, "restore", base, remove=remove, schema=sch)
         except FileExistsError:
             continue
+
+
+def clone_table(src_table: str, dst_table: str, version: int | None = None) -> int:
+    """Shallow (zero-copy) clone — Delta's ``CREATE TABLE ... SHALLOW
+    CLONE``: the destination's v0 commit REFERENCES the source
+    version's data files by absolute path; no bytes are copied. The
+    clone then lives its own life: appends/merges/deletes commit
+    normally (copy-on-write writes new files under the CLONE; removing
+    a referenced file merely drops the reference), so dev/test
+    branches of a 100 TB table cost one manifest write.
+
+    Caveat (same as Delta's): ``vacuum`` on the SOURCE does not know
+    about clones — it can expire files a clone still references once
+    the source's own retention drops them. Clone from a version the
+    source retains, or compact the clone (rewriting references into
+    its own files) before vacuuming the source aggressively.
+
+    Returns the clone's version (0)."""
+    src = os.path.abspath(src_table)
+    files = snapshot_files(src, version)  # absolute paths
+    v = current_version(src) if version is None else version
+    sch = _latest_schema(src, v)
+    os.makedirs(dst_table, exist_ok=True)
+    if _versions(dst_table):
+        raise FileExistsError(f"{dst_table!r} already has commits — not cloning over it")
+    return _commit(
+        dst_table,
+        sorted(os.path.abspath(p) for p in files),
+        "clone",
+        None,
+        schema=sch,
+        meta={"cloned_from": src, "cloned_version": v},
+    )

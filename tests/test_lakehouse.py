@@ -852,3 +852,47 @@ def test_committed_at_clamped_monotone_under_clock_skew(spark, tmp_path, monkeyp
     assert ts[1] > ts[0], f"v1 backdated: {ts}"
     # as-of after both commits sees the newest version despite the skew
     assert lh.version_asof(table, lh.time.time()) == 1
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
+    """SHALLOW CLONE: the clone reads the source snapshot without
+    copying a byte (its commit references the source's files by
+    absolute path); subsequent writes to either side do not affect
+    the other; delete on the clone is copy-on-write and never touches
+    source files."""
+    import glob
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    lh.append(
+        spark.createDataFrame([(i, f"v{i}") for i in range(20)], "k BIGINT, v STRING"),
+        src,
+    )
+    v = lh.clone_table(src, dst)
+    assert v == 0
+    # zero-copy: no parquet under the clone dir
+    assert not glob.glob(os.path.join(dst, "data_*", "*.parquet"))
+    assert sorted(r["k"] for r in lh.read_table(spark, dst).collect()) == list(range(20))
+
+    # clone evolves independently
+    lh.append(spark.createDataFrame([(100, "x")], "k BIGINT, v STRING"), dst)
+    assert lh.read_table(spark, dst).count() == 21
+    assert lh.read_table(spark, src).count() == 20
+
+    # source evolves independently
+    lh.append(spark.createDataFrame([(200, "y")], "k BIGINT, v STRING"), src)
+    assert lh.read_table(spark, src).count() == 21
+    assert lh.read_table(spark, dst).count() == 21
+
+    # copy-on-write delete on the clone: source bytes untouched
+    src_files_before = set(lh.snapshot_files(src))
+    lh.delete_where(spark, dst, "k", 0, 9)
+    assert lh.read_table(spark, dst).count() == 11
+    assert all(os.path.exists(p) for p in src_files_before)
+    assert lh.read_table(spark, src).count() == 21
+
+    # refusing to clone over an existing table
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        lh.clone_table(src, dst)
