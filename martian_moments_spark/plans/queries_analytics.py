@@ -1855,3 +1855,183 @@ def metric_tree_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         volume.alias("volume_effect"),
         rate.alias("rate_effect"),
     ).orderBy("c_mktsegment")
+
+
+@register(
+    "laspeyres_price_index",
+    ops=("A1", "J2", "P3", "O1"),
+    oracle="""
+        WITH yr AS (
+            SELECT l.l_partkey,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS y,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS spend_units
+            FROM lineitem l
+            WHERE EXTRACT(year FROM l.l_shipdate) IN (1998, 1999)
+            GROUP BY l.l_partkey, EXTRACT(year FROM l.l_shipdate)
+        ), wide AS (
+            SELECT l_partkey,
+                   MAX(CASE WHEN y = 1998 THEN q END) AS q1,
+                   MAX(CASE WHEN y = 1998 THEN spend_units END) AS s1,
+                   MAX(CASE WHEN y = 1999 THEN spend_units END) AS s2,
+                   MAX(CASE WHEN y = 1999 THEN q END) AS q2
+            FROM yr GROUP BY l_partkey
+            HAVING MAX(CASE WHEN y = 1998 THEN q END) IS NOT NULL
+               AND MAX(CASE WHEN y = 1999 THEN q END) IS NOT NULL
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+               CAST(SUM(CAST(floor(CAST(s2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+                        * CAST(q1 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / CAST(SUM(CAST(floor(CAST(s1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                        * CAST(q1 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                   AS laspeyres_index
+        FROM wide
+    """,
+)
+def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index, 1999 vs 1998 base: the base year's
+    quantity basket repriced at each year's average unit price
+    (spend/quantity per part), over parts traded in BOTH years — the
+    index-number construction behind every inflation / pricing
+    dashboard. Each per-part basket term is an IEEE expression over
+    exact integers, then QUANTIZED to integer micro-units before
+    summation (a raw SUM of doubles is partition-order-dependent; the
+    quantized sums are associative BIGINTs, the engine's standard
+    fixed-point discipline), so the index hash-matches the oracle.
+
+    Scale: one (part, year) aggregate, a per-part pivot, and a 1-row
+    combine. The common-parts HAVING is the index's domain rule."""
+    yr = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate").isin(1998, 1999))
+        .select(
+            "l_partkey",
+            F.year("l_shipdate").cast("int").alias("y"),
+            F.col("l_quantity").cast("long").alias("qv"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("su"),
+        )
+        .groupBy("l_partkey", "y")
+        .agg(F.sum("qv").alias("q"), F.sum("su").alias("spend_units"))
+    )
+    wide = (
+        yr.groupBy("l_partkey")
+        .agg(
+            F.max(F.when(F.col("y") == 1998, F.col("q"))).alias("q1"),
+            F.max(F.when(F.col("y") == 1998, F.col("spend_units"))).alias("s1"),
+            F.max(F.when(F.col("y") == 1999, F.col("spend_units"))).alias("s2"),
+            F.max(F.when(F.col("y") == 1999, F.col("q"))).alias("q2"),
+        )
+        .filter(F.col("q1").isNotNull() & F.col("q2").isNotNull())
+    )
+    num_term = F.col("s2").cast("double") / F.col("q2").cast("double") * F.col(
+        "q1"
+    ).cast("double")
+    den_term = F.col("s1").cast("double") / F.col("q1").cast("double") * F.col(
+        "q1"
+    ).cast("double")
+    # quantize each per-part term to integer micro-units so the two
+    # basket totals are order-independent BIGINT sums (raw double SUMs
+    # would differ in ulps between Spark's partials and the oracle)
+    numq = F.floor(num_term * 1_000_000 + 0.5).cast("long")
+    denq = F.floor(den_term * 1_000_000 + 0.5).cast("long")
+    return wide.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common_parts"),
+        (F.sum(numq).cast("double") / F.sum(denq).cast("double")).alias(
+            "laspeyres_index"
+        ),
+    )
+
+
+@register(
+    "abc_inventory_classification",
+    ops=("A1", "W1", "J1", "P8", "O1"),
+    oracle="""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100)
+                       AS BIGINT)) AS r
+            FROM lineitem GROUP BY l_partkey
+        ), ranked AS (
+            SELECT l_partkey, r,
+                   SUM(r) OVER (ORDER BY r DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r,
+                   SUM(r) OVER () AS total_r
+            FROM per_part
+        ), classed AS (
+            SELECT CASE WHEN cum_r * 10 <= total_r * 8 THEN 'A'
+                        WHEN cum_r * 100 <= total_r * 95 THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   r
+            FROM ranked
+        )
+        SELECT abc_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(r) AS DOUBLE) / 100.0 AS class_revenue,
+               CAST(SUM(r) AS DOUBLE)
+                   / CAST((SELECT SUM(r) FROM per_part) AS DOUBLE)
+                   AS revenue_share
+        FROM classed
+        GROUP BY abc_class
+        ORDER BY abc_class
+    """,
+)
+def abc_inventory_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC analysis: parts ranked by revenue, classed A while the
+    running total stays within 80% of revenue, B to 95%, else C — the
+    inventory-prioritization workhorse. Class cuts are cross-
+    multiplied integers (cum*10 <= total*8), so no float boundary can
+    reclassify a part; the running total reuses the two-phase
+    range-bucket pattern on the Spark side (the oracle's global
+    window is the small-scale shortcut this engine avoids).
+
+    Scale: one partkey aggregate, then the bucketed prefix-sum over
+    revenue ranges — per-bucket windows in parallel, carry-ins from a
+    metadata-scale prefix, same machinery as lorenz_gini_revenue."""
+    per_part = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+            .cast("long")
+            .alias("ru"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("ru").alias("r"))
+    )
+    rows = per_part.withColumn(
+        "bucket", (-F.floor(F.col("r") / F.lit(_GINI_BUCKET_W))).cast("long")
+    )  # negative bucket of revenue: ascending bucket = descending revenue
+    counts = rows.groupBy("bucket").agg(F.sum("r").alias("bsum"))
+    w_off = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("bsum").over(w_off), F.lit(0)).cast("long").alias("carry"),
+    )
+    w_in = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("r").desc(), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    total = per_part.agg(F.sum("r").alias("total_r"))
+    ranked = (
+        rows.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum_r", F.col("carry") + F.sum("r").over(w_in))
+        .crossJoin(F.broadcast(total))
+    )
+    abc = (
+        F.when(F.col("cum_r") * 10 <= F.col("total_r") * 8, "A")
+        .when(F.col("cum_r") * 100 <= F.col("total_r") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.groupBy(abc.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            (F.sum("r").cast("double") / 100.0).alias("class_revenue"),
+            (F.sum("r").cast("double") / F.max("total_r").cast("double")).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc_class")
+    )

@@ -258,6 +258,8 @@ PRIORITY: tuple[str, ...] = (
     "roc_auc_exact",
     "fairness_gate_impact",
     "metric_tree_decomposition",
+    "laspeyres_price_index",
+    "abc_inventory_classification",
 )
 
 
