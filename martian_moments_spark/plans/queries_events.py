@@ -1506,3 +1506,75 @@ def survival_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_offset")
     )
+
+
+@register(
+    "repeat_purchase_dynamics",
+    ops=("W2", "A1", "A2", "O1"),
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                   LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_s
+            FROM events WHERE event_type = 'purchase'
+        ), per_user AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+            FROM p GROUP BY user_id
+        ), gaps AS (
+            SELECT ts_s - prev_s AS gap_s FROM p WHERE prev_s IS NOT NULL
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_buyers,
+               CAST(SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repeat_buyers,
+               CAST(SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS repeat_rate,
+               (SELECT quantile_cont(gap_s, 0.5) FROM gaps) AS median_gap_s,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM gaps) AS n_gaps
+        FROM per_user
+    """,
+)
+def repeat_purchase_dynamics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase behavior: how many buyers come back (>=2
+    purchases) and the exact interpolated median gap between
+    consecutive purchases — the retention economics pair (repeat rate
+    x purchase frequency) every growth model starts from. Gaps are
+    integer epoch seconds from a per-user lag window; the median is
+    the engine-matching exact percentile.
+
+    Scale: one shuffle on user_id serves the lag window and the
+    per-user count; the gap median is a scalar aggregate over the
+    gaps (swap hist_quantile at unbounded scale). Purchases only —
+    the scan prunes the other event types at the source."""
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", F.col("ts").cast("long").alias("ts_s"))
+    )
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    with_prev = p.withColumn("prev_s", F.lag("ts_s").over(order))
+    per_user = with_prev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases")
+    )
+    gaps = with_prev.filter(F.col("prev_s").isNotNull()).select(
+        (F.col("ts_s") - F.col("prev_s")).alias("gap_s")
+    )
+    gap_stats = gaps.agg(
+        F.percentile("gap_s", F.lit(0.5)).alias("median_gap_s"),
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+    )
+    repeat = F.sum(F.when(F.col("n_purchases") >= 2, 1).otherwise(0))
+    return (
+        per_user.agg(
+            F.count(F.lit(1)).cast("long").alias("n_buyers"),
+            repeat.cast("long").alias("n_repeat_buyers"),
+            (repeat.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "repeat_rate"
+            ),
+        )
+        .crossJoin(F.broadcast(gap_stats))
+        .select(
+            "n_buyers", "n_repeat_buyers", "repeat_rate", "median_gap_s", "n_gaps"
+        )
+    )

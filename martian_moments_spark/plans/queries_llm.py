@@ -3110,3 +3110,76 @@ def window_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "tok_a", "tok_b")
         .limit(_COOC_TOPK)
     )
+
+
+_SYL_RE = "[aeiouyAEIOUY]+"  # vowel groups ~ syllables (the classic heuristic)
+_SENT_RE = "[.!?]+"
+
+
+@register(
+    "text_readability_scores",
+    ops=("F1", "A1", "O1"),
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len({_SQL_TOKS}) AS BIGINT) AS n_words,
+                   CAST(GREATEST(len(regexp_extract_all(text, '{_SENT_RE}')), 1)
+                        AS BIGINT) AS n_sentences,
+                   CAST(GREATEST(len(regexp_extract_all(text, '{_SYL_RE}')), 1)
+                        AS BIGINT) AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                   AS flesch_score
+        FROM m
+        WHERE n_words > 0
+        ORDER BY doc_id
+    """,
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from the classic counting
+    heuristics (vowel-group syllables, terminal-punctuation
+    sentences) — the readability feature quality classifiers and
+    curriculum schedulers consume. The score is a fixed IEEE
+    expression over three BIGINT counts (identical literals both
+    engines), so even this "fuzzy" linguistic metric hash-matches;
+    zero-sentence/zero-syllable degenerates clamp to 1 so the ratios
+    stay finite.
+
+    Scale: three regexp counts per row, no shuffle — the cheapest
+    kind of corpus feature; at 100 TB it rides the same scan as every
+    other per-row gate."""
+    text = F.col("text")
+    n_words = F.size(tokens("text")).cast("long")
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(_SENT_RE), F.lit(0))), F.lit(1)
+    ).cast("long")
+    n_syllables = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(_SYL_RE), F.lit(0))), F.lit(1)
+    ).cast("long")
+    m = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    return (
+        m.filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            (
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+                - F.lit(84.6)
+                * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+            ).alias("flesch_score"),
+        )
+        .orderBy("doc_id")
+    )

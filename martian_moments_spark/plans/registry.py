@@ -260,6 +260,8 @@ PRIORITY: tuple[str, ...] = (
     "metric_tree_decomposition",
     "laspeyres_price_index",
     "abc_inventory_classification",
+    "text_readability_scores",
+    "repeat_purchase_dynamics",
 )
 
 
