@@ -422,6 +422,7 @@ def _commit(
     remove: list[str] = (),
     schema: dict | None = None,
     meta: dict | None = None,
+    precomputed_stats: dict | None = None,
 ) -> int:
     """Atomically publish a delta (``add``/``remove`` table-relative
     paths) as the next version, harvesting per-file stats for the
@@ -453,7 +454,11 @@ def _commit(
         "op": op,
         "add": sorted(add),
         "remove": sorted(remove),
-        "stats": _collect_stats(table, sorted(add)),
+        "stats": (
+            precomputed_stats
+            if precomputed_stats is not None
+            else _collect_stats(table, sorted(add))
+        ),
         # wall-clock publish time: the AS-OF-timestamp resolution key
         # (time travel). Version order is the source of truth for
         # conflicts; this is advisory metadata like Delta's timestamp.
@@ -619,8 +624,6 @@ def merge_upsert_bucketed(
     lakehouse.merge_upsert isolates readers but rewrites the full
     snapshot. This does both; per batch it writes
     O(touched/num_buckets) of the table and commits once."""
-    from functools import reduce
-
     from martian_moments_spark.streaming.sinks import BUCKET_COL, bucket_expr
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
@@ -655,28 +658,18 @@ def merge_upsert_bucketed(
             touched_files = [f for f in files if _bucket_of(f, BUCKET_COL) in touched]
             untouched_files = [f for f in files if _bucket_of(f, BUCKET_COL) not in touched]
         if touched_files:
-            by_dir: dict[str, list[str]] = {}
-            for f in touched_files:
-                by_dir.setdefault(f.split(os.sep, 1)[0], []).append(
-                    os.path.join(table, f)
-                )
-            def _with_bucket(df: DataFrame) -> DataFrame:
-                # (re)derive the bucket deterministically from the keys:
-                # uniform whether the source commit was bucketed or not
-                # (the mixed-layout fallback reads unbucketed files).
-                if BUCKET_COL in df.columns:
-                    df = df.drop(BUCKET_COL)
-                return df.withColumn(BUCKET_COL, bucket_expr(keys, num_buckets))
-
-            target = reduce(
-                lambda a, b: a.unionByName(b),
-                [
-                    _with_bucket(
-                        spark.read.option("basePath", os.path.join(table, d)).parquet(*fs)
-                    )
-                    for d, fs in sorted(by_dir.items())
-                ],
+            # _read_files anchors basePath at each file's own data_
+            # commit dir — correct for this table's files AND for a
+            # shallow clone's absolute external references.
+            target = _read_files(
+                spark, table, [os.path.join(table, f) for f in touched_files]
             )
+            # (re)derive the bucket deterministically from the keys:
+            # uniform whether the source commit was bucketed or not
+            # (the mixed-layout fallback reads unbucketed files).
+            if BUCKET_COL in target.columns:
+                target = target.drop(BUCKET_COL)
+            target = target.withColumn(BUCKET_COL, bucket_expr(keys, num_buckets))
             survivors = target.join(batch.select(*keys), keys, "left_anti")
             merged = batch.unionByName(survivors)
         else:
@@ -1030,17 +1023,31 @@ def clone_table(src_table: str, dst_table: str, version: int | None = None) -> i
 
     Returns the clone's version (0)."""
     src = os.path.abspath(src_table)
-    files = snapshot_files(src, version)  # absolute paths
+    # pin the version FIRST so the file list, schema, and recorded
+    # cloned_version all describe the same snapshot even while the
+    # source keeps committing concurrently
     v = current_version(src) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {src!r}")
+    files = snapshot_files(src, v)  # absolute paths
     sch = _latest_schema(src, v)
     os.makedirs(dst_table, exist_ok=True)
     if _versions(dst_table):
         raise FileExistsError(f"{dst_table!r} already has commits — not cloning over it")
+    # zero-copy includes the STATS: remap the source manifest's
+    # per-file min/max to the clone's stored keys instead of re-opening
+    # every referenced footer (_collect_stats would read O(files))
+    abs_add = sorted(os.path.abspath(p) for p in files)
+    stats = {
+        os.path.abspath(os.path.join(src, rel)): st
+        for rel, st in file_stats(src, v).items()
+    }  # os.path.join passes absolute keys (clone-of-clone) through
     return _commit(
         dst_table,
-        sorted(os.path.abspath(p) for p in files),
+        abs_add,
         "clone",
         None,
         schema=sch,
         meta={"cloned_from": src, "cloned_version": v},
+        precomputed_stats=stats,
     )

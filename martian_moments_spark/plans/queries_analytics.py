@@ -1864,7 +1864,7 @@ def metric_tree_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH yr AS (
             SELECT l.l_partkey,
                    CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS y,
-                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q,
                    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                        AS spend_units
             FROM lineitem l
@@ -1908,7 +1908,7 @@ def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_partkey",
             F.year("l_shipdate").cast("int").alias("y"),
-            F.col("l_quantity").cast("long").alias("qv"),
+            F.round(F.col("l_quantity")).cast("long").alias("qv"),
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("su"),
         )
         .groupBy("l_partkey", "y")

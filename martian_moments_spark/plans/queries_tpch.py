@@ -519,7 +519,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE p.p_brand = 'Brand#17'
         ), part_avg AS (
             SELECT l_partkey,
-                   SUM(CAST(l_quantity AS BIGINT)) AS qty_sum,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty_sum,
                    CAST(COUNT(*) AS BIGINT) AS qty_cnt
             FROM brand_lines
             GROUP BY l_partkey
@@ -555,7 +555,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
     ).select(
         "l_partkey",
-        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_units"),
     )
     part_avg = brand_lines.groupBy("l_partkey").agg(
@@ -581,11 +581,11 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             SELECT l_orderkey
             FROM lineitem
             GROUP BY l_orderkey
-            HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+            HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 250
         )
         SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
                o.o_totalprice,
-               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+               CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
         FROM customer c
         JOIN orders   o ON c.c_custkey  = o.o_custkey
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -606,7 +606,7 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
     re-aggregation, and the orders join; the top-100 is
     TakeOrderedAndProject, never a global sort."""
     lineitem = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+        "l_orderkey", F.round(F.col("l_quantity")).cast("long").alias("qty")
     )
     big_orders = (
         lineitem.groupBy("l_orderkey")
@@ -966,7 +966,7 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
         WITH part_supp_qty AS (
             SELECT l_partkey, l_suppkey,
-                   SUM(CAST(l_quantity AS BIGINT)) AS supp_qty
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS supp_qty
             FROM lineitem GROUP BY l_partkey, l_suppkey
         ), part_qty AS (
             SELECT l_partkey, SUM(supp_qty) AS total_qty
@@ -999,7 +999,7 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant-supplier set is tiny and semi-joins supplier. No
     correlated re-scan."""
     lineitem = load(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+        "l_partkey", "l_suppkey", F.round(F.col("l_quantity")).cast("long").alias("qty")
     )
     part_supp = lineitem.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("qty").alias("supp_qty")

@@ -896,3 +896,46 @@ def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
 
     with _pytest.raises(FileExistsError):
         lh.clone_table(src, dst)
+
+
+def test_bucketed_merge_into_a_shallow_clone(spark, tmp_path):
+    """A clone must accept the full write surface: a bucketed merge
+    into a clone reads the external references correctly (basePath
+    anchored at each file's own commit dir) and copy-on-writes into
+    the clone — the source stays untouched."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    lh.append(
+        spark.createDataFrame(
+            [(i, i, f"v{i}") for i in range(10)], "k BIGINT, seq BIGINT, v STRING"
+        ),
+        src,
+    )
+    lh.clone_table(src, dst)
+    batch = spark.createDataFrame(
+        [(3, 99, "updated"), (42, 1, "new")], "k BIGINT, seq BIGINT, v STRING"
+    )
+    lh.merge_upsert_bucketed(spark, batch, dst, keys=["k"], order_col="seq")
+    got = {r["k"]: r["v"] for r in lh.read_table(spark, dst).collect()}
+    assert got[3] == "updated" and got[42] == "new" and len(got) == 11
+    assert lh.read_table(spark, src).count() == 10
+    src_vals = {r["v"] for r in lh.read_table(spark, src).collect()}
+    assert "updated" not in src_vals
+
+
+def test_clone_inherits_manifest_stats_without_footer_reads(spark, tmp_path):
+    """Zero-copy includes the stats: the clone's manifest carries the
+    source's per-file min/max (remapped keys), so read_table_pruned
+    skips files on the clone immediately."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    lh.append(
+        spark.createDataFrame([(i, i * 10) for i in range(100)], "k BIGINT, x BIGINT"),
+        src,
+    )
+    lh.clone_table(src, dst)
+    stats = lh.file_stats(dst)
+    assert stats, "clone manifest has no stats"
+    assert all("x" in st["min"] for st in stats.values())
+    got = sorted(r["k"] for r in lh.read_table_pruned(spark, dst, "x", 100, 200).collect())
+    assert got == list(range(10, 21))
