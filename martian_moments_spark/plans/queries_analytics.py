@@ -2035,3 +2035,67 @@ def abc_inventory_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "orders_backlog_aging",
+    ops=("A1", "A5", "P7", "P8", "O1"),
+    oracle="""
+        WITH horizon AS (
+            SELECT MAX(o_orderdate) AS t_max FROM orders
+        ), open_orders AS (
+            SELECT o.o_orderstatus,
+                   date_diff('day', o.o_orderdate, h.t_max) AS age_days,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS pu
+            FROM orders o CROSS JOIN horizon h
+            WHERE o.o_orderstatus IN ('O', 'P')
+        )
+        SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                    WHEN age_days <= 90 THEN '31-90'
+                    WHEN age_days <= 365 THEN '91-365'
+                    ELSE '365+' END AS age_bucket,
+               o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(pu) AS DOUBLE) / 100.0 AS backlog_value
+        FROM open_orders
+        GROUP BY 1, o_orderstatus
+        ORDER BY age_bucket, o_orderstatus
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging: open/partial orders bucketed by days outstanding
+    relative to the dataset horizon, with the money at stake per
+    bucket — the operations aging report (AR/fulfillment dashboards).
+    Ages are integer day diffs against a 1-row broadcast horizon;
+    bucket edges are integer compares.
+
+    Scale: status filter pushes to the scan; per-row age math; one
+    bounded-cardinality rollup. The horizon scalar is the standard
+    broadcast crossJoin, never a driver round-trip."""
+    horizon = load(spark, sf_dir, "orders").agg(
+        F.max("o_orderdate").alias("t_max")
+    )
+    open_orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("O", "P"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "o_orderstatus",
+            F.datediff("t_max", "o_orderdate").alias("age_days"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("pu"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return (
+        open_orders.groupBy(bucket.alias("age_bucket"), "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum("pu").cast("double") / 100.0).alias("backlog_value"),
+        )
+        .orderBy("age_bucket", "o_orderstatus")
+    )

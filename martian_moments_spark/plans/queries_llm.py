@@ -3183,3 +3183,73 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_HEAPS_CKPT = 50  # docs per vocabulary checkpoint
+
+
+@register(
+    "vocabulary_growth_heaps",
+    ops=("A1", "A5", "W2", "O1"),
+    oracle=f"""
+        WITH occ AS (
+            SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+        ), first_seen AS (
+            SELECT tok, CAST(MIN(doc_id) // {_HEAPS_CKPT} AS BIGINT) AS first_bin
+            FROM occ GROUP BY tok
+        ), tok_mass AS (
+            SELECT CAST(doc_id // {_HEAPS_CKPT} AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_toks
+            FROM occ GROUP BY doc_id // {_HEAPS_CKPT}
+        ), vocab_mass AS (
+            SELECT first_bin AS bin, CAST(COUNT(*) AS BIGINT) AS n_new
+            FROM first_seen GROUP BY first_bin
+        ), bins AS (
+            SELECT t.bin, t.n_toks, COALESCE(v.n_new, 0) AS n_new
+            FROM tok_mass t LEFT JOIN vocab_mass v ON t.bin = v.bin
+        )
+        SELECT bin AS checkpoint,
+               CAST(SUM(n_toks) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens,
+               CAST(SUM(n_new) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_vocab
+        FROM bins
+        ORDER BY checkpoint
+    """,
+)
+def vocabulary_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct vocabulary vs
+    cumulative token mass at every {_HEAPS_CKPT}-doc checkpoint — the
+    sublinear curve that tells a corpus builder when new data stops
+    buying new vocabulary. Cumulative distinct is NOT re-counted per
+    checkpoint: each token contributes to the checkpoint of its FIRST
+    document (min doc_id), so the curve is two cheap aggregates plus
+    a cumulative window over the bin axis.
+
+    Scale: first-occurrence is one token-keyed MIN (map-side
+    combined); per-bin masses likewise; the window runs over the
+    bounded checkpoint axis. The naive per-checkpoint distinct-count
+    would rescan the corpus K times."""
+    occ = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    first_seen = occ.groupBy("tok").agg(
+        F.expr(f"min(doc_id) DIV {_HEAPS_CKPT}").alias("first_bin")
+    )
+    tok_mass = occ.groupBy(
+        F.expr(f"doc_id DIV {_HEAPS_CKPT}").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_toks"))
+    vocab_mass = first_seen.groupBy(
+        F.col("first_bin").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    bins = tok_mass.join(vocab_mass, "bin", "left").select(
+        "bin", "n_toks", F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new")
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return bins.select(
+        F.col("bin").alias("checkpoint"),
+        F.sum("n_toks").over(w).cast("long").alias("cum_tokens"),
+        F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
+    ).orderBy("checkpoint")

@@ -262,6 +262,8 @@ PRIORITY: tuple[str, ...] = (
     "abc_inventory_classification",
     "text_readability_scores",
     "repeat_purchase_dynamics",
+    "orders_backlog_aging",
+    "vocabulary_growth_heaps",
 )
 
 
