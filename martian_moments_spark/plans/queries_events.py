@@ -1578,3 +1578,61 @@ def repeat_purchase_dynamics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_buyers", "n_repeat_buyers", "repeat_rate", "median_gap_s", "n_gaps"
         )
     )
+
+
+@register(
+    "weekday_hour_heatmap",
+    ops=("A1", "A5", "F8", "O1"),
+    oracle="""
+        WITH cell AS (
+            SELECT CAST(dayofweek(ts) AS INT) AS dow,
+                   CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY dayofweek(ts), EXTRACT(hour FROM ts)
+        ), tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM cell
+        )
+        SELECT c.dow, c.hr, c.n,
+               CAST(c.n AS DOUBLE) * CAST(t.n_cells AS DOUBLE)
+                   / CAST(t.n_all AS DOUBLE) AS load_ratio
+        FROM cell c CROSS JOIN tot t
+        ORDER BY c.dow, c.hr
+    """,
+)
+def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heatmap: event load per (weekday, hour) cell and
+    its ratio to a uniform spread — the capacity/staffing view of
+    traffic shape (load_ratio > 1 = hot cell). DuckDB's dayofweek
+    (0=Sunday..) differs from Spark's dayofweek (1=Sunday..) by
+    exactly one, so the Spark side subtracts 1 to the same numbering.
+
+    Scale: one bounded-cardinality (<=168 cells) aggregate with
+    map-side combine plus a scalar broadcast — the cheapest possible
+    profile of an unbounded stream's history."""
+    cell = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cell.agg(
+        F.sum("n").alias("n_all"), F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hr",
+            "n",
+            (
+                F.col("n").cast("double")
+                * F.col("n_cells").cast("double")
+                / F.col("n_all").cast("double")
+            ).alias("load_ratio"),
+        )
+        .orderBy("dow", "hr")
+    )

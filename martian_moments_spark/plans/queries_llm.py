@@ -3253,3 +3253,67 @@ def vocabulary_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").over(w).cast("long").alias("cum_tokens"),
         F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
     ).orderBy("checkpoint")
+
+
+_RISING_SPLIT = 250  # doc_id boundary between "older" and "recent" halves
+_RISING_TOPK = 30
+
+
+@register(
+    "top_rising_terms",
+    ops=("A1", "A3", "J3", "O1", "O2"),
+    oracle=f"""
+        WITH occ AS (
+            SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+        ), split AS (
+            SELECT tok,
+                   CAST(SUM(CASE WHEN doc_id < {_RISING_SPLIT} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS f_old,
+                   CAST(SUM(CASE WHEN doc_id >= {_RISING_SPLIT} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS f_new
+            FROM occ GROUP BY tok
+        )
+        SELECT tok AS term, f_old, f_new,
+               CAST(f_new + 1 AS DOUBLE) / CAST(f_old + 1 AS DOUBLE) AS rise_ratio
+        FROM split
+        WHERE f_new >= 5
+        ORDER BY rise_ratio DESC, tok
+        LIMIT {_RISING_TOPK}
+    """,
+)
+def top_rising_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending vocabulary: terms whose frequency in the recent half
+    of the corpus most out-grows their older-half frequency
+    (add-one-smoothed ratio, so brand-new terms rank without dividing
+    by zero) — the drift monitor a continuously-collected corpus runs
+    to catch topic shift before it skews a training mix. Integer
+    counts, one smoothed ratio, deterministic top-k.
+
+    Scale: one token-keyed conditional aggregate (both halves in the
+    same pass — never two corpus scans), a support floor, and a
+    TakeOrderedAndProject."""
+    occ = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    split = occ.groupBy("tok").agg(
+        F.sum(F.when(F.col("doc_id") < _RISING_SPLIT, 1).otherwise(0))
+        .cast("long")
+        .alias("f_old"),
+        F.sum(F.when(F.col("doc_id") >= _RISING_SPLIT, 1).otherwise(0))
+        .cast("long")
+        .alias("f_new"),
+    )
+    return (
+        split.filter(F.col("f_new") >= 5)
+        .select(
+            F.col("tok").alias("term"),
+            "f_old",
+            "f_new",
+            (
+                (F.col("f_new") + 1).cast("double")
+                / (F.col("f_old") + 1).cast("double")
+            ).alias("rise_ratio"),
+        )
+        .orderBy(F.col("rise_ratio").desc(), "term")
+        .limit(_RISING_TOPK)
+    )

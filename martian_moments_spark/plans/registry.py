@@ -264,6 +264,8 @@ PRIORITY: tuple[str, ...] = (
     "repeat_purchase_dynamics",
     "orders_backlog_aging",
     "vocabulary_growth_heaps",
+    "weekday_hour_heatmap",
+    "top_rising_terms",
 )
 
 
