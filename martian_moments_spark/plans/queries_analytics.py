@@ -2099,3 +2099,89 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_bucket", "o_orderstatus")
     )
+
+
+@register(
+    "two_sample_tstat",
+    ops=("A1", "A3", "O1"),
+    oracle="""
+        WITH u AS (
+            SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 'high' ELSE 'low' END AS grp,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pu
+            FROM orders
+        ), s AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(pu) AS BIGINT) AS s1,
+                   CAST(SUM(pu * pu) AS BIGINT) AS s2
+            FROM u GROUP BY grp
+        ), wide AS (
+            SELECT MAX(CASE WHEN grp = 'high' THEN n END) AS na,
+                   MAX(CASE WHEN grp = 'high' THEN s1 END) AS sa,
+                   MAX(CASE WHEN grp = 'high' THEN s2 END) AS qa,
+                   MAX(CASE WHEN grp = 'low' THEN n END) AS nb,
+                   MAX(CASE WHEN grp = 'low' THEN s1 END) AS sb,
+                   MAX(CASE WHEN grp = 'low' THEN s2 END) AS qb
+            FROM s
+        )
+        SELECT CAST(na AS BIGINT) AS n_high, CAST(nb AS BIGINT) AS n_low,
+               (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0 AS mean_diff,
+               ((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                - (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+               / sqrt(
+                   ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                         / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))
+                       / CAST(na AS DOUBLE)
+                   + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                         / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))
+                       / CAST(nb AS DOUBLE)
+               ) AS welch_t
+        FROM wide
+    """,
+)
+def two_sample_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic: do high-priority orders carry a
+    different average value than the rest? — the hypothesis-testing
+    companion to ab_test_lift (which reports rates; this tests a
+    continuous metric). Sample variances come from exact BIGINT sum /
+    sum-of-squares, and the t expression is the identical IEEE
+    sequence on both engines (sqrt is correctly rounded per IEEE-754),
+    so even the test statistic hash-matches.
+
+    Scale: one conditional aggregate pass (both groups' moments in the
+    same scan, map-side combined), then scalar arithmetic on a 1-row
+    frame."""
+    u = load(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+        )
+        .otherwise("low")
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pu"),
+    )
+    s = u.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pu").alias("s1"),
+        F.sum(F.col("pu") * F.col("pu")).alias("s2"),
+    )
+    wide = s.agg(
+        F.max(F.when(F.col("grp") == "high", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == "high", F.col("s1"))).alias("sa"),
+        F.max(F.when(F.col("grp") == "high", F.col("s2"))).alias("qa"),
+        F.max(F.when(F.col("grp") == "low", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == "low", F.col("s1"))).alias("sb"),
+        F.max(F.when(F.col("grp") == "low", F.col("s2"))).alias("qb"),
+    )
+    na, sa, qa = (F.col(c).cast("double") for c in ("na", "sa", "qa"))
+    nb, sb, qb = (F.col(c).cast("double") for c in ("nb", "sb", "qb"))
+    mean_diff = sa / na - sb / nb
+    var_a = (qa - sa * sa / na) / (na - F.lit(1.0))
+    var_b = (qb - sb * sb / nb) / (nb - F.lit(1.0))
+    return wide.select(
+        F.col("na").cast("long").alias("n_high"),
+        F.col("nb").cast("long").alias("n_low"),
+        (mean_diff / F.lit(100.0)).alias("mean_diff"),
+        ((sa / na - sb / nb) / F.sqrt(var_a / na + var_b / nb)).alias("welch_t"),
+    )

@@ -1484,3 +1484,67 @@ def relational_division_years(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey
         """
     )
+
+
+@register(
+    "null_safe_join_semantics",
+    ops=("J1", "P5", "P8", "A1", "O1"),
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'P' THEN NULL
+                        ELSE o_orderstatus END AS k
+            FROM orders
+        ), b AS (
+            SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                        ELSE o_orderstatus END AS k,
+                   CAST(COUNT(*) AS BIGINT) AS grp_n
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT COALESCE(a.k, '<null>') AS join_key,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MAX(b.grp_n) AS BIGINT) AS matched_group_size
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        GROUP BY a.k
+        ORDER BY join_key
+    """,
+)
+def null_safe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): rows whose
+    key is NULL join each OTHER instead of vanishing — the semantics
+    dimension-matching pipelines need when "unknown" is itself a
+    matchable category (a plain `=` would silently drop every
+    NULL-keyed row, the classic silent-loss bug). The 'P' status maps
+    to NULL so the fixture exercises the NULL bucket at every SF.
+
+    Scale: Spark plans `<=>` as an ordinary hash join (the null bucket
+    hashes like any value — no nested loop), so the shape costs
+    exactly what the regular equi-join costs; a skewed NULL bucket is
+    a hot key like any other and salts the same way."""
+    status_k = F.when(F.col("o_orderstatus") == "P", None).otherwise(
+        F.col("o_orderstatus")
+    )
+    a = load(spark, sf_dir, "orders").select(
+        "o_orderkey", status_k.alias("k")
+    )
+    b = (
+        load(spark, sf_dir, "orders")
+        .select(status_k.alias("kb"))
+        .groupBy("kb")
+        .agg(F.count(F.lit(1)).cast("long").alias("grp_n"))
+    )
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("kb")))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.max("grp_n").cast("long").alias("matched_group_size"),
+        )
+        .select(
+            F.coalesce(F.col("k"), F.lit("<null>")).alias("join_key"),
+            "n_rows",
+            "matched_group_size",
+        )
+        .orderBy("join_key")
+    )

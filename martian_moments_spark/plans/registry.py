@@ -266,6 +266,8 @@ PRIORITY: tuple[str, ...] = (
     "vocabulary_growth_heaps",
     "weekday_hour_heatmap",
     "top_rising_terms",
+    "null_safe_join_semantics",
+    "two_sample_tstat",
 )
 
 
