@@ -3317,3 +3317,323 @@ def top_rising_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rise_ratio").desc(), "term")
         .limit(_RISING_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-span detection (exact-substring dedup family)
+# ---------------------------------------------------------------------------
+
+CROSS_DOC_NGRAM = DECONTAM_NGRAM  # span unit: word 4-grams (see note there)
+CROSS_DOC_TAU = 0.3  # max fraction of tokens inside cross-doc-duplicated spans
+
+
+@register(
+    "cross_doc_ngram_spans",
+    ops=("N2", "A1", "A2", "J1", "J3"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ), pos AS (
+            SELECT doc_id,
+                   unnest(list_transform({_sql_shingles_n(CROSS_DOC_NGRAM)},
+                       x -> {sql_portable_hash31('x')})) AS sh,
+                   unnest(generate_series(1, greatest(len(t) - {CROSS_DOC_NGRAM - 1}, 0))) AS p
+            FROM toks
+        ), dup AS (
+            SELECT sh FROM pos GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+        ), hits AS (
+            SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (sh)
+        ), agg_pos AS (
+            SELECT doc_id, COUNT(*) AS n_dup FROM hits GROUP BY doc_id
+        ), cov AS (
+            SELECT doc_id, COUNT(DISTINCT p + o) AS n_cov
+            FROM hits CROSS JOIN (SELECT unnest(generate_series(0, {CROSS_DOC_NGRAM - 1})) AS o) s
+            GROUP BY doc_id
+        ), base AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+        )
+        SELECT b.doc_id, b.n_tokens,
+               CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_ngrams,
+               CAST(COALESCE(c.n_cov, 0) AS BIGINT) AS n_covered_tokens,
+               CASE WHEN b.n_tokens > 0
+                    THEN CAST(COALESCE(c.n_cov, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+                    ELSE 0.0 END AS dup_coverage_ratio,
+               CASE WHEN b.n_tokens > 0
+                    THEN (CAST(COALESCE(c.n_cov, 0) AS DOUBLE)
+                          / CAST(b.n_tokens AS DOUBLE)) <= {CROSS_DOC_TAU}
+                    ELSE TRUE END AS keep
+        FROM base b
+        LEFT JOIN agg_pos a USING (doc_id)
+        LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def cross_doc_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection — the exact-substring
+    dedup signal (Lee et al. 2022's "Deduplicating Training Data Makes
+    Language Models Better" family, at word-n-gram granularity instead
+    of a suffix array): for every document, how many of its word
+    4-gram positions also occur in at least one OTHER document, how
+    many token positions those duplicated spans cover (union of
+    [p, p+3] intervals, counted as distinct indices — overlapping
+    spans are not double-counted), and the keep/drop verdict at
+    coverage tau=0.3. Differs from repeated_ngram_ratio (intra-doc
+    repetition) and decontamination_overlap (overlap with a held-out
+    set): this one finds boilerplate shared ACROSS the training corpus
+    itself.
+
+    Scale: shingle-hash posexplode is per-row; the duplicated-shingle
+    set is one map-side-combined aggregate on the hash (distinct-doc
+    count >= 2); the hit join is hash-partitioned on the shingle — the
+    natural key, collision-bounded, never all-pairs; coverage is a
+    4-element explode then a distinct count per doc. Every shuffle key
+    (shingle hash, doc_id) is high-cardinality; stop-phrase skew is
+    capped because dup membership is one row per distinct shingle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh_arr = F.transform(word_shingles("text", n=CROSS_DOC_NGRAM), portable_hash31)
+    pos = docs.select(
+        "doc_id", F.posexplode(sh_arr).alias("p0", "sh")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "sh")
+    dup = (
+        pos.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    hits = pos.join(dup, "sh").select("doc_id", "p")
+    agg_pos = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    cov = (
+        hits.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + (CROSS_DOC_NGRAM - 1))).alias("idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("idx").alias("n_cov"))
+    )
+    base = docs.select("doc_id", F.size(tokens("text")).cast("long").alias("n_tokens"))
+    n_cov = F.coalesce(F.col("n_cov"), F.lit(0))
+    ratio = F.when(
+        F.col("n_tokens") > 0,
+        n_cov.cast("double") / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(agg_pos, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_ngrams"),
+            n_cov.cast("long").alias("n_covered_tokens"),
+            ratio.alias("dup_coverage_ratio"),
+            F.when(F.col("n_tokens") > 0, ratio <= CROSS_DOC_TAU)
+            .otherwise(F.lit(True))
+            .alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval ranking (rational-idf form, exact across engines)
+# ---------------------------------------------------------------------------
+
+BM25_TOPK = 10  # docs returned per probe term
+BM25_PROBES = 5  # probe vocabulary size
+_BM25_SALTS = 64  # phase-1 fan-out of the per-term top-k
+
+
+@register(
+    "bm25_probe_ranking",
+    ops=("A1", "J1", "W2", "O2"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ), dl AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total_dl
+            FROM dl
+        ), tok AS (
+            SELECT doc_id, unnest(t) AS term FROM toks
+        ), tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, term
+        ), dft AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ), probe AS (
+            SELECT term, df FROM dft CROSS JOIN stats
+            WHERE df * 2 <= n_docs
+            ORDER BY df DESC, term LIMIT {BM25_PROBES}
+        ), scored AS (
+            SELECT p.term, tf.doc_id, tf.tf, d.dl,
+                   ((CAST(s.n_docs AS DOUBLE) - CAST(p.df AS DOUBLE) + 0.5)
+                    / (CAST(p.df AS DOUBLE) + 0.5))
+                   * ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                      / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                            * (CAST(d.dl AS DOUBLE)
+                               / (CAST(s.total_dl AS DOUBLE)
+                                  / CAST(s.n_docs AS DOUBLE)))))) AS score
+            FROM tf JOIN probe p USING (term)
+            JOIN dl d ON tf.doc_id = d.doc_id
+            CROSS JOIN stats s
+        )
+        SELECT term, doc_id, tf, dl, score, CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                  ORDER BY score DESC, doc_id) AS rn FROM scored)
+        WHERE rn <= {BM25_TOPK}
+    """,
+)
+def bm25_probe_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval ranking (k1=1.2, b=0.75) of the corpus against a
+    deterministic probe vocabulary — the 5 most document-frequent
+    terms that still appear in at most half the corpus (frequent
+    enough to rank, not ubiquitous). The idf uses the rational
+    Robertson form (N - df + 0.5)/(df + 0.5) WITHOUT the log: log is
+    monotone, so per-term ranking is identical, and the score stays a
+    pure-rational double — bit-identical cross-engine (every +,*,/ is
+    exactly rounded and both plans evaluate the same tree; a libm log
+    would differ in last ulps and break the hash gate).
+
+    Scale: tf is one shuffle on (doc, term); df reuses it with a
+    map-side-combined shuffle on term; probe terms and the (n_docs,
+    total_dl) stats row are broadcast; doc length joins on doc_id.
+    The per-term top-10 is TWO-PHASE — phase 1 takes a local top-10
+    per (term, doc_id%64) salt partition, phase 2 merges 64x10 rows
+    per term — because a direct per-term window would funnel every
+    posting of a probe term through one reducer (df can be ~N/2: the
+    textbook skew key). Result provably equals the single-window
+    form: any global top-10 row is in its salt bucket's top-10."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dl = docs.select("doc_id", F.size(tokens("text")).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    probe = (
+        dft.crossJoin(F.broadcast(stats))
+        .filter(F.col("df") * 2 <= F.col("n_docs"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(BM25_PROBES)
+        .select("term", "df")
+    )
+    n_d = F.col("n_docs").cast("double")
+    df_d = F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    avgdl = F.col("total_dl").cast("double") / n_d
+    idf = (n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
+    score = idf * (
+        (tf_d * F.lit(2.2))
+        / (tf_d + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (dl_d / avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(probe), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc_id", "tf", "dl", score.alias("score"))
+    )
+    order = (F.col("score").desc(), F.col("doc_id"))
+    local = (
+        scored.withColumn("__salt", F.pmod(F.col("doc_id"), F.lit(_BM25_SALTS)))
+        .withColumn("__rn", F.row_number().over(W.partitionBy("term", "__salt").orderBy(*order)))
+        .filter(F.col("__rn") <= BM25_TOPK)
+        .drop("__salt", "__rn")
+    )
+    return (
+        local.withColumn(
+            "rank", F.row_number().over(W.partitionBy("term").orderBy(*order)).cast("int")
+        )
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("term", "doc_id", "tf", "dl", "score", "rank")
+    )
+
+
+@register(
+    "leakage_safe_split",
+    ops=("J2", "A6", "A1", "P8"),
+    oracle=f"""
+        WITH RECURSIVE toks AS (
+            SELECT source, doc_id,
+                   list_distinct({_SQL_TOKS}) AS tk
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_distinct(list_concat(a.tk, b.tk))) > 0
+              AND CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE)
+                  >= {FUZZY_TAU}
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), reach(u, v) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.u, e.dst FROM reach r JOIN edges e ON r.v = e.src
+        ), comp AS (
+            SELECT u AS doc_id, MIN(v) AS component_id
+            FROM reach GROUP BY u
+        ), sized AS (
+            SELECT c.doc_id, c.component_id,
+                   CAST(COUNT(*) OVER (PARTITION BY c.component_id) AS BIGINT) AS n_members
+            FROM comp c
+        ), assigned AS (
+            SELECT doc_id, component_id, n_members,
+                   CASE WHEN {sql_portable_hash31("'csplit:' || CAST(component_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+                        WHEN {sql_portable_hash31("'csplit:' || CAST(component_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CASE WHEN {sql_portable_hash31("'csplit:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+                        WHEN {sql_portable_hash31("'csplit:' || CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS doc_split
+            FROM sized
+        )
+        SELECT doc_id, component_id, n_members, split,
+               (n_members > 1 AND split <> doc_split) AS rescued
+        FROM assigned
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split — the leakage-proof form of
+    deterministic_split: near-duplicate documents (the same blocked-
+    Jaccard >= tau closure dedup_connected_components computes) are
+    assigned as a UNIT by hashing the component id, so a test document
+    can never have a near-copy in train. ``rescued`` marks documents
+    whose naive per-doc assignment would have split them away from
+    their duplicates — the leakage the operator exists to prevent.
+    The 'csplit:' salt keys this hash stream independently of every
+    other doc_id hash in the pipeline.
+
+    Scale: component labels come from the min-label-propagation
+    fixpoint (one shuffle per round, diameter-bounded); sizes are one
+    count per component key; assignment is per-row hash arithmetic.
+    Skew-safe: component ids are near-uniform (hash-min), and the
+    per-component window is bounded by the largest dup cluster."""
+    docs = load(spark, sf_dir, "documents")
+    edges = (
+        jaccard_pairs(docs, block_col="source")
+        .filter(F.col("jaccard") >= F.lit(FUZZY_TAU))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(docs.select("doc_id"), edges)
+    sized = comp.withColumn(
+        "n_members",
+        F.count(F.lit(1)).over(W.partitionBy("component_id")).cast("long"),
+    )
+
+    def _split_of(col):
+        h = portable_hash31(F.concat(F.lit("csplit:"), col.cast("string"))) % 100
+        return F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+
+    split = _split_of(F.col("component_id"))
+    doc_split = _split_of(F.col("doc_id"))
+    return sized.select(
+        "doc_id",
+        "component_id",
+        "n_members",
+        split.alias("split"),
+        ((F.col("n_members") > 1) & (split != doc_split)).alias("rescued"),
+    )

@@ -268,6 +268,9 @@ PRIORITY: tuple[str, ...] = (
     "top_rising_terms",
     "null_safe_join_semantics",
     "two_sample_tstat",
+    "cross_doc_ngram_spans",
+    "bm25_probe_ranking",
+    "leakage_safe_split",
 )
 
 
