@@ -3637,3 +3637,143 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.alias("split"),
         ((F.col("n_members") > 1) & (split != doc_split)).alias("rescued"),
     )
+
+
+@register(
+    "unigram_simpson_diversity",
+    ops=("N2", "A1", "P8"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY doc_id, term
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c * c) AS BIGINT) AS sum_sq
+            FROM tf GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CASE WHEN a.n_tokens > 0
+                    THEN 1.0 - CAST(a.sum_sq AS DOUBLE)
+                               / CAST(a.n_tokens * a.n_tokens AS DOUBLE)
+                    ELSE 0.0 END AS simpson_diversity,
+               CASE WHEN a.n_tokens > 0
+                    THEN CAST(a.n_tokens * a.n_tokens AS DOUBLE)
+                         / CAST(a.sum_sq AS DOUBLE)
+                    ELSE 0.0 END AS effective_vocab
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def unigram_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document by the Gini-Simpson index
+    1 - sum(p_i^2) and its inverse-Simpson 'effective vocabulary size'
+    n^2/sum(c_i^2) — the entropy-family quality signal that needs NO
+    log: degenerate/boilerplate text concentrates probability mass on
+    few tokens and scores near 0 (diversity) / 1 (effective vocab).
+    All mass terms stay BIGINT (sum of squared counts is exact in any
+    summation order — the float-summation nondeterminism that bars
+    Shannon entropy from the hash gate never appears); the two final
+    divisions are single exactly-rounded double ops.
+
+    Scale: one shuffle on (doc, term), one map-side-combined per-doc
+    aggregate, a left join back for empty docs. Complements
+    repeated_ngram_ratio (order-sensitive repetition) with an
+    order-free concentration measure."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    )
+    n = F.col("n_tokens")
+    nn_d = (n * n).cast("double")
+    ssq_d = F.col("sum_sq").cast("double")
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_tokens"),
+        F.when(n > 0, F.lit(1.0) - ssq_d / nn_d).otherwise(F.lit(0.0)).alias(
+            "simpson_diversity"
+        ),
+        F.when(n > 0, nn_d / ssq_d).otherwise(F.lit(0.0)).alias("effective_vocab"),
+    )
+
+
+@register(
+    "source_unigram_cosine",
+    ops=("N2", "A1", "J2", "O1"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest({_SQL_TOKS}) AS term FROM documents
+        ), tf AS (
+            SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY source, term
+        ), norms AS (
+            SELECT source, CAST(SUM(c * c) AS BIGINT) AS ssq
+            FROM tf GROUP BY source
+        ), dots AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+            FROM tf a JOIN tf b ON a.term = b.term AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT d.source_a, d.source_b, d.dot,
+               d.dot / (sqrt(CAST(na.ssq AS DOUBLE)) * sqrt(CAST(nb.ssq AS DOUBLE))) AS cosine
+        FROM dots d
+        JOIN norms na ON na.source = d.source_a
+        JOIN norms nb ON nb.source = d.source_b
+        ORDER BY source_a, source_b
+    """,
+)
+def source_unigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-source unigram COUNT
+    vectors — the corpus-mixture diagnostic that says which sources
+    are stylistically interchangeable (near 1) vs complementary.
+    Distinct from source_vocab_overlap (set Jaccard): counts weight
+    the comparison by usage mass, not vocabulary membership. Exact
+    across engines: dot products and squared norms are BIGINT sums
+    (any order), and sqrt / the final divide are single
+    exactly-rounded IEEE ops evaluated in the same tree shape.
+
+    Scale: the pair join is term-keyed — only sources sharing a term
+    ever meet, and the per-term fan-out is (sources-per-term choose 2)
+    with sources a SMALL set, so this never approaches all-pairs of
+    rows. One (source, term) shuffle feeds both the norms and the dot
+    products."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    tf = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    norms = tf.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"))
+    a = tf.select(F.col("source").alias("source_a"), "term", F.col("c").alias("ca"))
+    b = tf.select(F.col("source").alias("source_b"), "term", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("source").alias("source_a"), F.col("ssq").alias("ssq_a"))
+    nb = norms.select(F.col("source").alias("source_b"), F.col("ssq").alias("ssq_b"))
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "dot",
+            (
+                F.col("dot")
+                / (F.sqrt(F.col("ssq_a").cast("double")) * F.sqrt(F.col("ssq_b").cast("double")))
+            ).alias("cosine"),
+        )
+        .orderBy("source_a", "source_b")
+    )

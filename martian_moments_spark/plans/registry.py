@@ -271,6 +271,8 @@ PRIORITY: tuple[str, ...] = (
     "cross_doc_ngram_spans",
     "bm25_probe_ranking",
     "leakage_safe_split",
+    "unigram_simpson_diversity",
+    "source_unigram_cosine",
 )
 
 
