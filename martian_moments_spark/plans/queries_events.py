@@ -1636,3 +1636,99 @@ def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+INTERVAL_HOLD_S = 1800  # each event opens a 30-minute activity interval
+
+
+@register(
+    "interval_union_coverage",
+    ops=("W2", "A1", "A4", "F8"),
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                   CAST(floor(epoch(ts)) AS BIGINT) + {INTERVAL_HOLD_S} AS e
+            FROM events
+        ), marked AS (
+            SELECT user_id, event_id, s, e,
+                   CASE WHEN MAX(e) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) IS NULL
+                        OR s > MAX(e) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        )
+                        THEN 1 ELSE 0 END AS is_new
+            FROM ev
+        ), isl AS (
+            SELECT user_id, s, e,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM marked
+        ), per_isl AS (
+            SELECT user_id, island,
+                   MIN(s) AS st, MAX(e) AS en, COUNT(*) AS n_ev
+            FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(SUM(n_ev) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(en - st) AS BIGINT) AS covered_seconds,
+               CAST(MAX(en - st) AS BIGINT) AS longest_island_seconds
+        FROM per_isl GROUP BY user_id
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage — merge overlapping per-user activity
+    intervals (each event holds a 30-minute window open) and report
+    merged-island counts and total covered seconds: the utilization /
+    billable-time shape, distinct from gaps_islands_streaks (which
+    runs on DISCRETE days; this merges CONTINUOUS, arbitrarily
+    overlapping ranges). The merge is the running-max formulation: an
+    interval starts a new island iff its start exceeds the max end of
+    every earlier interval — no self-join, no explosion of the
+    interval lengths into rows.
+
+    Epochs are floor()ed on both engines (Spark's cast-to-long
+    truncation == floor for positive epochs; the oracle floors
+    explicitly) so boundary timestamps can't flip island membership.
+
+    Scale: ONE shuffle on user_id feeds both running windows and the
+    island aggregate (same partitioning and order — Catalyst fuses
+    them into one Window operator); per-user state is a running max.
+    At 100 TB this is the sessionize plan with a different reducer."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + INTERVAL_HOLD_S).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_end = F.max("e").over(w_prev)
+    marked = ev.withColumn(
+        "is_new",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    )
+    isl = marked.withColumn("island", F.sum("is_new").over(w_run))
+    per_isl = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("st"), F.max("e").alias("en"), F.count(F.lit(1)).alias("n_ev")
+    )
+    return per_isl.groupBy("user_id").agg(
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("en") - F.col("st")).cast("long").alias("covered_seconds"),
+        F.max(F.col("en") - F.col("st")).cast("long").alias("longest_island_seconds"),
+    )

@@ -273,6 +273,7 @@ PRIORITY: tuple[str, ...] = (
     "leakage_safe_split",
     "unigram_simpson_diversity",
     "source_unigram_cosine",
+    "interval_union_coverage",
 )
 
 
