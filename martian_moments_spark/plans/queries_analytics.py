@@ -2185,3 +2185,64 @@ def two_sample_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean_diff / F.lit(100.0)).alias("mean_diff"),
         ((sa / na - sb / nb) / F.sqrt(var_a / na + var_b / nb)).alias("welch_t"),
     )
+
+
+@register(
+    "weighted_median_per_group",
+    ops=("A1", "W2", "A4"),
+    oracle="""
+        WITH u AS (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pu,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS w
+            FROM lineitem
+        ), byval AS (
+            SELECT l_returnflag, pu, CAST(SUM(w) AS BIGINT) AS w
+            FROM u GROUP BY l_returnflag, pu
+        ), cum AS (
+            SELECT l_returnflag, pu, w,
+                   CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY pu) AS BIGINT) AS cw,
+                   CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+            FROM byval
+        )
+        SELECT l_returnflag,
+               MIN(tot) AS total_weight,
+               CAST(MIN(CASE WHEN 2 * cw >= tot THEN pu END) AS DOUBLE) / 100.0
+                   AS weighted_median_price
+        FROM cum GROUP BY l_returnflag
+    """,
+)
+def weighted_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag — the
+    lower weighted median: the smallest price at which the running
+    quantity mass reaches half the group total. Unlike
+    percentile_exact_median (per-ROW interpolated percentiles) every
+    row here counts with its physical weight, the form inventory and
+    market-microstructure medians need. Pure integer cumsum
+    comparison — no interpolation arithmetic at all.
+
+    Scale: values pre-aggregate per (group, price) — the cardinality
+    cap that makes the running window safe (its partition is distinct
+    PRICES, not rows); one shuffle on the group key serves the
+    running sum, the group total, and the final min-filter."""
+    u = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pu"),
+        F.round("l_quantity").cast("long").alias("w"),
+    )
+    byval = u.groupBy("l_returnflag", "pu").agg(F.sum("w").cast("long").alias("w"))
+    w_cum = W.partitionBy("l_returnflag").orderBy("pu")
+    w_tot = W.partitionBy("l_returnflag")
+    cum = byval.select(
+        "l_returnflag",
+        "pu",
+        F.sum("w").over(w_cum).cast("long").alias("cw"),
+        F.sum("w").over(w_tot).cast("long").alias("tot"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min("tot").alias("total_weight"),
+        (
+            F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("pu"))).cast("double")
+            / F.lit(100.0)
+        ).alias("weighted_median_price"),
+    )

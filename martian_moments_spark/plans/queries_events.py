@@ -1732,3 +1732,64 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("en") - F.col("st")).cast("long").alias("covered_seconds"),
         F.max(F.col("en") - F.col("st")).cast("long").alias("longest_island_seconds"),
     )
+
+
+@register(
+    "event_state_run_lengths",
+    ops=("W2", "A1", "A4", "F8"),
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS s
+            FROM events
+        ), marked AS (
+            SELECT user_id, event_id, event_type, s,
+                   CASE WHEN LAG(event_type) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                        ) IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_new
+            FROM ev
+        ), runs AS (
+            SELECT user_id, event_type, s,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS run_seq
+            FROM marked
+        )
+        SELECT user_id, CAST(run_seq AS BIGINT) AS run_seq, event_type,
+               CAST(COUNT(*) AS BIGINT) AS run_len,
+               CAST(MIN(s) AS BIGINT) AS start_s,
+               CAST(MAX(s) AS BIGINT) AS end_s
+        FROM runs GROUP BY user_id, run_seq, event_type
+    """,
+)
+def event_state_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's event-type sequence: maximal
+    runs of the same consecutive type, with length and time extent —
+    the sequence-compression view behind dwell analysis ("5 views in
+    a row, then a purchase") and Markov-input construction. A run
+    boundary is a LAG inequality (null-safe: the first event opens run
+    1 on both engines via IS DISTINCT FROM); run ids are the running
+    sum of boundaries — the standard two-window RLE, no self-join.
+
+    Scale: one shuffle on user_id; both windows and the final rollup
+    share its partitioning (single sort, fused Window operator);
+    per-user state is one lag value. The run rollup is
+    map-side-combinable on (user, run)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("s")
+    )
+    w_ord = W.partitionBy("user_id").orderBy("s", "event_id")
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            ~F.lag("event_type").over(w_ord).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    runs = marked.withColumn("run_seq", F.sum("is_new").over(w_run).cast("long"))
+    return runs.groupBy("user_id", "run_seq", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.min("s").cast("long").alias("start_s"),
+        F.max("s").cast("long").alias("end_s"),
+    )

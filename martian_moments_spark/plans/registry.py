@@ -274,6 +274,8 @@ PRIORITY: tuple[str, ...] = (
     "unigram_simpson_diversity",
     "source_unigram_cosine",
     "interval_union_coverage",
+    "weighted_median_per_group",
+    "event_state_run_lengths",
 )
 
 
