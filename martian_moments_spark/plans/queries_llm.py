@@ -3777,3 +3777,148 @@ def source_unigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "reciprocal_nearest_neighbors",
+    ops=("J2", "W2", "O2"),
+    oracle=f"""
+        WITH {_SQL_KMEANS}, pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(list_sum(list_transform(list_zip(a.units, b.units),
+                        z -> z[1] * z[2])) AS BIGINT) AS dot,
+                   a.norm2 AS na, b.norm2 AS nb
+            FROM kassign a JOIN kassign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ), cos AS (
+            SELECT id_a, id_b,
+                   CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+            FROM pairs
+        ), nn AS (
+            SELECT id_a, id_b, cosine
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                      ORDER BY cosine DESC, id_b) AS rn FROM cos)
+            WHERE rn = 1
+        )
+        SELECT x.id_a, x.id_b, x.cosine
+        FROM nn x JOIN nn y ON x.id_a = y.id_b AND x.id_b = y.id_a
+        WHERE x.id_a < x.id_b
+    """,
+)
+def reciprocal_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal (mutual) nearest neighbors over the embedding
+    corpus: pairs where each vector is the other's single nearest
+    neighbor within its IVF cell — the high-precision pairing signal
+    used for near-dup confirmation and bitext/anchor alignment (RNN
+    pairs are far more reliable than one-directional top-1 matches).
+    Runs on the IVF scale path (same deterministic k-means cells as
+    embedding_ann_ivf), so the candidate work is within-cell only;
+    mutuality is one self-equi-join of the per-vector top-1 list on
+    the reversed id pair. Cosine symmetry makes the pair's score
+    identical from both ends, so the emitted value is unambiguous.
+
+    Scale: NN extraction is the IVF search (one cell-keyed shuffle,
+    per-cell int64 matmul); the mutual join carries 3-column rows
+    keyed by (id, id) — tiny. At 100 TB the same plan holds with the
+    multi-probe candidate set swapped in for single-cell."""
+    assigned, _ = kmeans_units(load(spark, sf_dir, "embeddings"))
+    nn = topk_units_cells_pandas(assigned, k=1).select("id_a", "id_b", "cosine")
+    rev = nn.select(F.col("id_b").alias("r_a"), F.col("id_a").alias("r_b"))
+    return (
+        nn.join(rev, (nn.id_a == rev.r_a) & (nn.id_b == rev.r_b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+TOKEN_BUDGET = 1_000_000  # tokens to apportion across sources
+
+
+@register(
+    "token_budget_apportionment",
+    ops=("A1", "W2", "O1"),
+    oracle=f"""
+        WITH w AS (
+            SELECT source,
+                   CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                       t -> t <> ''))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS w_total,
+                   CAST(SUM({TOKEN_BUDGET} * n_tokens // (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM w))
+                        AS BIGINT) AS base_total
+            FROM w
+        ), quotas AS (
+            SELECT source, n_tokens,
+                   CAST({TOKEN_BUDGET} * n_tokens // w_total AS BIGINT) AS base_alloc,
+                   CAST({TOKEN_BUDGET} * n_tokens % w_total AS BIGINT) AS remainder_units,
+                   CAST({TOKEN_BUDGET} - base_total AS BIGINT) AS leftover
+            FROM w CROSS JOIN tot
+        )
+        SELECT source, n_tokens, base_alloc, remainder_units,
+               CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+               CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+                   AS final_alloc
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  ORDER BY remainder_units DESC, source) AS rk FROM quotas)
+        ORDER BY source
+    """,
+)
+def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed training
+    token budget across sources, proportional to each source's token
+    mass: floor quotas in exact integer arithmetic, then the leftover
+    tokens go one each to the largest fractional remainders
+    (deterministic source tie-break). The allocation sums EXACTLY to
+    the budget — the property proportional rounding by round() cannot
+    guarantee — which is what a sampling scheduler needs before it
+    draws per-source documents. Integer products bound: budget *
+    per-source tokens must fit int64 (rescale the budget units at
+    larger corpora).
+
+    Scale: per-source token mass is one map-side-combined aggregate;
+    the apportionment itself runs on ONE row per source (a tiny
+    frame), so the global remainder window is bounded by the source
+    vocabulary, not the corpus."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    w = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens")
+    )
+    quotas = (
+        w.crossJoin(
+            F.broadcast(
+                w.agg(F.sum("n_tokens").cast("long").alias("w_total"))
+            )
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.expr(f"CAST({TOKEN_BUDGET} * n_tokens DIV w_total AS LONG)").alias(
+                "base_alloc"
+            ),
+            F.expr(f"CAST({TOKEN_BUDGET} * n_tokens % w_total AS LONG)").alias(
+                "remainder_units"
+            ),
+        )
+    )
+    leftover = quotas.agg(
+        (F.lit(TOKEN_BUDGET) - F.sum("base_alloc")).cast("long").alias("leftover")
+    )
+    rk = F.row_number().over(
+        W.orderBy(F.col("remainder_units").desc(), "source")
+    )
+    return (
+        quotas.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", rk)
+        .select(
+            "source",
+            "n_tokens",
+            "base_alloc",
+            "remainder_units",
+            F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0).cast("long").alias("extra"),
+            (
+                F.col("base_alloc")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long").alias("final_alloc"),
+        )
+        .orderBy("source")
+    )

@@ -276,6 +276,8 @@ PRIORITY: tuple[str, ...] = (
     "interval_union_coverage",
     "weighted_median_per_group",
     "event_state_run_lengths",
+    "reciprocal_nearest_neighbors",
+    "token_budget_apportionment",
 )
 
 

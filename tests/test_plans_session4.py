@@ -16,6 +16,9 @@ PINNED = (
     "cross_doc_ngram_spans",
     "bm25_probe_ranking",
     "leakage_safe_split",
+    "reciprocal_nearest_neighbors",
+    "interval_union_coverage",
+    "event_state_run_lengths",
 )
 
 
@@ -50,3 +53,40 @@ def test_cross_doc_dup_join_is_equi(plans):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_rle_and_coverage_share_one_user_shuffle(plans):
+    """interval_union_coverage and event_state_run_lengths each claim
+    a single user_id exchange feeding fused windows + rollup: at most
+    2 shuffles total (window partitioning + final agg re-use), never
+    one per window."""
+    for name in ("interval_union_coverage", "event_state_run_lengths"):
+        n_exch = plans[name].count("Exchange hashpartitioning")
+        assert n_exch <= 2, f"{name}: {n_exch} hash exchanges"
+
+
+def test_apportionment_sums_exactly_to_budget(spark):
+    """The Hamilton allocation must hand out EXACTLY the budget —
+    the property plain proportional rounding lacks."""
+    from martian_moments_spark.plans.queries_llm import TOKEN_BUDGET
+
+    rows = (
+        REGISTRY["token_budget_apportionment"]
+        .fn(spark, SF_DIR_ORACLE)
+        .collect()
+    )
+    assert sum(r.final_alloc for r in rows) == TOKEN_BUDGET
+    assert all(r.extra in (0, 1) for r in rows)
+
+
+def test_reciprocal_pairs_are_symmetric_and_unique(spark):
+    """Every RNN pair appears once with id_a < id_b."""
+    rows = (
+        REGISTRY["reciprocal_nearest_neighbors"].fn(spark, SF_DIR_ORACLE).collect()
+    )
+    assert rows, "no reciprocal pairs at test scale"
+    seen = set()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert (r.id_a, r.id_b) not in seen
+        seen.add((r.id_a, r.id_b))
