@@ -1793,3 +1793,97 @@ def event_state_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s").cast("long").alias("start_s"),
         F.max("s").cast("long").alias("end_s"),
     )
+
+
+@register(
+    "theil_sen_daily_trend",
+    ops=("A1", "J2", "W2", "F8"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), pairs AS (
+            SELECT a.event_type,
+                   a.d AS d1, b.d AS d2,
+                   CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.d < b.d
+        ), ranked AS (
+            SELECT event_type, slope,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY slope, d1, d2) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+            FROM pairs
+        ), days AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+            GROUP BY event_type
+        )
+        SELECT r.event_type, y.n_days, CAST(r.n_pairs AS BIGINT) AS n_pairs,
+               r.slope AS theil_sen_slope
+        FROM ranked r JOIN days y ON r.event_type = y.event_type
+        WHERE r.rn = (r.n_pairs + 1) // 2
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event volume per type: the
+    (lower) median over all pairwise day-to-day slopes — the
+    outlier-resistant complement to per_user_trend's least squares
+    (one corrupted day moves OLS arbitrarily; it moves the pairwise
+    median not at all, up to a 29% breakdown point). Each slope is a
+    single exact double division of integers; the median is picked by
+    deterministic rank, not interpolation, so the result is
+    bit-stable cross-engine.
+
+    Scale: the pair join runs on the DAILY rollup — D rows per key
+    after one map-side-combined aggregate — so the quadratic is
+    D(D-1)/2 per key (bounded by the calendar, not the corpus: 1 year
+    -> ~66k pairs) and the corpus-sized input is touched exactly
+    once. The rank window partitions on event_type with that same
+    bounded cardinality."""
+    ev = load(spark, sf_dir, "events").select("event_type", F.col("ts").cast("date").alias("dt"))
+    daily = (
+        ev.groupBy("event_type", "dt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "event_type",
+            F.datediff(F.col("dt"), F.lit("1970-01-01").cast("date")).cast("long").alias("d"),
+            "c",
+        )
+    )
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("c").alias("c2"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            "d1",
+            "d2",
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = W.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w.orderBy("slope", "d1", "d2")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_pairs"),
+    )
+    days = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        # integer floor-div: Spark's `/` is FLOAT division, which would
+        # silently match nothing whenever n_pairs is even
+        ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .join(F.broadcast(days), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope").alias("theil_sen_slope"),
+        )
+    )

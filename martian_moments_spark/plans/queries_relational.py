@@ -1548,3 +1548,91 @@ def null_safe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("join_key")
     )
+
+
+_BENFORD = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+# E0 suffix forces DuckDB to parse each literal as DOUBLE (a bare
+# decimal literal becomes DECIMAL, whose double conversion can differ
+# in the last ulp from the double the repr denotes)
+_SQL_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {p!r}E0" for d, p in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "benford_first_digit",
+    ops=("A1", "P8", "F1"),
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100)
+                       AS VARCHAR), 1, 1) AS INT) AS first_digit
+            FROM orders
+        ), counts AS (
+            SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM digits GROUP BY first_digit
+        ), tot AS (
+            SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM counts
+        )
+        SELECT first_digit, n_orders,
+               CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE) AS observed_share,
+               {_SQL_BENFORD_CASE} AS expected_share,
+               CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE)
+                   - {_SQL_BENFORD_CASE} AS deviation
+        FROM counts CROSS JOIN tot
+        ORDER BY first_digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    synthetic-data / fraud screen: leading-digit frequencies of
+    naturally-grown magnitudes follow log10(1+1/d); fabricated or
+    uniform-generated values don't (TPC-H prices are uniform, so this
+    table SHOWS the violation — the audit working as intended). The
+    digit is taken lexically from the integer dollar string (no
+    log10/pow in the extraction); expected shares are pinned literal
+    doubles identical on both engines; per-digit deviations stay
+    per-row, so no cross-row float summation enters the result.
+
+    Scale: one map-side-combined aggregate on a 9-value key, a
+    broadcast scalar total, per-row arithmetic after that."""
+    digits = load(spark, sf_dir, "orders").select(
+        F.substring(
+            (F.round(F.col("o_totalprice") * 100).cast("long") / F.lit(100))
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    tot = counts.agg(F.sum("n_orders").cast("long").alias("total"))
+    expected = F.element_at(
+        F.create_map(*[F.lit(x) for d, p in _BENFORD.items() for x in (d, p)]),
+        F.col("first_digit"),
+    )
+    share = F.col("n_orders").cast("double") / F.col("total").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            "n_orders",
+            share.alias("observed_share"),
+            expected.alias("expected_share"),
+            (share - expected).alias("deviation"),
+        )
+        .orderBy("first_digit")
+    )

@@ -278,6 +278,8 @@ PRIORITY: tuple[str, ...] = (
     "event_state_run_lengths",
     "reciprocal_nearest_neighbors",
     "token_budget_apportionment",
+    "theil_sen_daily_trend",
+    "benford_first_digit",
 )
 
 
