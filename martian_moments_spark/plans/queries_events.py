@@ -1887,3 +1887,95 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("slope").alias("theil_sen_slope"),
         )
     )
+
+
+AUTOCORR_LAGS = (1, 7)  # day-over-day persistence and weekly seasonality
+
+
+@register(
+    "daily_autocorrelation",
+    ops=("A1", "J2", "F8"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), lags AS (
+            SELECT unnest([{", ".join(str(k) for k in AUTOCORR_LAGS)}]) AS lag_k
+        ), paired AS (
+            SELECT a.event_type, l.lag_k, a.c AS x, b.c AS y
+            FROM daily a CROSS JOIN lags l
+            JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + l.lag_k
+        ), s AS (
+            SELECT event_type, lag_k,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM paired GROUP BY event_type, lag_k
+        )
+        SELECT event_type, CAST(lag_k AS INT) AS lag_k, n AS n_pairs,
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE))
+                    ELSE NULL END AS autocorr
+        FROM s
+        ORDER BY event_type, lag_k
+    """,
+)
+def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k Pearson autocorrelation of daily event volume per type,
+    at k=1 (day-over-day persistence) and k=7 (weekly seasonality) —
+    computed by the closed form on exact BIGINT sums, like
+    per_user_trend: every moment is an integer aggregate (any
+    summation order), and the final expression is four exactly-rounded
+    double ops evaluated in the same tree on both engines. Degenerate
+    (zero-variance) series yield NULL, not a 0/0 NaN.
+
+    Scale: the lag pairing is an equi-join of the DAILY rollup with
+    itself on (type, day+k) — calendar-bounded rows, corpus touched
+    once; moments are one map-side-combined aggregate per (type,
+    lag)."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("date").alias("dt"))
+        .groupBy("event_type", "dt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "event_type",
+            F.datediff(F.col("dt"), F.lit("1970-01-01").cast("date")).cast("long").alias("d"),
+            "c",
+        )
+    )
+    lags = spark.createDataFrame([(k,) for k in AUTOCORR_LAGS], "lag_k long")
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("c").alias("x"))
+    b = daily.select("event_type", F.col("d").alias("db"), F.col("c").alias("y"))
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("db", F.col("da") + F.col("lag_k"))
+        .join(b, ["event_type", "db"])
+    )
+    s = paired.groupBy("event_type", "lag_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "event_type",
+        F.col("lag_k").cast("int").alias("lag_k"),
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")),
+        ).alias("autocorr"),
+    ).orderBy("event_type", "lag_k")

@@ -3922,3 +3922,131 @@ def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _sql_sig_matches() -> str:
+    return " + ".join(
+        f"CASE WHEN COALESCE(a.mh_{i}, -1) = COALESCE(b.mh_{i}, -1) THEN 1 ELSE 0 END"
+        for i in range(len(MINHASH_SEEDS))
+    )
+
+
+@register(
+    "minhash_estimation_accuracy",
+    ops=("J2", "A6"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+        ), mh AS (
+            SELECT doc_id,
+            {_sql_minhash_cols()}
+            FROM sh
+        ), bands AS (
+            SELECT doc_id, 0 AS band_idx,
+                   ((0 * 1000003 + COALESCE(mh_0, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_1, 0) % 1000003) % {HASH_P} AS band_val FROM mh
+            UNION ALL
+            SELECT doc_id, 1,
+                   ((0 * 1000003 + COALESCE(mh_2, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_3, 0) % 1000003) % {HASH_P} FROM mh
+            UNION ALL
+            SELECT doc_id, 2,
+                   ((0 * 1000003 + COALESCE(mh_4, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_5, 0) % 1000003) % {HASH_P} FROM mh
+            UNION ALL
+            SELECT doc_id, 3,
+                   ((0 * 1000003 + COALESCE(mh_6, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_7, 0) % 1000003) % {HASH_P} FROM mh
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        ), hs AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(s, x -> {sql_portable_hash31('x')})) AS hset
+            FROM sh
+        ), joined AS (
+            SELECT c.id_a, c.id_b,
+                   CAST({_sql_sig_matches()} AS BIGINT) AS n_sig_match,
+                   CAST(len(list_intersect(ha.hset, hb.hset)) AS BIGINT) AS n_inter,
+                   CAST(len(list_distinct(list_concat(ha.hset, hb.hset))) AS BIGINT) AS n_union
+            FROM cand c
+            JOIN mh a ON a.doc_id = c.id_a
+            JOIN mh b ON b.doc_id = c.id_b
+            JOIN hs ha ON ha.doc_id = c.id_a
+            JOIN hs hb ON hb.doc_id = c.id_b
+        )
+        SELECT id_a, id_b, n_sig_match,
+               CAST(n_sig_match AS DOUBLE) / {len(MINHASH_SEEDS)}.0 AS est_jaccard,
+               CASE WHEN n_union > 0
+                    THEN CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
+                    ELSE 0.0 END AS exact_jaccard,
+               abs(CAST(n_sig_match AS DOUBLE) / {len(MINHASH_SEEDS)}.0
+                   - CASE WHEN n_union > 0
+                          THEN CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
+                          ELSE 0.0 END) AS abs_err
+        FROM joined
+    """,
+)
+def minhash_estimation_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash family (the
+    quantile_sketch_accuracy analog for dedup): for every LSH
+    candidate pair, the signature-agreement estimate of shingle-set
+    Jaccard (matching permutations / 8) side by side with the EXACT
+    shingle Jaccard and the absolute error — the table that justifies
+    the banding thresholds to an auditor. Note the estimate targets
+    the SHINGLE-set Jaccard (what MinHash provably estimates), not
+    the token-set Jaccard the verify stage uses; comparing the right
+    pair of quantities is the point of the audit.
+
+    Scale: candidates come from the band join (O(collisions));
+    signatures and distinct-shingle sets re-attach by id equi-joins.
+    The shingle sets ship ONLY to candidate rows — the same
+    verify-stage shape as fuzzy_dedup_pipeline."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = docs.withColumn("__sh", F.transform(word_shingles("text"), portable_hash31))
+    sig = hashed.select("doc_id", *minhash_from_hashes(F.col("__sh")))
+    hs = hashed.select("doc_id", F.array_distinct("__sh").alias("hset"))
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    k = len(MINHASH_SEEDS)
+    sa = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)])
+    sb = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)])
+    ha = hs.select(F.col("doc_id").alias("id_a"), F.col("hset").alias("hset_a"))
+    hb = hs.select(F.col("doc_id").alias("id_b"), F.col("hset").alias("hset_b"))
+    matches = sum(
+        F.when(
+            F.coalesce(F.col(f"a_{i}"), F.lit(-1)) == F.coalesce(F.col(f"b_{i}"), F.lit(-1)), 1
+        ).otherwise(0)
+        for i in range(k)
+    )
+    n_inter = F.size(F.array_intersect("hset_a", "hset_b")).cast("long")
+    n_union = F.size(F.array_union("hset_a", "hset_b")).cast("long")
+    est = F.col("n_sig_match").cast("double") / F.lit(float(k))
+    exact = F.when(
+        F.col("n_union") > 0,
+        F.col("n_inter").cast("double") / F.col("n_union").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            matches.cast("long").alias("n_sig_match"),
+            n_inter.alias("n_inter"),
+            n_union.alias("n_union"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_sig_match",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )

@@ -280,6 +280,8 @@ PRIORITY: tuple[str, ...] = (
     "token_budget_apportionment",
     "theil_sen_daily_trend",
     "benford_first_digit",
+    "minhash_estimation_accuracy",
+    "daily_autocorrelation",
 )
 
 
