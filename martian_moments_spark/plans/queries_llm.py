@@ -4050,3 +4050,90 @@ def minhash_estimation_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - exact).alias("abs_err"),
         )
     )
+
+
+@register(
+    "ann_recall_report",
+    ops=("J2", "W2", "O2"),
+    oracle=f"""
+        WITH {_SQL_KMEANS}, xpairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(list_sum(list_transform(list_zip(a.units, b.units),
+                        z -> z[1] * z[2])) AS BIGINT) AS dot,
+                   a.norm2 AS na, b.norm2 AS nb
+            FROM kassign a JOIN kassign b ON a.vec_id <> b.vec_id
+        ), xtop AS (
+            SELECT id_a, id_b FROM (
+                SELECT id_a, id_b, ROW_NUMBER() OVER (PARTITION BY id_a
+                    ORDER BY CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+                        id_b) AS rn
+                FROM xpairs)
+            WHERE rn <= 5
+        ), cpairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(list_sum(list_transform(list_zip(a.units, b.units),
+                        z -> z[1] * z[2])) AS BIGINT) AS dot,
+                   a.norm2 AS na, b.norm2 AS nb
+            FROM kassign a JOIN kassign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ), ctop AS (
+            SELECT id_a, id_b FROM (
+                SELECT id_a, id_b, ROW_NUMBER() OVER (PARTITION BY id_a
+                    ORDER BY CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+                        id_b) AS rn
+                FROM cpairs)
+            WHERE rn <= 5
+        ), stats AS (
+            SELECT x.id_a AS vec_id,
+                   CAST(COUNT(c.id_b) AS BIGINT) AS n_hits
+            FROM xtop x LEFT JOIN ctop c
+              ON c.id_a = x.id_a AND c.id_b = x.id_b
+            GROUP BY x.id_a
+        ), nivf AS (
+            SELECT id_a AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_ivf
+            FROM ctop GROUP BY id_a
+        )
+        SELECT s.vec_id, COALESCE(v.n_ivf, 0) AS n_ivf, s.n_hits,
+               CAST(s.n_hits AS DOUBLE) / 5.0 AS recall_at_5
+        FROM stats s LEFT JOIN nivf v ON v.vec_id = s.vec_id
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector recall@5 of the IVF single-probe search against the
+    exact brute-force top-5 — the ANN quality dial as a DATA product
+    (test_ann_recall.py pins operating points; this emits the full
+    per-vector report an index-tuning pass reads). n_ivf < 5 rows show
+    vectors whose cell has too few members — the signal to raise
+    n_probe or re-train the quantizer.
+
+    Scale: the exact arm is the O(n^2) verifier by definition — at
+    corpus scale this report runs on a SAMPLED query set (the
+    recall estimator needs only a few thousand probes), while the IVF
+    arm is the production plan; both arms here share one quantizer
+    run. Exactness: both rankings order by the same exactly-rounded
+    cosine with id tie-break, so hit membership is deterministic."""
+    assigned, _ = kmeans_units(load(spark, sf_dir, "embeddings"))
+    exact = topk_cosine_blocked(
+        load(spark, sf_dir, "embeddings"), k=5
+    ).select("id_a", "id_b")
+    ivf = topk_units_cells_pandas(assigned, k=5).select(
+        F.col("id_a").alias("c_a"), F.col("id_b").alias("c_b")
+    )
+    hits = (
+        exact.join(
+            ivf, (F.col("id_a") == F.col("c_a")) & (F.col("id_b") == F.col("c_b")), "left"
+        )
+        .groupBy("id_a")
+        .agg(F.count("c_b").cast("long").alias("n_hits"))
+    )
+    n_ivf = ivf.groupBy("c_a").agg(F.count(F.lit(1)).cast("long").alias("n_ivf"))
+    return (
+        hits.join(n_ivf, hits.id_a == n_ivf.c_a, "left")
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.coalesce(F.col("n_ivf"), F.lit(0)).cast("long").alias("n_ivf"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )

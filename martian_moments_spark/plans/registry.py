@@ -282,6 +282,7 @@ PRIORITY: tuple[str, ...] = (
     "benford_first_digit",
     "minhash_estimation_accuracy",
     "daily_autocorrelation",
+    "ann_recall_report",
 )
 
 
