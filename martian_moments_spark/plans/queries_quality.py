@@ -633,3 +633,56 @@ def fairness_gate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+K_ANON_K = 5  # minimum group size for the quasi-identifier partition
+L_DIVERSE_L = 2  # minimum distinct sensitive values per group
+
+
+@register(
+    "k_anonymity_audit",
+    ops=("A1", "A2", "P8"),
+    oracle=f"""
+        WITH tagged AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CASE WHEN c_acctbal < 0 THEN 'negative'
+                        WHEN c_acctbal < 5000 THEN 'low'
+                        ELSE 'high' END AS balance_band
+            FROM customer
+        )
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT balance_band) AS BIGINT) AS n_distinct_sensitive,
+               COUNT(*) >= {K_ANON_K} AS k_anonymous,
+               COUNT(DISTINCT balance_band) >= {L_DIVERSE_L} AS l_diverse
+        FROM tagged
+        GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of a release view of the
+    customer table: for every quasi-identifier combination
+    (nation, market segment), the group size against k=5 and the
+    diversity of the sensitive attribute (balance band) against l=2.
+    Groups failing either bound are the re-identification risk a
+    privacy review must suppress or generalize before data leaves the
+    boundary — the governance counterpart to pii_redaction's content
+    scrub.
+
+    Scale: one aggregate on the quasi-identifier key with a distinct
+    count folded in (partial aggregation both levels); risk surface
+    grows with QI cardinality, not table size."""
+    tagged = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("balance_band"),
+    )
+    return tagged.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("balance_band").cast("long").alias("n_distinct_sensitive"),
+        (F.count(F.lit(1)) >= K_ANON_K).alias("k_anonymous"),
+        (F.count_distinct("balance_band") >= L_DIVERSE_L).alias("l_diverse"),
+    )

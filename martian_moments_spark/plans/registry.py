@@ -283,6 +283,7 @@ PRIORITY: tuple[str, ...] = (
     "minhash_estimation_accuracy",
     "daily_autocorrelation",
     "ann_recall_report",
+    "k_anonymity_audit",
 )
 
 
