@@ -1979,3 +1979,193 @@ def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")),
         ).alias("autocorr"),
     ).orderBy("event_type", "lag_k")
+
+
+@register(
+    "transition_graph_stats",
+    ops=("W2", "A1", "A2", "J2"),
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ), edges AS (
+            SELECT DISTINCT prev_type AS src, event_type AS dst
+            FROM seq WHERE prev_type IS NOT NULL
+        ), nodes AS (
+            SELECT DISTINCT event_type AS node FROM events
+        ), outd AS (
+            SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS out_degree,
+                   CAST(SUM(CASE WHEN e.src = e.dst THEN 1 ELSE 0 END) AS BIGINT) AS self_loops,
+                   CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS reciprocated
+            FROM edges e
+            LEFT JOIN (SELECT src, dst FROM edges) r
+              ON r.src = e.dst AND r.dst = e.src
+            GROUP BY e.src
+        ), ind AS (
+            SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_degree
+            FROM edges GROUP BY dst
+        )
+        SELECT n.node AS event_type,
+               COALESCE(o.out_degree, 0) AS out_degree,
+               COALESCE(i.in_degree, 0) AS in_degree,
+               COALESCE(o.self_loops, 0) AS self_loops,
+               CASE WHEN COALESCE(o.out_degree, 0) > 0
+                    THEN CAST(o.reciprocated AS DOUBLE) / CAST(o.out_degree AS DOUBLE)
+                    ELSE 0.0 END AS reciprocity
+        FROM nodes n
+        LEFT JOIN outd o ON o.node = n.node
+        LEFT JOIN ind i ON i.node = n.node
+        ORDER BY event_type
+    """,
+)
+def transition_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree/reciprocity profile of the event-transition digraph (the
+    structural companion to pagerank_event_graph's centrality): per
+    node, distinct out/in degree, self-loops, and the fraction of
+    out-edges whose reverse edge also exists — the reciprocity that
+    separates funnel-like flows (view->buy, no return) from oscillating
+    ones (view<->click). Edge existence is the DISTINCT transition
+    set, so hot transitions don't inflate structure metrics.
+
+    Scale: sequence lag is the one user-keyed window; the distinct
+    edge set is at most |types|^2 rows — every later join is on a
+    vocabulary-sized frame."""
+    events = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .distinct()
+    )
+    rev = edges.select(F.col("src").alias("r_src"), F.col("dst").alias("r_dst"))
+    outd = (
+        edges.join(
+            rev, (F.col("r_src") == F.col("dst")) & (F.col("r_dst") == F.col("src")), "left"
+        )
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("out_degree"),
+            F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0))
+            .cast("long")
+            .alias("self_loops"),
+            F.sum(F.when(F.col("r_src").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("reciprocated"),
+        )
+    )
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_degree")
+    )
+    nodes = events.select(F.col("event_type").alias("node")).distinct()
+    out_deg = F.coalesce(F.col("out_degree"), F.lit(0)).cast("long")
+    return (
+        nodes.join(outd, nodes.node == outd.src, "left")
+        .join(ind, "node", "left")
+        .select(
+            F.col("node").alias("event_type"),
+            out_deg.alias("out_degree"),
+            F.coalesce(F.col("in_degree"), F.lit(0)).cast("long").alias("in_degree"),
+            F.coalesce(F.col("self_loops"), F.lit(0)).cast("long").alias("self_loops"),
+            F.when(
+                out_deg > 0,
+                F.col("reciprocated").cast("double") / out_deg.cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("reciprocity"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "survivorship_golden_record",
+    ops=("W2", "A4", "N1", "J3"),
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                   CAST(round(value * 100) AS BIGINT) AS v_cents,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        ), ranked AS (
+            SELECT user_id, event_type, s, v_cents, k,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY s DESC, event_id DESC
+                   ) AS rn
+            FROM ev
+        ), latest AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' AND rn = 1 THEN v_cents END)
+                       AS last_purchase_cents,
+                   MAX(CASE WHEN event_type = 'click' AND rn = 1 THEN k END)
+                       AS last_click_k,
+                   MAX(CASE WHEN event_type = 'signup' AND rn = 1 THEN s END)
+                       AS signup_s,
+                   CAST(COUNT(DISTINCT CASE WHEN event_type IN ('purchase', 'click', 'signup')
+                        THEN event_type END) AS BIGINT) AS n_attr_sources
+            FROM ranked GROUP BY user_id
+        )
+        SELECT user_id, last_purchase_cents, last_click_k, signup_s, n_attr_sources,
+               n_attr_sources = 3 AS is_complete
+        FROM latest
+    """,
+)
+def survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (golden record): each user's unified profile
+    assembled attribute-BY-attribute from different record types —
+    latest purchase amount, latest click payload, signup time — the
+    MDM rule that differs from dedup_last_writer (which keeps one
+    whole winning ROW; survivorship lets every attribute pick its own
+    most-recent source). Completeness counts how many attribute
+    sources exist per user.
+
+    Scale: one shuffle on (user, type) for the recency rank, then a
+    per-user conditional rollup — the rank partition is per
+    attribute-source, so one hyperactive event type never widens
+    another's partition."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("long").alias("s"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("s").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    is_rn1 = F.col("rn") == 1
+    latest = ranked.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & is_rn1, F.col("v_cents"))
+        ).alias("last_purchase_cents"),
+        F.max(F.when((F.col("event_type") == "click") & is_rn1, F.col("k"))).alias(
+            "last_click_k"
+        ),
+        F.max(F.when((F.col("event_type") == "signup") & is_rn1, F.col("s"))).alias(
+            "signup_s"
+        ),
+        F.count_distinct(
+            F.when(
+                F.col("event_type").isin("purchase", "click", "signup"),
+                F.col("event_type"),
+            )
+        )
+        .cast("long")
+        .alias("n_attr_sources"),
+    )
+    return latest.select(
+        "user_id",
+        "last_purchase_cents",
+        "last_click_k",
+        "signup_s",
+        "n_attr_sources",
+        (F.col("n_attr_sources") == 3).alias("is_complete"),
+    )

@@ -284,6 +284,8 @@ PRIORITY: tuple[str, ...] = (
     "daily_autocorrelation",
     "ann_recall_report",
     "k_anonymity_audit",
+    "transition_graph_stats",
+    "survivorship_golden_record",
 )
 
 
