@@ -286,6 +286,7 @@ PRIORITY: tuple[str, ...] = (
     "k_anonymity_audit",
     "transition_graph_stats",
     "survivorship_golden_record",
+    "business_day_latency",
 )
 
 
