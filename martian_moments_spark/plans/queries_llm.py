@@ -4137,3 +4137,180 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits").cast("double") / F.lit(5.0)).alias("recall_at_5"),
         )
     )
+
+
+@register(
+    "language_id_confusion",
+    ops=("A1", "J1", "P8"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang,
+                   list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                             t -> t <> '')) AS tk
+            FROM documents
+        ), ls AS (
+            SELECT lang,
+                   CAST(len(list_intersect(tk, ['the', 'a', 'and', 'of', 'is'])) AS INT) AS score_en,
+                   CAST(len(list_intersect(tk, ['der', 'die', 'das', 'und', 'ist'])) AS INT) AS score_de,
+                   CAST(len(list_intersect(tk, ['el', 'la', 'que', 'de', 'es'])) AS INT) AS score_es,
+                   CAST(len(list_intersect(tk, ['le', 'la', 'et', 'les', 'est'])) AS INT) AS score_fr,
+                   CAST(len(list_intersect(tk, ['的', '是', '了', '不', '在'])) AS INT) AS score_zh
+            FROM toks
+        ), scored AS (
+            SELECT lang AS labeled_lang,
+                   CASE
+                       WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) AND score_en > 0 THEN 'en'
+                       WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) AND score_de > 0 THEN 'de'
+                       WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) AND score_es > 0 THEN 'es'
+                       WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) AND score_fr > 0 THEN 'fr'
+                       WHEN score_zh = greatest(score_en, score_de, score_es, score_fr, score_zh) AND score_zh > 0 THEN 'zh'
+                       ELSE 'unknown'
+                   END AS predicted_lang
+            FROM ls
+        ), cells AS (
+            SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM scored GROUP BY labeled_lang, predicted_lang
+        ), row_tot AS (
+            SELECT labeled_lang, CAST(SUM(n_docs) AS BIGINT) AS n_labeled
+            FROM cells GROUP BY labeled_lang
+        )
+        SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+               CAST(c.n_docs AS DOUBLE) / CAST(r.n_labeled AS BIGINT) AS recall_share,
+               c.labeled_lang = c.predicted_lang AS is_correct
+        FROM cells c JOIN row_tot r ON r.labeled_lang = c.labeled_lang
+        ORDER BY c.labeled_lang, c.predicted_lang
+    """,
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language identifier against the
+    labeled language — the eval rollup a model-quality dashboard reads
+    (language_id emits per-document predictions; this aggregates
+    label x prediction cells with per-label recall shares). Exact:
+    counts are integers, each share is one division.
+
+    Scale: per-row scoring then one aggregate on a (languages^2)-
+    bounded key — evaluation cost is scoring cost."""
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    scored = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        predicted_language("text").alias("predicted_lang"),
+    )
+    cells = scored.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    row_tot = cells.groupBy("labeled_lang").agg(
+        F.sum("n_docs").cast("long").alias("n_labeled")
+    )
+    return (
+        cells.join(F.broadcast(row_tot), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_labeled")).alias("recall_share"),
+            (F.col("labeled_lang") == F.col("predicted_lang")).alias("is_correct"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+CONTAINMENT_TAU = 0.8  # |A∩B| / |A| above which A is "contained in" B
+
+
+@register(
+    "ngram_containment_pairs",
+    ops=("J2", "A6"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+        ), mh AS (
+            SELECT doc_id,
+            {_sql_minhash_cols()}
+            FROM sh
+        ), bands AS (
+            SELECT doc_id, 0 AS band_idx,
+                   ((0 * 1000003 + COALESCE(mh_0, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_1, 0) % 1000003) % {HASH_P} AS band_val FROM mh
+            UNION ALL
+            SELECT doc_id, 1,
+                   ((0 * 1000003 + COALESCE(mh_2, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_3, 0) % 1000003) % {HASH_P} FROM mh
+            UNION ALL
+            SELECT doc_id, 2,
+                   ((0 * 1000003 + COALESCE(mh_4, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_5, 0) % 1000003) % {HASH_P} FROM mh
+            UNION ALL
+            SELECT doc_id, 3,
+                   ((0 * 1000003 + COALESCE(mh_6, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_7, 0) % 1000003) % {HASH_P} FROM mh
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        ), hs AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(s, x -> {sql_portable_hash31('x')})) AS hset
+            FROM sh
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(ha.hset, hb.hset)) AS BIGINT) AS n_inter,
+               CAST(len(ha.hset) AS BIGINT) AS n_a,
+               CAST(len(hb.hset) AS BIGINT) AS n_b,
+               CASE WHEN len(ha.hset) > 0
+                    THEN CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE)
+                         / CAST(len(ha.hset) AS DOUBLE) ELSE 0.0 END AS containment_a_in_b,
+               CASE WHEN len(hb.hset) > 0
+                    THEN CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE)
+                         / CAST(len(hb.hset) AS DOUBLE) ELSE 0.0 END AS containment_b_in_a,
+               (CASE WHEN len(ha.hset) > 0
+                     THEN CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE)
+                          / CAST(len(ha.hset) AS DOUBLE) ELSE 0.0 END) >= {CONTAINMENT_TAU}
+                   OR
+               (CASE WHEN len(hb.hset) > 0
+                     THEN CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE)
+                          / CAST(len(hb.hset) AS DOUBLE) ELSE 0.0 END) >= {CONTAINMENT_TAU}
+                   AS is_contained
+        FROM cand c
+        JOIN hs ha ON ha.doc_id = c.id_a
+        JOIN hs hb ON hb.doc_id = c.id_b
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder CONTAINMENT (|A∩B| / |A|, both directions) for every LSH
+    candidate pair — the asymmetric companion to Jaccard that catches
+    quotation/inclusion: a short document wholly embedded in a long
+    one has near-1 containment but low Jaccard (the union is dominated
+    by the long side), so a Jaccard-only dedup keeps the redundant
+    pair. Flagged at tau=0.8 in either direction.
+
+    Scale: same candidate discovery as the MinHash pipeline (band
+    equi-join, O(collisions)); shingle sets ship only to candidate
+    rows. Exact integer set sizes; each containment is one division."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = docs.withColumn("__sh", F.transform(word_shingles("text"), portable_hash31))
+    hs = hashed.select("doc_id", F.array_distinct("__sh").alias("hset"))
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    ha = hs.select(F.col("doc_id").alias("id_a"), F.col("hset").alias("hset_a"))
+    hb = hs.select(F.col("doc_id").alias("id_b"), F.col("hset").alias("hset_b"))
+    n_inter = F.size(F.array_intersect("hset_a", "hset_b")).cast("long")
+    n_a = F.size("hset_a").cast("long")
+    n_b = F.size("hset_b").cast("long")
+    c_ab = F.when(n_a > 0, n_inter.cast("double") / n_a.cast("double")).otherwise(F.lit(0.0))
+    c_ba = F.when(n_b > 0, n_inter.cast("double") / n_b.cast("double")).otherwise(F.lit(0.0))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_inter.alias("n_inter"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+            ((c_ab >= CONTAINMENT_TAU) | (c_ba >= CONTAINMENT_TAU)).alias("is_contained"),
+        )
+    )

@@ -287,6 +287,8 @@ PRIORITY: tuple[str, ...] = (
     "transition_graph_stats",
     "survivorship_golden_record",
     "business_day_latency",
+    "language_id_confusion",
+    "ngram_containment_pairs",
 )
 
 
