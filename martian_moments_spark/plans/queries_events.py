@@ -2169,3 +2169,84 @@ def survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_attr_sources",
         (F.col("n_attr_sources") == 3).alias("is_complete"),
     )
+
+
+@register(
+    "seasonal_naive_forecast_error",
+    ops=("A1", "J2", "F8"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), err AS (
+            SELECT a.event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_scored,
+                   CAST(SUM(abs(a.c - w.c)) AS BIGINT) AS sae_seasonal,
+                   CAST(SUM(abs(a.c - p.c)) AS BIGINT) AS sae_naive
+            FROM daily a
+            JOIN daily w ON w.event_type = a.event_type AND w.d = a.d - 7
+            JOIN daily p ON p.event_type = a.event_type AND p.d = a.d - 1
+            GROUP BY a.event_type
+        )
+        SELECT event_type, n_scored,
+               CAST(sae_seasonal AS DOUBLE) / CAST(n_scored AS DOUBLE) AS mae_seasonal,
+               CAST(sae_naive AS DOUBLE) / CAST(n_scored AS DOUBLE) AS mae_naive,
+               CASE WHEN sae_naive > 0
+                    THEN CAST(sae_seasonal AS DOUBLE) / CAST(sae_naive AS DOUBLE)
+                    ELSE NULL END AS mase_vs_naive
+        FROM err ORDER BY event_type
+    """,
+)
+def seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the two zero-parameter forecasters on daily volume:
+    seasonal-naive (predict this weekday's count with last week's) vs
+    naive-1 (predict with yesterday's), scored only on days where BOTH
+    predictions exist so the ratio compares like with like. The
+    MASE-style ratio < 1 means weekly seasonality carries real signal
+    — the go/no-go gate before fitting any heavier forecaster.
+    Absolute errors are integer sums (exact in any order); the two
+    MAEs and the ratio are single divisions.
+
+    Scale: everything runs on the calendar-bounded daily rollup; both
+    lag joins are equi-joins on (type, day)."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("date").alias("dt"))
+        .groupBy("event_type", "dt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "event_type",
+            F.datediff(F.col("dt"), F.lit("1970-01-01").cast("date")).cast("long").alias("d"),
+            "c",
+        )
+    )
+    a = daily
+    w = daily.select("event_type", F.col("d").alias("dw"), F.col("c").alias("cw"))
+    p = daily.select("event_type", F.col("d").alias("dp"), F.col("c").alias("cp"))
+    joined = (
+        a.withColumn("dw", F.col("d") - 7)
+        .join(w, ["event_type", "dw"])
+        .withColumn("dp", F.col("d") - 1)
+        .join(p, ["event_type", "dp"])
+    )
+    err = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("c") - F.col("cw"))).cast("long").alias("sae_seasonal"),
+        F.sum(F.abs(F.col("c") - F.col("cp"))).cast("long").alias("sae_naive"),
+    )
+    return err.select(
+        "event_type",
+        "n_scored",
+        (F.col("sae_seasonal").cast("double") / F.col("n_scored").cast("double")).alias(
+            "mae_seasonal"
+        ),
+        (F.col("sae_naive").cast("double") / F.col("n_scored").cast("double")).alias(
+            "mae_naive"
+        ),
+        F.when(
+            F.col("sae_naive") > 0,
+            F.col("sae_seasonal").cast("double") / F.col("sae_naive").cast("double"),
+        ).alias("mase_vs_naive"),
+    ).orderBy("event_type")

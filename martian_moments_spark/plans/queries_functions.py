@@ -223,3 +223,63 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("int").alias("order_month"),
         F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
     )
+
+
+@register(
+    "charset_audit",
+    ops=("F1", "A1", "P8"),
+    oracle="""
+        WITH flags AS (
+            SELECT source,
+                   CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]') THEN 1 ELSE 0 END AS has_non_ascii,
+                   CASE WHEN regexp_matches(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]') THEN 1 ELSE 0 END AS has_control,
+                   CASE WHEN regexp_matches(text, '�') THEN 1 ELSE 0 END AS has_replacement,
+                   CAST(len(regexp_extract_all(text, '[^\\x00-\\x7F]')) AS BIGINT) AS n_non_ascii_chars
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(has_non_ascii) AS BIGINT) AS n_non_ascii_docs,
+               CAST(SUM(has_control) AS BIGINT) AS n_control_docs,
+               CAST(SUM(has_replacement) AS BIGINT) AS n_replacement_docs,
+               CAST(SUM(n_non_ascii_chars) AS BIGINT) AS n_non_ascii_chars,
+               CAST(COUNT(*) - SUM(has_non_ascii) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS ascii_doc_share
+        FROM flags GROUP BY source
+        ORDER BY source
+    """,
+)
+def charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-set hygiene audit per source — the encoding triage a
+    crawl pipeline runs before tokenization: documents containing
+    non-ASCII text, C0 control characters (mojibake / binary bleed),
+    or U+FFFD replacement characters (evidence of a decode that
+    already lost bytes), plus the non-ASCII char volume. Regex classes
+    stay in the byte-range subset both engines interpret identically.
+
+    Scale: per-row regex inside codegen; one rollup on source."""
+    t = F.col("text")
+    flags = load(spark, sf_dir, "documents").select(
+        "source",
+        F.when(t.rlike("[^\\x00-\\x7F]"), 1).otherwise(0).alias("has_non_ascii"),
+        F.when(t.rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), 1).otherwise(0).alias("has_control"),
+        F.when(t.rlike("�"), 1).otherwise(0).alias("has_replacement"),
+        F.size(F.regexp_extract_all(t, F.lit("[^\\x00-\\x7F]"), F.lit(0)))
+        .cast("long")
+        .alias("n_non_ascii_chars"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        flags.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.sum("has_non_ascii").cast("long").alias("n_non_ascii_docs"),
+            F.sum("has_control").cast("long").alias("n_control_docs"),
+            F.sum("has_replacement").cast("long").alias("n_replacement_docs"),
+            F.sum("n_non_ascii_chars").cast("long").alias("n_non_ascii_chars"),
+            (
+                (n - F.sum("has_non_ascii")).cast("double") / n.cast("double")
+            ).alias("ascii_doc_share"),
+        )
+        .orderBy("source")
+    )

@@ -289,6 +289,8 @@ PRIORITY: tuple[str, ...] = (
     "business_day_latency",
     "language_id_confusion",
     "ngram_containment_pairs",
+    "seasonal_naive_forecast_error",
+    "charset_audit",
 )
 
 
