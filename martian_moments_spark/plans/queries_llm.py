@@ -4314,3 +4314,86 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((c_ab >= CONTAINMENT_TAU) | (c_ba >= CONTAINMENT_TAU)).alias("is_contained"),
         )
     )
+
+
+@register(
+    "cluster_representative_selection",
+    ops=("J2", "A6", "W2"),
+    oracle=f"""
+        WITH RECURSIVE toks AS (
+            SELECT source, doc_id,
+                   list_distinct({_SQL_TOKS}) AS tk
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_distinct(list_concat(a.tk, b.tk))) > 0
+              AND CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE)
+                  >= {FUZZY_TAU}
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), reach(u, v) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.u, e.dst FROM reach r JOIN edges e ON r.v = e.src
+        ), comp AS (
+            SELECT u AS doc_id, MIN(v) AS component_id
+            FROM reach GROUP BY u
+        ), sized AS (
+            SELECT c.doc_id, c.component_id,
+                   CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        ), ranked AS (
+            SELECT doc_id, component_id, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY component_id
+                       ORDER BY n_tokens DESC, doc_id) AS rn
+            FROM sized
+        ), reps AS (
+            SELECT component_id, doc_id AS representative_id
+            FROM ranked WHERE rn = 1
+        )
+        SELECT s.doc_id, s.component_id, s.n_tokens, r.representative_id,
+               s.doc_id = r.representative_id AS is_representative
+        FROM sized s JOIN reps r ON r.component_id = s.component_id
+    """,
+)
+def cluster_representative_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection over near-duplicate clusters: within
+    each blocked-Jaccard component, keep the LONGEST member (token
+    count, deterministic id tie-break) — the C4/RefinedWeb-style
+    survivor rule, and a different semantics from
+    dedup_connected_components' keep-lowest-id (lowest-id keeps
+    whatever arrived first; keep-longest keeps the most complete copy
+    of the duplicated content). Every document is labeled with its
+    cluster's representative so the drop set is auditable.
+
+    Scale: component labels from the min-label fixpoint; the argmax is
+    a per-component window whose partition is bounded by the largest
+    dup cluster (same bound as leakage_safe_split's size window)."""
+    docs = load(spark, sf_dir, "documents")
+    edges = (
+        jaccard_pairs(docs, block_col="source")
+        .filter(F.col("jaccard") >= F.lit(FUZZY_TAU))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(docs.select("doc_id"), edges)
+    sized = comp.join(
+        docs.select("doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")),
+        "doc_id",
+    )
+    w = W.partitionBy("component_id").orderBy(F.col("n_tokens").desc(), "doc_id")
+    reps = (
+        sized.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component_id", F.col("doc_id").alias("representative_id"))
+    )
+    return sized.join(reps, "component_id").select(
+        "doc_id",
+        "component_id",
+        "n_tokens",
+        "representative_id",
+        (F.col("doc_id") == F.col("representative_id")).alias("is_representative"),
+    )

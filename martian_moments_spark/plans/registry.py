@@ -291,6 +291,7 @@ PRIORITY: tuple[str, ...] = (
     "ngram_containment_pairs",
     "seasonal_naive_forecast_error",
     "charset_audit",
+    "cluster_representative_selection",
 )
 
 
