@@ -4397,3 +4397,102 @@ def cluster_representative_selection(spark: SparkSession, sf_dir: str) -> DataFr
         "representative_id",
         (F.col("doc_id") == F.col("representative_id")).alias("is_representative"),
     )
+
+
+@register(
+    "ks_source_length_test",
+    ops=("A1", "W2", "J3"),
+    oracle=f"""
+        WITH lens AS (
+            SELECT source, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), counts AS (
+            SELECT source, n_tokens, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lens GROUP BY source, n_tokens
+        ), grid AS (
+            SELECT DISTINCT n_tokens FROM lens
+        ), srcs AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS tot_in FROM counts GROUP BY source
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM lens
+        ), cells AS (
+            SELECT s.source, g.n_tokens, COALESCE(c.c, 0) AS c_in
+            FROM srcs s CROSS JOIN grid g
+            LEFT JOIN counts c ON c.source = s.source AND c.n_tokens = g.n_tokens
+        ), gcum AS (
+            SELECT n_tokens,
+                   CAST(SUM(c) AS BIGINT) AS g_c
+            FROM counts GROUP BY n_tokens
+        ), cum AS (
+            SELECT ce.source, ce.n_tokens,
+                   CAST(SUM(ce.c_in) OVER (PARTITION BY ce.source ORDER BY ce.n_tokens)
+                        AS BIGINT) AS cum_in,
+                   CAST(SUM(gc.g_c) OVER (PARTITION BY ce.source ORDER BY ce.n_tokens)
+                        AS BIGINT) AS cum_all
+            FROM cells ce JOIN gcum gc ON gc.n_tokens = ce.n_tokens
+        )
+        SELECT c.source, s.tot_in AS n_in, t.n_all - s.tot_in AS n_out,
+               MAX(abs(CAST(c.cum_in AS DOUBLE) / CAST(s.tot_in AS DOUBLE)
+                       - CAST(c.cum_all - c.cum_in AS DOUBLE)
+                         / CAST(t.n_all - s.tot_in AS DOUBLE))) AS ks_stat
+        FROM cum c
+        JOIN srcs s ON s.source = c.source
+        CROSS JOIN tot t
+        GROUP BY c.source, s.tot_in, t.n_all
+        ORDER BY c.source
+    """,
+)
+def ks_source_length_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic of each source's
+    document-length distribution against the rest of the corpus — the
+    distribution-shift detector behind "did this crawl batch change
+    shape?": KS = max ECDF gap, computed on a shared length grid so
+    both step functions are evaluated at every jump point. Every ECDF
+    value is one integer division; the max over exact doubles is
+    order-free — bit-stable without any sort convention.
+
+    Scale: the grid is (distinct lengths x sources) — bounded by
+    length vocabulary, not corpus size; cumsums are per-source windows
+    over that grid; the corpus is touched once for the per-(source,
+    length) counts."""
+    lens = load(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    counts = lens.groupBy("source", "n_tokens").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grid = lens.select("n_tokens").distinct()
+    srcs = counts.groupBy("source").agg(F.sum("c").cast("long").alias("tot_in"))
+    tot = lens.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    cells = (
+        srcs.crossJoin(F.broadcast(grid))
+        .join(counts, ["source", "n_tokens"], "left")
+        .select("source", "n_tokens", "tot_in", F.coalesce(F.col("c"), F.lit(0)).alias("c_in"))
+    )
+    gcum = counts.groupBy("n_tokens").agg(F.sum("c").cast("long").alias("g_c"))
+    w = W.partitionBy("source").orderBy("n_tokens")
+    cum = (
+        cells.join(F.broadcast(gcum), "n_tokens")
+        .select(
+            "source",
+            "n_tokens",
+            "tot_in",
+            F.sum("c_in").over(w).cast("long").alias("cum_in"),
+            F.sum("g_c").over(w).cast("long").alias("cum_all"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    gap = F.abs(
+        F.col("cum_in").cast("double") / F.col("tot_in").cast("double")
+        - (F.col("cum_all") - F.col("cum_in")).cast("double")
+        / (F.col("n_all") - F.col("tot_in")).cast("double")
+    )
+    return (
+        cum.groupBy("source", "tot_in", "n_all")
+        .agg(F.max(gap).alias("ks_stat"))
+        .select(
+            "source",
+            F.col("tot_in").alias("n_in"),
+            (F.col("n_all") - F.col("tot_in")).alias("n_out"),
+            "ks_stat",
+        )
+        .orderBy("source")
+    )

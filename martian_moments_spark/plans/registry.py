@@ -292,6 +292,7 @@ PRIORITY: tuple[str, ...] = (
     "seasonal_naive_forecast_error",
     "charset_audit",
     "cluster_representative_selection",
+    "ks_source_length_test",
 )
 
 
