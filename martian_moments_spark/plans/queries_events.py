@@ -2250,3 +2250,87 @@ def seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("sae_seasonal").cast("double") / F.col("sae_naive").cast("double"),
         ).alias("mase_vs_naive"),
     ).orderBy("event_type")
+
+
+@register(
+    "mann_kendall_trend",
+    ops=("A1", "J2", "F8"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), pairs AS (
+            SELECT a.event_type,
+                   CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.d < b.d
+        ), agg AS (
+            SELECT event_type,
+                   CAST(SUM(sgn) AS BIGINT) AS s_stat,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+            FROM pairs GROUP BY event_type
+        )
+        SELECT event_type, s_stat, n_pairs, n_ties,
+               CAST(s_stat AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS kendall_tau_a,
+               CASE WHEN s_stat > 0 THEN 'increasing'
+                    WHEN s_stat < 0 THEN 'decreasing'
+                    ELSE 'no_trend' END AS direction
+        FROM agg ORDER BY event_type
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on daily event volume: the S
+    statistic (sum of pairwise later-minus-earlier signs) with tie
+    count and tau-a — the DIRECTION-significance companion to
+    theil_sen_daily_trend's magnitude estimate, and fully
+    nonparametric (a monotone transform of the counts leaves S
+    unchanged). Pure integer sign counting — nothing to round,
+    nothing engine-dependent.
+
+    Scale: pairs form on the calendar-bounded daily rollup (same
+    D(D-1)/2 bound as Theil-Sen); one aggregate per type."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("date").alias("dt"))
+        .groupBy("event_type", "dt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "event_type",
+            F.datediff(F.col("dt"), F.lit("1970-01-01").cast("date")).cast("long").alias("d"),
+            "c",
+        )
+    )
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("c").alias("c2"))
+    sgn = (
+        F.when(F.col("c2") > F.col("c1"), 1)
+        .when(F.col("c2") < F.col("c1"), -1)
+        .otherwise(0)
+    )
+    agg = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("event_type", sgn.alias("sgn"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("sgn").cast("long").alias("s_stat"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("sgn") == 0, 1).otherwise(0)).cast("long").alias("n_ties"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "s_stat",
+        "n_pairs",
+        "n_ties",
+        (F.col("s_stat").cast("double") / F.col("n_pairs").cast("double")).alias(
+            "kendall_tau_a"
+        ),
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("no_trend")
+        .alias("direction"),
+    ).orderBy("event_type")

@@ -4496,3 +4496,74 @@ def ks_source_length_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "doc_length_log_histogram",
+    ops=("A1", "P8"),
+    oracle=f"""
+        WITH lens AS (
+            SELECT greatest(CAST(len({_SQL_TOKS}) AS BIGINT), 0) AS n_tokens
+            FROM documents
+        ), binned AS (
+            SELECT n_tokens,
+                   CASE WHEN n_tokens = 0 THEN -1
+                        ELSE CAST(length(bin(n_tokens)) - 1 AS INT) END AS log2_bin
+            FROM lens
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM binned
+        )
+        SELECT log2_bin,
+               CASE WHEN log2_bin < 0 THEN 0
+                    ELSE CAST(2 ** log2_bin AS BIGINT) END AS bin_lo,
+               CASE WHEN log2_bin < 0 THEN 0
+                    ELSE CAST(2 ** (log2_bin + 1) - 1 AS BIGINT) END AS bin_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS DOUBLE) / CAST(MIN(t.n_all) AS DOUBLE) AS share
+        FROM binned CROSS JOIN tot t
+        GROUP BY log2_bin
+        ORDER BY log2_bin
+    """,
+)
+def doc_length_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-2 (log-binned) histogram of document token lengths —
+    the scale-free view a corpus dashboard uses when lengths span
+    orders of magnitude (fixed-width bins crush the short-doc mass:
+    histogram_fixed_width is the linear companion). The bin index is
+    the position of the highest set bit, computed LEXICALLY from the
+    binary string on both engines — floor(log2(n)) without log2, so
+    power-of-2 boundary values can never land in the wrong bin from a
+    last-ulp libm difference. Empty documents get a sentinel bin.
+
+    Scale: per-row bit arithmetic, one aggregate on a ~log(max_len)
+    cardinality key."""
+    lens = load(spark, sf_dir, "documents").select(
+        F.greatest(F.size(tokens("text")).cast("long"), F.lit(0)).alias("n_tokens")
+    )
+    log2_bin = F.when(F.col("n_tokens") == 0, F.lit(-1)).otherwise(
+        (F.length(F.bin(F.col("n_tokens"))) - 1).cast("int")
+    )
+    binned = lens.select("n_tokens", log2_bin.alias("log2_bin"))
+    tot = binned.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .groupBy("log2_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.count(F.lit(1)).cast("double") / F.min("n_all").cast("double")).alias("share"),
+        )
+        .select(
+            "log2_bin",
+            F.when(F.col("log2_bin") < 0, F.lit(0))
+            .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), log2_bin)"))
+            .cast("long")
+            .alias("bin_lo"),
+            F.when(F.col("log2_bin") < 0, F.lit(0))
+            .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), log2_bin + 1) - 1"))
+            .cast("long")
+            .alias("bin_hi"),
+            "n_docs",
+            "share",
+        )
+        .orderBy("log2_bin")
+    )

@@ -293,6 +293,8 @@ PRIORITY: tuple[str, ...] = (
     "charset_audit",
     "cluster_representative_selection",
     "ks_source_length_test",
+    "mann_kendall_trend",
+    "doc_length_log_histogram",
 )
 
 
