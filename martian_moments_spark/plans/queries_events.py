@@ -2334,3 +2334,80 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_trend")
         .alias("direction"),
     ).orderBy("event_type")
+
+
+@register(
+    "interarrival_burstiness",
+    ops=("W2", "A1", "F8"),
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS s
+            FROM events
+        ), gaps AS (
+            SELECT user_id,
+                   s - LAG(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS g
+            FROM ev
+        ), agg AS (
+            SELECT user_id,
+                   CAST(COUNT(g) AS BIGINT) AS n_gaps,
+                   CAST(SUM(g) AS BIGINT) AS sg,
+                   CAST(SUM(g * g) AS BIGINT) AS sgg
+            FROM gaps WHERE g IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id, n_gaps,
+               CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+               CASE WHEN n_gaps > 1 AND sg > 0
+                    THEN sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)
+                              / CAST(n_gaps * (n_gaps - 1) AS DOUBLE))
+                         / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                    ELSE NULL END AS cv_gap,
+               CASE WHEN n_gaps > 1 AND sg > 0
+                    THEN (sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)
+                               / CAST(n_gaps * (n_gaps - 1) AS DOUBLE))
+                          - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                         / (sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)
+                                 / CAST(n_gaps * (n_gaps - 1) AS DOUBLE))
+                            + (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                    ELSE NULL END AS burstiness
+        FROM agg
+    """,
+)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per user: coefficient of variation of
+    the gaps between consecutive events and the Goh–Barabási
+    burstiness B = (sigma - mu)/(sigma + mu) — B near -1 is metronome
+    traffic, 0 is Poisson, toward +1 is bursty sessions — the traffic-
+    shape fingerprint behind rate-limit and capacity planning. Moments
+    are BIGINT sums off one LAG pass; sigma and the two ratios are a
+    fixed tree of exactly-rounded double ops (sqrt included), so the
+    statistic is bit-stable cross-engine.
+
+    Scale: one shuffle on user_id for the lag window; the rollup
+    reuses its partitioning."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("s")
+    )
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("s") - F.lag("s").over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count("g").cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("sgg"),
+    )
+    mean = F.col("sg").cast("double") / F.col("n_gaps").cast("double")
+    sigma = F.sqrt(
+        (F.col("n_gaps") * F.col("sgg") - F.col("sg") * F.col("sg")).cast("double")
+        / (F.col("n_gaps") * (F.col("n_gaps") - 1)).cast("double")
+    )
+    ok = (F.col("n_gaps") > 1) & (F.col("sg") > 0)
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        mean.alias("mean_gap_s"),
+        F.when(ok, sigma / mean).alias("cv_gap"),
+        F.when(ok, (sigma - mean) / (sigma + mean)).alias("burstiness"),
+    )

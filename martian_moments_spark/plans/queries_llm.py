@@ -4567,3 +4567,60 @@ def doc_length_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bin")
     )
+
+
+@register(
+    "embedding_dimension_stats",
+    ops=("N3", "A1", "A4"),
+    oracle=f"""
+        WITH u AS (
+            SELECT vec_id, {_SQL_UNITS} AS units FROM embeddings
+        ), flat AS (
+            SELECT vec_id,
+                   unnest(units) AS v,
+                   unnest(generate_series(1, len(units))) AS dim
+            FROM u
+        )
+        SELECT CAST(dim AS INT) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(MIN(v) AS BIGINT) AS min_units,
+               CAST(MAX(v) AS BIGINT) AS max_units,
+               CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS mean_units,
+               CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS BIGINT) AS zero_share,
+               MAX(v) = MIN(v) AS is_constant
+        FROM flat GROUP BY dim
+        ORDER BY dim
+    """,
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION health profile of the embedding corpus: min/max/
+    mean (in fixed-point units), zero share, and constant-dimension
+    detection — the audit that catches dead or collapsed dimensions
+    (a constant dimension adds norm without information and silently
+    degrades every cosine). The column-wise complement to the
+    row-wise table_profile.
+
+    Scale: posexplode is per-row; the aggregate keys on dimension
+    index (bounded by embedding width), and every stat is
+    decomposable — one map-side-combined shuffle."""
+    u = with_units_and_norm(load(spark, sf_dir, "embeddings")).select("units")
+    flat = u.select(F.posexplode("units").alias("dim0", "v")).select(
+        (F.col("dim0") + 1).cast("int").alias("dim"), "v"
+    )
+    n = F.count(F.lit(1))
+    return (
+        flat.groupBy("dim")
+        .agg(
+            n.cast("long").alias("n_vecs"),
+            F.min("v").cast("long").alias("min_units"),
+            F.max("v").cast("long").alias("max_units"),
+            (F.sum("v").cast("double") / n.cast("long")).alias("mean_units"),
+            (
+                F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("double")
+                / n.cast("long")
+            ).alias("zero_share"),
+            (F.max("v") == F.min("v")).alias("is_constant"),
+        )
+        .orderBy("dim")
+    )

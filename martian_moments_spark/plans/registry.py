@@ -295,6 +295,8 @@ PRIORITY: tuple[str, ...] = (
     "ks_source_length_test",
     "mann_kendall_trend",
     "doc_length_log_histogram",
+    "embedding_dimension_stats",
+    "interarrival_burstiness",
 )
 
 
