@@ -4624,3 +4624,73 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+SNIPPET_RADIUS = 40  # chars of context on each side of the hit
+
+
+@register(
+    "search_snippets",
+    ops=("F1", "P3", "J1"),
+    oracle=f"""
+        WITH probe AS (
+            SELECT term FROM (
+                SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents) t
+                GROUP BY term
+            ) dft CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents) s
+            WHERE df * 2 <= n_docs
+            ORDER BY df DESC, term LIMIT 1
+        ), hits AS (
+            SELECT d.doc_id, p.term,
+                   CAST(strpos(d.text, p.term) AS BIGINT) AS pos
+            FROM documents d CROSS JOIN probe p
+            WHERE strpos(d.text, p.term) > 0
+        )
+        SELECT doc_id, term, pos,
+               CASE WHEN pos > {SNIPPET_RADIUS} THEN '…' ELSE '' END
+               || substr(text, greatest(pos - {SNIPPET_RADIUS}, 1),
+                         least(pos - 1, {SNIPPET_RADIUS}) + length(term)
+                         + {SNIPPET_RADIUS}) AS snippet
+        FROM hits JOIN documents USING (doc_id)
+    """,
+)
+def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippet extraction for the top probe term
+    (same deterministic probe rule as bm25_probe_ranking, k=1): first
+    occurrence position and a +-40-character context window with a
+    leading ellipsis when truncated — the result-page presentation
+    layer of the retrieval stack. String positions are 1-based on both
+    engines (strpos / instr agree); the window arithmetic is pure
+    integer clamping.
+
+    Scale: the probe is a broadcast single row; matching and substring
+    extraction are per-row string ops inside codegen — no shuffle
+    beyond the df aggregate that picks the probe."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dft = tok.groupBy("term").agg(F.count_distinct("doc_id").cast("long").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    probe = (
+        dft.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 2 <= F.col("n_docs"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(1)
+        .select("term")
+    )
+    hits = (
+        docs.crossJoin(F.broadcast(probe))
+        .withColumn("pos", F.instr(F.col("text"), F.col("term")).cast("long"))
+        .filter(F.col("pos") > 0)
+    )
+    start = F.greatest(F.col("pos") - SNIPPET_RADIUS, F.lit(1))
+    length = (
+        F.least(F.col("pos") - 1, F.lit(SNIPPET_RADIUS))
+        + F.length("term")
+        + F.lit(SNIPPET_RADIUS)
+    )
+    snippet = F.concat(
+        F.when(F.col("pos") > SNIPPET_RADIUS, F.lit("…")).otherwise(F.lit("")),
+        F.substring(F.col("text"), start, length),
+    )
+    return hits.select("doc_id", "term", "pos", snippet.alias("snippet"))

@@ -297,6 +297,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_length_log_histogram",
     "embedding_dimension_stats",
     "interarrival_burstiness",
+    "search_snippets",
 )
 
 
