@@ -2246,3 +2246,103 @@ def weighted_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("weighted_median_price"),
     )
+
+
+@register(
+    "fisher_price_index",
+    ops=("A1", "J2", "P3", "A3"),
+    oracle="""
+        WITH yr AS (
+            SELECT l.l_partkey,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS y,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS spend_units
+            FROM lineitem l
+            WHERE EXTRACT(year FROM l.l_shipdate) IN (1998, 1999)
+            GROUP BY l.l_partkey, EXTRACT(year FROM l.l_shipdate)
+        ), wide AS (
+            SELECT l_partkey,
+                   MAX(CASE WHEN y = 1998 THEN q END) AS q1,
+                   MAX(CASE WHEN y = 1998 THEN spend_units END) AS s1,
+                   MAX(CASE WHEN y = 1999 THEN spend_units END) AS s2,
+                   MAX(CASE WHEN y = 1999 THEN q END) AS q2
+            FROM yr GROUP BY l_partkey
+            HAVING MAX(CASE WHEN y = 1998 THEN q END) IS NOT NULL
+               AND MAX(CASE WHEN y = 1999 THEN q END) IS NOT NULL
+        ), sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+                   CAST(SUM(CAST(floor(CAST(s2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+                        * CAST(q1 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS p2q1,
+                   CAST(SUM(CAST(floor(CAST(s1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                        * CAST(q1 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS p1q1,
+                   CAST(SUM(CAST(floor(CAST(s2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+                        * CAST(q2 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS p2q2,
+                   CAST(SUM(CAST(floor(CAST(s1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                        * CAST(q2 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS p1q2
+            FROM wide
+        )
+        SELECT n_common_parts,
+               CAST(p2q1 AS DOUBLE) / CAST(p1q1 AS DOUBLE) AS laspeyres_index,
+               CAST(p2q2 AS DOUBLE) / CAST(p1q2 AS DOUBLE) AS paasche_index,
+               sqrt((CAST(p2q1 AS DOUBLE) / CAST(p1q1 AS DOUBLE))
+                    * (CAST(p2q2 AS DOUBLE) / CAST(p1q2 AS DOUBLE))) AS fisher_index
+        FROM sums
+    """,
+)
+def fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full index-number triad, 1999 vs 1998: Laspeyres (base-year
+    basket — overstates inflation under substitution), Paasche
+    (current-year basket — understates it), and Fisher's ideal index,
+    their geometric mean — the bias-bracketing construction a pricing
+    team reads together. Same quantized micro-unit discipline as
+    laspeyres_price_index (each basket term rounds to integer units
+    BEFORE the order-free BIGINT sum); the three ratios and the sqrt
+    are a fixed tree of exactly-rounded ops.
+
+    Scale: identical plan to the Laspeyres query — one (part, year)
+    aggregate, per-part pivot, 1-row combine — just four basket sums
+    instead of two."""
+    yr = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate").isin(1998, 1999))
+        .select(
+            "l_partkey",
+            F.year("l_shipdate").cast("int").alias("y"),
+            F.round(F.col("l_quantity")).cast("long").alias("qv"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("su"),
+        )
+        .groupBy("l_partkey", "y")
+        .agg(F.sum("qv").alias("q"), F.sum("su").alias("spend_units"))
+    )
+    wide = (
+        yr.groupBy("l_partkey")
+        .agg(
+            F.max(F.when(F.col("y") == 1998, F.col("q"))).alias("q1"),
+            F.max(F.when(F.col("y") == 1998, F.col("spend_units"))).alias("s1"),
+            F.max(F.when(F.col("y") == 1999, F.col("spend_units"))).alias("s2"),
+            F.max(F.when(F.col("y") == 1999, F.col("q"))).alias("q2"),
+        )
+        .filter(F.col("q1").isNotNull() & F.col("q2").isNotNull())
+    )
+    p1 = F.col("s1").cast("double") / F.col("q1").cast("double")
+    p2 = F.col("s2").cast("double") / F.col("q2").cast("double")
+
+    def quant(term):
+        return F.floor(term * 1_000_000 + 0.5).cast("long")
+
+    sums = wide.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common_parts"),
+        F.sum(quant(p2 * F.col("q1").cast("double"))).cast("long").alias("p2q1"),
+        F.sum(quant(p1 * F.col("q1").cast("double"))).cast("long").alias("p1q1"),
+        F.sum(quant(p2 * F.col("q2").cast("double"))).cast("long").alias("p2q2"),
+        F.sum(quant(p1 * F.col("q2").cast("double"))).cast("long").alias("p1q2"),
+    )
+    lasp = F.col("p2q1").cast("double") / F.col("p1q1").cast("double")
+    paas = F.col("p2q2").cast("double") / F.col("p1q2").cast("double")
+    return sums.select(
+        "n_common_parts",
+        lasp.alias("laspeyres_index"),
+        paas.alias("paasche_index"),
+        F.sqrt(lasp * paas).alias("fisher_index"),
+    )

@@ -298,6 +298,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_dimension_stats",
     "interarrival_burstiness",
     "search_snippets",
+    "fisher_price_index",
 )
 
 
