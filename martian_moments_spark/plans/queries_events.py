@@ -2411,3 +2411,69 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, sigma / mean).alias("cv_gap"),
         F.when(ok, (sigma - mean) / (sigma + mean)).alias("burstiness"),
     )
+
+
+@register(
+    "stickiness_dau_mau",
+    ops=("A1", "A2", "J1", "F8"),
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   CAST(ts AS DATE) AS d,
+                   CAST(date_trunc('month', ts) AS DATE) AS m
+            FROM events
+        ), dau AS (
+            SELECT m, d, CAST(COUNT(*) AS BIGINT) AS dau FROM days GROUP BY m, d
+        ), mau AS (
+            SELECT m, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM days GROUP BY m
+        ), davg AS (
+            SELECT m, CAST(SUM(dau) AS BIGINT) AS sum_dau,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM dau GROUP BY m
+        )
+        SELECT a.m AS month, u.mau, a.n_days,
+               CAST(a.sum_dau AS DOUBLE) / CAST(a.n_days AS DOUBLE) AS avg_dau,
+               CAST(a.sum_dau AS DOUBLE) / CAST(a.n_days AS DOUBLE)
+                   / CAST(u.mau AS DOUBLE) AS stickiness
+        FROM davg a JOIN mau u ON u.m = a.m
+        ORDER BY month
+    """,
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — the engagement ratio
+    product teams steer by (what fraction of the monthly audience
+    shows up on an average day): average daily active users over
+    monthly active users, on the distinct (user, day) activity set so
+    event volume can't inflate engagement. Integer counts; the two
+    divisions evaluate in the same tree on both engines.
+
+    Scale: one distinct-reduce to (user, day), then month-keyed
+    aggregates — DAU sums are map-side-combinable, MAU is one distinct
+    count per month."""
+    days = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("d"),
+            F.date_trunc("month", "ts").cast("date").alias("m"),
+        )
+        .distinct()
+    )
+    dau = days.groupBy("m", "d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    mau = days.groupBy("m").agg(F.count_distinct("user_id").cast("long").alias("mau"))
+    davg = dau.groupBy("m").agg(
+        F.sum("dau").cast("long").alias("sum_dau"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    avg_dau = F.col("sum_dau").cast("double") / F.col("n_days").cast("double")
+    return (
+        davg.join(mau, "m")
+        .select(
+            F.col("m").alias("month"),
+            "mau",
+            "n_days",
+            avg_dau.alias("avg_dau"),
+            (avg_dau / F.col("mau").cast("double")).alias("stickiness"),
+        )
+        .orderBy("month")
+    )

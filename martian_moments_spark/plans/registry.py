@@ -299,6 +299,7 @@ PRIORITY: tuple[str, ...] = (
     "interarrival_burstiness",
     "search_snippets",
     "fisher_price_index",
+    "stickiness_dau_mau",
 )
 
 
