@@ -3329,6 +3329,7 @@ CROSS_DOC_TAU = 0.3  # max fraction of tokens inside cross-doc-duplicated spans
 
 @register(
     "cross_doc_ngram_spans",
+    bench=True,
     ops=("N2", "A1", "A2", "J1", "J3"),
     oracle=f"""
         WITH toks AS (
@@ -3442,6 +3443,7 @@ _BM25_SALTS = 64  # phase-1 fan-out of the per-term top-k
 
 @register(
     "bm25_probe_ranking",
+    bench=True,
     ops=("A1", "J1", "W2", "O2"),
     oracle=f"""
         WITH toks AS (
