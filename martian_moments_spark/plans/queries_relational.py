@@ -1636,3 +1636,83 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+@register(
+    "running_record_highs",
+    ops=("W2", "A1", "A4", "F8"),
+    oracle="""
+        WITH daily AS (
+            SELECT o_custkey,
+                   CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+            FROM orders GROUP BY o_custkey, o_orderdate
+        ), marked AS (
+            SELECT o_custkey, d, rev,
+                   CASE WHEN MAX(rev) OVER (
+                            PARTITION BY o_custkey ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) IS NULL
+                        OR rev > MAX(rev) OVER (
+                            PARTITION BY o_custkey ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        )
+                        THEN 1 ELSE 0 END AS is_record
+            FROM daily
+        )
+        SELECT o_custkey, d AS day_no, rev AS revenue_cents,
+               is_record = 1 AS is_record,
+               d - MAX(CASE WHEN is_record = 1 THEN d END) OVER (
+                   PARTITION BY o_custkey ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS days_since_record
+        FROM marked
+    """,
+)
+def running_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-day detection per customer: a day is a RECORD when its
+    order revenue beats every earlier day's (strictly — ties don't
+    re-record), plus the days-since-last-record drought counter — the
+    "all-time high" shape behind streak dashboards and alerting
+    ("first record in 40 days"). Two windows, one partitioning: the
+    strict prior running max marks records; a running max over the
+    marked days' day-numbers carries the last record date forward
+    without a self-join.
+
+    Scale: one shuffle on the customer key serves the daily rollup
+    and both windows (same partitioning and order — one sort)."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("pu"),
+        )
+        .groupBy("o_custkey", "d")
+        .agg(F.sum("pu").cast("long").alias("rev"))
+    )
+    w_prev = (
+        W.partitionBy("o_custkey").orderBy("d").rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("o_custkey")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_max = F.max("rev").over(w_prev)
+    marked = daily.withColumn(
+        "is_rec",
+        F.when(prev_max.isNull() | (F.col("rev") > prev_max), 1).otherwise(0),
+    )
+    last_record_day = F.max(
+        F.when(F.col("is_rec") == 1, F.col("d"))
+    ).over(w_run)
+    return marked.select(
+        "o_custkey",
+        F.col("d").alias("day_no"),
+        F.col("rev").alias("revenue_cents"),
+        (F.col("is_rec") == 1).alias("is_record"),
+        (F.col("d") - last_record_day).alias("days_since_record"),
+    )

@@ -300,6 +300,7 @@ PRIORITY: tuple[str, ...] = (
     "search_snippets",
     "fisher_price_index",
     "stickiness_dau_mau",
+    "running_record_highs",
 )
 
 
