@@ -4696,3 +4696,79 @@ def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("text"), start, length),
     )
     return hits.select("doc_id", "term", "pos", snippet.alias("snippet"))
+
+
+@register(
+    "dedup_pair_source_matrix",
+    ops=("J2", "A1", "O1"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, doc_id,
+                   list_distinct({_SQL_TOKS}) AS tk
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_distinct(list_concat(a.tk, b.tk))) > 0
+              AND CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE)
+                  >= {FUZZY_TAU}
+        ), labeled AS (
+            SELECT da.source AS source_a, db.source AS source_b
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.id_a
+            JOIN documents db ON db.doc_id = p.id_b
+        ), src_tot AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        )
+        SELECT l.source_a, l.source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+               s.n_docs AS n_docs_a,
+               CAST(COUNT(*) AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS dup_pairs_per_doc
+        FROM labeled l JOIN src_tot s ON s.source = l.source_a
+        GROUP BY l.source_a, l.source_b, s.n_docs
+        ORDER BY source_a, source_b
+    """,
+)
+def dedup_pair_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair counts by source pair — the provenance
+    matrix that tells a curation team WHERE duplication comes from
+    (template reuse within one feed vs syndication between feeds),
+    normalized per source size. Pairs are the same blocked-Jaccard
+    edges the dedup closure uses (here blocking is by source, so the
+    matrix is the within-block diagonal — with a cross-source blocker
+    the same rollup exposes syndication).
+
+    Scale: pair generation is the existing blocked candidate join;
+    the matrix rollup keys on (source, source) — vocabulary-sized."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        jaccard_pairs(docs, block_col="source")
+        .filter(F.col("jaccard") >= F.lit(FUZZY_TAU))
+        .select("id_a", "id_b")
+    )
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b")), "id_b")
+    )
+    src_tot = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+        .join(
+            F.broadcast(src_tot.select(F.col("source").alias("source_a"), "n_docs")),
+            "source_a",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_dup_pairs",
+            F.col("n_docs").alias("n_docs_a"),
+            (F.col("n_dup_pairs").cast("double") / F.col("n_docs").cast("double")).alias(
+                "dup_pairs_per_doc"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -301,6 +301,7 @@ PRIORITY: tuple[str, ...] = (
     "fisher_price_index",
     "stickiness_dau_mau",
     "running_record_highs",
+    "dedup_pair_source_matrix",
 )
 
 
