@@ -105,6 +105,13 @@ PRIORITY: tuple[str, ...] = (
     "permissive_corrupt_json",  # S6 (ON_ERROR=CONTINUE)
     # -- 3: previously driver-green (r01/r02) — verified by the sf0.01
     #       mirror every round; rotate forward if the window grows.
+    #       ROTATION NOTE for r04: once CORRECTNESS_r03 lands green for
+    #       tier 1 above, move the round-3 additions that have never
+    #       been driver-checked (everything registered after the r02
+    #       registry snapshot — roughly `salted_skew_aggregation`
+    #       onward through `dedup_pair_source_matrix`, ~119 queries)
+    #       into tier 1 in ~50-query waves, keeping the tier-2 cover
+    #       set in place. Full driver coverage lands after ~3 windows.
     "text_quality_scores",
     "language_id",
     "token_counts",
