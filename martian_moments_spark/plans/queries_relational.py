@@ -1607,9 +1607,11 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast scalar total, per-row arithmetic after that."""
     digits = load(spark, sf_dir, "orders").select(
         F.substring(
-            (F.round(F.col("o_totalprice") * 100).cast("long") / F.lit(100))
-            .cast("long")
-            .cast("string"),
+            # integer floor division (DIV) mirrors the oracle's `// 100`
+            # exactly — no float quotient anywhere near a digit boundary
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 100").cast(
+                "string"
+            ),
             1,
             1,
         )

@@ -48,96 +48,19 @@ REGISTRY: dict[str, QuerySpec] = {}
 # stable while modules evolve); registered names absent from the list
 # sort after it.
 PRIORITY: tuple[str, ...] = (
-    # -- 1: the 35 queries with no driver-green row across r01∪r02
-    #       (VERDICT r02 What's-missing #1). With the 15-query cover set
-    #       below this fills the 50-slot window exactly → cumulative
-    #       driver coverage 121/121 after r03.
-    "contract_check_summary",
-    "contract_quarantine_rows",
-    "decontamination_overlap",
-    "pii_redaction",
-    "repeated_ngram_ratio",
-    "context_window_packing",
-    "document_chunking",
-    "line_level_dedup",
-    "embedding_srp_neardup",
-    "curation_to_training_mix",
-    "corpus_interleave_schedule",
-    "corpus_bigram_counts",
-    "sessionize_events",
-    "scd2_dimension_merge",
-    "salted_skew_join",
-    "ewma_per_user",
-    "multimodal_feature_extract",
-    "global_rank_range_partitioned",
-    "retention_cohorts",
-    "funnel_conversion",
-    "time_weighted_avg",
-    "linear_interpolation_fill",
-    "mode_per_key",
-    "rolling_zscore_anomaly",
-    "event_pattern_match",
-    "ordered_event_sequences",
-    "incremental_rollup_merge",
-    "incremental_distinct_merge",
-    "incremental_join_merge",
-    "bloom_prefilter_join",
-    "asof_join_with_tolerance",
-    "table_profile",
-    "bpe_vocab_learn",
-    "bpe_encode_corpus",
-    "incremental_hll_merge",  # rows-only by nature (estimate != SQL)
-    # -- 2: cover set — keeps every §2 op id green inside the window
-    "daily_activity",        # A1 A4 J1 J2 P1 P3
-    "validation_gaps",       # J3 J4 P5 P10 P11 P13 A2 O1
-    "json_path_extract",     # N1 N5 P2
-    "incremental_append",    # E7 P4 A5 U1
-    "case_dict_map",         # P9 A6
-    "row_number_synthetic_key",  # W2 P12
-    "array_element_access",  # N6 A7
-    "nested_double_flatten",  # N4 N7
-    "batch_filename_format",  # F3 A8
-    "like_prefix_routing",   # F2 F4
-    "url_decode_keys",       # F5
-    "timestamp_format_iso",  # F6 F7 F8
-    "merge_upsert",          # E8
-    "flatten_explode",       # E5 N2
-    "permissive_corrupt_json",  # S6 (ON_ERROR=CONTINUE)
-    # -- 3: previously driver-green (r01/r02) — verified by the sf0.01
-    #       mirror every round; rotate forward if the window grows.
-    #       ROTATION NOTE for r04: once CORRECTNESS_r03 lands green for
-    #       tier 1 above, move the round-3 additions that have never
-    #       been driver-checked (everything registered after the r02
-    #       registry snapshot — roughly `salted_skew_aggregation`
-    #       onward through `dedup_pair_source_matrix`, ~119 queries)
-    #       into tier 1 in ~50-query waves, keeping the tier-2 cover
-    #       set in place. Full driver coverage lands after ~3 windows.
-    "text_quality_scores",
-    "language_id",
-    "token_counts",
-    "tfidf_top_terms",
-    "doc_fingerprint",
-    "embedding_cosine_topk",
-    "embedding_ann_ivf",
-    "dedup_connected_components",
-    "fuzzy_dedup_pipeline",
-    "embedding_ann_multiprobe",
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    "dedup_embedding_neardup",
-    "corpus_curation",
-    "shipping_priority_topk",
-    "asof_join_last_purchase",
-    "range_join_bucketed",
-    "salted_skew_aggregation",
-    "travel_correlation",
-    "data_quality_summary",
-    "tumbling_window_agg",
-    "sliding_window_agg",
-    "session_window_agg",
-    "topic_routed_dispatch",
-    # -- 4: round-3 additions — rotate into the front next round if
-    #       still un-windowed.
+    # ================= r04 ROTATION (VERDICT r03 Next-round #1) ======
+    # 121/240 queries hold a cumulative driver-green CORRECTNESS row
+    # (r01∪r02∪r03); the 119 below have never been driver-attested.
+    # The driver checks the first 50 names per round, so waves rotate:
+    #   r04 window -> wave 1 (positions 1-50)
+    #   r05 window -> wave 2 (positions 51-100, promoted after r04)
+    #   r06 window -> wave 3 (19) + re-attest backlog
+    # The old 15-query §2 cover set is dropped from the window: every
+    # §2 operator id is already cumulatively green (VERDICT r03 table),
+    # and re-attesting it each round cost 30% of the window. Rows-only
+    # entries (no oracle => can never hash-match) are pinned at the
+    # very end and never spend a window slot again.
+    # -- wave 1: never-driver-checked, oracle-paired (r04 window) -----
     "per_source_cap",
     "source_mix_report",
     "dedup_cluster_stats",
@@ -164,58 +87,6 @@ PRIORITY: tuple[str, ...] = (
     "doc_top_terms",
     "ngram_novelty",
     "customer_rfm",
-    # -- 5: r01-era queries, driver-green in r01, in their original
-    #       registration order (made explicit so the export order is
-    #       fully deliberate; test_registry_priority_integrity).
-    "pricing_summary",
-    "gap_detection_anti_join",
-    "dim_small_join_chain",
-    "left_join_coalesce",
-    "interval_containment",
-    "case_bucketize",
-    "in_list_category",
-    "global_row_number",
-    "ordered_limit",
-    "union_all_batches",
-    "set_operations",
-    "count_distinct",
-    "dedup_group_distinct",
-    "scalar_subquery_watermark",
-    "top_k_per_group",
-    "window_running_lag",
-    "grouping_rollup",
-    "conditional_pivot",
-    "full_outer_join",
-    "semi_join",
-    "explode_outer_empty_arrays",
-    "pivot_wide",
-    "approx_count_distinct",
-    "posexplode_index",
-    "json_serialize_envelope",
-    "json_schema_inference",
-    "regex_extract_key",
-    "sol_range_expansion",
-    "date_arithmetic",
-    "dedup_last_writer",
-    "dedup_exact",
-    "minhash_signatures",
-    "minhash_lsh_candidates",
-    "simhash_fingerprints",
-    "ngram_jaccard_pairs",
-    "group_moments_stats",
-    "histogram_fixed_width",
-    "percent_rank_distribution",
-    "trailing_range_frame_sum",
-    "percentile_exact_median",
-    "cube_aggregation",
-    "forward_fill_gaps",
-    "deterministic_split",
-    "unpivot_melt",
-    "edit_distance_pairs",
-    "corpus_mixture_sample",
-    "stratified_sample",
-    # -- 6: round-3 second-session additions (never driver-checked;
-    #       candidates for the front of the r04 window rotation).
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
@@ -240,6 +111,10 @@ PRIORITY: tuple[str, ...] = (
     "pagerank_event_graph",
     "relational_division_years",
     "skyline_pareto_parts",
+    # -- wave 2: never-driver-checked, staged for the r05 window ------
+    # ROTATION NOTE r05: after CORRECTNESS_r04 lands, delete wave 1
+    # above (its names fall through to the cumulative-green tail) so
+    # wave 2 occupies positions 1-50. Wave 3 + tail follow in r06.
     "scd2_point_in_time_join",
     "clamped_running_balance",
     "multi_touch_attribution",
@@ -290,6 +165,7 @@ PRIORITY: tuple[str, ...] = (
     "minhash_estimation_accuracy",
     "daily_autocorrelation",
     "ann_recall_report",
+    # -- wave 3: never-driver-checked, staged for the r06 window ------
     "k_anonymity_audit",
     "transition_graph_stats",
     "survivorship_golden_record",
@@ -309,6 +185,134 @@ PRIORITY: tuple[str, ...] = (
     "stickiness_dau_mau",
     "running_record_highs",
     "dedup_pair_source_matrix",
+    # -- cumulative driver-green (r01∪r02∪r03), prior relative order --
+    # Verified every round by the local sf0.01 oracle-parity mirror
+    # (tests/test_oracle_parity.py); they re-enter the window only
+    # after all never-checked names are attested.
+    "contract_check_summary",
+    "contract_quarantine_rows",
+    "decontamination_overlap",
+    "pii_redaction",
+    "repeated_ngram_ratio",
+    "context_window_packing",
+    "document_chunking",
+    "line_level_dedup",
+    "embedding_srp_neardup",
+    "curation_to_training_mix",
+    "corpus_interleave_schedule",
+    "corpus_bigram_counts",
+    "sessionize_events",
+    "scd2_dimension_merge",
+    "salted_skew_join",
+    "ewma_per_user",
+    "multimodal_feature_extract",
+    "global_rank_range_partitioned",
+    "retention_cohorts",
+    "funnel_conversion",
+    "time_weighted_avg",
+    "linear_interpolation_fill",
+    "mode_per_key",
+    "rolling_zscore_anomaly",
+    "event_pattern_match",
+    "ordered_event_sequences",
+    "incremental_rollup_merge",
+    "incremental_distinct_merge",
+    "incremental_join_merge",
+    "bloom_prefilter_join",
+    "asof_join_with_tolerance",
+    "table_profile",
+    "bpe_vocab_learn",
+    "bpe_encode_corpus",
+    "daily_activity",
+    "validation_gaps",
+    "json_path_extract",
+    "incremental_append",
+    "case_dict_map",
+    "row_number_synthetic_key",
+    "array_element_access",
+    "nested_double_flatten",
+    "batch_filename_format",
+    "like_prefix_routing",
+    "url_decode_keys",
+    "timestamp_format_iso",
+    "merge_upsert",
+    "flatten_explode",
+    "permissive_corrupt_json",
+    "text_quality_scores",
+    "language_id",
+    "token_counts",
+    "tfidf_top_terms",
+    "doc_fingerprint",
+    "embedding_cosine_topk",
+    "embedding_ann_ivf",
+    "dedup_connected_components",
+    "fuzzy_dedup_pipeline",
+    "embedding_ann_multiprobe",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "dedup_embedding_neardup",
+    "corpus_curation",
+    "shipping_priority_topk",
+    "asof_join_last_purchase",
+    "range_join_bucketed",
+    "salted_skew_aggregation",
+    "travel_correlation",
+    "data_quality_summary",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "topic_routed_dispatch",
+    "pricing_summary",
+    "gap_detection_anti_join",
+    "dim_small_join_chain",
+    "left_join_coalesce",
+    "interval_containment",
+    "case_bucketize",
+    "in_list_category",
+    "global_row_number",
+    "ordered_limit",
+    "union_all_batches",
+    "set_operations",
+    "count_distinct",
+    "dedup_group_distinct",
+    "scalar_subquery_watermark",
+    "top_k_per_group",
+    "window_running_lag",
+    "grouping_rollup",
+    "conditional_pivot",
+    "full_outer_join",
+    "semi_join",
+    "explode_outer_empty_arrays",
+    "pivot_wide",
+    "posexplode_index",
+    "json_serialize_envelope",
+    "json_schema_inference",
+    "regex_extract_key",
+    "sol_range_expansion",
+    "date_arithmetic",
+    "dedup_last_writer",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_fingerprints",
+    "ngram_jaccard_pairs",
+    "group_moments_stats",
+    "histogram_fixed_width",
+    "percent_rank_distribution",
+    "trailing_range_frame_sum",
+    "percentile_exact_median",
+    "cube_aggregation",
+    "forward_fill_gaps",
+    "deterministic_split",
+    "unpivot_melt",
+    "edit_distance_pairs",
+    "corpus_mixture_sample",
+    "stratified_sample",
+    # -- rows-only entries: no oracle => never hash-match; keep out of
+    #    the window permanently (registry policy above; VERDICT r03
+    #    What's-wrong #1).
+    "incremental_hll_merge",
+    "approx_count_distinct",
 )
 
 

@@ -61,8 +61,12 @@ def test_rle_and_coverage_share_one_user_shuffle(plans):
     2 shuffles total (window partitioning + final agg re-use), never
     one per window."""
     for name in ("interval_union_coverage", "event_state_run_lengths"):
-        n_exch = plans[name].count("Exchange hashpartitioning")
-        assert n_exch <= 2, f"{name}: {n_exch} hash exchanges"
+        # formatted explain renders the partitioning on a separate
+        # "Arguments:" detail line, not inline after "Exchange" — count
+        # that line (as tools_plan_audit does), and require at least one
+        # so a rendering change can't silently make the pin vacuous
+        n_exch = plans[name].count("Arguments: hashpartitioning")
+        assert 1 <= n_exch <= 2, f"{name}: {n_exch} hash exchanges"
 
 
 def test_apportionment_sums_exactly_to_budget(spark):
