@@ -3385,8 +3385,12 @@ def cross_doc_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: shingle-hash posexplode is per-row; the duplicated-shingle
     set is one map-side-combined aggregate on the hash (distinct-doc
     count >= 2); the hit join is hash-partitioned on the shingle — the
-    natural key, collision-bounded, never all-pairs; coverage is a
-    4-element explode then a distinct count per doc. Every shuffle key
+    natural key, collision-bounded, never all-pairs. Coverage is an
+    interval union computed with one lag window over positions sorted
+    per doc: every span has fixed length L, so union size is
+    sum(min(L, p_i - p_(i-1))) — no 4x row explode, no distinct
+    shuffle, and the n_dup count rides the same doc_id partitioning
+    (the groupBy reuses the window's exchange). Every shuffle key
     (shingle hash, doc_id) is high-cardinality; stop-phrase skew is
     capped because dup membership is one row per distinct shingle."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3401,14 +3405,24 @@ def cross_doc_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sh")
     )
     hits = pos.join(dup, "sh").select("doc_id", "p")
-    agg_pos = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
-    cov = (
-        hits.select(
-            "doc_id",
-            F.explode(F.sequence(F.col("p"), F.col("p") + (CROSS_DOC_NGRAM - 1))).alias("idx"),
-        )
+    # positions are distinct per doc (posexplode index), so the union of
+    # the fixed-length [p, p+L-1] intervals is sum(min(L, p - lag(p)))
+    # over positions sorted within the doc; first position contributes L
+    span_w = W.partitionBy("doc_id").orderBy("p")
+    delta = F.coalesce(
+        F.least(
+            F.lit(CROSS_DOC_NGRAM).cast("long"),
+            (F.col("p") - F.lag("p").over(span_w)).cast("long"),
+        ),
+        F.lit(CROSS_DOC_NGRAM).cast("long"),
+    )
+    per_doc = (
+        hits.withColumn("delta", delta)
         .groupBy("doc_id")
-        .agg(F.count_distinct("idx").alias("n_cov"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dup"),
+            F.sum("delta").alias("n_cov"),
+        )
     )
     base = docs.select("doc_id", F.size(tokens("text")).cast("long").alias("n_tokens"))
     n_cov = F.coalesce(F.col("n_cov"), F.lit(0))
@@ -3417,8 +3431,7 @@ def cross_doc_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cov.cast("double") / F.col("n_tokens").cast("double"),
     ).otherwise(F.lit(0.0))
     return (
-        base.join(agg_pos, "doc_id", "left")
-        .join(cov, "doc_id", "left")
+        base.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

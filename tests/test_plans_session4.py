@@ -55,6 +55,27 @@ def test_cross_doc_dup_join_is_equi(plans):
     )
 
 
+def test_cross_doc_coverage_is_interval_union(plans):
+    """Coverage must be the lag-window interval union, not the old
+    explode(sequence)+count_distinct shape: exactly one Generate (the
+    shingle posexplode), a Window, and no distinct aggregate on
+    exploded span indices. The per-doc agg rides the window's doc_id
+    exchange, so the whole query needs at most 3 hash exchanges
+    (shingle dup-agg, shingle hit-join side, doc_id window+agg)."""
+    plan = plans["cross_doc_ngram_spans"]
+    # the only Generate nodes are the shingle posexplode (evaluated in
+    # the dup-agg and hit-join branches; formatted explain names each
+    # node twice: tree + detail heading) — the old shape's 4-element
+    # span explode would add a third node and its sequence() argument
+    assert plan.count("Generate") <= 4, "span explode crept back in"
+    # (expression-level sequence() inside the shingle lambda is fine;
+    # the old shape's signature was a Generate over explode(sequence))
+    assert "explode(sequence" not in plan
+    assert "Window" in plan
+    n_exch = plan.count("Arguments: hashpartitioning")
+    assert 1 <= n_exch <= 3, f"{n_exch} hash exchanges"
+
+
 def test_rle_and_coverage_share_one_user_shuffle(plans):
     """interval_union_coverage and event_state_run_lengths each claim
     a single user_id exchange feeding fused windows + rollup: at most
