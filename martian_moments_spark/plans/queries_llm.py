@@ -4477,8 +4477,11 @@ def ks_source_length_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = lens.select("n_tokens").distinct()
     srcs = counts.groupBy("source").agg(F.sum("c").cast("long").alias("tot_in"))
     tot = lens.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    # broadcast the per-source totals (|sources| rows, a keyed agg on
+    # the tiny source dimension) and stream the length grid — at scale
+    # the grid is ~|distinct lengths| rows, the wrong side to ship
     cells = (
-        srcs.crossJoin(F.broadcast(grid))
+        grid.crossJoin(F.broadcast(srcs))
         .join(counts, ["source", "n_tokens"], "left")
         .select("source", "n_tokens", "tot_in", F.coalesce(F.col("c"), F.lit(0)).alias("c_in"))
     )

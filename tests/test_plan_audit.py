@@ -31,3 +31,39 @@ def test_no_cartesian_product_anywhere(all_plans):
 def test_no_row_at_a_time_python_udf_anywhere(all_plans):
     bad = [n for n, p in all_plans.items() if "BatchEvalPython" in p]
     assert not bad, f"row-at-a-time Python UDF planned by: {bad}"
+
+
+def test_every_bnlj_broadcast_side_is_bounded(all_plans):
+    """A BroadcastNestedLoopJoin is only acceptable as the
+    scalar-subquery / literal-grid pattern: its broadcast side must be
+    provably bounded (every path through a global aggregate or a
+    literal leaf). A crossJoin(broadcast(<table scan>)) would pass the
+    cartesian gate but melt at scale — this closes that hole."""
+    from tools_plan_audit import BNLJ_ALLOW, bnlj_bound_audit
+
+    bad = [
+        (name, b)
+        for name, p in all_plans.items()
+        for b in bnlj_bound_audit(p)
+        if not b["bounded"] and name not in BNLJ_ALLOW
+    ]
+    assert not bad, f"unbounded BNLJ broadcast sides: {bad}"
+    # the allowlist must stay current: every entry still plans a BNLJ
+    stale = [n for n in BNLJ_ALLOW if n in all_plans and not bnlj_bound_audit(all_plans[n])]
+    assert not stale, f"BNLJ_ALLOW entries with no BNLJ left: {stale}"
+
+
+def test_bnlj_bound_audit_rejects_table_scan_broadcast(spark):
+    """The gate itself must be falsifiable: a broadcast crossJoin of a
+    raw table scan is flagged unbounded."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR_SMALL
+    from tools_plan_audit import bnlj_bound_audit
+
+    df = spark.read.parquet(f"{SF_DIR_SMALL}/nation.parquet")
+    bad = df.crossJoin(
+        F.broadcast(spark.read.parquet(f"{SF_DIR_SMALL}/region.parquet"))
+    )
+    audits = bnlj_bound_audit(explain_str(bad))
+    assert audits and not audits[0]["bounded"]

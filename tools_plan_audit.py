@@ -34,16 +34,160 @@ from tests.test_plans import explain_str  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# Queries whose BroadcastNestedLoopJoin uses are known 1-row scalar
-# broadcasts (watermarks, corpus stats, thresholds) — the correct plan
-# for a scalar, documented in each query's docstring.
 PYTHON_SEAMS = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
+# ---------------------------------------------------------------------------
+# BNLJ build-side bound audit
+#
+# A BroadcastNestedLoopJoin is acceptable ONLY when its broadcast side
+# is provably bounded — the engine's scalar-subquery / literal-grid
+# pattern (watermarks, corpus stats, threshold grids). "Provably
+# bounded" is a plan-shape fact: every root-to-leaf path inside the
+# build subtree must pass through a GLOBAL aggregate ("Keys: []" in the
+# node details => exactly 1 output row) or terminate at a literal leaf
+# (LocalTableScan / Range / OneRowRelation). Joins of bounded sides,
+# unions of bounded sides, and Generates over bounded input stay
+# bounded; a parquet scan with no global agg above it does not.
+# ---------------------------------------------------------------------------
+
+_TREE_PREFIX = " :+-|"
+# LocalTableScan/Range/OneRowRelation are literal plans; Scan
+# ExistingRDD is a driver-created local collection (createDataFrame of
+# an in-memory list — bounded by construction, it already fit on the
+# driver)
+_LITERAL_LEAVES = (
+    "LocalTableScan",
+    "Range",
+    "Scan OneRowRelation",
+    "Scan ExistingRDD",
+)
+_GLOBAL_AGG = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+# global-limit operators cap output at a plan-literal row count
+_LIMIT_NODES = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+
+# Broadcast sides that are bounded by a DATA property the plan cannot
+# prove (keyed aggregate over a low-cardinality dimension). Every entry
+# must state the bound; anything not provable and not listed here is a
+# hard flag — a new unbounded BNLJ cannot slip through silently.
+BNLJ_ALLOW: dict[str, str] = {
+    "ks_source_length_test": (
+        "broadcast side is the per-source totals — a keyed aggregate on "
+        "the source dimension (|sources| rows, ≤ dozens); the KS "
+        "source×grid matrix is inherent to evaluating both ECDFs at "
+        "every jump point"
+    ),
+}
+
+
+def parse_plan_nodes(plan: str):
+    """Parse formatted-explain output into (tree, details).
+
+    tree: list of {id, name, depth, children:[ids]} in render order;
+    details: {id: detail-block text} from the per-node sections.
+    """
+    lines = plan.splitlines()
+    # tree section: from the first node line to the first blank line
+    nodes: list[dict] = []
+    for ln in lines:
+        m = re.search(r"\((\d+)\)\s*$", ln)
+        if not m or "== Physical Plan ==" in ln:
+            if nodes and not ln.strip():
+                break
+            continue
+        pad = len(ln) - len(ln.lstrip(_TREE_PREFIX))
+        nodes.append(
+            {
+                "id": int(m.group(1)),
+                "name": ln[pad : m.start()].strip(),
+                "depth": pad // 3,
+                "children": [],
+            }
+        )
+    # children: next nodes one level deeper until depth falls back
+    for i, n in enumerate(nodes):
+        for m_ in nodes[i + 1 :]:
+            if m_["depth"] <= n["depth"]:
+                break
+            if m_["depth"] == n["depth"] + 1:
+                n["children"].append(m_["id"])
+    details: dict[int, str] = {}
+    cur = None
+    for ln in lines:
+        m = re.match(r"^\((\d+)\) ", ln)
+        if m:
+            cur = int(m.group(1))
+            details[cur] = ln
+        elif cur is not None and ln.strip():
+            details[cur] += "\n" + ln
+        elif not ln.strip():
+            cur = None
+    return nodes, details
+
+
+def _bounded(node_id: int, by_id: dict, details: dict, seen: frozenset = frozenset()):
+    """Return a witness string if the subtree at node_id is provably
+    bounded, else None."""
+    if node_id in seen:  # defensive: reuse cycles
+        return None
+    node = by_id[node_id]
+    name, det = node["name"], details.get(node_id, "")
+    if name.startswith(_LITERAL_LEAVES):
+        return f"literal leaf {name} ({node_id})"
+    if name.startswith("ReusedExchange"):
+        m = re.search(r"Reuses operator id: (\d+)", det) or re.search(
+            r"\[Reuses operator id: (\d+)\]", name
+        )
+        if m and int(m.group(1)) in by_id:
+            return _bounded(int(m.group(1)), by_id, details, seen | {node_id})
+        return None
+    if name.startswith(_GLOBAL_AGG) and "Keys: []" in det:
+        return f"global aggregate ({node_id})"
+    if name.startswith(_LIMIT_NODES):
+        return f"global limit {name.split()[0]} ({node_id})"
+    if not node["children"]:
+        return None  # unbounded leaf (parquet scan, stream source, ...)
+    witnesses = []
+    for c in node["children"]:
+        w = _bounded(c, by_id, details, seen | {node_id})
+        if w is None:
+            return None
+        witnesses.append(w)
+    return "; ".join(witnesses)
+
+
+def bnlj_bound_audit(plan: str) -> list[dict]:
+    """For every BroadcastNestedLoopJoin in the plan, return
+    {node, build_side, bounded, witness}. Build side defaults to the
+    streamed/right child per the BuildLeft/BuildRight tag in the node
+    name."""
+    nodes, details = parse_plan_nodes(plan)
+    by_id = {n["id"]: n for n in nodes}
+    out = []
+    for n in nodes:
+        if not n["name"].startswith("BroadcastNestedLoopJoin"):
+            continue
+        side = "left" if "BuildLeft" in n["name"] else "right"
+        kids = n["children"]
+        build = kids[0] if side == "left" else (kids[1] if len(kids) > 1 else None)
+        w = _bounded(build, by_id, details) if build is not None else None
+        out.append(
+            {
+                "node": n["id"],
+                "build_side": side,
+                "bounded": w is not None,
+                "witness": w or "UNBOUNDED build side",
+            }
+        )
+    return out
 
 
 def audit_one(plan: str) -> dict:
+    bnlj = bnlj_bound_audit(plan)
     return {
         "cartesian": plan.count("CartesianProduct"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "bnlj_audit": bnlj,
+        "bnlj_unbounded": sum(1 for b in bnlj if not b["bounded"]),
         # formatted mode: node line is "(n) Exchange", the partitioning
         # sits on its "Arguments:" line
         "exchanges": len(re.findall(r"Arguments: hashpartitioning", plan)),
@@ -78,6 +222,13 @@ def main() -> None:
             flags.append(f"{name}: plans {m['cartesian']} CartesianProduct")
         if m["row_udf"]:
             flags.append(f"{name}: row-at-a-time Python UDF (BatchEvalPython)")
+        for b in m["bnlj_audit"]:
+            if not b["bounded"] and name not in BNLJ_ALLOW:
+                flags.append(
+                    f"{name}: BroadcastNestedLoopJoin node {b['node']} has an "
+                    "UNBOUNDED broadcast side (no global aggregate / literal "
+                    "leaf on some path, and not allowlisted)"
+                )
     for name, err in failed.items():
         flags.append(f"{name}: audit failed — {err}")
 
@@ -102,6 +253,32 @@ def main() -> None:
                 "None. No CartesianProduct and no row-at-a-time Python "
                 "UDF anywhere in the registry.\n"
             )
+        bnlj_rows = [
+            (name, b)
+            for name, m in sorted(rows.items())
+            for b in m["bnlj_audit"]
+        ]
+        f.write(
+            f"\n## BNLJ bound audit ({len(bnlj_rows)} joins)\n\n"
+            "Every BroadcastNestedLoopJoin must have a provably bounded "
+            "broadcast side: each root-to-leaf path of the build subtree "
+            "passes a global aggregate (`Keys: []` => 1 row) or ends at a "
+            "literal leaf. Unbounded sides are hard flags above.\n\n"
+        )
+        if bnlj_rows:
+            f.write("| query | node | build | bound witness |\n|---|---|---|---|\n")
+            for name, b in bnlj_rows:
+                if b["bounded"]:
+                    cell = f"✅ {b['witness']}"
+                elif name in BNLJ_ALLOW:
+                    cell = f"⚠️ allowlisted: {BNLJ_ALLOW[name]}"
+                else:
+                    cell = f"❌ {b['witness']}"
+                f.write(
+                    f"| `{name}` | {b['node']} | {b['build_side']} | {cell} |\n"
+                )
+        else:
+            f.write("No BroadcastNestedLoopJoin anywhere in the registry.\n")
         f.write(
             "\n## Per-query plan shape\n\n"
             "| query | shuffles | windows | SMJ | BHJ | BNLJ | seams | exec |\n"
@@ -124,6 +301,7 @@ def main() -> None:
                 "cartesian_products": n_cart,
                 "row_at_a_time_udfs": n_udf,
                 "bnlj_total": sum(m["bnlj"] for m in rows.values()),
+                "bnlj_unbounded": sum(m["bnlj_unbounded"] for m in rows.values()),
                 "avg_shuffles": round(
                     sum(m["exchanges"] for m in rows.values()) / max(len(rows), 1), 2
                 ),
