@@ -72,6 +72,39 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # Per-query history: every run appends to BENCH_HISTORY.jsonl, and
+    # the current run is compared against the best recorded time at the
+    # same sf. Ratios > 1.5x (on queries slow enough to be signal,
+    # > 0.3 s) are reported in the JSON line itself — regressions were
+    # previously only findable by hand-diffing BENCH_r{N}.json files.
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+    best_prior: dict[str, float] = {}
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if str(rec.get("sf")) != sf:
+                    continue
+                for q, t in rec.get("queries", {}).items():
+                    if q not in best_prior or t < best_prior[q]:
+                        best_prior[q] = t
+    regressions = {
+        name: {"now": t, "best": best_prior[name], "ratio": round(t / best_prior[name], 2)}
+        for name, t in timings.items()
+        if name in best_prior and t > 0.3 and t > 1.5 * best_prior[name]
+    }
+    with open(hist_path, "a") as f:
+        f.write(
+            json.dumps(
+                {"ts": round(time.time(), 1), "sf": sf, "total": total, "queries": timings}
+            )
+            + "\n"
+        )
+
     print(
         json.dumps(
             {
@@ -80,6 +113,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "regressions": regressions,
             }
         )
     )
