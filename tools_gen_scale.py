@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Generate an sf1-shaped dataset under .scale_data/sf1 (gitignored).
+
+The driver ships sf0.001/0.01/0.1 only; the 100 TB claims need at
+least one decade of empirical scaling. This produces a deterministic
+10x dataset entirely Spark-side (no RNG, no testdata writes):
+
+- TPC-H tables: 10 key-offset copies of sf0.1. Offsetting every key
+  (orderkey/custkey/suppkey/partkey) by copy*max keeps per-key group
+  sizes and join fan-outs IDENTICAL to sf0.1 — growth in any
+  linear-design query must then be ~10x, so a superlinear ratio is an
+  engine problem, not a data artifact. nation/region stay fixed dims.
+- documents: 50k synthesized word-salad docs matching the fixture's
+  vocabulary shape (hash-selected words, 20 sources, en/zh/de mix),
+  with a 5% slice drawn from 250 shared templates so dedup queries
+  see a bounded duplicate population (matching the fixture's design,
+  not 10 exact copies of every doc — naive replication would square
+  LSH bucket sizes and fake a quadratic blow-up).
+- embeddings: 20k x 64-dim hash-derived float vectors, 10 labels.
+
+Run: python tools_gen_scale.py   (~1 min)
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from martian_moments_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf1")
+COPIES = 10
+
+KEY_COLS = {
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "customer": ("c_custkey",),
+}
+
+VOCAB = (
+    "spark line column order small sort fast value scan hash slow group "
+    "batch agg filter stream big merge join window key query table part "
+    "customer data vector the a"
+).split()
+
+
+def main() -> None:
+    spark = get_spark(app_name="mm-gen-scale")
+    os.makedirs(OUT, exist_ok=True)
+
+    for t in ("nation", "region"):
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{OUT}/{t}.parquet"
+        )
+
+    for t, keys in KEY_COLS.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        offs = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        copies = spark.range(COPIES).select(F.col("id").alias("__copy"))
+        out = df.crossJoin(copies)
+        for k in keys:
+            out = out.withColumn(k, F.col(k) + F.col("__copy") * F.lit(offs[k]))
+        out.drop("__copy").repartition(32).write.mode("overwrite").parquet(
+            f"{OUT}/{t}.parquet"
+        )
+
+    # documents: 50k docs, hash-driven word selection; doc 0..2499 of
+    # the template slice share text via template_id = doc_id % 250
+    n_docs = 50_000
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    is_tpl = F.col("doc_id") < (n_docs // 20)
+    seed = F.when(is_tpl, F.pmod(F.col("doc_id"), F.lit(250))).otherwise(F.col("doc_id") + 1000)
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    n_words = (F.pmod(F.xxhash64(seed.cast("string")), F.lit(90)) + 10).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(seed.cast("string"), i.cast("string")), F.lit(len(VOCAB))) + 1).cast("int"),
+        ),
+    )
+    text = F.concat_ws(" ", words)
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("zh"), F.lit("de")),
+        (F.pmod(F.xxhash64(F.col("doc_id").cast("string"), F.lit("lang")), F.lit(5)) + 1).cast("int"),
+    )
+    docs = base.select(
+        "doc_id",
+        text.alias("text"),
+        lang.alias("lang"),
+        F.concat(F.lit("src"), F.pmod(F.col("doc_id"), F.lit(20)).cast("string")).alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.repartition(32).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+
+    # embeddings: 20k x 64 floats in [-1, 1)
+    n_vec, dim = 20_000, 64
+    emb = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id").cast("string"), j.cast("string")), F.lit(2000))
+                .cast("double")
+                / F.lit(1000.0)
+                - F.lit(1.0)
+            ).cast("float"),
+        ).alias("embedding"),
+        F.pmod(F.xxhash64((F.col("id") + 7).cast("string")), F.lit(10)).cast("int").alias("label"),
+    )
+    emb.repartition(8).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+
+    # events: 10 copies with user/event id offsets (streaming-family
+    # queries aren't in the named smoke, but keep the dir complete)
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    id_cols = [c for c in ev.columns if c.endswith("_id")]
+    offs = {k: ev.agg(F.max(k)).collect()[0][0] + 1 for k in id_cols}
+    copies = spark.range(COPIES).select(F.col("id").alias("__copy"))
+    out = ev.crossJoin(copies)
+    for k in id_cols:
+        out = out.withColumn(k, F.col(k) + F.col("__copy") * F.lit(offs[k]))
+    out.drop("__copy").repartition(32).write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+
+    for t in sorted(os.listdir(OUT)):
+        n = spark.read.parquet(f"{OUT}/{t}").count()
+        print(t, n)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
