@@ -53,6 +53,45 @@ def test_every_bnlj_broadcast_side_is_bounded(all_plans):
     assert not stale, f"BNLJ_ALLOW entries with no BNLJ left: {stale}"
 
 
+def test_no_raw_single_partition_stage_anywhere(all_plans):
+    """An Exchange SinglePartition may only funnel metadata-scale
+    input (bounded, or reduced by a keyed aggregate to an engineered
+    domain like bucket/grid/source). RAW-row funnels — a global window
+    or sort over an unreduced table — are the W1 scale ceiling and
+    are banned outside the documented allowlist."""
+    from tools_plan_audit import SP_ALLOW, single_partition_audit
+
+    bad = [
+        (name, s)
+        for name, p in all_plans.items()
+        for s in single_partition_audit(p)
+        if not s["reduced"] and name not in SP_ALLOW
+    ]
+    assert not bad, f"RAW single-partition stages: {bad}"
+    stale = [
+        n
+        for n in SP_ALLOW
+        if n in all_plans
+        and not [s for s in single_partition_audit(all_plans[n]) if not s["reduced"]]
+    ]
+    assert not stale, f"SP_ALLOW entries with no raw single-partition stage left: {stale}"
+
+
+def test_single_partition_audit_rejects_raw_global_window(spark):
+    """The gate must be falsifiable: a global row_number over a raw
+    parquet scan is flagged RAW."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from tests.conftest import SF_DIR_SMALL
+    from tools_plan_audit import single_partition_audit
+
+    df = spark.read.parquet(f"{SF_DIR_SMALL}/orders.parquet")
+    bad = df.withColumn("rn", F.row_number().over(W.orderBy("o_orderkey")))
+    audits = single_partition_audit(explain_str(bad))
+    assert audits and any(not a["reduced"] for a in audits)
+
+
 def test_bnlj_bound_audit_rejects_table_scan_broadcast(spark):
     """The gate itself must be falsifiable: a broadcast crossJoin of a
     raw table scan is flagged unbounded."""

@@ -78,6 +78,13 @@ BNLJ_ALLOW: dict[str, str] = {
     ),
 }
 
+# Queries allowed to funnel RAW rows through a single-partition stage.
+# Same contract as BNLJ_ALLOW: every entry states why. Currently empty:
+# every global window/sort in the registry (including the W1 idiom
+# global_row_number) runs over a keyed aggregate or bounded metadata,
+# never raw rows.
+SP_ALLOW: dict[str, str] = {}
+
 
 def parse_plan_nodes(plan: str):
     """Parse formatted-explain output into (tree, details).
@@ -155,6 +162,66 @@ def _bounded(node_id: int, by_id: dict, details: dict, seen: frozenset = frozens
     return "; ".join(witnesses)
 
 
+def _reduced(node_id: int, by_id: dict, details: dict, seen: frozenset = frozenset()):
+    """Like _bounded, but also accepts ANY keyed aggregate: output
+    cardinality is then the key domain, not the input row count. Used
+    to classify single-partition stages — a global window over a keyed
+    aggregate is 'reduced' (reviewer judges the key domain, reported in
+    the witness), over raw rows it is a scale bug."""
+    if node_id in seen:
+        return None
+    w = _bounded(node_id, by_id, details, seen)
+    if w is not None:
+        return w
+    node = by_id[node_id]
+    name, det = node["name"], details.get(node_id, "")
+    if name.startswith(_GLOBAL_AGG):
+        keys = re.search(r"Keys \[\d+\]: \[([^\]]*)\]", det)
+        return f"keyed aggregate on [{keys.group(1) if keys else '?'}] ({node_id})"
+    if not node["children"]:
+        return None
+    parts = []
+    for c in node["children"]:
+        pw = _reduced(c, by_id, details, seen | {node_id})
+        if pw is None:
+            return None
+        parts.append(pw)
+    return "; ".join(parts)
+
+
+def single_partition_audit(plan: str) -> list[dict]:
+    """Every Exchange SinglePartition funnels the stage through ONE
+    task — the W1 global-window/sort idiom. Acceptable only when the
+    funneled input is metadata-scale: bounded (global agg / literal /
+    limit) or at least reduced to an engineered key domain (bucket,
+    grid, source, ...). A single-partition stage over RAW rows is a
+    scale bug and a hard flag."""
+    nodes, details = parse_plan_nodes(plan)
+    by_id = {n["id"]: n for n in nodes}
+    parent = {}
+    for n in nodes:
+        for c in n["children"]:
+            parent[c] = n
+    out = []
+    for n in nodes:
+        if not n["name"].startswith("Exchange"):
+            continue
+        if "Arguments: SinglePartition" not in details.get(n["id"], ""):
+            continue
+        consumer = parent.get(n["id"])
+        child = n["children"][0] if n["children"] else None
+        w = _reduced(child, by_id, details) if child is not None else None
+        out.append(
+            {
+                "node": n["id"],
+                "consumer": consumer["name"].split()[0] if consumer else "?",
+                "reduced": w is not None,
+                "witness": w or "RAW rows — unbounded single-task stage",
+            }
+        )
+    return out
+
+
 def bnlj_bound_audit(plan: str) -> list[dict]:
     """For every BroadcastNestedLoopJoin in the plan, return
     {node, build_side, bounded, witness}. Build side defaults to the
@@ -183,11 +250,14 @@ def bnlj_bound_audit(plan: str) -> list[dict]:
 
 def audit_one(plan: str) -> dict:
     bnlj = bnlj_bound_audit(plan)
+    sp = single_partition_audit(plan)
     return {
         "cartesian": plan.count("CartesianProduct"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "bnlj_audit": bnlj,
         "bnlj_unbounded": sum(1 for b in bnlj if not b["bounded"]),
+        "sp_audit": sp,
+        "sp_raw": sum(1 for s in sp if not s["reduced"]),
         # formatted mode: node line is "(n) Exchange", the partitioning
         # sits on its "Arguments:" line
         "exchanges": len(re.findall(r"Arguments: hashpartitioning", plan)),
@@ -228,6 +298,12 @@ def main() -> None:
                     f"{name}: BroadcastNestedLoopJoin node {b['node']} has an "
                     "UNBOUNDED broadcast side (no global aggregate / literal "
                     "leaf on some path, and not allowlisted)"
+                )
+        for s in m["sp_audit"]:
+            if not s["reduced"] and name not in SP_ALLOW:
+                flags.append(
+                    f"{name}: single-partition Exchange node {s['node']} "
+                    f"feeds {s['consumer']} with RAW rows (not allowlisted)"
                 )
     for name, err in failed.items():
         flags.append(f"{name}: audit failed — {err}")
@@ -279,6 +355,52 @@ def main() -> None:
                 )
         else:
             f.write("No BroadcastNestedLoopJoin anywhere in the registry.\n")
+        sp_rows = [
+            (name, s) for name, m in sorted(rows.items()) for s in m["sp_audit"]
+        ]
+        f.write(
+            f"\n## Single-partition stage audit ({len(sp_rows)} stages)\n\n"
+            "Every `Exchange SinglePartition` funnels its stage through one "
+            "task (the global-window/sort idiom). Acceptable only when the "
+            "funneled input is metadata-scale — bounded, or reduced by a "
+            "keyed aggregate to an engineered key domain (bucket id, length "
+            "grid, source, decile). RAW-row funnels are hard flags unless "
+            "allowlisted.\n\n"
+        )
+        if sp_rows:
+            f.write("| query | node | feeds | input |\n|---|---|---|---|\n")
+            for name, s in sp_rows:
+                if s["reduced"]:
+                    cell = f"✅ {s['witness']}"
+                elif name in SP_ALLOW:
+                    cell = f"⚠️ allowlisted: {SP_ALLOW[name]}"
+                else:
+                    cell = f"❌ {s['witness']}"
+                f.write(f"| `{name}` | {s['node']} | {s['consumer']} | {cell} |\n")
+        else:
+            f.write("No single-partition exchange anywhere in the registry.\n")
+
+        # Skew advisory: the engine's own shuffle-key profiles and the
+        # strategy operators/skew.py would pick, recomputed on current
+        # data (VERDICT r03 next-round #8).
+        try:
+            rep = registry["skew_advisor_report"].fn(spark, SF_DIR).collect()
+            f.write(
+                "\n## Skew advisory (skew_advisor_report @ sf0.001)\n\n"
+                "Shuffle-key profiles of the engine's core join grains and "
+                "the operators/skew.py strategy each one gets (salt / "
+                "broadcast_dim_side / hash_shuffle):\n\n"
+                "| join key | rows | keys | max key rows | max share | advice |\n"
+                "|---|---|---|---|---|---|\n"
+            )
+            for r in rep:
+                f.write(
+                    f"| `{r.join_key}` | {r.n_rows} | {r.n_keys} "
+                    f"| {r.max_key_rows} | {r.max_key_share:.4f} | {r.advice} |\n"
+                )
+        except Exception as e:  # noqa: BLE001 - advisory only
+            f.write(f"\n## Skew advisory\n\nunavailable: {e}\n")
+
         f.write(
             "\n## Per-query plan shape\n\n"
             "| query | shuffles | windows | SMJ | BHJ | BNLJ | seams | exec |\n"
@@ -302,6 +424,7 @@ def main() -> None:
                 "row_at_a_time_udfs": n_udf,
                 "bnlj_total": sum(m["bnlj"] for m in rows.values()),
                 "bnlj_unbounded": sum(m["bnlj_unbounded"] for m in rows.values()),
+                "single_partition_raw": sum(m["sp_raw"] for m in rows.values()),
                 "avg_shuffles": round(
                     sum(m["exchanges"] for m in rows.values()) / max(len(rows), 1), 2
                 ),
