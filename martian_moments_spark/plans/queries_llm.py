@@ -510,22 +510,82 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUZZY_TAU = 0.8  # Jaccard threshold the LSH candidates must verify at
 
 
+def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's canonical near-duplicate edge set: MinHash+LSH band
+    collisions exact-verified at token-set Jaccard >= FUZZY_TAU.
+    O(band collisions) pairs, never all-pairs — the deployment shape
+    every pair-consuming dedup query composes on. The oracle twin is
+    ``_SQL_LSH_PAIRS`` (the identical deterministic minhash replayed in
+    SQL, so parity holds even where LSH recall < 1)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    dtoks = docs.select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("tk"),
+    )
+    ta = dtoks.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("tk_a"))
+    tb = dtoks.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tk_b"))
+    inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")
+    union = F.size(F.array_union("tk_a", "tk_b")).cast("double")
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter((union > 0) & (inter / union >= F.lit(FUZZY_TAU)))
+        .select("id_a", "id_b")
+    )
+
+
+#: CTE chain producing the same verified pair set as
+#: ``_lsh_verified_pairs`` (ends with ``pairs(id_a, id_b)``; id_a <
+#: id_b). Splice as the head of a WITH / WITH RECURSIVE list.
+_SQL_LSH_PAIRS = f"""toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+        ), mh AS (
+            SELECT doc_id,
+            {_sql_minhash_cols()}
+            FROM sh
+        ), bands AS (
+            SELECT doc_id, 0 AS band_idx,
+                   ((0 * 1000003 + COALESCE(mh_0, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_1, 0) % 1000003) % {HASH_P} AS band_val FROM mh
+            UNION ALL
+            SELECT doc_id, 1,
+                   ((0 * 1000003 + COALESCE(mh_2, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_3, 0) % 1000003) % {HASH_P} FROM mh
+            UNION ALL
+            SELECT doc_id, 2,
+                   ((0 * 1000003 + COALESCE(mh_4, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_5, 0) % 1000003) % {HASH_P} FROM mh
+            UNION ALL
+            SELECT doc_id, 3,
+                   ((0 * 1000003 + COALESCE(mh_6, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_7, 0) % 1000003) % {HASH_P} FROM mh
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        ), dtoks AS (
+            SELECT doc_id, list_distinct({_SQL_TOKS}) AS tk FROM documents
+        ), pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN dtoks ta ON ta.doc_id = c.id_a
+            JOIN dtoks tb ON tb.doc_id = c.id_b
+            WHERE len(list_distinct(list_concat(ta.tk, tb.tk))) > 0
+              AND CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(ta.tk, tb.tk))) AS DOUBLE)
+                  >= {FUZZY_TAU}
+        )"""
+
+
 @register(
     "dedup_connected_components",
     ops=("J2", "A6"),
     oracle=f"""
-        WITH RECURSIVE toks AS (
-            SELECT source, doc_id,
-                   list_distinct({_SQL_TOKS}) AS tk
-            FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE len(list_distinct(list_concat(a.tk, b.tk))) > 0
-              AND CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-                  / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE)
-                  >= {FUZZY_TAU}
-        ), edges AS (
+        WITH RECURSIVE {_SQL_LSH_PAIRS}, edges AS (
             SELECT id_a AS src, id_b AS dst FROM pairs
             UNION
             SELECT id_b, id_a FROM pairs
@@ -539,26 +599,30 @@ FUZZY_TAU = 0.8  # Jaccard threshold the LSH candidates must verify at
     """,
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive dedup closure: near-dup pairs (blocked token-set
-    Jaccard >= FUZZY_TAU) clustered into connected components, each
-    document labeled with its component's minimum id. Near-dup
-    similarity is not transitive — A~B, B~C without A~C — so corpus
-    dedup needs the closure, not pairwise decisions.
+    """Transitive dedup closure: near-dup candidate pairs from
+    MinHash+LSH band collisions, exact-verified at token-set Jaccard
+    >= FUZZY_TAU, clustered into connected components — each document
+    labeled with its component's minimum id. Near-dup similarity is
+    not transitive — A~B, B~C without A~C — so corpus dedup needs the
+    closure, not pairwise decisions.
+
+    Edge generation is the LSH candidate graph (the deployment shape:
+    O(band collisions), never all-pairs — an earlier version verified
+    every pair inside a source block, which the decade-scale smoke
+    measured at 13.9x per 10x rows, quadratic by construction). The
+    minhash is engine-deterministic, so the DuckDB oracle replays the
+    identical candidate set and the comparison stays exact even where
+    LSH recall < 1: both sides see the same graph.
 
     The one iterative-algorithm query in the engine: distributed
     min-label propagation to fixpoint (llmops/dedup.py
-    connected_components), which Spark runs as one shuffle per round;
-    the oracle states the same fixpoint declaratively as a recursive
-    CTE. Both sides converge to the unique component minimum, so the
-    comparison is exact despite entirely different execution.
+    connected_components), one shuffle per round; the oracle states
+    the same fixpoint declaratively as a recursive CTE. Both converge
+    to the unique component minimum, so the comparison is exact
+    despite entirely different execution.
     """
-    docs = load(spark, sf_dir, "documents")
-    edges = (
-        jaccard_pairs(docs, block_col="source")
-        .filter(F.col("jaccard") >= F.lit(FUZZY_TAU))
-        .select("id_a", "id_b")
-    )
-    return connected_components(docs.select("doc_id"), edges)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return connected_components(docs, _lsh_verified_pairs(spark, sf_dir))
 
 
 @register(
@@ -3570,18 +3634,7 @@ def bm25_probe_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "leakage_safe_split",
     ops=("J2", "A6", "A1", "P8"),
     oracle=f"""
-        WITH RECURSIVE toks AS (
-            SELECT source, doc_id,
-                   list_distinct({_SQL_TOKS}) AS tk
-            FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE len(list_distinct(list_concat(a.tk, b.tk))) > 0
-              AND CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-                  / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE)
-                  >= {FUZZY_TAU}
-        ), edges AS (
+        WITH RECURSIVE {_SQL_LSH_PAIRS}, edges AS (
             SELECT id_a AS src, id_b AS dst FROM pairs
             UNION
             SELECT id_b, id_a FROM pairs
@@ -3613,27 +3666,26 @@ def bm25_probe_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware train/val/test split — the leakage-proof form of
-    deterministic_split: near-duplicate documents (the same blocked-
-    Jaccard >= tau closure dedup_connected_components computes) are
-    assigned as a UNIT by hashing the component id, so a test document
-    can never have a near-copy in train. ``rescued`` marks documents
-    whose naive per-doc assignment would have split them away from
-    their duplicates — the leakage the operator exists to prevent.
-    The 'csplit:' salt keys this hash stream independently of every
-    other doc_id hash in the pipeline.
+    deterministic_split: near-duplicate documents (the same
+    LSH-verified >= tau closure dedup_connected_components computes)
+    are assigned as a UNIT by hashing the component id, so a test
+    document can never have a near-copy in train. ``rescued`` marks
+    documents whose naive per-doc assignment would have split them
+    away from their duplicates — the leakage the operator exists to
+    prevent. The 'csplit:' salt keys this hash stream independently of
+    every other doc_id hash in the pipeline.
 
-    Scale: component labels come from the min-label-propagation
-    fixpoint (one shuffle per round, diameter-bounded); sizes are one
-    count per component key; assignment is per-row hash arithmetic.
-    Skew-safe: component ids are near-uniform (hash-min), and the
-    per-component window is bounded by the largest dup cluster."""
+    Scale: edges are the canonical LSH-verified pair set (O(band
+    collisions), never all-pairs); component labels come from the
+    min-label-propagation fixpoint (one shuffle per round,
+    diameter-bounded); sizes are one count per component key;
+    assignment is per-row hash arithmetic. Skew-safe: component ids
+    are near-uniform (hash-min), and the per-component window is
+    bounded by the largest dup cluster."""
     docs = load(spark, sf_dir, "documents")
-    edges = (
-        jaccard_pairs(docs, block_col="source")
-        .filter(F.col("jaccard") >= F.lit(FUZZY_TAU))
-        .select("id_a", "id_b")
+    comp = connected_components(
+        docs.select("doc_id"), _lsh_verified_pairs(spark, sf_dir)
     )
-    comp = connected_components(docs.select("doc_id"), edges)
     sized = comp.withColumn(
         "n_members",
         F.count(F.lit(1)).over(W.partitionBy("component_id")).cast("long"),
@@ -4335,18 +4387,7 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster_representative_selection",
     ops=("J2", "A6", "W2"),
     oracle=f"""
-        WITH RECURSIVE toks AS (
-            SELECT source, doc_id,
-                   list_distinct({_SQL_TOKS}) AS tk
-            FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE len(list_distinct(list_concat(a.tk, b.tk))) > 0
-              AND CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-                  / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE)
-                  >= {FUZZY_TAU}
-        ), edges AS (
+        WITH RECURSIVE {_SQL_LSH_PAIRS}, edges AS (
             SELECT id_a AS src, id_b AS dst FROM pairs
             UNION
             SELECT id_b, id_a FROM pairs
@@ -4377,7 +4418,7 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cluster_representative_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representative selection over near-duplicate clusters: within
-    each blocked-Jaccard component, keep the LONGEST member (token
+    each LSH-verified component, keep the LONGEST member (token
     count, deterministic id tie-break) — the C4/RefinedWeb-style
     survivor rule, and a different semantics from
     dedup_connected_components' keep-lowest-id (lowest-id keeps
@@ -4385,16 +4426,15 @@ def cluster_representative_selection(spark: SparkSession, sf_dir: str) -> DataFr
     of the duplicated content). Every document is labeled with its
     cluster's representative so the drop set is auditable.
 
-    Scale: component labels from the min-label fixpoint; the argmax is
-    a per-component window whose partition is bounded by the largest
-    dup cluster (same bound as leakage_safe_split's size window)."""
+    Scale: edges are the canonical LSH-verified pair set (O(band
+    collisions), never all-pairs); component labels from the min-label
+    fixpoint; the argmax is a per-component window whose partition is
+    bounded by the largest dup cluster (same bound as
+    leakage_safe_split's size window)."""
     docs = load(spark, sf_dir, "documents")
-    edges = (
-        jaccard_pairs(docs, block_col="source")
-        .filter(F.col("jaccard") >= F.lit(FUZZY_TAU))
-        .select("id_a", "id_b")
+    comp = connected_components(
+        docs.select("doc_id"), _lsh_verified_pairs(spark, sf_dir)
     )
-    comp = connected_components(docs.select("doc_id"), edges)
     sized = comp.join(
         docs.select("doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")),
         "doc_id",
@@ -4718,18 +4758,7 @@ def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_pair_source_matrix",
     ops=("J2", "A1", "O1"),
     oracle=f"""
-        WITH toks AS (
-            SELECT source, doc_id,
-                   list_distinct({_SQL_TOKS}) AS tk
-            FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE len(list_distinct(list_concat(a.tk, b.tk))) > 0
-              AND CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-                  / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE)
-                  >= {FUZZY_TAU}
-        ), labeled AS (
+        WITH {_SQL_LSH_PAIRS}, labeled AS (
             SELECT da.source AS source_a, db.source AS source_b
             FROM pairs p
             JOIN documents da ON da.doc_id = p.id_a
@@ -4751,19 +4780,16 @@ def dedup_pair_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pair counts by source pair — the provenance
     matrix that tells a curation team WHERE duplication comes from
     (template reuse within one feed vs syndication between feeds),
-    normalized per source size. Pairs are the same blocked-Jaccard
-    edges the dedup closure uses (here blocking is by source, so the
-    matrix is the within-block diagonal — with a cross-source blocker
-    the same rollup exposes syndication).
+    normalized per source size. Pairs are the engine's canonical
+    LSH-verified near-dup edges (_lsh_verified_pairs), which are
+    corpus-wide — cross-source syndication shows up as off-diagonal
+    cells, which the earlier source-blocked form could never populate.
 
-    Scale: pair generation is the existing blocked candidate join;
-    the matrix rollup keys on (source, source) — vocabulary-sized."""
+    Scale: pair generation is the LSH candidate join (O(band
+    collisions), never all-pairs); the matrix rollup keys on
+    (source, source) — vocabulary-sized."""
     docs = load(spark, sf_dir, "documents")
-    pairs = (
-        jaccard_pairs(docs, block_col="source")
-        .filter(F.col("jaccard") >= F.lit(FUZZY_TAU))
-        .select("id_a", "id_b")
-    )
+    pairs = _lsh_verified_pairs(spark, sf_dir)
     src = docs.select("doc_id", "source")
     labeled = (
         pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a")), "id_a")
