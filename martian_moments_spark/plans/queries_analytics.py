@@ -2114,7 +2114,7 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT grp,
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(pu) AS BIGINT) AS s1,
-                   CAST(SUM(pu * pu) AS BIGINT) AS s2
+                   SUM(CAST(pu AS HUGEINT) * pu) AS s2
             FROM u GROUP BY grp
         ), wide AS (
             SELECT MAX(CASE WHEN grp = 'high' THEN n END) AS na,
@@ -2145,10 +2145,12 @@ def two_sample_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's two-sample t statistic: do high-priority orders carry a
     different average value than the rest? — the hypothesis-testing
     companion to ab_test_lift (which reports rates; this tests a
-    continuous metric). Sample variances come from exact BIGINT sum /
-    sum-of-squares, and the t expression is the identical IEEE
-    sequence on both engines (sqrt is correctly rounded per IEEE-754),
-    so even the test statistic hash-matches.
+    continuous metric). Sample variances come from exact wide-integer
+    moments (BIGINT sum; DECIMAL(38,0) sum-of-squares — BIGINT
+    overflows past ~1e5 orders, caught by the sf1 sweep), and the t
+    expression is the identical IEEE sequence on both engines (sqrt is
+    correctly rounded per IEEE-754), so even the test statistic
+    hash-matches.
 
     Scale: one conditional aggregate pass (both groups' moments in the
     same scan, map-side combined), then scalar arithmetic on a 1-row
@@ -2164,7 +2166,10 @@ def two_sample_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = u.groupBy("grp").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("pu").alias("s1"),
-        F.sum(F.col("pu") * F.col("pu")).alias("s2"),
+        # sum of squared cents overflows BIGINT past ~1e5 orders (pu^2
+        # ~ 1e15 each); DECIMAL(38,0) keeps the moment exact to 1e38 —
+        # the DuckDB twin uses HUGEINT, same exact integer, same double
+        F.sum(F.col("pu").cast("decimal(38,0)") * F.col("pu")).alias("s2"),
     )
     wide = s.agg(
         F.max(F.when(F.col("grp") == "high", F.col("n"))).alias("na"),

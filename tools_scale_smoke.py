@@ -72,9 +72,128 @@ def _ivf_scale_point(spark, sf_dir):
     return topk_units_cells_pandas(assigned, k=5)
 
 
+def _adaptive_cells(spark, sf_dir):
+    from martian_moments_spark.catalog import load
+    from martian_moments_spark.llmops.similarity import kmeans_units
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_units(emb, k=max(4, emb.count() // 500))
+
+
+def _multiprobe_scale_point(spark, sf_dir):
+    """embedding_ann_multiprobe at its scale point: cells grow with the
+    corpus so the probed fraction (N_PROBE cells) is constant work per
+    query instead of N_PROBE/4 of the whole corpus (the K_CELLS=4
+    parity pin the sf1 sweep measured at 26.6x)."""
+    from martian_moments_spark.llmops.similarity import (
+        probe_cells,
+        topk_units_probed,
+    )
+    from martian_moments_spark.plans.queries_llm import N_PROBE
+
+    assigned, cents = _adaptive_cells(spark, sf_dir)
+    probed = probe_cells(assigned, cents, n_probe=N_PROBE)
+    return topk_units_probed(probed, assigned, k=5)
+
+
+def _rnn_scale_point(spark, sf_dir):
+    """reciprocal_nearest_neighbors at its scale point: same adaptive
+    quantizer; the mutual join itself is linear in the top-1 list."""
+    from martian_moments_spark.llmops.similarity import topk_units_cells_pandas
+
+    assigned, _ = _adaptive_cells(spark, sf_dir)
+    nn = topk_units_cells_pandas(assigned, k=1).select("id_a", "id_b", "cosine")
+    rev = nn.select(F.col("id_b").alias("r_a"), F.col("id_a").alias("r_b"))
+    return (
+        nn.join(rev, (nn.id_a == rev.r_a) & (nn.id_b == rev.r_b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 # queries measured at a scale-appropriate operating point instead of
 # their oracle-parity registration (reason documented on each fn)
-SCALE_OVERRIDES = {"embedding_ann_ivf": _ivf_scale_point}
+SCALE_OVERRIDES = {
+    "embedding_ann_ivf": _ivf_scale_point,
+    "embedding_ann_multiprobe": _multiprobe_scale_point,
+    "reciprocal_nearest_neighbors": _rnn_scale_point,
+}
+
+
+def run_full_registry_sweep() -> None:
+    """--queries --all: one timed run of EVERY registered query at
+    sf0.1 and sf1 (after a session warm-up). Single-run times are
+    noisy, so this is an order-of-magnitude detector, not a bench:
+    flag = ratio > LINEAR_CAP and sf1 > 1.5 s (sub-second queries are
+    all fixed overhead at these sizes). Writes SCALE_SWEEP.md and
+    prints a JSON summary. ~15-30 min."""
+    from bench import consume
+    from martian_moments_spark.plans import load_all
+
+    if not os.path.isdir(SF1_DIR):
+        sys.exit("run `python tools_gen_scale.py` first (missing .scale_data/sf1)")
+    registry = load_all()
+    spark = get_spark(app_name="mm-scale-sweep")
+    # session warm-up: JVM JIT + parquet footer caches
+    for n in ("daily_activity", "dedup_exact"):
+        consume(registry[n].fn(spark, "/root/testdata/sf0.1"))
+        consume(registry[n].fn(spark, SF1_DIR))
+
+    results: dict[str, dict] = {}
+    failed: dict[str, str] = {}
+    for name, spec in sorted(registry.items()):
+        fn = SCALE_OVERRIDES.get(name) or spec.fn
+        row: dict[str, float] = {}
+        try:
+            for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", SF1_DIR)):
+                t0 = time.perf_counter()
+                consume(fn(spark, sf_dir))
+                row[label] = round(time.perf_counter() - t0, 2)
+        except Exception as e:  # noqa: BLE001 - sweep must cover the rest
+            failed[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            continue
+        row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 0.01), 1)
+        results[name] = row
+        print(json.dumps({"query": name, **row}), flush=True)
+
+    flagged = {
+        n: r for n, r in results.items() if r["ratio"] > LINEAR_CAP and r["sf1"] > 1.5
+    }
+    with open("SCALE_SWEEP.md", "w") as f:
+        f.write(
+            "# SCALE_SWEEP — every registered query at sf0.1 vs sf1\n\n"
+            "Generated by `python tools_scale_smoke.py --queries --all`.\n"
+            "Single timed run per query per scale after a session warm-up —\n"
+            "an order-of-magnitude superlinearity detector (see SCALE.md for\n"
+            "the warmed best-of-two measurements of the heaviest queries).\n"
+            f"Flag rule: ratio > {LINEAR_CAP:.0f}x AND sf1 > 1.5 s.\n\n"
+            f"## Flagged ({len(flagged)})\n\n"
+        )
+        for n, r in sorted(flagged.items(), key=lambda kv: -kv[1]["ratio"]):
+            f.write(f"- **`{n}`: {r['sf0.1']}s -> {r['sf1']}s ({r['ratio']}x)**\n")
+        if not flagged:
+            f.write("None — no query grows superlinearly past the noise floor.\n")
+        if failed:
+            f.write(f"\n## Failed to run ({len(failed)})\n\n")
+            for n, e in sorted(failed.items()):
+                f.write(f"- `{n}`: {e}\n")
+        f.write(
+            "\n## All queries (slowest sf1 first)\n\n"
+            "| query | sf0.1 (s) | sf1 (s) | ratio |\n|---|---|---|---|\n"
+        )
+        for n, r in sorted(results.items(), key=lambda kv: -kv[1]["sf1"]):
+            f.write(f"| `{n}` | {r['sf0.1']} | {r['sf1']} | {r['ratio']}x |\n")
+    print(
+        json.dumps(
+            {
+                "swept": len(results),
+                "failed": len(failed),
+                "flagged": sorted(flagged),
+                "slowest_sf1": sorted(results.items(), key=lambda kv: -kv[1]["sf1"])[:5],
+            }
+        )
+    )
+    spark.stop()
 
 
 def run_named_query_smoke() -> None:
@@ -135,150 +254,154 @@ def run_named_query_smoke() -> None:
     spark.stop()
 
 
-if "--queries" in sys.argv:
-    run_named_query_smoke()
-    sys.exit(0)
+if __name__ == "__main__":
+    if "--queries" in sys.argv:
+        if "--all" in sys.argv:
+            run_full_registry_sweep()
+        else:
+            run_named_query_smoke()
+        sys.exit(0)
 
-spark = get_spark(app_name="mm-scale-smoke")
+    spark = get_spark(app_name="mm-scale-smoke")
 
-fact = (
-    spark.range(0, N)
-    .select(
-        F.col("id"),
-        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("k_high"),  # ~1M keys
-        F.pmod(F.xxhash64("id"), F.lit(1_000)).alias("k_mid"),
-        F.when(F.col("id") % 10 != 0, F.lit(0))
-        .otherwise(F.pmod(F.col("id"), F.lit(1_000)))
-        .alias("k_hot"),  # 90% of rows on one key
-        (F.col("id") % 97).cast("double").alias("v"),
-        F.md5(F.col("id").cast("string")).alias("fp"),
+    fact = (
+        spark.range(0, N)
+        .select(
+            F.col("id"),
+            F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("k_high"),  # ~1M keys
+            F.pmod(F.xxhash64("id"), F.lit(1_000)).alias("k_mid"),
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.pmod(F.col("id"), F.lit(1_000)))
+            .alias("k_hot"),  # 90% of rows on one key
+            (F.col("id") % 97).cast("double").alias("v"),
+            F.md5(F.col("id").cast("string")).alias("fp"),
+        )
+        .localCheckpoint(eager=True)
     )
-    .localCheckpoint(eager=True)
-)
-dim = (
-    spark.range(0, 1_000)
-    .select(F.col("id").alias("k_mid"), (F.col("id") * 3).alias("w"))
-    .localCheckpoint(eager=True)
-)
-
-
-def timed(name, fn, out):
-    t0 = time.perf_counter()
-    fn()
-    out[name] = round(time.perf_counter() - t0, 2)
-
-
-shapes: dict[str, float] = {}
-
-# high-cardinality hash aggregate: the shuffle carries one partial per
-# (key, task) thanks to map-side combine
-timed(
-    "hash_agg_1m_keys",
-    lambda: fact.groupBy("k_high").agg(F.sum("v"), F.count(F.lit(1))).agg(
-        F.count(F.lit(1))
-    ).collect(),
-    shapes,
-)
-
-# partitioned window (running sum per mid-cardinality key)
-from pyspark.sql.window import Window as W  # noqa: E402
-
-w = W.partitionBy("k_mid").orderBy("id").rowsBetween(W.unboundedPreceding, 0)
-timed(
-    "window_partitioned",
-    lambda: fact.withColumn("rs", F.sum("v").over(w))
-    .agg(F.sum("rs"))
-    .collect(),
-    shapes,
-)
-
-# fact-fact sort-merge join on the mid key (1k rows per key each side
-# would explode; join on id-derived disjoint halves instead)
-a = fact.filter(F.col("id") % 2 == 0).select(F.col("id").alias("j"), "v")
-b = fact.filter(F.col("id") % 2 == 1).select((F.col("id") - 1).alias("j"), "v")
-timed(
-    "fact_fact_join",
-    lambda: a.join(b, "j").agg(F.count(F.lit(1))).collect(),
-    shapes,
-)
-
-# fingerprint dedup (the exact-dedup shuffle at 10M rows)
-timed(
-    "fingerprint_dedup",
-    lambda: fact.groupBy("fp").agg(F.min("id")).agg(F.count(F.lit(1))).collect(),
-    shapes,
-)
-
-# hot-key aggregate: unsalted vs salted two-phase (both exact)
-timed(
-    "hot_agg_unsalted",
-    lambda: fact.groupBy("k_hot").agg(F.sum("v").alias("s")).agg(F.sum("s")).collect(),
-    shapes,
-)
-timed(
-    "hot_agg_salted",
-    lambda: salted_agg(
-        fact, ["k_hot"], {"s": (F.sum("v"), "sum")}, salt_source="id"
+    dim = (
+        spark.range(0, 1_000)
+        .select(F.col("id").alias("k_mid"), (F.col("id") * 3).alias("w"))
+        .localCheckpoint(eager=True)
     )
-    .agg(F.sum("s"))
-    .collect(),
-    shapes,
-)
 
-# broadcast dim join across the full fact
-timed(
-    "broadcast_dim_join",
-    lambda: fact.join(F.broadcast(dim), "k_mid")
-    .agg(F.sum(F.col("v") * F.col("w")))
-    .collect(),
-    shapes,
-)
 
-# count-min sketch build over the 10M-row fingerprint column: 4 hash
-# rows explode to 40M intermediate rows, but map-side combine means at
-# most D*W = 4096 cells leave each task
-from martian_moments_spark.functions.sketches import cms_build  # noqa: E402
+    def timed(name, fn, out):
+        t0 = time.perf_counter()
+        fn()
+        out[name] = round(time.perf_counter() - t0, 2)
 
-timed(
-    "cms_build_10m_keys",
-    lambda: cms_build(fact.select("fp"), "fp")
-    .agg(F.sum("total"), F.count(F.lit(1)))
-    .collect(),
-    shapes,
-)
 
-# PQ ADC scan: 2M encoded vectors x 16 subspaces joined against a
-# broadcast 5-query LUT, summed per (query, vector) — the compressed
-# ANN search shape (llmops/pq.py) at cluster-ish scale
-n_vec, n_sub, n_codes, n_q = 2_000_000, 16, 64, 5
-codes = (
-    spark.range(0, n_vec * n_sub)
-    .select(
-        (F.col("id") / n_sub).cast("long").alias("vec_id"),
-        (F.col("id") % n_sub).cast("int").alias("m"),
-        F.pmod(F.xxhash64("id"), F.lit(n_codes)).cast("int").alias("code"),
+    shapes: dict[str, float] = {}
+
+    # high-cardinality hash aggregate: the shuffle carries one partial per
+    # (key, task) thanks to map-side combine
+    timed(
+        "hash_agg_1m_keys",
+        lambda: fact.groupBy("k_high").agg(F.sum("v"), F.count(F.lit(1))).agg(
+            F.count(F.lit(1))
+        ).collect(),
+        shapes,
     )
-    .localCheckpoint(eager=True)
-)
-lut = (
-    spark.range(0, n_q * n_sub * n_codes)
-    .select(
-        (F.col("id") / (n_sub * n_codes)).cast("long").alias("query_id"),
-        ((F.col("id") / n_codes) % n_sub).cast("int").alias("m"),
-        (F.col("id") % n_codes).cast("int").alias("code"),
-        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("pdist"),
-    )
-    .localCheckpoint(eager=True)
-)
-timed(
-    "pq_adc_scan_2m_vectors",
-    lambda: codes.join(F.broadcast(lut), ["m", "code"])
-    .groupBy("query_id", "vec_id")
-    .agg(F.sum("pdist").alias("adc"))
-    .agg(F.count(F.lit(1)), F.sum("adc"))
-    .collect(),
-    shapes,
-)
 
-print(json.dumps({"rows": N, "shapes": shapes, "total": round(sum(shapes.values()), 2)}))
-spark.stop()
+    # partitioned window (running sum per mid-cardinality key)
+    from pyspark.sql.window import Window as W  # noqa: E402
+
+    w = W.partitionBy("k_mid").orderBy("id").rowsBetween(W.unboundedPreceding, 0)
+    timed(
+        "window_partitioned",
+        lambda: fact.withColumn("rs", F.sum("v").over(w))
+        .agg(F.sum("rs"))
+        .collect(),
+        shapes,
+    )
+
+    # fact-fact sort-merge join on the mid key (1k rows per key each side
+    # would explode; join on id-derived disjoint halves instead)
+    a = fact.filter(F.col("id") % 2 == 0).select(F.col("id").alias("j"), "v")
+    b = fact.filter(F.col("id") % 2 == 1).select((F.col("id") - 1).alias("j"), "v")
+    timed(
+        "fact_fact_join",
+        lambda: a.join(b, "j").agg(F.count(F.lit(1))).collect(),
+        shapes,
+    )
+
+    # fingerprint dedup (the exact-dedup shuffle at 10M rows)
+    timed(
+        "fingerprint_dedup",
+        lambda: fact.groupBy("fp").agg(F.min("id")).agg(F.count(F.lit(1))).collect(),
+        shapes,
+    )
+
+    # hot-key aggregate: unsalted vs salted two-phase (both exact)
+    timed(
+        "hot_agg_unsalted",
+        lambda: fact.groupBy("k_hot").agg(F.sum("v").alias("s")).agg(F.sum("s")).collect(),
+        shapes,
+    )
+    timed(
+        "hot_agg_salted",
+        lambda: salted_agg(
+            fact, ["k_hot"], {"s": (F.sum("v"), "sum")}, salt_source="id"
+        )
+        .agg(F.sum("s"))
+        .collect(),
+        shapes,
+    )
+
+    # broadcast dim join across the full fact
+    timed(
+        "broadcast_dim_join",
+        lambda: fact.join(F.broadcast(dim), "k_mid")
+        .agg(F.sum(F.col("v") * F.col("w")))
+        .collect(),
+        shapes,
+    )
+
+    # count-min sketch build over the 10M-row fingerprint column: 4 hash
+    # rows explode to 40M intermediate rows, but map-side combine means at
+    # most D*W = 4096 cells leave each task
+    from martian_moments_spark.functions.sketches import cms_build  # noqa: E402
+
+    timed(
+        "cms_build_10m_keys",
+        lambda: cms_build(fact.select("fp"), "fp")
+        .agg(F.sum("total"), F.count(F.lit(1)))
+        .collect(),
+        shapes,
+    )
+
+    # PQ ADC scan: 2M encoded vectors x 16 subspaces joined against a
+    # broadcast 5-query LUT, summed per (query, vector) — the compressed
+    # ANN search shape (llmops/pq.py) at cluster-ish scale
+    n_vec, n_sub, n_codes, n_q = 2_000_000, 16, 64, 5
+    codes = (
+        spark.range(0, n_vec * n_sub)
+        .select(
+            (F.col("id") / n_sub).cast("long").alias("vec_id"),
+            (F.col("id") % n_sub).cast("int").alias("m"),
+            F.pmod(F.xxhash64("id"), F.lit(n_codes)).cast("int").alias("code"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lut = (
+        spark.range(0, n_q * n_sub * n_codes)
+        .select(
+            (F.col("id") / (n_sub * n_codes)).cast("long").alias("query_id"),
+            ((F.col("id") / n_codes) % n_sub).cast("int").alias("m"),
+            (F.col("id") % n_codes).cast("int").alias("code"),
+            F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("pdist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    timed(
+        "pq_adc_scan_2m_vectors",
+        lambda: codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdist").alias("adc"))
+        .agg(F.count(F.lit(1)), F.sum("adc"))
+        .collect(),
+        shapes,
+    )
+
+    print(json.dumps({"rows": N, "shapes": shapes, "total": round(sum(shapes.values()), 2)}))
+    spark.stop()
