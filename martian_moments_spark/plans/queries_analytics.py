@@ -166,10 +166,10 @@ _DU = "CAST(ROUND(l_discount * 10000) AS BIGINT)"
             SELECT l_returnflag,
                    COUNT(*) AS n,
                    CAST(SUM(qu) AS BIGINT) AS sq,
-                   CAST(SUM(qu * qu) AS BIGINT) AS sq2,
+                   SUM(CAST(qu AS HUGEINT) * qu) AS sq2,
                    CAST(SUM(du) AS BIGINT) AS sd,
-                   CAST(SUM(du * du) AS BIGINT) AS sd2,
-                   CAST(SUM(qu * du) AS BIGINT) AS sqd
+                   SUM(CAST(du AS HUGEINT) * du) AS sd2,
+                   SUM(CAST(qu AS HUGEINT) * du) AS sqd
             FROM u GROUP BY l_returnflag
         )
         SELECT l_returnflag, n,
@@ -187,13 +187,13 @@ def group_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-group variance and correlation. Spark's own
     stddev/corr partial-aggregate doubles, so results drift in the last
     ulps across partitionings; here the moments (sum x, sum x^2,
-    sum xy) are exact BIGINT sums of fixed-point units and only the
-    final scalar formula runs in floating point — bit-identical under
-    any plan, and under DuckDB.
+    sum xy) are exact wide-integer sums of fixed-point units (first
+    moments BIGINT; second moments DECIMAL(38,0) / HUGEINT — BIGINT
+    overflows past ~2e11 rows per group) and only the final scalar
+    formula runs in floating point — bit-identical under any plan,
+    and under DuckDB.
 
-    Scale: one shuffle carrying six integers per group per task. At
-    extreme row counts the squared sums approach int64 range — promote
-    the unit columns to decimal(38,0) then (same associativity).
+    Scale: one shuffle carrying six integers per group per task.
     """
     li = load(spark, sf_dir, "lineitem")
     qu = F.round(F.col("l_quantity") * 100).cast("long")
@@ -204,10 +204,13 @@ def group_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("qu").alias("sq"),
-            F.sum(F.col("qu") * F.col("qu")).alias("sq2"),
+            # DECIMAL(38,0) second moments: BIGINT sums of squared
+            # units overflow past ~2e11 rows/group (HUGEINT on the
+            # DuckDB side — same exact integer, same final double)
+            F.sum(F.col("qu").cast("decimal(38,0)") * F.col("qu")).alias("sq2"),
             F.sum("du").alias("sd"),
-            F.sum(F.col("du") * F.col("du")).alias("sd2"),
-            F.sum(F.col("qu") * F.col("du")).alias("sqd"),
+            F.sum(F.col("du").cast("decimal(38,0)") * F.col("du")).alias("sd2"),
+            F.sum(F.col("qu").cast("decimal(38,0)") * F.col("du")).alias("sqd"),
         )
     )
     n, sq, sq2, sd, sd2, sqd = (F.col(c).cast("double") for c in ("n", "sq", "sq2", "sd", "sd2", "sqd"))
@@ -1520,7 +1523,7 @@ _GINI_BUCKET_W = 5_000_000  # revenue units per rank bucket (~100 buckets)
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
                CAST(SUM(r) AS DOUBLE) / 100.0 AS total_revenue,
-               (2.0 * CAST(SUM(i * r) AS DOUBLE)
+               (2.0 * CAST(SUM(CAST(i AS HUGEINT) * r) AS DOUBLE)
                 - (CAST(COUNT(*) AS DOUBLE) + 1.0) * CAST(SUM(r) AS DOUBLE))
                    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(r) AS DOUBLE)) AS gini
         FROM ranked
@@ -1567,7 +1570,13 @@ def lorenz_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         (F.sum("r").cast("double") / 100.0).alias("total_revenue"),
         (
-            (F.lit(2.0) * F.sum(F.col("i") * F.col("r")).cast("double") - (n + 1.0) * s)
+            # rank x revenue products sum to ~n^2 * mean_r — DECIMAL(38,0)
+            # accumulation (HUGEINT oracle); BIGINT overflows past ~1e9 keys
+            (
+                F.lit(2.0)
+                * F.sum(F.col("i").cast("decimal(38,0)") * F.col("r")).cast("double")
+                - (n + 1.0) * s
+            )
             / (n * s)
         ).alias("gini"),
     )
@@ -1704,8 +1713,8 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), sums AS (
             SELECT CAST(SUM(n_pos) AS BIGINT) AS p,
                    CAST(SUM(n_neg) AS BIGINT) AS n,
-                   CAST(SUM(n_pos * cum_neg_below) AS BIGINT) AS concordant2,
-                   CAST(SUM(n_pos * n_neg) AS BIGINT) AS tied
+                   SUM(CAST(n_pos AS HUGEINT) * cum_neg_below) AS concordant2,
+                   SUM(CAST(n_pos AS HUGEINT) * n_neg) AS tied
             FROM walked
         )
         SELECT p AS n_positives, n AS n_negatives,
@@ -1747,8 +1756,16 @@ def roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_neg").cast("long").alias("n_negatives"),
         (
             (
-                F.sum(F.col("n_pos") * F.col("cum_neg_below")).cast("double")
-                + F.lit(0.5) * F.sum(F.col("n_pos") * F.col("n_neg")).cast("double")
+                # pair counts are ~P*N — DECIMAL(38,0) accumulation
+                # (HUGEINT in the oracle): BIGINT overflows past ~1e9
+                # positives x 1e10 negatives
+                F.sum(
+                    F.col("n_pos").cast("decimal(38,0)") * F.col("cum_neg_below")
+                ).cast("double")
+                + F.lit(0.5)
+                * F.sum(F.col("n_pos").cast("decimal(38,0)") * F.col("n_neg")).cast(
+                    "double"
+                )
             )
             / (
                 F.sum("n_pos").cast("double") * F.sum("n_neg").cast("double")

@@ -1912,16 +1912,17 @@ AUTOCORR_LAGS = (1, 7)  # day-over-day persistence and weekly seasonality
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(x) AS BIGINT) AS sx,
                    CAST(SUM(y) AS BIGINT) AS sy,
-                   CAST(SUM(x * y) AS BIGINT) AS sxy,
-                   CAST(SUM(x * x) AS BIGINT) AS sxx,
-                   CAST(SUM(y * y) AS BIGINT) AS syy
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy
             FROM paired GROUP BY event_type, lag_k
         )
         SELECT event_type, CAST(lag_k AS INT) AS lag_k, n AS n_pairs,
-               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
-                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                                * CAST(n * syy - sy * sy AS DOUBLE))
+               CASE WHEN (n * sxx - CAST(sx AS HUGEINT) * sx) > 0
+                     AND (n * syy - CAST(sy AS HUGEINT) * sy) > 0
+                    THEN CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                         / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                                * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
                     ELSE NULL END AS autocorr
         FROM s
         ORDER BY event_type, lag_k
@@ -1959,17 +1960,22 @@ def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("db", F.col("da") + F.col("lag_k"))
         .join(b, ["event_type", "db"])
     )
+    # second moments and the closed-form products in DECIMAL(38,0)
+    # (HUGEINT in the oracle): daily volumes grow with the corpus, so
+    # BIGINT x*y and sx*sx overflow at deployment scale
     s = paired.groupBy("event_type", "lag_k").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
     )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    sx_w = F.col("sx").cast("decimal(38,0)")
+    sy_w = F.col("sy").cast("decimal(38,0)")
+    vx = F.col("n") * F.col("sxx") - sx_w * F.col("sx")
+    vy = F.col("n") * F.col("syy") - sy_w * F.col("sy")
+    num = F.col("n") * F.col("sxy") - sx_w * F.col("sy")
     return s.select(
         "event_type",
         F.col("lag_k").cast("int").alias("lag_k"),

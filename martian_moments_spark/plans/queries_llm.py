@@ -3782,11 +3782,11 @@ def unigram_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
             FROM tok GROUP BY source, term
         ), norms AS (
-            SELECT source, CAST(SUM(c * c) AS BIGINT) AS ssq
+            SELECT source, SUM(CAST(c AS HUGEINT) * c) AS ssq
             FROM tf GROUP BY source
         ), dots AS (
             SELECT a.source AS source_a, b.source AS source_b,
-                   CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+                   CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS dot
             FROM tf a JOIN tf b ON a.term = b.term AND a.source < b.source
             GROUP BY a.source, b.source
         )
@@ -3804,9 +3804,11 @@ def source_unigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     are stylistically interchangeable (near 1) vs complementary.
     Distinct from source_vocab_overlap (set Jaccard): counts weight
     the comparison by usage mass, not vocabulary membership. Exact
-    across engines: dot products and squared norms are BIGINT sums
-    (any order), and sqrt / the final divide are single
-    exactly-rounded IEEE ops evaluated in the same tree shape.
+    across engines: dot products and squared norms are wide-integer
+    sums (DECIMAL(38,0) / HUGEINT — per-source counts grow with the
+    corpus, so BIGINT products overflow at deployment scale; any
+    order), and sqrt / the final divide are single exactly-rounded
+    IEEE ops evaluated in the same tree shape.
 
     Scale: the pair join is term-keyed — only sources sharing a term
     ever meet, and the per-term fan-out is (sources-per-term choose 2)
@@ -3819,14 +3821,25 @@ def source_unigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    norms = tf.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"))
+    # per-source term counts grow with the corpus, so products are
+    # accumulated in DECIMAL(38,0) (HUGEINT oracle); the emitted dot
+    # stays BIGINT — its final cast fails LOUDLY (ANSI) in the far
+    # regime where the dot itself no longer fits, instead of silently
+    # wrapping during accumulation
+    norms = tf.groupBy("source").agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("ssq")
+    )
     a = tf.select(F.col("source").alias("source_a"), "term", F.col("c").alias("ca"))
     b = tf.select(F.col("source").alias("source_b"), "term", F.col("c").alias("cb"))
     dots = (
         a.join(b, "term")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
-        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+        .agg(
+            F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb"))
+            .cast("long")
+            .alias("dot")
+        )
     )
     na = norms.select(F.col("source").alias("source_a"), F.col("ssq").alias("ssq_a"))
     nb = norms.select(F.col("source").alias("source_b"), F.col("ssq").alias("ssq_b"))
