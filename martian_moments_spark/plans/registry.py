@@ -112,9 +112,12 @@ PRIORITY: tuple[str, ...] = (
     "relational_division_years",
     "skyline_pareto_parts",
     # -- wave 2: never-driver-checked, staged for the r05 window ------
-    # ROTATION NOTE r05: after CORRECTNESS_r04 lands, delete wave 1
-    # above (its names fall through to the cumulative-green tail) so
-    # wave 2 occupies positions 1-50. Wave 3 + tail follow in r06.
+    # ROTATION is SELF-DRIVING since r04: _ordered_names() reads the
+    # recorded CORRECTNESS_r*.json files and sorts queries with no
+    # passing driver row ahead of attested ones (rows-only entries
+    # always last), so once CORRECTNESS_r04 lands, wave 2 occupies
+    # positions 1-50 automatically — no edits to this tuple needed.
+    # PRIORITY still fixes the relative order within each tier.
     "scd2_point_in_time_join",
     "clamped_running_balance",
     "multi_touch_attribution",
@@ -316,11 +319,59 @@ PRIORITY: tuple[str, ...] = (
 )
 
 
+def _driver_attested() -> set[str]:
+    """Names with a passing row in any driver CORRECTNESS_r*.json at
+    the repo root. A row counts as attested only if it actually passed
+    (hash match, or rows match for rows-only entries) — a failed row
+    keeps the query in the window for re-attestation. Missing or
+    unreadable files degrade to the static PRIORITY order."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    attested: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") or (
+                row.get("err") in (None, "no_oracle") and row.get("rows_match")
+            ):
+                attested.add(name)
+    return attested
+
+
 def _ordered_names() -> list[str]:
+    """Driver export order. The driver attests only the FIRST 50 names
+    per round, so ordering is three-tiered and SELF-ROTATING:
+
+      1. oracle-paired queries with no passing driver CORRECTNESS row
+         yet (each new round's recorded file shrinks this tier — no
+         manual wave edits needed);
+      2. already-attested queries;
+      3. rows-only entries (no oracle => can never hash-match; they
+         must never burn a window slot).
+
+    Within each tier, PRIORITY gives the relative order (registration
+    order for unlisted names). With no CORRECTNESS files present this
+    degrades to exactly the static PRIORITY order."""
     rank = {name: i for i, name in enumerate(PRIORITY)}
     tail = len(PRIORITY)
     reg_pos = {name: i for i, name in enumerate(REGISTRY)}
-    return sorted(REGISTRY, key=lambda n: (rank.get(n, tail), reg_pos[n]))
+    attested = _driver_attested()
+
+    def tier(n: str) -> int:
+        if REGISTRY[n].oracle is None:
+            return 2
+        return 1 if n in attested else 0
+
+    return sorted(REGISTRY, key=lambda n: (tier(n), rank.get(n, tail), reg_pos[n]))
 
 
 def register(

@@ -380,6 +380,34 @@ def test_registry_priority_integrity():
     assert len(REGISTRY) >= 50
 
 
+def test_export_order_self_rotates():
+    """The driver attests the first 50 exported names per round; the
+    export order must put never-attested oracle-paired queries first
+    (so recorded CORRECTNESS_r*.json files rotate the window with no
+    manual edits) and rows-only entries last (they can never
+    hash-match, so a window slot on them is wasted)."""
+    from martian_moments_spark.plans.registry import (
+        REGISTRY,
+        _driver_attested,
+        _ordered_names,
+    )
+
+    names = _ordered_names()
+    attested = _driver_attested()
+    rows_only = {n for n in names if REGISTRY[n].oracle is None}
+    unattested = [n for n in names if n not in attested and n not in rows_only]
+    # every window slot goes to unattested work while any remains
+    window = names[: min(50, len(unattested))]
+    assert all(n in unattested for n in window), (
+        "window wastes slots on attested/rows-only queries: "
+        f"{[n for n in window if n not in unattested]}"
+    )
+    # rows-only entries sort strictly after every oracle-paired query
+    first_rows_only = min(names.index(n) for n in rows_only) if rows_only else len(names)
+    last_oracle = max(i for i, n in enumerate(names) if REGISTRY[n].oracle is not None)
+    assert first_rows_only > last_oracle
+
+
 def test_latest_round3_queries_plan_properties(spark):
     """Plan pins for the late round-3 additions: Q5 keeps dims
     broadcast with the year filter pushed to the orders scan;
