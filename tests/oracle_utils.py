@@ -16,10 +16,15 @@ from martian_moments_spark.catalog import TABLES, table_path
 
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        p = table_path(sf_dir, t)
+        if os.path.isdir(p):  # Spark-written dataset (e.g. .scale_data/sf1)
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
     return con
 
