@@ -74,12 +74,15 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
 
     # Per-query history: every run appends to BENCH_HISTORY.jsonl, and
-    # the current run is compared against the best recorded time at the
-    # same sf. Ratios > 1.5x (on queries slow enough to be signal,
-    # > 0.3 s) are reported in the JSON line itself — regressions were
-    # previously only findable by hand-diffing BENCH_r{N}.json files.
+    # the current run is compared against the MEDIAN prior time at the
+    # same sf (the all-time minimum ratchets low and flags ±40% machine
+    # noise every run). Ratios > 1.5x with > 0.3 s absolute delta are
+    # reported in the JSON line itself — regressions were previously
+    # only findable by hand-diffing BENCH_r{N}.json files.
+    import statistics
+
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
-    best_prior: dict[str, float] = {}
+    prior: dict[str, list[float]] = {}
     if os.path.exists(hist_path):
         with open(hist_path) as f:
             for line in f:
@@ -90,12 +93,12 @@ def main() -> None:
                 if str(rec.get("sf")) != sf:
                     continue
                 for q, t in rec.get("queries", {}).items():
-                    if q not in best_prior or t < best_prior[q]:
-                        best_prior[q] = t
+                    prior.setdefault(q, []).append(t)
+    med = {q: statistics.median(ts) for q, ts in prior.items()}
     regressions = {
-        name: {"now": t, "best": best_prior[name], "ratio": round(t / best_prior[name], 2)}
+        name: {"now": t, "median": round(med[name], 4), "ratio": round(t / med[name], 2)}
         for name, t in timings.items()
-        if name in best_prior and t > 0.3 and t > 1.5 * best_prior[name]
+        if name in med and t > 0.3 and t > 1.5 * med[name] and t - med[name] > 0.3
     }
     with open(hist_path, "a") as f:
         f.write(
