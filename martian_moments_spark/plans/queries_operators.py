@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from martian_moments_spark.catalog import load
 from martian_moments_spark.functions.numeric import fixed_sum
@@ -386,21 +387,23 @@ def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clamped (floor-at-zero) running balance per customer — urgent
     orders credit, others debit, and the balance can never go
-    negative. The clamp makes each step depend on the PREVIOUS
-    clamped value, so no window frame can express it: this is the
-    canonical stateful-scan that justifies the engine's
-    ``applyInPandas`` seam (SURVEY §2.11), here with a full exact
-    oracle via a per-key recursive CTE — the pandas surface's
-    strongest correctness check (most stateful ops settle for
-    rows-only). Integer units throughout.
+    negative. The clamp LOOKS window-inexpressible (each step depends
+    on the previous clamped value) but unrolls to a closed form over
+    raw prefix sums: bal_t = max(0, P_t - min(0, min_{k<t} P_k)), and
+    the clamp binds at t exactly when P_t sets a STRICT new running
+    minimum below zero — so the whole stateful scan is two windows and
+    an aggregate, all integer units, no Python in the path. (An
+    earlier version ran this as an applyInPandas walk: semantically
+    identical, but ~150k one-row pandas groups cost ~23s at sf1 where
+    the window form is sub-second; the pandas seam's §2.11
+    demonstrators are ewma_per_user / multimodal_feature_extract.)
+    The oracle states the recurrence directly as a per-key recursive
+    CTE, so the de-recursion is verified against the literal
+    definition — the strongest check a closed form can get.
 
-    Scale: one shuffle partitions by customer; each group's scan is a
-    bounded in-memory walk over that customer's orders (Arrow batch,
-    no Python-per-row crossing); recursion depth in the oracle = max
-    orders per key. The same shape serves inventory levels, budget
-    caps, and retry-token buckets."""
-    import pandas as pd
-
+    Scale: one shuffle partitions by customer; both windows and the
+    final aggregate reuse that partitioning. The same shape serves
+    inventory levels, budget caps, and retry-token buckets."""
     orders = load(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_orderkey",
         F.when(
@@ -410,30 +413,41 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-F.round(F.col("o_totalprice") * 100).cast("long"))
         .alias("delta"),
     )
-
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
-        bal, resets = 0, 0
-        for d in pdf["delta"]:
-            bal += int(d)
-            if bal < 0:
-                bal = 0
-                resets += 1
-        return pd.DataFrame(
-            {
-                "custkey": [int(pdf["o_custkey"].iloc[0])],
-                "final_balance": [bal / 100.0],
-                "n_resets": [resets],
-                "n_orders": [len(pdf)],
-            }
-        )
-
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    p = F.sum("delta").over(w.rowsBetween(W.unboundedPreceding, 0))
+    # min(0, prefix sums strictly before this row); P_0 = 0 folds in
+    # via least(0, ...), null (first row) coalesces to 0
+    m = F.least(
+        F.lit(0).cast("long"),
+        F.coalesce(
+            F.min(p).over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    )
+    stepped = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderdate",
+        "o_orderkey",
+        p.alias("pf"),
+        m.alias("mn"),
+    )
     return (
-        orders.groupBy("o_custkey")
-        .applyInPandas(
-            walk,
-            "custkey BIGINT, final_balance DOUBLE, n_resets BIGINT, n_orders BIGINT",
+        stepped.groupBy("custkey")
+        .agg(
+            (
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.max_by(
+                        F.col("pf") - F.col("mn"),
+                        F.struct("o_orderdate", "o_orderkey"),
+                    ),
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("final_balance"),
+            F.sum((F.col("pf") < F.col("mn")).cast("long")).alias("n_resets"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
+        .select("custkey", "final_balance", "n_resets", "n_orders")
         .orderBy("custkey")
     )
 
