@@ -130,22 +130,34 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Token-set Jaccard for every document pair inside a blocking key.
     The blocking key bounds the quadratic blowup — this is the exact
-    verifier LSH candidates feed into at scale."""
+    verifier LSH candidates feed into at scale.
+
+    Per-pair cost is one ``array_intersect``: the union size is the
+    inclusion–exclusion identity |A∪B| = |A|+|B|−|A∩B| over the
+    per-doc distinct-token counts (computed once per doc, not per
+    pair), so no union array is ever materialized. Same exact
+    values — both sets are distinct arrays by construction."""
     toks = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col),
         F.array_distinct(
             F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
         ).alias("toks"),
-    )
+    ).withColumn("n_toks", F.size("toks"))
     a = toks.select(
-        F.col("block"), F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a")
+        F.col("block"),
+        F.col(id_col).alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_toks").alias("n_a"),
     )
     b = toks.select(
-        F.col("block"), F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b")
+        F.col("block"),
+        F.col(id_col).alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n_toks").alias("n_b"),
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-    union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))

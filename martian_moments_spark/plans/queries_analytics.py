@@ -636,7 +636,11 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: blocking bounds the quadratic pair space exactly like the
     Jaccard dedup path; at 100 TB block on a cheap canopy key (prefix,
-    phonetic code, or LSH bucket) before paying O(len^2) per pair.
+    phonetic code, or LSH bucket) before paying the per-pair DP. The
+    DP itself is banded: levenshtein(threshold=2) computes only the
+    +/-2 diagonal band and early-exits (returns -1 past the cut), so
+    each pair costs O(k*len) instead of O(len^2) — same survivors,
+    same distances.
     """
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
     a = c.select(
@@ -652,8 +656,8 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("int"))
-        .filter(F.col("edit_dist") <= 2)
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 2).cast("int"))
+        .filter(F.col("edit_dist").between(0, 2))
         .select("id_a", "id_b", "edit_dist")
     )
 

@@ -416,3 +416,32 @@ def test_cms_laws_random_corpora(spark_h, keys, split):
         merged = cms_merge(merged, s)
     cells = lambda d: {(r["row"], r["bucket"]): r["total"] for r in d.collect()}
     assert cells(merged) == cells(whole)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.text(alphabet="abZ#09", min_size=0, max_size=12),
+            st.text(alphabet="abZ#09", min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_levenshtein_threshold_equals_unbounded_cut(spark_h, pairs):
+    """The banded DP edit_distance_pairs relies on: for any strings,
+    levenshtein(a, b, threshold=2) == levenshtein(a, b) whenever the
+    true distance is <= 2, and -1 otherwise — so filtering the banded
+    column to [0, 2] keeps exactly the pairs the unbounded <= 2 cut
+    keeps, with identical reported distances."""
+    df = spark_h.createDataFrame(pairs, "a STRING, b STRING")
+    rows = df.select(
+        F.levenshtein("a", "b").alias("full"),
+        F.levenshtein("a", "b", 2).alias("banded"),
+    ).collect()
+    for r in rows:
+        if r["full"] <= 2:
+            assert r["banded"] == r["full"]
+        else:
+            assert r["banded"] == -1

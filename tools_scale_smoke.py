@@ -48,6 +48,7 @@ SCALE_QUERIES = (
     "embedding_ann_ivf",          # k-means quantizer + per-cell matmul
     "dedup_connected_components", # iterative min-label propagation
     "sessionize_events",          # stateful gap sessionization over events
+    "edit_distance_pairs",        # blocked banded-DP fuzzy matching (slowest sf1 in the full sweep)
 )
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf1")
 LINEAR_CAP = 12.0  # 10x data; ratio above this is a named finding
