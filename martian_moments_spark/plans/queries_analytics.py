@@ -29,6 +29,8 @@ from martian_moments_spark.llmops.textops import (
     quality_metrics_packed,
     sql_portable_hash31,
     sql_quality_metrics,
+    sql_tokens,
+    tokens,
 )
 from martian_moments_spark.plans.registry import register
 
@@ -2371,4 +2373,136 @@ def fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         lasp.alias("laspeyres_index"),
         paas.alias("paasche_index"),
         F.sqrt(lasp * paas).alias("fisher_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Score-calibration reliability diagram + expected calibration error
+# ---------------------------------------------------------------------------
+
+_ECE_BINS = 10  # fixed-width confidence bins over [0, 1]
+
+
+@register(
+    "calibration_reliability_ece",
+    ops=("A1", "A5", "P8"),
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct({sql_tokens()})) AS BIGINT) AS n_dist,
+                   CAST(len({sql_tokens()}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), f AS (
+            SELECT doc_id, n_tokens, (10000 * n_dist) // n_tokens AS score_bp
+            FROM base WHERE n_tokens > 0
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM f
+        ), labeled AS (
+            SELECT least(score_bp // 1000, 9) AS bin, score_bp,
+                   CASE WHEN f.n_tokens * t.n_all > t.total_tokens
+                        THEN 1 ELSE 0 END AS pos
+            FROM f CROSS JOIN tot t
+        ), bins AS (
+            SELECT CAST(bin AS INT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(score_bp) AS BIGINT) AS sum_bp
+            FROM labeled GROUP BY bin
+        ), gaps AS (
+            SELECT bin, n, n_pos,
+                   CAST(sum_bp AS DOUBLE) / (10000.0 * CAST(n AS DOUBLE))
+                       AS conf,
+                   CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+                   abs(10000 * n_pos - sum_bp) AS gap_num
+            FROM bins
+        ), tot2 AS (
+            SELECT CAST(SUM(gap_num) AS BIGINT) AS gap_total,
+                   CAST(SUM(n) AS BIGINT) AS n_all
+            FROM gaps
+        )
+        SELECT g.bin, g.n, g.n_pos, g.conf, g.acc,
+               CAST(g.gap_num AS DOUBLE) / (10000.0 * CAST(g.n AS DOUBLE))
+                   AS abs_gap,
+               CAST(t.gap_total AS DOUBLE)
+                   / (10000.0 * CAST(t.n_all AS DOUBLE)) AS ece
+        FROM gaps g CROSS JOIN tot2 t
+    """,
+)
+def calibration_reliability_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error of a quality
+    score against a binary outcome — the calibration check every
+    learned quality/toxicity filter needs before its scores gate a
+    corpus. Here the score is each doc's distinct-token ratio in
+    integer basis points (the lexical-diversity signal) and the
+    outcome is "longer than the corpus mean" (exact integer
+    cross-multiply n_tokens*N > total_tokens — no float compare).
+    ECE stays hash-exact because every |accuracy - confidence| gap is
+    the integer |10000*n_pos - sum_bp| over a common denominator:
+    the only doubles are final single divisions, and the cross-bin
+    ECE sum happens on INTEGER numerators (order-free), never on
+    accumulated floats.
+
+    Scale: one shuffle on the 10-way bin key after a broadcast of the
+    one-row corpus totals; the scalar ECE joins back through a
+    broadcast of the one-row global gap sum (both BNLJ sides are
+    global aggregates — the plan-audit bound)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    base = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("long").alias("n_dist"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    f = base.filter(F.col("n_tokens") > 0).withColumn(
+        "score_bp", F.expr("(10000 * n_dist) DIV n_tokens")
+    )
+    tot = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    labeled = f.crossJoin(F.broadcast(tot)).select(
+        F.least(F.expr("score_bp DIV 1000"), F.lit(9)).alias("bin"),
+        "score_bp",
+        F.when(
+            F.col("n_tokens") * F.col("n_all") > F.col("total_tokens"), 1
+        )
+        .otherwise(0)
+        .alias("pos"),
+    )
+    bins = labeled.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("score_bp").cast("long").alias("sum_bp"),
+    )
+    gaps = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        (
+            F.col("sum_bp").cast("double")
+            / (F.lit(10000.0) * F.col("n").cast("double"))
+        ).alias("conf"),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias("acc"),
+        F.abs(F.lit(10000) * F.col("n_pos") - F.col("sum_bp")).alias("gap_num"),
+    )
+    tot2 = gaps.agg(
+        F.sum("gap_num").cast("long").alias("gap_total"),
+        F.sum("n").cast("long").alias("n_all"),
+    )
+    return gaps.crossJoin(F.broadcast(tot2)).select(
+        "bin",
+        "n",
+        "n_pos",
+        "conf",
+        "acc",
+        (
+            F.col("gap_num").cast("double")
+            / (F.lit(10000.0) * F.col("n").cast("double"))
+        ).alias("abs_gap"),
+        (
+            F.col("gap_total").cast("double")
+            / (F.lit(10000.0) * F.col("n_all").cast("double"))
+        ).alias("ece"),
     )

@@ -4827,3 +4827,119 @@ def dedup_pair_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation (MRR / hits@k / precision@k)
+# ---------------------------------------------------------------------------
+
+_MRR_TOPK = 10  # evaluation cutoff for hits@k / precision@k
+
+
+@register(
+    "retrieval_mrr_eval",
+    ops=("J1", "A1", "W2", "O2"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, list_distinct({_SQL_TOKS}) AS t
+            FROM documents
+        ), probes AS (
+            SELECT source AS probe_source, MIN(doc_id) AS probe_id
+            FROM documents GROUP BY source
+        ), ptoks AS (
+            SELECT p.probe_id, p.probe_source, unnest(t.t) AS term
+            FROM probes p JOIN toks t ON t.doc_id = p.probe_id
+        ), dtoks AS (
+            SELECT doc_id, source, unnest(t) AS term FROM toks
+        ), cand AS (
+            SELECT pt.probe_id, pt.probe_source, dt.doc_id, dt.source,
+                   CAST(COUNT(*) AS BIGINT) AS score
+            FROM ptoks pt JOIN dtoks dt USING (term)
+            WHERE dt.doc_id <> pt.probe_id
+            GROUP BY pt.probe_id, pt.probe_source, dt.doc_id, dt.source
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+            FROM cand
+        )
+        SELECT probe_id, probe_source,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               MIN(CASE WHEN source = probe_source THEN rnk END)
+                   AS first_rel_rank,
+               COALESCE(1.0 / CAST(MIN(CASE WHEN source = probe_source
+                                            THEN rnk END) AS DOUBLE),
+                        0.0) AS reciprocal_rank,
+               CAST(SUM(CASE WHEN rnk <= {_MRR_TOPK}
+                              AND source = probe_source
+                             THEN 1 ELSE 0 END) AS INT) AS hits_at_10,
+               CAST(SUM(CASE WHEN rnk <= {_MRR_TOPK}
+                              AND source = probe_source
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / {_MRR_TOPK}.0 AS precision_at_10
+        FROM ranked GROUP BY probe_id, probe_source
+    """,
+)
+def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: one deterministic probe document
+    per source (smallest doc_id) queries the corpus through an
+    inverted-index candidate join — candidates are docs sharing at
+    least one distinct token with the probe, scored by shared-token
+    count — and each probe reports its reciprocal rank of the first
+    same-source hit, hits@10, and precision@10. Per-probe rows keep
+    every value exact (ranks are integers; reciprocal_rank and
+    precision@10 are single divisions), so no cross-probe double
+    summation enters the hash gate — the corpus-level MRR is the
+    trivial mean of a 20-row result.
+
+    Scale: candidate generation is the inverted-index equi-join on
+    the token key (never probe x corpus), so cost tracks posting-list
+    sizes; probe terms broadcast (|sources| docs). The per-probe
+    ranking window partitions on probe_id — at extreme posting skew
+    the two-phase salted top-k bm25_probe_ranking demonstrates drops
+    in unchanged."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id", "source", F.array_distinct(tokens("text")).alias("t")
+    )
+    probes = docs.groupBy(F.col("source").alias("probe_source")).agg(
+        F.min("doc_id").alias("probe_id")
+    )
+    ptoks = (
+        probes.join(toks, probes.probe_id == toks.doc_id)
+        .select("probe_id", "probe_source", F.explode("t").alias("term"))
+    )
+    dtoks = toks.select("doc_id", "source", F.explode("t").alias("term"))
+    cand = (
+        dtoks.join(F.broadcast(ptoks), "term")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "probe_source", "doc_id", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("score"))
+    )
+    ranked = cand.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.partitionBy("probe_id").orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long"),
+    )
+    rel = F.col("source") == F.col("probe_source")
+    agg = ranked.groupBy("probe_id", "probe_source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.min(F.when(rel, F.col("rnk"))).alias("first_rel_rank"),
+        F.sum(F.when(rel & (F.col("rnk") <= _MRR_TOPK), 1).otherwise(0))
+        .cast("int")
+        .alias("hits_at_10"),
+    )
+    return agg.select(
+        "probe_id",
+        "probe_source",
+        "n_candidates",
+        "first_rel_rank",
+        F.coalesce(
+            F.lit(1.0) / F.col("first_rel_rank").cast("double"), F.lit(0.0)
+        ).alias("reciprocal_rank"),
+        "hits_at_10",
+        (F.col("hits_at_10").cast("double") / F.lit(float(_MRR_TOPK))).alias(
+            "precision_at_10"
+        ),
+    )

@@ -188,6 +188,11 @@ PRIORITY: tuple[str, ...] = (
     "stickiness_dau_mau",
     "running_record_highs",
     "dedup_pair_source_matrix",
+    # -- registered mid-round-4 (never-driver-checked): the self-
+    # rotating order sorts these with the other unattested names, so
+    # they join the r06 window alongside wave 3.
+    "retrieval_mrr_eval",
+    "calibration_reliability_ece",
     # -- cumulative driver-green (r01∪r02∪r03), prior relative order --
     # Verified every round by the local sf0.01 oracle-parity mirror
     # (tests/test_oracle_parity.py); they re-enter the window only
