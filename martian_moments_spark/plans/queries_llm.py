@@ -523,10 +523,20 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("tk"),
     )
-    ta = dtoks.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("tk_a"))
-    tb = dtoks.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tk_b"))
+    ta = dtoks.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("tk").alias("tk_a"),
+        F.size("tk").alias("n_a"),
+    )
+    tb = dtoks.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("tk").alias("tk_b"),
+        F.size("tk").alias("n_b"),
+    )
     inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")
-    union = F.size(F.array_union("tk_a", "tk_b")).cast("double")
+    # |A∪B| = |A|+|B|−|A∩B| over distinct arrays — same exact value,
+    # no per-pair union array (same identity as dedup.jaccard_pairs)
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
     return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
@@ -696,10 +706,19 @@ def fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("tk"),
     )
-    ta = dtoks.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("tk_a"))
-    tb = dtoks.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tk_b"))
+    ta = dtoks.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("tk").alias("tk_a"),
+        F.size("tk").alias("n_a"),
+    )
+    tb = dtoks.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("tk").alias("tk_b"),
+        F.size("tk").alias("n_b"),
+    )
     inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")
-    union = F.size(F.array_union("tk_a", "tk_b")).cast("double")
+    # |A∪B| identity — same exact value, no per-pair union array
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
     verified = (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
@@ -2096,10 +2115,19 @@ def incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("tk"),
     )
-    ti = dtoks.select(F.col("doc_id").alias("inc_id"), F.col("tk").alias("tk_i"))
-    tx = dtoks.select(F.col("doc_id").alias("idx_id"), F.col("tk").alias("tk_x"))
+    ti = dtoks.select(
+        F.col("doc_id").alias("inc_id"),
+        F.col("tk").alias("tk_i"),
+        F.size("tk").alias("n_i"),
+    )
+    tx = dtoks.select(
+        F.col("doc_id").alias("idx_id"),
+        F.col("tk").alias("tk_x"),
+        F.size("tk").alias("n_x"),
+    )
     inter = F.size(F.array_intersect("tk_i", "tk_x")).cast("double")
-    union = F.size(F.array_union("tk_i", "tk_x")).cast("double")
+    # |A∪B| identity — same exact value, no per-pair union array
+    union = (F.col("n_i") + F.col("n_x")).cast("double") - inter
     verified = (
         cand.join(ti, "inc_id")
         .join(tx, "idx_id")
@@ -4103,7 +4131,11 @@ def minhash_estimation_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(k)
     )
     n_inter = F.size(F.array_intersect("hset_a", "hset_b")).cast("long")
-    n_union = F.size(F.array_union("hset_a", "hset_b")).cast("long")
+    # |A∪B| identity over the distinct shingle-hash sets — same exact
+    # integer, no per-pair union array
+    n_union = (
+        F.size("hset_a").cast("long") + F.size("hset_b").cast("long") - n_inter
+    )
     est = F.col("n_sig_match").cast("double") / F.lit(float(k))
     exact = F.when(
         F.col("n_union") > 0,
