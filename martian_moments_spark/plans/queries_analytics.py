@@ -2506,3 +2506,123 @@ def calibration_reliability_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(10000.0) * F.col("n_all").cast("double"))
         ).alias("ece"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact triangle counting over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "triangle_count_copurchase",
+    ops=("J2", "A1", "A6"),
+    oracle="""
+        WITH io AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ), e AS (
+            SELECT DISTINCT a.p AS a, b.p AS b
+            FROM io a JOIN io b ON a.o = b.o AND a.p < b.p
+        ), tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), roles AS (
+            SELECT x AS part_id FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ), deg AS (
+            SELECT v AS part_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+            GROUP BY v
+        )
+        SELECT r.part_id, d.degree, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM roles r JOIN deg d USING (part_id)
+        GROUP BY r.part_id, d.degree
+    """,
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting on the co-purchase graph (parts are
+    vertices; an edge joins two parts that appear in the same order)
+    — the graph-motif primitive behind clustering coefficients and
+    community density. Output: every part in at least one triangle,
+    with its undirected degree and triangle participation count. All
+    values are integer counts — engine-exact by construction.
+
+    Scale: this is the degree-ordered orientation + adjacency-
+    intersection algorithm, not the oracle's naive triple self-join.
+    Each edge is directed from its lower (degree, id) endpoint, so
+    every out-adjacency list is bounded by ~sqrt(2m) regardless of
+    hub degree — the classic wedge-explosion bound — and each
+    triangle materializes exactly once, at its (smallest, middle)
+    edge, as one element of array_intersect(adj+(u), adj+(v)). Work
+    is sum over edges of the two out-lists' sizes (= twice the wedge
+    count, the algorithm's lower bound); the only wide rows are the
+    m adjacency-carrying edges, never the wedge set itself.
+
+    Reference shape: Suri & Vassilvitskii, "Counting Triangles and
+    the Curse of the Last Reducer" (WWW'11).
+
+    Each reused stage (edges, degrees, oriented edges, adjacency,
+    triangles) is an eager localCheckpoint: the DAG consumes every
+    stage several times, and without the barrier Catalyst re-inlines
+    the whole upstream subplan at each reuse (the static plan grows
+    multiplicatively); the barrier makes each stage compute once —
+    the same lineage-truncation rationale as connected_components."""
+    io = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    ia = io.select("o", F.col("p").alias("a"))
+    ib = io.select("o", F.col("p").alias("b"))
+    e = (
+        ia.join(ib, "o")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("degree").alias("deg_b"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).localCheckpoint(eager=True)
+    adj = (
+        oriented.groupBy(F.col("src").alias("v"))
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    tri = (
+        oriented.join(adj.select(F.col("v").alias("src"), F.col("nbrs").alias("nbrs_u")), "src")
+        .join(adj.select(F.col("v").alias("dst"), F.col("nbrs").alias("nbrs_v")), "dst")
+        .select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    roles = (
+        tri.select(F.col("u").alias("part_id"))
+        .unionAll(tri.select(F.col("v").alias("part_id")))
+        .unionAll(tri.select(F.col("w").alias("part_id")))
+    )
+    return (
+        roles.groupBy("part_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .join(deg.select(F.col("v").alias("part_id"), "degree"), "part_id")
+        .select("part_id", "degree", "n_triangles")
+    )

@@ -193,6 +193,7 @@ PRIORITY: tuple[str, ...] = (
     # they join the r06 window alongside wave 3.
     "retrieval_mrr_eval",
     "calibration_reliability_ece",
+    "triangle_count_copurchase",
     # -- cumulative driver-green (r01∪r02∪r03), prior relative order --
     # Verified every round by the local sf0.01 oracle-parity mirror
     # (tests/test_oracle_parity.py); they re-enter the window only
