@@ -445,3 +445,65 @@ def test_levenshtein_threshold_equals_unbounded_cut(spark_h, pairs):
             assert r["banded"] == r["full"]
         else:
             assert r["banded"] == -1
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_triangle_participation_matches_bruteforce(spark_h, edges):
+    """The degree-ordered adjacency-intersection triangle count
+    (triangle_count_copurchase's algorithm) must equal the brute-force
+    triple loop on any graph: same triangle set regardless of
+    orientation, each counted exactly once."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as Fn
+
+    simple = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not simple:
+        return
+    adj = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect: dict[int, int] = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                expect[v] = expect.get(v, 0) + 1
+
+    e = spark_h.createDataFrame(simple, "a INT, b INT")
+    deg = (
+        e.select(Fn.col("a").alias("v"))
+        .unionAll(e.select(Fn.col("b").alias("v")))
+        .groupBy("v")
+        .agg(Fn.count(Fn.lit(1)).alias("degree"))
+    )
+    da = deg.select(Fn.col("v").alias("a"), Fn.col("degree").alias("deg_a"))
+    db = deg.select(Fn.col("v").alias("b"), Fn.col("degree").alias("deg_b"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (Fn.col("deg_a") < Fn.col("deg_b")) | (
+        (Fn.col("deg_a") == Fn.col("deg_b")) & (Fn.col("a") < Fn.col("b"))
+    )
+    oriented = ed.select(
+        Fn.when(a_first, Fn.col("a")).otherwise(Fn.col("b")).alias("src"),
+        Fn.when(a_first, Fn.col("b")).otherwise(Fn.col("a")).alias("dst"),
+    )
+    al = oriented.groupBy(Fn.col("src").alias("v")).agg(
+        Fn.collect_list("dst").alias("nbrs")
+    )
+    tri = (
+        oriented.join(al.select(Fn.col("v").alias("src"), Fn.col("nbrs").alias("nu")), "src")
+        .join(al.select(Fn.col("v").alias("dst"), Fn.col("nbrs").alias("nv")), "dst")
+        .select("src", "dst", Fn.explode(Fn.array_intersect("nu", "nv")).alias("w"))
+    )
+    got: dict[int, int] = {}
+    for r in tri.collect():
+        for v in (r["src"], r["dst"], r["w"]):
+            got[v] = got.get(v, 0) + 1
+    assert got == expect, (simple, got, expect)
