@@ -26,6 +26,7 @@ from pyspark.sql.window import Window as W
 
 from martian_moments_spark.catalog import load
 from martian_moments_spark.functions.numeric import fixed_sum, sql_fixed_sum
+from martian_moments_spark.llmops.textops import portable_hash31, sql_portable_hash31
 from martian_moments_spark.plans.registry import register
 
 
@@ -666,4 +667,64 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("acct_units").cast("long").alias("matched_acct_total"),
         )
         .orderBy("fact_version", "is_changed_cust")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable uniform sample (bottom-k by hash)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 100  # sample size maintained across increments
+
+
+@register(
+    "incremental_sample_merge",
+    ops=("O2", "U1", "P4"),
+    oracle=f"""
+        SELECT event_id, user_id, sample_key
+        FROM (
+            SELECT event_id, user_id,
+                   {sql_portable_hash31("'sample:' || CAST(event_id AS VARCHAR)")}
+                       AS sample_key
+            FROM events
+            ORDER BY sample_key, event_id
+            LIMIT 100
+        )
+    """,
+)
+def incremental_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-sample maintenance across increments: the bottom-k
+    events by a deterministic per-row hash ARE a uniform sample
+    (order statistics of a uniform key), and the state is mergeable —
+    bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)), because any
+    of the union's k smallest keys is among its own increment's k
+    smallest. The query computes per-increment bottom-k partials
+    (split at the incremental family's ROLLUP_CUTOFF watermark),
+    merges them, and is proven by hash parity against a from-scratch
+    bottom-k oracle over all events — the merge law, not just the
+    sample, is what the gate checks. Completes the mergeable-state
+    family: rollup (algebraic), distinct set, HLL sketch, quantile
+    histogram, and now a uniform sample.
+
+    Scale: each partial is a distributed top-k (per-partition local
+    top-k, then a k-row merge — never a global sort); merged state is
+    2k rows. The (hash, event_id) order is total, so membership is
+    deterministic on any engine."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    key = portable_hash31(
+        F.concat(F.lit("sample:"), F.col("event_id").cast("string"))
+    )
+    keyed = ev.withColumn("sample_key", key)
+    cutoff = F.lit(ROLLUP_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.orderBy("sample_key", "event_id").limit(SAMPLE_K)
+
+    base = partial(keyed.filter(F.col("ts") < cutoff))
+    delta = partial(keyed.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .orderBy("sample_key", "event_id")
+        .limit(SAMPLE_K)
+        .select("event_id", "user_id", "sample_key")
     )

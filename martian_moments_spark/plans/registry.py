@@ -194,6 +194,7 @@ PRIORITY: tuple[str, ...] = (
     "retrieval_mrr_eval",
     "calibration_reliability_ece",
     "triangle_count_copurchase",
+    "incremental_sample_merge",
     # -- cumulative driver-green (r01∪r02∪r03), prior relative order --
     # Verified every round by the local sf0.01 oracle-parity mirror
     # (tests/test_oracle_parity.py); they re-enter the window only
