@@ -183,52 +183,58 @@ def connected_components(
     transitive, so pairwise keep-lowest under-merges; clustering the
     full graph is what corpus-level dedup actually needs.
 
-    Iterative distributed min-label propagation: each round every
-    vertex takes the least of its own label and its neighbors' labels;
-    fixpoint (no label changed) is the exact component minimum, so the
-    result is iteration-count-independent and deterministic.
+    Iterative distributed min-label propagation with a FRONTIER: each
+    round, only vertices whose label improved last round re-send it
+    (a vertex whose label is unchanged has nothing new to tell its
+    neighbors — they already received that label the round it was
+    set, so dropping the resend cannot change the fixpoint). The
+    fixpoint (empty frontier) is the exact component minimum, so the
+    result is iteration-count-independent and deterministic — the
+    Pregel/GraphX halting rule.
 
-    Scale: each round is one shuffle (edge-join + min-aggregate) over
-    the active graph. Rounds needed = graph diameter — small for dedup
-    clusters (near-dup components are dense). localCheckpoint truncates
-    the growing lineage so round N doesn't replan rounds 1..N-1; on a
-    cluster use reliable checkpointing to survive executor loss.
-    The convergence test (a driver-side count) runs every
-    ``check_every`` rounds, halving the action count per round at the
-    cost of at most ``check_every - 1`` extra (idempotent) rounds —
-    propagation past the fixpoint is a no-op, so the result is
-    unchanged.
+    Scale: each round is one shuffle (frontier-edge join +
+    min-aggregate), so total message volume is O(E + sum of frontier
+    degrees) instead of O(E * diameter) — after a component
+    converges, it costs nothing while stragglers finish. Rounds
+    needed = graph diameter — small for dedup clusters (near-dup
+    components are dense). localCheckpoint truncates the growing
+    lineage so round N doesn't replan rounds 1..N-1; on a cluster use
+    reliable checkpointing to survive executor loss. Convergence
+    (empty frontier) falls out of the update itself — the driver-side
+    count inspects the frontier it just built, every ``check_every``
+    rounds; idempotent extra rounds past the fixpoint are no-ops.
     """
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     sym = sym.localCheckpoint(eager=True)
-    labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("label"))
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    frontier = labels  # round 1: every vertex announces its own label
     for rnd in range(1, max_iter + 1):
         msgs = (
-            sym.join(labels, sym.src == labels.v)
+            sym.join(frontier, sym.src == frontier.v)
             .select(F.col("dst").alias("v"), "label")
             .groupBy("v")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        upd = (
             labels.join(msgs, "v", "left")
             .select(
                 "v",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+                "label",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", "label")
+                ).alias("new_label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)  # one barrier; both views below are narrow filters of it
         )
+        frontier = upd.filter(F.col("new_label") < F.col("label")).select(
+            "v", F.col("new_label").alias("label")
+        )
+        labels = upd.select("v", F.col("new_label").alias("label"))
         if rnd % check_every == 0 or rnd == max_iter:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "v")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
+            if frontier.limit(1).count() == 0:
                 break
-        else:
-            labels = new_labels
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component_id"))

@@ -507,3 +507,47 @@ def test_triangle_participation_matches_bruteforce(spark_h, edges):
         for v in (r["src"], r["dst"], r["w"]):
             got[v] = got.get(v, 0) + 1
     assert got == expect, (simple, got, expect)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark_h, edges):
+    """Frontier min-label propagation must equal brute-force
+    union-find on any graph — including long chains, where the
+    frontier shrinks to the single still-improving end each round."""
+    from martian_moments_spark.llmops.dedup import connected_components
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    vertices = list(range(15))
+
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {v: find(v) for v in vertices}
+
+    vdf = spark_h.createDataFrame([(v,) for v in vertices], "doc_id INT")
+    edf = spark_h.createDataFrame(
+        pairs or [(0, 0)], "id_a INT, id_b INT"
+    )
+    if not pairs:
+        edf = edf.filter("id_a <> id_a")  # empty edge set, schema kept
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(vdf, edf).collect()
+    }
+    assert got == expect, (pairs, got, expect)
