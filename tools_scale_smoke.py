@@ -160,6 +160,33 @@ def run_full_registry_sweep() -> None:
     flagged = {
         n: r for n, r in results.items() if r["ratio"] > LINEAR_CAP and r["sf1"] > 1.5
     }
+
+    # Cross-sweep drift detection: SCALE_SWEEP.md is overwritten each
+    # run, so keep every sweep in SCALE_HISTORY.jsonl and flag sf1
+    # times that grew > 2x vs the MEDIAN of prior sweeps (single-run
+    # numbers swing ~±30%; the median absorbs one bad run, and the 2x
+    # bar plus a 3 s floor keeps fixed-overhead noise out).
+    import statistics
+
+    drift: dict[str, dict] = {}
+    try:
+        with open("SCALE_HISTORY.jsonl") as f:
+            history = [json.loads(line) for line in f if line.strip()]
+    except FileNotFoundError:
+        history = []
+    for name, row in results.items():
+        priors = [
+            h["queries"][name]["sf1"]
+            for h in history
+            if name in h.get("queries", {})
+        ]
+        if len(priors) >= 2:
+            med = statistics.median(priors)
+            if row["sf1"] > 3.0 and med > 0 and row["sf1"] / med > 2.0:
+                drift[name] = {"now": row["sf1"], "median_prior": round(med, 2)}
+    with open("SCALE_HISTORY.jsonl", "a") as f:
+        f.write(json.dumps({"ts": round(time.time(), 1), "queries": results}) + "\n")
+
     with open("SCALE_SWEEP.md", "w") as f:
         f.write(
             "# SCALE_SWEEP — every registered query at sf0.1 vs sf1\n\n"
@@ -179,6 +206,17 @@ def run_full_registry_sweep() -> None:
             for n, e in sorted(failed.items()):
                 f.write(f"- `{n}`: {e}\n")
         f.write(
+            f"\n## Drift vs prior sweeps ({len(drift)})\n\n"
+            "sf1 single-run time > 2x the median of prior sweeps\n"
+            "(SCALE_HISTORY.jsonl) and > 3 s — investigate with 3\n"
+            "isolated re-runs before calling it a regression.\n\n"
+        )
+        if drift:
+            for n, d in sorted(drift.items(), key=lambda kv: -kv[1]["now"]):
+                f.write(f"- `{n}`: {d['now']} s vs median {d['median_prior']} s\n")
+        else:
+            f.write("None.\n")
+        f.write(
             "\n## All queries (slowest sf1 first)\n\n"
             "| query | sf0.1 (s) | sf1 (s) | ratio |\n|---|---|---|---|\n"
         )
@@ -190,6 +228,7 @@ def run_full_registry_sweep() -> None:
                 "swept": len(results),
                 "failed": len(failed),
                 "flagged": sorted(flagged),
+                "drift": drift,
                 "slowest_sf1": sorted(results.items(), key=lambda kv: -kv[1]["sf1"])[:5],
             }
         )
