@@ -127,16 +127,33 @@ def jaccard_pairs(
     block_col: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    allow_block_self_join: bool = False,
 ) -> DataFrame:
-    """Token-set Jaccard for every document pair inside a blocking key.
-    The blocking key bounds the quadratic blowup — this is the exact
-    verifier LSH candidates feed into at scale.
+    """Token-set Jaccard for EVERY document pair inside a blocking key
+    — O(block^2) pairs by construction, which is quadratic in the
+    corpus whenever the block key has fixed cardinality (the decade
+    sweep measured the source-blocked form at ~14x per 10x rows).
+    The production verify path is LSH-candidate-fed
+    (queries_llm._lsh_candidate_jaccard): O(band collisions), never
+    all-pairs. This full block scan therefore requires
+    ``allow_block_self_join=True`` — opt-in-loud, exactly like
+    similarity.topk_cosine's ``allow_full_scan`` guard — and is only
+    appropriate when the block key's group size is known bounded
+    (e.g. a per-session or per-entity key), not a fixed category.
 
     Per-pair cost is one ``array_intersect``: the union size is the
     inclusion–exclusion identity |A∪B| = |A|+|B|−|A∩B| over the
     per-doc distinct-token counts (computed once per doc, not per
     pair), so no union array is ever materialized. Same exact
     values — both sets are distinct arrays by construction."""
+    if not allow_block_self_join:
+        raise ValueError(
+            "jaccard_pairs verifies every pair inside a block — quadratic "
+            "when the block key has fixed cardinality. Feed LSH candidates "
+            "instead (queries_llm ngram_jaccard_pairs / _lsh_candidate_jaccard), "
+            "or pass allow_block_self_join=True if the block size is provably "
+            "bounded."
+        )
     toks = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col),

@@ -22,7 +22,6 @@ from martian_moments_spark.llmops.dedup import (
     connected_components,
     minhash_from_hashes,
     exact_dedup,
-    jaccard_pairs,
     lsh_bands,
     minhash_signature,
     simhash,
@@ -68,6 +67,63 @@ def _sql_minhash_cols() -> str:
         f"list_min(list_transform(s, x -> ({a} * {sql_portable_hash31('x')} + {b}) % {HASH_P})) AS mh_{i}"
         for i, (a, b) in enumerate(MINHASH_SEEDS)
     )
+
+
+FUZZY_TAU = 0.8  # Jaccard threshold the LSH candidates must verify at
+
+#: CTE chain producing the MinHash+LSH candidate pair set and the
+#: per-document distinct-token arrays (ends with ``cand(id_a, id_b)``
+#: — id_a < id_b — and ``dtoks(doc_id, tk)``). Splice as the head of a
+#: WITH / WITH RECURSIVE list; the deterministic minhash replays
+#: bit-for-bit in DuckDB, so the oracle sees the identical candidate
+#: graph even where LSH recall < 1.
+_SQL_LSH_CAND = f"""toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+        ), mh AS (
+            SELECT doc_id,
+            {_sql_minhash_cols()}
+            FROM sh
+        ), bands AS (
+            SELECT doc_id, 0 AS band_idx,
+                   ((0 * 1000003 + COALESCE(mh_0, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_1, 0) % 1000003) % {HASH_P} AS band_val FROM mh
+            UNION ALL
+            SELECT doc_id, 1,
+                   ((0 * 1000003 + COALESCE(mh_2, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_3, 0) % 1000003) % {HASH_P} FROM mh
+            UNION ALL
+            SELECT doc_id, 2,
+                   ((0 * 1000003 + COALESCE(mh_4, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_5, 0) % 1000003) % {HASH_P} FROM mh
+            UNION ALL
+            SELECT doc_id, 3,
+                   ((0 * 1000003 + COALESCE(mh_6, 0) % 1000003) % {HASH_P} * 1000003
+                    + COALESCE(mh_7, 0) % 1000003) % {HASH_P} FROM mh
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        ), dtoks AS (
+            SELECT doc_id, list_distinct({_SQL_TOKS}) AS tk FROM documents
+        )"""
+
+#: Extends ``_SQL_LSH_CAND`` with the exact-verified edge set (ends
+#: with ``pairs(id_a, id_b)``; id_a < id_b): candidates whose true
+#: token-set Jaccard reaches FUZZY_TAU — the oracle twin of
+#: ``_lsh_verified_pairs``.
+_SQL_LSH_PAIRS = f"""{_SQL_LSH_CAND}, pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN dtoks ta ON ta.doc_id = c.id_a
+            JOIN dtoks tb ON tb.doc_id = c.id_b
+            WHERE len(list_distinct(list_concat(ta.tk, tb.tk))) > 0
+              AND CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(ta.tk, tb.tk))) AS DOUBLE)
+                  >= {FUZZY_TAU}
+        )"""
 
 
 @register(
@@ -212,26 +268,38 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     ops=("J2", "P6"),
-    oracle="""
-        WITH toks AS (
-            SELECT source, doc_id,
-                   list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
-                                             t -> t <> '')) AS tk
-            FROM documents
-        )
-        SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b,
-               CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) > 0
-                    THEN CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-                         / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE)
+    oracle=f"""
+        WITH {_SQL_LSH_CAND}
+        SELECT c.id_a, c.id_b,
+               CASE WHEN len(list_distinct(list_concat(ta.tk, tb.tk))) > 0
+                    THEN CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(ta.tk, tb.tk))) AS DOUBLE)
                     ELSE 0.0 END AS jaccard
-        FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+        FROM cand c
+        JOIN dtoks ta ON ta.doc_id = c.id_a
+        JOIN dtoks tb ON tb.doc_id = c.id_b
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked token-set Jaccard — the exact near-dup verifier that LSH
-    candidates feed into at scale. Blocking on ``source`` bounds the
-    quadratic pair blowup to within-block."""
-    return jaccard_pairs(load(spark, sf_dir, "documents"), block_col="source")
+    """Exact token-set Jaccard for every MinHash+LSH candidate pair —
+    the verify stage of fuzzy dedup as it actually ships: candidates
+    come from band collisions (O(collisions), corpus-wide), never from
+    a block self-join. An earlier version of this query verified every
+    pair inside a ``source`` block; pair count grew as (corpus/20)^2 —
+    the decade sweep measured it at 36 s while every LSH-fed consumer
+    stayed ~1 s, so the registered form is now the candidate-fed
+    verifier (the quadratic all-pairs arm survives only behind
+    ``dedup.jaccard_pairs(allow_block_self_join=True)``, opt-in-loud
+    like similarity.topk_cosine's full-scan guard).
+
+    Unthresholded on purpose: downstream consumers pick their tau
+    (_lsh_verified_pairs filters this same computation at FUZZY_TAU),
+    and the reported value is the TRUE Jaccard — the minhash only
+    nominates pairs. Union size is the inclusion-exclusion identity
+    |A|+|B|-|A∩B| over per-doc distinct counts, so no per-pair union
+    array is materialized. The deterministic minhash replays in the
+    oracle, so both engines see the identical candidate graph."""
+    return _lsh_candidate_jaccard(spark, sf_dir)
 
 
 @register(
@@ -507,16 +575,11 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_units_cells_pandas(assigned, k=5)
 
 
-FUZZY_TAU = 0.8  # Jaccard threshold the LSH candidates must verify at
-
-
-def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine's canonical near-duplicate edge set: MinHash+LSH band
-    collisions exact-verified at token-set Jaccard >= FUZZY_TAU.
-    O(band collisions) pairs, never all-pairs — the deployment shape
-    every pair-consuming dedup query composes on. The oracle twin is
-    ``_SQL_LSH_PAIRS`` (the identical deterministic minhash replayed in
-    SQL, so parity holds even where LSH recall < 1)."""
+def _lsh_candidate_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard for each MinHash+LSH candidate pair:
+    ``(id_a, id_b, jaccard)``, unthresholded — the shared verify seam
+    ``ngram_jaccard_pairs`` exposes and ``_lsh_verified_pairs`` filters.
+    Oracle twin: ``_SQL_LSH_CAND`` + the jaccard projection."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     cand = minhash_lsh_candidates(spark, sf_dir)
     dtoks = docs.select(
@@ -540,55 +603,26 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
-        .filter((union > 0) & (inter / union >= F.lit(FUZZY_TAU)))
-        .select("id_a", "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
     )
 
 
-#: CTE chain producing the same verified pair set as
-#: ``_lsh_verified_pairs`` (ends with ``pairs(id_a, id_b)``; id_a <
-#: id_b). Splice as the head of a WITH / WITH RECURSIVE list.
-_SQL_LSH_PAIRS = f"""toks AS (
-            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
-        ), sh AS (
-            SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
-        ), mh AS (
-            SELECT doc_id,
-            {_sql_minhash_cols()}
-            FROM sh
-        ), bands AS (
-            SELECT doc_id, 0 AS band_idx,
-                   ((0 * 1000003 + COALESCE(mh_0, 0) % 1000003) % {HASH_P} * 1000003
-                    + COALESCE(mh_1, 0) % 1000003) % {HASH_P} AS band_val FROM mh
-            UNION ALL
-            SELECT doc_id, 1,
-                   ((0 * 1000003 + COALESCE(mh_2, 0) % 1000003) % {HASH_P} * 1000003
-                    + COALESCE(mh_3, 0) % 1000003) % {HASH_P} FROM mh
-            UNION ALL
-            SELECT doc_id, 2,
-                   ((0 * 1000003 + COALESCE(mh_4, 0) % 1000003) % {HASH_P} * 1000003
-                    + COALESCE(mh_5, 0) % 1000003) % {HASH_P} FROM mh
-            UNION ALL
-            SELECT doc_id, 3,
-                   ((0 * 1000003 + COALESCE(mh_6, 0) % 1000003) % {HASH_P} * 1000003
-                    + COALESCE(mh_7, 0) % 1000003) % {HASH_P} FROM mh
-        ), cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-             AND a.doc_id < b.doc_id
-        ), dtoks AS (
-            SELECT doc_id, list_distinct({_SQL_TOKS}) AS tk FROM documents
-        ), pairs AS (
-            SELECT c.id_a, c.id_b
-            FROM cand c
-            JOIN dtoks ta ON ta.doc_id = c.id_a
-            JOIN dtoks tb ON tb.doc_id = c.id_b
-            WHERE len(list_distinct(list_concat(ta.tk, tb.tk))) > 0
-              AND CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
-                  / CAST(len(list_distinct(list_concat(ta.tk, tb.tk))) AS DOUBLE)
-                  >= {FUZZY_TAU}
-        )"""
+def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's canonical near-duplicate edge set: MinHash+LSH band
+    collisions exact-verified at token-set Jaccard >= FUZZY_TAU.
+    O(band collisions) pairs, never all-pairs — the deployment shape
+    every pair-consuming dedup query composes on. The oracle twin is
+    ``_SQL_LSH_PAIRS`` (the identical deterministic minhash replayed in
+    SQL, so parity holds even where LSH recall < 1)."""
+    return (
+        _lsh_candidate_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= F.lit(FUZZY_TAU))
+        .select("id_a", "id_b")
+    )
 
 
 @register(
