@@ -187,6 +187,84 @@ def jaccard_pairs(
     )
 
 
+def deletion_neighborhood_candidates(
+    df: DataFrame,
+    block_col: str,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+) -> DataFrame:
+    """Edit-distance candidate pairs via deletion-neighborhood
+    signatures (the FastSS / SymSpell scheme): every string emits all
+    variants reachable by deleting up to ``k`` characters; two strings
+    at edit distance <= k ALWAYS share at least one variant (take an
+    optimal <=k-op script and drop the substituted/deleted chars from
+    one side and the substituted/inserted chars from the other — each
+    side loses <= k chars and the remainders are equal), so recall is
+    exactly 1 and the downstream banded-DP verify sees the same
+    survivor set as an all-pairs scan. tests/test_properties.py pins
+    that equivalence on generated corpora.
+
+    Scale: per-string signature count is C(l,0..k) ~ l^k/k! — bounded
+    for the short keys entity resolution blocks on (names, titles,
+    codes; l=20, k=2 -> ~190 rows). The only shuffle is the signature
+    equi-join: candidate volume is O(sum over signatures of count^2),
+    i.e. O(collisions) — strings collide only when genuinely
+    deletion-compatible, unlike substring/q-gram canopies which
+    degenerate when the corpus shares long constant affixes. For long
+    strings (documents) use MinHash/LSH instead; this is the
+    short-string companion. Returns distinct ``(block, id_a, id_b)``
+    with id_a < id_b; verify with ``F.levenshtein(a, b, k)``."""
+    if k != 2:
+        raise ValueError("deletion_neighborhood_candidates implements k=2")
+    s = F.col("__s")
+    l = F.length(s)
+    d1 = F.transform(
+        F.sequence(F.lit(1), l),
+        lambda i: F.concat(s.substr(F.lit(1), i - 1), s.substr(i + 1, l)),
+    )
+    # delete positions i<j: prefix[1,i-1] + mid[i+1,j-1] + suffix[j+1,]
+    d2 = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), l - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, l),
+                lambda j: F.concat(
+                    s.substr(F.lit(1), i - 1), s.substr(i + 1, j - i - 1), s.substr(j + 1, l)
+                ),
+            ),
+        )
+    )
+    sigs = F.array_distinct(
+        F.concat(
+            F.array(s),
+            F.when(l >= 1, d1).otherwise(F.array().cast("array<string>")),
+            F.when(l >= 2, d2).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    # Join on xxhash64(variant), not the variant string: an 8-byte
+    # shuffle key instead of a ~l-byte one. A hash collision can only
+    # ADD a candidate (the banded-DP verify rejects it), so recall
+    # stays exactly 1.
+    sig_rows = (
+        df.select(
+            F.col(block_col).alias("block"),
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("__s"),
+        )
+        .select("block", "id", F.explode(sigs).alias("sig"))
+        .select("block", "id", F.xxhash64("sig").alias("sig"))
+    )
+    a = sig_rows.select("block", F.col("id").alias("id_a"), "sig")
+    b = sig_rows.select("block", F.col("id").alias("id_b"), "sig")
+    return (
+        a.join(b, ["block", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("block", "id_a", "id_b")
+        .distinct()
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,

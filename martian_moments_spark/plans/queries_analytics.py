@@ -21,6 +21,7 @@ from pyspark.sql.window import Window as W
 
 from martian_moments_spark.catalog import load
 from martian_moments_spark.functions.numeric import fixed_sum, sql_fixed_sum
+from martian_moments_spark.llmops.dedup import deletion_neighborhood_candidates
 from martian_moments_spark.llmops.similarity import (
     FIXED_SCALE,
 )
@@ -631,33 +632,38 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy string matching: Levenshtein distance between
-    customer names within a nation block, keeping near-matches — the
-    entity-resolution primitive (typo-tolerant record linkage).
-    Edit distance is an integer, so the <= 2 cut is engine-exact.
+    """Fuzzy string matching: Levenshtein distance <= 2 between
+    customer names within a nation block — the entity-resolution
+    primitive (typo-tolerant record linkage). Edit distance is an
+    integer, so the <= 2 cut is engine-exact.
 
-    Scale: blocking bounds the quadratic pair space exactly like the
-    Jaccard dedup path; at 100 TB block on a cheap canopy key (prefix,
-    phonetic code, or LSH bucket) before paying the per-pair DP. The
-    DP itself is banded: levenshtein(threshold=2) computes only the
-    +/-2 diagonal band and early-exits (returns -1 past the cut), so
-    each pair costs O(k*len) instead of O(len^2) — same survivors,
-    same distances.
+    The pair space is canopy-bounded, not blocked-quadratic: an
+    earlier version self-joined the nation block (pairs grow as
+    (customers/25)^2 — the sf1 sweep's slowest entry at 46 s), now a
+    deletion-neighborhood canopy (dedup.deletion_neighborhood_
+    candidates, the FastSS scheme) nominates only strings sharing a
+    <=2-deletion variant. That canopy has recall exactly 1 at ed<=2
+    (pigeonhole over an optimal edit script), so the banded verify
+    sees the identical survivor set — the all-pairs oracle below stays
+    the ground truth, and tests/test_properties.py pins the
+    equivalence on adversarial corpora. The DP itself is banded:
+    levenshtein(threshold=2) computes only the +/-2 diagonal band and
+    early-exits, so each verified pair costs O(k*len).
+
+    Scale: signature explode is per-row (~190 short rows per name);
+    the only shuffles are the signature equi-join (O(collisions)) and
+    the two id-keyed name re-joins. 100x the customers -> ~100x the
+    candidates, never (100x)^2.
     """
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
-    a = c.select(
-        F.col("c_nationkey").alias("block"),
-        F.col("c_custkey").alias("id_a"),
-        F.col("c_name").alias("name_a"),
+    cand = deletion_neighborhood_candidates(
+        c, block_col="c_nationkey", id_col="c_custkey", text_col="c_name", k=2
     )
-    b = c.select(
-        F.col("c_nationkey").alias("block"),
-        F.col("c_custkey").alias("id_b"),
-        F.col("c_name").alias("name_b"),
-    )
+    names_a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))
+    names_b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"))
     return (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(names_a, "id_a")
+        .join(names_b, "id_b")
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 2).cast("int"))
         .filter(F.col("edit_dist").between(0, 2))
         .select("id_a", "id_b", "edit_dist")

@@ -551,3 +551,55 @@ def test_connected_components_matches_union_find(spark_h, edges):
         for r in connected_components(vdf, edf).collect()
     }
     assert got == expect, (pairs, got, expect)
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="ab1#", min_size=0, max_size=10),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_deletion_canopy_same_survivors_as_all_pairs(spark_h, names):
+    """The deletion-neighborhood canopy (edit_distance_pairs's
+    candidate stage) must have recall 1 at ed<=2: canopy -> banded
+    verify keeps EXACTLY the pairs an all-pairs scan keeps, with
+    identical distances — on adversarial corpora (tiny alphabet, empty
+    strings, duplicates) where near-pairs are dense."""
+    from martian_moments_spark.llmops.dedup import deletion_neighborhood_candidates
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[len(b)]
+
+    rows = [(i, i % 2, s) for i, s in enumerate(names)]
+    expect = {
+        (i, j): lev(sa, sb)
+        for i, bi, sa in rows
+        for j, bj, sb in rows
+        if i < j and bi == bj and lev(sa, sb) <= 2
+    }
+
+    df = spark_h.createDataFrame(rows, "id INT, block INT, name STRING")
+    cand = deletion_neighborhood_candidates(
+        df, block_col="block", id_col="id", text_col="name", k=2
+    )
+    na = df.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"))
+    nb = df.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"))
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in (
+            cand.join(na, "id_a")
+            .join(nb, "id_b")
+            .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 2).cast("int"))
+            .filter(F.col("edit_dist").between(0, 2))
+            .collect()
+        )
+    }
+    assert got == expect, (rows, got, expect)
