@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from martian_moments_spark.catalog import load
+from martian_moments_spark.guards import assert_bounded, collect_bounded
 from martian_moments_spark.llmops.dedup import (
     HASH_P,
     MINHASH_SEEDS,
@@ -23,6 +24,7 @@ from martian_moments_spark.llmops.dedup import (
     minhash_from_hashes,
     exact_dedup,
     lsh_bands,
+    lsh_candidates,
     minhash_signature,
     simhash,
 )
@@ -207,37 +209,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate candidates: signatures -> 4 bands of
     2 rows -> docs sharing any band bucket. The LSH point at scale: the
     only shuffle is the band-bucket join, producing O(collisions)
-    pairs instead of the O(n^2) cross product."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    hashed = docs.withColumn("__sh", F.transform(word_shingles("text"), portable_hash31))
-    sig = hashed.select("doc_id", *minhash_from_hashes(F.col("__sh")))
-    banded = sig.select("doc_id", *lsh_bands([f"mh_{i}" for i in range(len(MINHASH_SEEDS))]))
-    n_bands = len(MINHASH_SEEDS) // 2
-    melted = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"), F.col(f"band_{i}").alias("band_val")
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_val")
-    a = melted.select(
-        F.col("doc_id").alias("id_a"), "band_idx", "band_val"
-    )
-    b = melted.select(
-        F.col("doc_id").alias("id_b"), "band_idx", "band_val"
-    )
-    return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs instead of the O(n^2) cross product. (Exact duplicates all
+    collide — compose exact_dedup first on duplicate-heavy corpora;
+    see dedup.lsh_candidates.)"""
+    return lsh_candidates(load(spark, sf_dir, "documents"))
 
 
 @register(
@@ -902,6 +877,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- pipeline hygiene ops
 
 DECONTAM_BENCH_MOD = 37  # doc_id % MOD == 0 -> held-out benchmark doc
+# Declared bound on the benchmark side that gets shingle-exploded and
+# broadcast. The modulus stand-in grows with the corpus, but a real
+# benchmark is a fixed external table; the guard makes the broadcast's
+# boundedness structural — over the cap the plan fails loudly instead
+# of flooding executors. Asserted on the DOC count (a column-pruned
+# ~0.1 s job, vs ~0.5 s to count distinct shingles); the broadcast is
+# then <= cap x per-doc distinct shingles, bounded by document length.
+DECONTAM_BENCH_DOC_CAP = 100_000
 DECONTAM_NGRAM = 4  # overlap unit: word 4-grams (bigrams match everything
 # in a small-vocabulary corpus; real pipelines use 8-13-gram spans)
 
@@ -961,6 +944,15 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(word_shingles("text", n=DECONTAM_NGRAM), portable_hash31)
             )
         ).alias("sh"),
+    )
+    # eager guard at plan-build time: the broadcast side below is the
+    # shingle set of exactly these docs, so bounding the doc count
+    # bounds the broadcast (<= cap x per-doc distinct shingles)
+    assert_bounded(
+        docs.filter(is_bench).select("doc_id"),
+        DECONTAM_BENCH_DOC_CAP,
+        "decontamination_overlap benchmark docs",
+        once_key=sf_dir,
     )
     bench_sh = sh.filter(is_bench).select("sh").distinct()
     overlap = (
@@ -1452,6 +1444,13 @@ def curation_to_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(word_shingles("text", n=DECONTAM_NGRAM), portable_hash31)
             )
         ).alias("sh"),
+    )
+    # eager guard at plan-build time (see decontamination_overlap)
+    assert_bounded(
+        docs.filter(is_bench).select("doc_id"),
+        DECONTAM_BENCH_DOC_CAP,
+        "curation_to_training_mix benchmark docs",
+        once_key=sf_dir,
     )
     bench_sh = sh.filter(is_bench).select("sh").distinct()
     contaminated = (
@@ -2180,6 +2179,11 @@ def incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDECON_BENCH_MOD = 37  # vec_id % MOD == 0 -> held-out benchmark vector
+# Declared bound on the driver-collected benchmark matrix (real eval
+# sets are thousands of vectors; 100k x 64 int64 ~ 50 MB closure).
+# collect_bounded transfers at most cap+1 rows, so the plan can never
+# OOM the driver however large the corpus grows.
+SEMDECON_BENCH_CAP = 100_000
 SEMDECON_TAU = 0.30  # contamination cut (the corpus is isotropic: the
 # tau marks unusually-similar pairs; real pipelines set ~0.9 on real
 # embeddings — the dial, not the mechanism)
@@ -2234,7 +2238,11 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ).select("vec_id", "units", "norm2")
     is_bench = F.col("vec_id") % SEMDECON_BENCH_MOD == 0
-    bench_rows = base.filter(is_bench).collect()  # bounded: the eval set
+    bench_rows = collect_bounded(
+        base.filter(is_bench),
+        SEMDECON_BENCH_CAP,
+        "semantic_decontamination benchmark vectors",
+    )
     B = np.array([list(r["units"]) for r in bench_rows], dtype=np.int64)
     bn = np.sqrt(np.array([r["norm2"] for r in bench_rows], dtype=np.float64))
 
