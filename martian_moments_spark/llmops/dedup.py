@@ -78,6 +78,51 @@ def lsh_bands(signature_cols: list[str], rows_per_band: int = 2) -> list[Column]
 
 
 
+def lsh_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs for any document
+    frame: signatures -> 4 bands of 2 rows -> distinct id pairs
+    sharing any band bucket (``id_a < id_b``). The only shuffle is the
+    band-bucket equi-join: O(collisions) pairs, never O(n^2).
+
+    Skew caveat (tests/test_properties.py pins it): EXACT duplicates
+    all share every band, so a template repeated h times contributes
+    C(h,2) candidate pairs — LSH bounds near-dup work, not exact-dup
+    work. The deployment composition is exact_dedup FIRST (identical
+    docs collapse to one representative), then LSH over
+    representatives; the hot template then contributes zero pairs."""
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("__sh", F.transform(word_shingles("text"), portable_hash31))
+    sig = hashed.select("doc_id", *minhash_from_hashes(F.col("__sh")))
+    banded = sig.select(
+        "doc_id", *lsh_bands([f"mh_{i}" for i in range(len(MINHASH_SEEDS))])
+    )
+    n_bands = len(MINHASH_SEEDS) // 2
+    melted = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"), F.col(f"band_{i}").alias("band_val")
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_val")
+    a = melted.select(F.col("doc_id").alias("id_a"), "band_idx", "band_val")
+    b = melted.select(F.col("doc_id").alias("id_b"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def simhash(col: str = "text", bits: int = SIMHASH_BITS) -> Column:
     """Order-insensitive near-dup fingerprint: bit b of the simhash is
     the majority vote of bit b across the distinct tokens' hashes.
@@ -271,6 +316,7 @@ def connected_components(
     id_col: str = "doc_id",
     max_iter: int = 50,
     check_every: int = 2,
+    frontier_sizes: list | None = None,
 ) -> DataFrame:
     """Transitive closure of a near-duplicate relation: label every
     vertex with the MINIMUM id reachable through the edge set (the
@@ -298,6 +344,9 @@ def connected_components(
     (empty frontier) falls out of the update itself — the driver-side
     count inspects the frontier it just built, every ``check_every``
     rounds; idempotent extra rounds past the fixpoint are no-ops.
+    Pass ``frontier_sizes=[]`` to record the exact per-round frontier
+    size (checked every round in that mode) — the property suite pins
+    frontier-collapse dynamics on it.
     """
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -329,7 +378,15 @@ def connected_components(
             "v", F.col("new_label").alias("label")
         )
         labels = upd.select("v", F.col("new_label").alias("label"))
-        if rnd % check_every == 0 or rnd == max_iter:
+        if frontier_sizes is not None:
+            # instrumentation mode: exact frontier size every round —
+            # the O(E*diameter) regression guard in
+            # tests/test_properties.py asserts collapse dynamics on it
+            size = frontier.count()
+            frontier_sizes.append(size)
+            if size == 0:
+                break
+        elif rnd % check_every == 0 or rnd == max_iter:
             if frontier.limit(1).count() == 0:
                 break
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component_id"))

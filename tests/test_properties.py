@@ -603,3 +603,76 @@ def test_deletion_canopy_same_survivors_as_all_pairs(spark_h, names):
         )
     }
     assert got == expect, (rows, got, expect)
+
+
+def test_frontier_collapses_within_diameter_rounds(spark):
+    """The frontier rewrite's contract: on a worst-case path graph
+    (diameter d, minimum label at one end) the frontier empties within
+    d+1 rounds, sizes are monotone non-increasing after the peak, and
+    total message volume is O(E + sum of frontier sizes) — NOT
+    O(E*diameter), the regression this test exists to block. Labels
+    must still all converge to the path's minimum."""
+    from martian_moments_spark.llmops.dedup import connected_components
+
+    n = 24  # path 0-1-...-23, diameter 23
+    vdf = spark.createDataFrame([(v,) for v in range(n)], "doc_id INT")
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a INT, id_b INT"
+    )
+    sizes: list[int] = []
+    labels = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(
+            vdf, edf, max_iter=n + 2, frontier_sizes=sizes
+        ).collect()
+    }
+    assert labels == {v: 0 for v in range(n)}
+    diameter = n - 1
+    assert len(sizes) <= diameter + 1, sizes
+    assert sizes[-1] == 0
+    peak = sizes.index(max(sizes))
+    tail = sizes[peak:]
+    assert all(a >= b for a, b in zip(tail, tail[1:])), sizes
+    # vs every-vertex re-send: sum(frontier) must be strictly below
+    # n * rounds (the O(V*diameter) message bill the rewrite retired)
+    assert sum(sizes) < n * len(sizes)
+
+
+def test_lsh_skew_hot_template_bounded_by_dedup_first(spark):
+    """LSH skew law (VERDICT r04 #7): a hot exact-duplicate template
+    (5% of docs) makes every copy collide in every band — C(h,2)
+    candidate pairs from that template alone — so raw LSH on a
+    duplicate-heavy corpus is quadratic in the hot count. The
+    deployment composition (exact_dedup FIRST, LSH over
+    representatives) must collapse the hot template to one rep: zero
+    hot-pair candidates, total candidates bounded by near-dup
+    collisions among unique docs."""
+    from martian_moments_spark.llmops.dedup import exact_dedup, lsh_candidates
+
+    n, hot = 400, 20  # 5% of docs are byte-identical copies of doc 0
+    rows = []
+    for i in range(n):
+        if i < hot:
+            text = "the hot template every copy shares verbatim tokens"
+        else:
+            # unique word-salad: ids woven in so texts are distinct
+            text = f"doc {i} unique words alpha{i % 7} beta{i % 11} gamma{i} delta"
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    raw = lsh_candidates(docs)
+    hot_pairs_raw = raw.filter((F.col("id_a") < hot) & (F.col("id_b") < hot)).count()
+    assert hot_pairs_raw == hot * (hot - 1) // 2  # exact dups share ALL bands
+
+    reps = exact_dedup(docs).select(F.col("kept_doc_id").alias("doc_id"))
+    rep_docs = docs.join(reps, "doc_id")
+    assert rep_docs.count() == n - hot + 1
+    dedup_first = lsh_candidates(rep_docs)
+    hot_pairs_after = dedup_first.filter(
+        (F.col("id_a") < hot) & (F.col("id_b") < hot)
+    ).count()
+    assert hot_pairs_after == 0  # one representative -> no self-pairs
+    # near-dup collisions among unique word-salads stay sub-linear —
+    # the candidate set must not inherit the template's quadratic term
+    assert dedup_first.count() < raw.count() - hot_pairs_raw + hot
+    assert dedup_first.count() < n

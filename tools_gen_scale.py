@@ -49,6 +49,52 @@ VOCAB = (
 ).split()
 
 
+def _doc_text(seed):
+    """Deterministic word-salad text from an integer seed column —
+    identical construction to the sf1 corpus, so skew variants differ
+    ONLY in how seeds collide."""
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    n_words = (F.pmod(F.xxhash64(seed.cast("string")), F.lit(90)) + 10).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.element_at(
+            vocab,
+            (
+                F.pmod(F.xxhash64(seed.cast("string"), i.cast("string")), F.lit(len(VOCAB)))
+                + 1
+            ).cast("int"),
+        ),
+    )
+    return F.concat_ws(" ", words)
+
+
+def gen_skew() -> None:
+    """Adversarial duplicate-skew corpus: 50k docs, 5% byte-identical
+    copies of ONE hot template (VERDICT r04 #7's worst case — a single
+    LSH bucket holding 2500 docs). Written to .scale_data/sf1skew;
+    tools_scale_smoke.py --skew measures the dedup-first composition
+    against it (SKEW_SCALE.md)."""
+    spark = get_spark(app_name="mm-gen-scale-skew")
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf1skew")
+    os.makedirs(out, exist_ok=True)
+    n_docs = 50_000
+    hot = n_docs // 20
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    # hot slice: every seed identical -> identical text; tail: unique
+    seed = F.when(F.col("doc_id") < hot, F.lit(7)).otherwise(F.col("doc_id") + 1000)
+    docs = base.select(
+        "doc_id",
+        _doc_text(seed).alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), F.pmod(F.col("doc_id"), F.lit(20)).cast("string")).alias(
+            "source"
+        ),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    print("sf1skew documents:", spark.read.parquet(f"{out}/documents.parquet").count())
+    spark.stop()
+
+
 def main() -> None:
     spark = get_spark(app_name="mm-gen-scale")
     os.makedirs(OUT, exist_ok=True)
@@ -75,16 +121,7 @@ def main() -> None:
     base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
     is_tpl = F.col("doc_id") < (n_docs // 20)
     seed = F.when(is_tpl, F.pmod(F.col("doc_id"), F.lit(250))).otherwise(F.col("doc_id") + 1000)
-    vocab = F.array(*[F.lit(w) for w in VOCAB])
-    n_words = (F.pmod(F.xxhash64(seed.cast("string")), F.lit(90)) + 10).cast("int")
-    words = F.transform(
-        F.sequence(F.lit(1), n_words),
-        lambda i: F.element_at(
-            vocab,
-            (F.pmod(F.xxhash64(seed.cast("string"), i.cast("string")), F.lit(len(VOCAB))) + 1).cast("int"),
-        ),
-    )
-    text = F.concat_ws(" ", words)
+    text = _doc_text(seed)
     lang = F.element_at(
         F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("zh"), F.lit("de")),
         (F.pmod(F.xxhash64(F.col("doc_id").cast("string"), F.lit("lang")), F.lit(5)) + 1).cast("int"),
@@ -132,4 +169,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--skew" in sys.argv:
+        gen_skew()
+    else:
+        main()

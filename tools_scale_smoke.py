@@ -319,7 +319,90 @@ def run_named_query_smoke() -> None:
     spark.stop()
 
 
+def run_skew_smoke() -> None:
+    """Duplicate-skew law at 50k-doc scale (VERDICT r04 #7): one hot
+    template owns 5% of the corpus, so raw LSH candidate generation
+    carries a C(2500,2) ~ 3.1M-pair quadratic term from that single
+    bucket. The deployment composition — exact_dedup first, LSH over
+    representatives — must erase it. Writes SKEW_SCALE.md. AQE is on
+    (session default), so the hot band-bucket join partition is
+    additionally split at runtime; the structural fix is dedup-first,
+    AQE just keeps the raw path's stragglers bounded."""
+    from bench import consume
+    from martian_moments_spark.llmops.dedup import exact_dedup, lsh_candidates
+
+    skew_dir = os.path.join(".scale_data", "sf1skew")
+    if not os.path.isdir(skew_dir):
+        sys.exit("run `python tools_gen_scale.py --skew` first")
+    spark = get_spark(app_name="mm-skew-smoke")
+    docs = spark.read.parquet(f"{skew_dir}/documents.parquet").select("doc_id", "text")
+    hot = 50_000 // 20
+
+    rows: dict[str, dict] = {}
+    for label, frame in (
+        ("raw_lsh", docs),
+        (
+            "dedup_first",
+            docs.join(
+                exact_dedup(docs).select(F.col("kept_doc_id").alias("doc_id")), "doc_id"
+            ),
+        ),
+    ):
+        cand = lsh_candidates(frame)
+        consume(cand)  # warm
+        t0 = time.perf_counter()
+        n_cand = cand.count()
+        dt = round(time.perf_counter() - t0, 2)
+        n_hot = cand.filter((F.col("id_a") < hot) & (F.col("id_b") < hot)).count()
+        rows[label] = {"sec": dt, "candidates": n_cand, "hot_template_pairs": n_hot}
+        print(json.dumps({label: rows[label]}), flush=True)
+
+    assert rows["raw_lsh"]["hot_template_pairs"] == hot * (hot - 1) // 2
+    assert rows["dedup_first"]["hot_template_pairs"] == 0
+    with open("SKEW_SCALE.md", "w") as f:
+        f.write(
+            "# SKEW_SCALE — hot-template duplicate skew vs the LSH edge path\n\n"
+            "Generated by `python tools_scale_smoke.py --skew` against\n"
+            "`.scale_data/sf1skew` (`tools_gen_scale.py --skew`): 50k docs,\n"
+            "5% byte-identical copies of ONE template — the adversarial\n"
+            "worst case for LSH, since exact duplicates collide in every\n"
+            "band and a single bucket yields C(2500,2) pairs. local[32],\n"
+            "AQE on (skew-join splitting engaged for the raw path's hot\n"
+            "partition); warm timings through the bench hash-sink.\n\n"
+            "| path | time (s) | candidate pairs | hot-template pairs |\n"
+            "|---|---|---|---|\n"
+        )
+        for label, r in rows.items():
+            f.write(
+                f"| {label} | {r['sec']} | {r['candidates']:,} | {r['hot_template_pairs']:,} |\n"
+            )
+        f.write(
+            "\nLaw (pinned by tests/test_properties.py::"
+            "test_lsh_skew_hot_template_bounded_by_dedup_first): LSH bounds\n"
+            "NEAR-dup work; exact-dup mass must be collapsed by the\n"
+            "fingerprint dedup stage first. The column that matters is\n"
+            "candidate PAIRS: the raw path carries a C(h,2) term from the\n"
+            "hot bucket (h=2,500 -> 3.1M pairs here; at h=50M — 5% of a\n"
+            "1B-doc corpus — that term alone is 1.25e15 pairs, infeasible at\n"
+            "any cluster size), while dedup-first leaves exactly zero hot\n"
+            "pairs and only the collision-bounded near-dup candidates among\n"
+            "unique docs (the 28-word synthetic vocabulary makes those\n"
+            "collisions dense — ~0.6% of all-pairs — which is a property of\n"
+            "this corpus, not of the scheme). Wall-clock at 50k docs is\n"
+            "dominated by the fixed dedup+join stages, so the raw path can\n"
+            "look faster HERE; the quadratic term is what kills it at scale.\n"
+            "This is the composition every pair-consuming query in the\n"
+            "engine uses (fuzzy_dedup_pipeline, _lsh_verified_pairs\n"
+            "consumers).\n"
+        )
+    print(json.dumps({"skew_smoke": rows}))
+    spark.stop()
+
+
 if __name__ == "__main__":
+    if "--skew" in sys.argv:
+        run_skew_smoke()
+        sys.exit(0)
     if "--queries" in sys.argv:
         if "--all" in sys.argv:
             run_full_registry_sweep()
