@@ -18,6 +18,7 @@ def load_all() -> dict:
         queries_events,
         queries_incremental,
         queries_llm,
+        queries_curation,
         queries_analytics,
         queries_operators,
         queries_quality,

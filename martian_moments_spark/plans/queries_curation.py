@@ -1,0 +1,510 @@
+"""Training-data curation queries, round 5: semantic dedup over
+quantizer cells (SemDeDup shape), lexical importance resampling (DSIR
+shape), contamination auditing by split, tokenizer-vocabulary coverage,
+and Zipf-tail mass — the corpus-engineering passes a large-scale
+pretraining pipeline runs between raw crawl and training mix.
+
+Every score is integer or integer-ratio arithmetic from the md5
+portable hash / fixed-point units, so the DuckDB oracles replay
+bit-for-bit (the engine's exactness conventions: integer
+cross-multiplication instead of float thresholds, one final division
+for ratios, deterministic tie-breaks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from martian_moments_spark.catalog import load
+from martian_moments_spark.llmops.similarity import (
+    K_CELLS,
+    cosine_fixed,
+    kmeans_units,
+)
+from martian_moments_spark.llmops.textops import (
+    portable_hash31,
+    sql_portable_hash31,
+    sql_tokens,
+    tokens,
+    word_shingles,
+)
+from martian_moments_spark.plans.queries_llm import (
+    DECONTAM_BENCH_MOD,
+    DECONTAM_NGRAM,
+    _SQL_KMEANS,
+    _SQL_TOKS,
+    _sql_shingles_n,
+)
+from martian_moments_spark.plans.registry import register
+
+SEMDEDUP_TAU = 0.30  # within-cell cosine cut (isotropic test corpus —
+# real embeddings run ~0.95+; the dial, not the mechanism)
+
+
+@register(
+    "semantic_dedup_cells",
+    ops=("J2", "A6"),
+    oracle=f"""
+        WITH {_SQL_KMEANS}, pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(list_sum(list_transform(list_zip(a.units, b.units),
+                        z -> z[1] * z[2])) AS BIGINT) AS dot,
+                   a.norm2 AS na, b.norm2 AS nb
+            FROM kassign a JOIN kassign b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+        ), dup AS (
+            SELECT id_b AS vec_id, MIN(id_a) AS dup_of
+            FROM pairs
+            WHERE CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                  >= {SEMDEDUP_TAU}
+            GROUP BY id_b
+        )
+        SELECT k.vec_id, CAST(k.cell AS INT) AS cell, d.dup_of,
+               d.dup_of IS NULL AS is_kept
+        FROM kassign k LEFT JOIN dup d ON k.vec_id = d.vec_id
+    """,
+)
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication over quantizer cells — the SemDeDup
+    shape (Abbas et al. 2023: k-means the embeddings, compare cosine
+    only WITHIN each cell, drop near-identical members keeping one
+    representative). The published answer to "embedding near-dup
+    without an all-pairs scan": clustering bounds the quadratic to
+    within-cell, exactly like IVF bounds ANN search.
+
+    Greedy keep-lowest decision (min id_a per duplicated id_b), the
+    same shuffle-bounded rule as fuzzy_dedup_pipeline — corpus dedup
+    wants the cheap greedy pass; the transitive-closure variant is
+    dedup_connected_components.
+
+    Scale: cells scale with the corpus (constant ~hundreds-of-vectors
+    cells), so within-cell pairs stay O(N * cell_size). The registered
+    query pins K_CELLS={K_CELLS} — the oracle-parity point (kmeans_units
+    replays bit-for-bit in DuckDB: same sample, seeds, integer
+    distances, tie-breaks) — not the deployment k; kmeans_units takes
+    k as a parameter (same documented pin as embedding_ann_ivf).
+    """
+    assigned, _ = kmeans_units(load(spark, sf_dir, "embeddings"))
+    a = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("units").alias("units_a"),
+        F.col("norm2").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("units").alias("units_b"),
+        F.col("norm2").alias("nb"),
+    )
+    cos = cosine_fixed(F.col("units_a"), F.col("units_b"), F.col("na"), F.col("nb"))
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= F.lit(SEMDEDUP_TAU))
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dup, "vec_id", "left")
+        .select("vec_id", "cell", "dup_of", F.col("dup_of").isNull().alias("is_kept"))
+    )
+
+
+# Target-domain marker vocabulary for importance resampling — the
+# stand-in for DSIR's target-distribution n-gram model (a real run
+# derives it from the target corpus; the mechanism is identical).
+DSIR_TARGET_VOCAB: tuple[str, ...] = (
+    "data", "query", "table", "join", "stream", "batch", "vector", "hash",
+)
+DSIR_ACCEPT_SCALE = 10_000  # acceptance granularity (basis points)
+
+
+@register(
+    "importance_weighted_sampling",
+    ops=("P7", "A1"),
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter({sql_tokens("text")},
+                        t -> list_contains({list(DSIR_TARGET_VOCAB)!r}, t))) AS BIGINT)
+                       AS target_hits,
+                   CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, source, target_hits, n_tokens,
+               ({sql_portable_hash31("'dsir:' || CAST(doc_id AS VARCHAR)")}
+                % {DSIR_ACCEPT_SCALE}) * n_tokens
+                 < target_hits * {DSIR_ACCEPT_SCALE} AS accepted
+        FROM scored
+    """,
+)
+def importance_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling toward a target domain — the DSIR shape
+    (Xie et al. 2023: score each doc by how target-like it is, accept
+    with probability proportional to the importance weight). Here the
+    weight is the target-vocabulary hit ratio (hits / n_tokens) and
+    acceptance is the engine's reproducible hash-thresholding —
+    decided by INTEGER cross-multiplication (hash % S) * n_tokens <
+    hits * S, so no float threshold exists anywhere and the oracle
+    replays the exact accept set.
+
+    Scale: pure per-row expression work (one tokenization, one hash) —
+    a 100 TB corpus maps through with zero data movement; changing the
+    target vocabulary re-scores without re-shuffling anything.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tk = tokens("text")
+    hits = F.size(
+        F.filter(tk, lambda t: t.isin(*DSIR_TARGET_VOCAB))
+    ).cast("long")
+    n = F.size(tk).cast("long")
+    h = portable_hash31(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")))
+    return docs.select(
+        "doc_id",
+        "source",
+        hits.alias("target_hits"),
+        n.alias("n_tokens"),
+        (
+            (h % DSIR_ACCEPT_SCALE) * F.col("n_tokens")
+            < F.col("target_hits") * DSIR_ACCEPT_SCALE
+        ).alias("accepted"),
+    ).select("doc_id", "source", "target_hits", "n_tokens", "accepted")
+
+
+@register(
+    "contamination_split_report",
+    ops=("J2", "A1", "A3"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform({_sql_shingles_n(DECONTAM_NGRAM)},
+                       x -> {sql_portable_hash31('x')}))) AS sh
+            FROM toks
+        ), bench AS (
+            SELECT DISTINCT sh FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+        ), contaminated AS (
+            SELECT DISTINCT s.doc_id
+            FROM sh s JOIN bench b USING (sh)
+            WHERE s.doc_id % {DECONTAM_BENCH_MOD} <> 0
+        )
+        SELECT CASE WHEN {sql_portable_hash31("'split:' || CAST(d.doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+                    WHEN {sql_portable_hash31("'split:' || CAST(d.doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               d.lang,
+               c.doc_id IS NOT NULL AS contaminated,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({sql_tokens("d.text")})) AS BIGINT) AS total_tokens
+        FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+        WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> 0
+        GROUP BY 1, 2, 3
+    """,
+)
+def contamination_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination audit BY SPLIT — the report a data team reads
+    before shipping a mix: for each (split, lang), how many corpus
+    docs (and tokens) share a benchmark 4-gram and would leak eval
+    signal into training. curation_to_training_mix silently DROPS the
+    contaminated mass; this query measures it per destination split,
+    which is what tells you whether the test split's contamination
+    rate differs from train's (it must not — the split hash is
+    independent of the contamination signal).
+
+    Scale: same broadcast-decontamination join as the curation
+    pipeline (bench shingles are the bounded side), split assignment
+    is per-row hash math, and the final rollup shuffles a dozen keys.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(word_shingles("text", n=DECONTAM_NGRAM), portable_hash31)
+            )
+        ).alias("sh"),
+    )
+    bench_sh = sh.filter(is_bench).select("sh").distinct()
+    contaminated = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench_sh), "sh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__c", F.lit(True))
+    )
+    h = portable_hash31(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    return (
+        docs.filter(~is_bench)
+        .join(contaminated, "doc_id", "left")
+        .select(
+            F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias("split"),
+            "lang",
+            F.coalesce(F.col("__c"), F.lit(False)).alias("contaminated"),
+            F.size(tokens("text")).cast("long").alias("__n_tokens"),
+        )
+        .groupBy("split", "lang", "contaminated")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+VOCAB_HEAD_K = 16  # tokenizer head-vocabulary size under audit
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    ops=("A1", "W1", "J1"),
+    oracle=f"""
+        WITH occ AS (
+            SELECT source, UNNEST({sql_tokens("text")}) AS token
+            FROM documents
+        ), counts AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM occ GROUP BY token
+        ), head AS (
+            SELECT token FROM (
+                SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rn
+                FROM counts
+            ) WHERE rn <= {VOCAB_HEAD_K}
+        )
+        SELECT o.source,
+               CAST(COUNT(*) AS BIGINT) AS total_occurrences,
+               CAST(SUM(CASE WHEN h.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS head_occurrences,
+               CAST(COUNT(DISTINCT CASE WHEN h.token IS NULL THEN o.token END) AS BIGINT)
+                   AS oov_types,
+               CAST(SUM(CASE WHEN h.token IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS coverage
+        FROM occ o LEFT JOIN head h ON o.token = h.token
+        GROUP BY o.source
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage per source: what fraction of a
+    source's token occurrences a head vocabulary (top-16
+    corpus tokens, deterministic count-then-lexicographic tie-break)
+    captures, and how many out-of-vocabulary types remain — the audit
+    that decides whether a tokenizer's vocab budget fits a new data
+    source (low coverage -> byte-fallback blowup -> token-budget
+    overruns). Coverage is one exact int/int division.
+
+    Scale: the head vocabulary is a top-K over corpus token counts —
+    full map-side combine then a 16-row broadcast back
+    over the occurrence stream; per-source rollup shuffles one small
+    key. The occurrence explode is the only fan-out and feeds both
+    aggregates from one scan.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    occ = docs.select("source", F.explode(tokens("text")).alias("token"))
+    counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    head = (
+        counts.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("n").desc(), F.col("token")))
+        )
+        .filter(F.col("rn") <= VOCAB_HEAD_K)
+        .select("token")
+        .withColumn("__h", F.lit(True))
+    )
+    joined = occ.join(F.broadcast(head), "token", "left")
+    in_head = F.col("__h").isNotNull()
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_occurrences"),
+        F.sum(F.when(in_head, 1).otherwise(0)).cast("long").alias("head_occurrences"),
+        F.count_distinct(F.when(~in_head, F.col("token"))).alias("oov_types"),
+        (
+            F.sum(F.when(in_head, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("coverage"),
+    )
+
+
+TAIL_KS = (1, 2, 5, 10)  # rare-token thresholds (count <= k)
+
+
+@register(
+    "rare_token_tail_mass",
+    ops=("A1", "A3"),
+    oracle=f"""
+        WITH counts AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT UNNEST({sql_tokens("text")}) AS token FROM documents)
+            GROUP BY token
+        ), ks(k) AS (VALUES {", ".join(f"({k})" for k in TAIL_KS)})
+        SELECT CAST(ks.k AS INT) AS k,
+               CAST(SUM(CASE WHEN c.n <= ks.k THEN 1 ELSE 0 END) AS BIGINT) AS tail_types,
+               CAST(SUM(CASE WHEN c.n <= ks.k THEN c.n ELSE 0 END) AS BIGINT) AS tail_occurrences,
+               CAST(SUM(c.n) AS BIGINT) AS total_occurrences,
+               CAST(SUM(CASE WHEN c.n <= ks.k THEN c.n ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(c.n) AS DOUBLE) AS tail_mass
+        FROM counts c CROSS JOIN ks
+        GROUP BY ks.k
+    """,
+)
+def rare_token_tail_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-tail mass: for each rarity threshold k, the number of
+    token types seen at most k times and the fraction of ALL token
+    occurrences they carry — the heavy-tail diagnostic behind
+    vocabulary sizing and min-count filters (a corpus whose mass sits
+    in singletons tokenizes badly and memorizes easily). Complements
+    vocabulary_growth_heaps (type growth) with occupancy of the tail.
+
+    Scale: one explode + count aggregate (full map-side combine), then
+    a 4-row constant dimension joined in a single pass
+    over the distinct-token counts — no second corpus scan, no window.
+    The final frame is 4 rows.
+    """
+    docs = load(spark, sf_dir, "documents").select("text")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ks = F.array(*[F.lit(k) for k in TAIL_KS])
+    return (
+        counts.select("n", F.explode(ks).alias("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("n") <= F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("tail_types"),
+            F.sum(F.when(F.col("n") <= F.col("k"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("tail_occurrences"),
+            F.sum("n").cast("long").alias("total_occurrences"),
+            (
+                F.sum(F.when(F.col("n") <= F.col("k"), F.col("n")).otherwise(0)).cast("double")
+                / F.sum("n").cast("double")
+            ).alias("tail_mass"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "tail_types",
+            "tail_occurrences",
+            "total_occurrences",
+            "tail_mass",
+        )
+    )
+
+
+from martian_moments_spark.llmops.pq import (  # noqa: E402
+    codebook_df,
+    pq_encode,
+    pq_train_codebooks,
+    subspace_sqdist,
+)
+from martian_moments_spark.plans.queries_llm import (  # noqa: E402
+    _PQ_NQ,
+    _PQ_SUB,
+    _SQL_PQ,
+)
+
+
+@register(
+    "embedding_ann_ivfpq",
+    ops=("J1", "J2", "W2", "O2"),
+    oracle=f"""
+        WITH {_SQL_KMEANS}, {_SQL_PQ}, qset AS (
+            SELECT vec_id AS query_id, units AS qunits, cell AS qcell
+            FROM kassign ORDER BY vec_id LIMIT {_PQ_NQ}
+        ), lut AS (
+            SELECT q.query_id, q.qcell, c.m, c.code,
+                   CAST(list_sum(list_transform(
+                        list_zip(list_slice(q.qunits, c.m * {_PQ_SUB} + 1,
+                                            (c.m + 1) * {_PQ_SUB}), c.c),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS pdist
+            FROM qset q CROSS JOIN pcents c
+        ), adc AS (
+            SELECT l.query_id, e.vec_id, ka.cell,
+                   CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+            FROM penc e
+            JOIN kassign ka ON ka.vec_id = e.vec_id
+            JOIN lut l ON e.m = l.m AND e.code = l.code AND ka.cell = l.qcell
+            WHERE e.vec_id <> l.query_id
+            GROUP BY l.query_id, e.vec_id, ka.cell
+        )
+        SELECT query_id, vec_id AS neighbor_id, adc_dist,
+               CAST(rn AS INT) AS rank, CAST(cell AS INT) AS cell
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+              FROM adc)
+        WHERE rn <= 5
+    """,
+)
+def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the full FAISS architecture, both halves composed: the
+    coarse k-means quantizer routes each query to its cell (IVF half,
+    embedding_ann_ivf) and the scan WITHIN the cell runs on PQ codes
+    via an ADC lookup-table join instead of raw vectors (PQ half,
+    embedding_pq_topk). Search cost becomes cell_size * (codes not
+    floats) — the shape that holds a 100 TB corpus in searchable
+    memory. Training, encoding, routing, and search are all integer /
+    IEEE-exact, so the DuckDB oracle replays the ENTIRE index build
+    and search hash-exactly.
+
+    Scale: both codebooks train driver-side on bounded deterministic
+    samples; encoding and cell assignment are single mapInPandas
+    streaming passes; the only search shuffle is the (m, code, cell)
+    hash join of the broadcast per-query LUT against the coded corpus,
+    followed by a per-query top-k window. Cells scale with the corpus
+    (the registered query pins K_CELLS={K_CELLS} for oracle parity, the
+    documented dial as in embedding_ann_ivf).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_units(emb)
+    base, books = pq_train_codebooks(emb)
+    enc = pq_encode(base, books)
+    enc_long = (
+        enc.select("vec_id", F.posexplode("codes").alias("m", "code"))
+        .withColumn("m", F.col("m").cast("int"))
+        .join(assigned.select("vec_id", "cell"), "vec_id")
+    )
+    qset = (
+        assigned.orderBy("vec_id")
+        .limit(_PQ_NQ)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("units").alias("qunits"),
+            F.col("cell").alias("qcell"),
+        )
+    )
+    cb = codebook_df(spark, books)
+    lut = qset.crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "qcell",
+        "m",
+        "code",
+        subspace_sqdist(
+            F.slice(F.col("qunits"), F.col("m") * _PQ_SUB + 1, _PQ_SUB),
+            F.col("centroid"),
+        ).alias("pdist"),
+    )
+    adc = (
+        enc_long.alias("e")
+        .join(
+            F.broadcast(lut).alias("l"),
+            (F.col("e.m") == F.col("l.m"))
+            & (F.col("e.code") == F.col("l.code"))
+            & (F.col("e.cell") == F.col("l.qcell")),
+        )
+        .filter(F.col("e.vec_id") != F.col("l.query_id"))
+        .groupBy("l.query_id", "e.vec_id", "e.cell")
+        .agg(F.sum("l.pdist").cast("long").alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_dist",
+            "rank",
+            F.col("cell").cast("int").alias("cell"),
+        )
+        .filter(F.col("rank") <= 5)
+    )

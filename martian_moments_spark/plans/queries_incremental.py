@@ -728,3 +728,75 @@ def incremental_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SAMPLE_K)
         .select("event_id", "user_id", "sample_key")
     )
+
+
+from martian_moments_spark.llmops.dedup import (  # noqa: E402
+    HASH_P,
+    MINHASH_SEEDS,
+    minhash_from_hashes,
+)
+from martian_moments_spark.llmops.textops import (  # noqa: E402
+    sql_portable_hash31 as _sql_h31,
+    word_shingles,
+)
+
+
+def _sql_source_minhash_cols() -> str:
+    return ",\n               ".join(
+        f"MIN(list_min(list_transform(s, x -> ({a} * {_sql_h31('x')} + {b}) % {HASH_P}))) AS mh_{i}"
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+
+
+@register(
+    "incremental_minhash_merge",
+    ops=("A4", "U1", "A6"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT source,
+                   list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                                  i -> t[i] || ' ' || t[i + 1]) AS s
+            FROM toks
+        )
+        SELECT source,
+               {_sql_source_minhash_cols()}
+        FROM sh GROUP BY source
+    """,
+)
+def incremental_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-sketch maintenance across increments: the signature of
+    a UNION is the element-wise MIN of the parts' signatures —
+    minhash's defining mergeability (the same law HLL exploits for
+    counts). The Spark side computes per-(source, shard) PARTIAL
+    signatures (shard = doc_id parity, standing in for yesterday's
+    sketch + today's delta) and merges them with a second MIN; the
+    oracle computes each source's signature from scratch over all
+    docs. Equality proves partial-merge == full recompute, so a grown
+    corpus updates its dedup index without re-reading history.
+
+    Scale: per-doc signatures are narrow per-row array math; the
+    partial aggregate combines map-side, the merge aggregate moves 8
+    BIGINTs per (source, shard). Documents with <2 tokens yield NULL
+    signatures and drop out of MIN like empty sets — both engines
+    agree.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    from martian_moments_spark.llmops.textops import portable_hash31 as _h31
+
+    hashed = docs.withColumn(
+        "__sh", F.transform(word_shingles("text"), _h31)
+    )
+    per_doc = hashed.select(
+        "source",
+        (F.col("doc_id") % 2).alias("__shard"),
+        *minhash_from_hashes(F.col("__sh")),
+    )
+    partial = per_doc.groupBy("source", "__shard").agg(
+        *[F.min(f"mh_{i}").alias(f"mh_{i}") for i in range(len(MINHASH_SEEDS))]
+    )
+    return partial.groupBy("source").agg(
+        *[F.min(f"mh_{i}").alias(f"mh_{i}") for i in range(len(MINHASH_SEEDS))]
+    )

@@ -195,6 +195,23 @@ PRIORITY: tuple[str, ...] = (
     "calibration_reliability_ece",
     "triangle_count_copurchase",
     "incremental_sample_merge",
+    # -- registered in round 5 (never-driver-checked): the self-
+    # rotating order folds these into the r06 window.
+    "semantic_dedup_cells",
+    "importance_weighted_sampling",
+    "contamination_split_report",
+    "tokenizer_vocab_coverage",
+    "rare_token_tail_mass",
+    "asof_join_nearest",
+    "zorder_locality_buckets",
+    "cdc_apply_changes",
+    "equi_depth_histogram",
+    "revenue_bridge_pvm",
+    "sessionized_path_topk",
+    "incremental_minhash_merge",
+    "embedding_ann_ivfpq",
+    "quantile_bands_per_group",
+    "share_of_parent_rollup",
     # -- cumulative driver-green (r01∪r02∪r03), prior relative order --
     # Verified every round by the local sf0.01 oracle-parity mirror
     # (tests/test_oracle_parity.py); they re-enter the window only
