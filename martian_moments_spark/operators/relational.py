@@ -102,9 +102,21 @@ def asof_join(
     ``right_tiebreak`` (a value_col name) makes the winner among
     equal-timestamp right rows deterministic (largest value wins) —
     required for hash-stable results under any partitioning.
+
+    ``direction="nearest"`` (pandas merge_asof parity) takes whichever
+    of the backward/forward candidates is closer in time, ties to the
+    backward one. Same single shuffle: both carries are window scans
+    over the one key-partitioned merged frame (two sorts, one
+    Exchange — Spark reuses the partitioning across window specs that
+    share partitionBy).
     """
+    if direction == "nearest":
+        return _asof_join_nearest(
+            left, right, on, left_time, right_time, value_cols,
+            strict=strict, right_tiebreak=right_tiebreak, tolerance=tolerance,
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     # side tag orders right rows before left (in scan order) at equal
     # timestamps, so the boundary is inclusive; strict flips the tag
     # order. Forward scans time-descending — same carry, mirrored.
@@ -156,6 +168,74 @@ def asof_join(
             *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
         )
     )
+
+
+def _asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    strict: bool = False,
+    right_tiebreak: str | None = None,
+    tolerance: float | None = None,
+) -> DataFrame:
+    """asof_join(direction="nearest"): both directional carries over
+    ONE key-partitioned merged frame — an ascending scan for the
+    backward candidate, a descending scan for the forward one — then a
+    per-row choice of the closer match (tie -> backward). tolerance
+    nulls each side independently BEFORE the choice, so a too-stale
+    backward match loses to a fresh forward one."""
+    right_tag, left_tag = (1, 0) if strict else (0, 1)
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(right_tag).alias("__side"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    l = left.withColumn("__k", F.col(on)).withColumn("__t", F.col(left_time)).withColumn(
+        "__side", F.lit(left_tag)
+    )
+    for c in value_cols:
+        l = l.withColumn(f"__v_{c}", F.lit(None).cast(r.schema[f"__v_{c}"].dataType))
+    merged = l.select(
+        *[f"__v_{c}" for c in value_cols], "__k", "__t", "__side", *left.columns
+    ).unionByName(r, allowMissingColumns=True)
+
+    order_b = [F.col("__t").asc(), F.col("__side").asc()]
+    order_f = [F.col("__t").desc(), F.col("__side").asc()]
+    if right_tiebreak:
+        order_b.append(F.col(f"__v_{right_tiebreak}").asc_nulls_first())
+        order_f.append(F.col(f"__v_{right_tiebreak}").desc_nulls_first())
+    w_b = W.partitionBy("__k").orderBy(*order_b).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_f = W.partitionBy("__k").orderBy(*order_f).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    rt = F.when(F.col("__side") == right_tag, F.col("__t"))
+    merged = merged.withColumn("__b_t", F.last(rt, ignorenulls=True).over(w_b))
+    merged = merged.withColumn("__f_t", F.last(rt, ignorenulls=True).over(w_f))
+    for c in value_cols:
+        merged = merged.withColumn(
+            f"__b_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w_b)
+        ).withColumn(f"__f_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w_f))
+    gap_b = F.col("__t").cast("double") - F.col("__b_t").cast("double")
+    gap_f = F.col("__f_t").cast("double") - F.col("__t").cast("double")
+    b_ok = F.col("__b_t").isNotNull()
+    f_ok = F.col("__f_t").isNotNull()
+    if tolerance is not None:
+        b_ok = b_ok & (gap_b <= F.lit(float(tolerance)))
+        f_ok = f_ok & (gap_f <= F.lit(float(tolerance)))
+    take_b = b_ok & (~f_ok | (gap_b <= gap_f))
+    out_cols = [
+        F.when(take_b, F.col(f"__b_{c}"))
+        .when(f_ok, F.col(f"__f_{c}"))
+        .alias(f"asof_{c}")
+        for c in value_cols
+    ]
+    return merged.filter(F.col("__side") == left_tag).select(*left.columns, *out_cols)
 
 
 def bucketed_range_join(

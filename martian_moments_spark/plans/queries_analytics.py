@@ -2632,3 +2632,277 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg.select(F.col("v").alias("part_id"), "degree"), "part_id")
         .select("part_id", "degree", "n_triangles")
     )
+
+
+EQUI_DEPTH_BUCKETS = 8
+
+
+@register(
+    "equi_depth_histogram",
+    ops=("W1", "W2", "A1"),
+    oracle=f"""
+        WITH ranked AS (
+            SELECT o_orderpriority, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST((rn - 1) * {EQUI_DEPTH_BUCKETS} // n AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi
+        FROM ranked
+        GROUP BY o_orderpriority, (rn - 1) * {EQUI_DEPTH_BUCKETS} // n
+    """,
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (the optimizer-statistics shape): per
+    order priority, order totals split into 8 buckets holding equal
+    ROW counts — boundaries land where the data is dense, unlike
+    histogram_fixed_width's equal-value bins. Bucket assignment is
+    pure integer rank arithmetic ((rn-1)*B DIV n), deterministic via
+    the (price, orderkey) tie-break, so bucket populations and [lo,
+    hi] fences are engine-exact with no interpolation anywhere.
+
+    Scale: one shuffle on the partition key; the rank and the
+    per-partition count share the same window partitioning (one
+    Exchange, one sort). This is how engines build equi-depth column
+    stats: a distributed sort per group, then fences at fixed ranks.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.expr(
+                f"CAST((ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) - 1) "
+                f"* {EQUI_DEPTH_BUCKETS} DIV COUNT(*) OVER (PARTITION BY o_orderpriority) AS INT)"
+            ).alias("bucket"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+BRIDGE_Y0, BRIDGE_Y1 = 1997, 1998  # base / comparison shipping years
+
+
+@register(
+    "revenue_bridge_pvm",
+    ops=("A3", "A1", "P8"),
+    oracle=f"""
+        WITH g AS (
+            SELECT l_returnflag,
+                   {sql_fixed_sum(f"CASE WHEN year(l_shipdate) = {BRIDGE_Y0} THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS rev0,
+                   {sql_fixed_sum(f"CASE WHEN year(l_shipdate) = {BRIDGE_Y1} THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS rev1,
+                   CAST(SUM(CASE WHEN year(l_shipdate) = {BRIDGE_Y0} THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty0,
+                   CAST(SUM(CASE WHEN year(l_shipdate) = {BRIDGE_Y1} THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty1
+            FROM lineitem
+            WHERE year(l_shipdate) IN ({BRIDGE_Y0}, {BRIDGE_Y1})
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, rev0, rev1, qty0, qty1,
+               (rev0 / qty0) * (qty1 - qty0) AS volume_effect,
+               (rev1 / qty1 - rev0 / qty0) * qty1 AS price_effect,
+               rev1 - rev0 AS total_delta
+        FROM g
+    """,
+)
+def revenue_bridge_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume revenue bridge: for each return flag, decompose
+    the year-over-year revenue change into a volume effect (base unit
+    price x quantity change) and a price effect (unit-price change x
+    current quantity) — the Laspeyres-volume / Paasche-price
+    waterfall an FP&A bridge chart shows. The two effects sum EXACTLY
+    to the revenue delta (p0*(q1-q0) + (p1-p0)*q1 = p1q1 - p0q0), so
+    the decomposition is self-auditing.
+
+    Exactness: revenues are fixed_sum (order-independent cent units),
+    quantities integer; unit prices are one division each and the
+    effects identical IEEE expressions on both engines.
+
+    Scale: ONE scan of lineitem with conditional aggregates (no
+    self-join of two period subqueries), one shuffle on the 3-value
+    flag key; the bridge arithmetic is per-group scalar work.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    yr = F.year("l_shipdate")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    g = (
+        li.filter(yr.isin(BRIDGE_Y0, BRIDGE_Y1))
+        .groupBy("l_returnflag")
+        .agg(
+            fixed_sum(F.when(yr == BRIDGE_Y0, rev).otherwise(0.0)).alias("rev0"),
+            fixed_sum(F.when(yr == BRIDGE_Y1, rev).otherwise(0.0)).alias("rev1"),
+            F.sum(F.when(yr == BRIDGE_Y0, F.col("l_quantity").cast("long")).otherwise(0))
+            .cast("long")
+            .alias("qty0"),
+            F.sum(F.when(yr == BRIDGE_Y1, F.col("l_quantity").cast("long")).otherwise(0))
+            .cast("long")
+            .alias("qty1"),
+        )
+    )
+    p0 = F.col("rev0") / F.col("qty0")
+    p1 = F.col("rev1") / F.col("qty1")
+    return g.select(
+        "l_returnflag",
+        "rev0",
+        "rev1",
+        "qty0",
+        "qty1",
+        (p0 * (F.col("qty1") - F.col("qty0"))).alias("volume_effect"),
+        ((p1 - p0) * F.col("qty1")).alias("price_effect"),
+        (F.col("rev1") - F.col("rev0")).alias("total_delta"),
+    )
+
+
+QUANTILE_QS = (25, 50, 75, 90)  # percent points, exact rational positions
+
+
+@register(
+    "quantile_bands_per_group",
+    ops=("W2", "A1", "A3"),
+    oracle=f"""
+        WITH ranked AS (
+            SELECT o_orderpriority, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders
+        ), qs(q) AS (VALUES {", ".join(f"({q})" for q in QUANTILE_QS)})
+        SELECT r.o_orderpriority, CAST(qs.q AS INT) AS q,
+               MIN(CASE WHEN r.rn = (r.n - 1) * qs.q // 100 + 1 THEN r.o_totalprice END)
+               + (MIN(CASE WHEN r.rn = least((r.n - 1) * qs.q // 100 + 2, r.n) THEN r.o_totalprice END)
+                  - MIN(CASE WHEN r.rn = (r.n - 1) * qs.q // 100 + 1 THEN r.o_totalprice END))
+                 * (CAST(MAX((r.n - 1) * qs.q % 100) AS DOUBLE) / 100.0) AS quantile_value
+        FROM ranked r CROSS JOIN qs
+        GROUP BY r.o_orderpriority, qs.q
+    """,
+)
+def quantile_bands_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantile bands (percentile_cont semantics)
+    per order priority: p25/p50/p75/p90 of order totals, computed from
+    rank positions — position (n-1)*q/100 splits into an integer index
+    and a rational fraction, and the value interpolates linearly
+    between the two bracketing order statistics. Every step is integer
+    arithmetic until ONE final (frac/100) multiply, and both
+    bracketing values are selected by exact rank equality, so the
+    result is engine-identical without trusting any built-in
+    percentile implementation's interpolation convention.
+
+    Scale: one shuffle on the group key; rank + count share the
+    window partitioning, and the quantile probe rides the same
+    aggregate (conditional MIN at two exact ranks per q) — no second
+    sort, no per-quantile pass, no collect. The q dimension is a
+    4-row constant explode.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = W.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number()
+        .over(w.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    qs = F.array(*[F.lit(q) for q in QUANTILE_QS])
+    e = ranked.select("*", F.explode(qs).alias("q"))
+    lo_rn = F.expr("(n - 1) * q DIV 100 + 1")
+    hi_rn = F.least(F.expr("(n - 1) * q DIV 100 + 2"), F.col("n"))
+    frac = (F.expr("(n - 1) * q % 100").cast("double") / F.lit(100.0))
+    lo_v = F.min(F.when(F.col("rn") == lo_rn, F.col("o_totalprice")))
+    hi_v = F.min(F.when(F.col("rn") == hi_rn, F.col("o_totalprice")))
+    return (
+        e.groupBy("o_orderpriority", "q")
+        .agg((lo_v + (hi_v - lo_v) * F.max(frac)).alias("quantile_value"))
+        .select(
+            "o_orderpriority", F.col("q").cast("int").alias("q"), "quantile_value"
+        )
+    )
+
+
+@register(
+    "share_of_parent_rollup",
+    ops=("J1", "A1", "W2"),
+    oracle="""
+        WITH nat AS (
+            SELECT r.r_name AS region_name, n.n_name AS nation_name,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        ), shared AS (
+            SELECT region_name, nation_name, cents,
+                   SUM(cents) OVER (PARTITION BY region_name) AS region_cents,
+                   SUM(cents) OVER () AS total_cents
+            FROM nat
+        )
+        SELECT region_name, nation_name,
+               CAST(cents AS DOUBLE) / 100.0 AS nation_revenue,
+               CAST(region_cents AS DOUBLE) / 100.0 AS region_revenue,
+               CAST(cents AS DOUBLE) / CAST(region_cents AS DOUBLE) AS share_of_region,
+               CAST(region_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+                   AS region_share_of_total
+        FROM shared
+    """,
+)
+def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent metrics down a dimension hierarchy: each
+    nation's revenue as a share of its region, and each region's share
+    of the global total — the ratio-to-parent columns every OLAP
+    drill-down report carries next to the raw measure. Computed with
+    window sums over the aggregated frame (25 rows), NOT by re-joining
+    three aggregation levels; shares are single divisions of fixed-sum
+    cent totals, so parents and ratios are engine-exact.
+
+    Scale: one shuffle aggregates orders to the (region, nation)
+    grain via broadcast dims; the two parent sums are windows over
+    the tiny aggregate (the global window's single partition holds 25
+    rows — metadata-scale by construction, never the fact table).
+    """
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        # window-sum CENTS, not doubles: parent totals must be exact
+        # integers or the two engines' addition orders diverge in ulps
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    region_cents = F.sum("cents").over(W.partitionBy("region_name"))
+    total_cents = F.sum("cents").over(W.partitionBy())
+    return nat.select(
+        "region_name",
+        "nation_name",
+        (F.col("cents").cast("double") / 100.0).alias("nation_revenue"),
+        (region_cents.cast("double") / 100.0).alias("region_revenue"),
+        (F.col("cents").cast("double") / region_cents.cast("double")).alias(
+            "share_of_region"
+        ),
+        (region_cents.cast("double") / total_cents.cast("double")).alias(
+            "region_share_of_total"
+        ),
+    )

@@ -2483,3 +2483,101 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+PATH_GAP_SECONDS = 1800  # session gap (matches sessionize_events)
+PATH_PREFIX_LEN = 5
+PATH_TOP_K = 20
+
+
+@register(
+    "sessionized_path_topk",
+    ops=("W2", "A1", "O1", "O2"),
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, event_id, ts, event_type,
+                   LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_s,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+            FROM events
+        ), sess AS (
+            SELECT user_id, event_id, ts, event_type,
+                   SUM(CASE WHEN prev_s IS NULL OR ts_s - prev_s > {PATH_GAP_SECONDS}
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_idx
+            FROM ordered
+        ), paths AS (
+            SELECT user_id, session_idx,
+                   array_to_string(
+                       list(event_type ORDER BY ts, event_id)[1:{PATH_PREFIX_LEN}],
+                       '>') AS path
+            FROM sess GROUP BY user_id, session_idx
+        ), counted AS (
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM paths GROUP BY path
+        )
+        SELECT path, n_sessions, CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  ORDER BY n_sessions DESC, path) AS rn FROM counted)
+        WHERE rn <= {PATH_TOP_K}
+    """,
+)
+def sessionized_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: sessionize the event log (30-min gap), take
+    each session's first 5 event types in time order as its path
+    signature, and rank the most common paths — the navigation-pattern
+    mining behind funnel design and bot detection (a path that
+    dominates is either your core loop or a scraper).
+
+    Scale: ONE shuffle on user_id covers sessionization AND path
+    assembly (the lag window, the session cumsum, and the per-session
+    aggregate all share the partitioning); the path rollup then
+    shuffles one compact string key with full map-side combine, and
+    the top-k is TakeOrderedAndProject, never a global sort. Path
+    assembly sorts INSIDE the aggregate via array_sort over (ts,
+    event_id, type) structs — deterministic under any partitioning.
+    """
+    events = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("long")
+    prev_s = F.lag(ts_s).over(order)
+    new_session = F.when(
+        prev_s.isNull() | ((ts_s - prev_s) > PATH_GAP_SECONDS), 1
+    ).otherwise(0)
+    sess = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(new_session)
+        .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_idx"),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.slice(
+                    F.transform(F.col("evs"), lambda e: e["event_type"]),
+                    1,
+                    PATH_PREFIX_LEN,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    w = W.orderBy(F.col("n_sessions").desc(), "path")
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= PATH_TOP_K)
+        .select("path", "n_sessions", "rank")
+    )

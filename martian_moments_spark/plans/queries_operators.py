@@ -527,3 +527,151 @@ def business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+ASOF_NEAREST_TOL_S = 21_600  # 6 h — beyond it a purchase has no "near" error
+
+
+@register(
+    "asof_join_nearest",
+    ops=("J6", "W2"),
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), e AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+        ), cand AS (
+            SELECT p.event_id, e.ts AS err_ts, e.value AS err_value,
+                   abs(epoch_us(p.ts) - epoch_us(e.ts)) AS gap_us,
+                   CASE WHEN e.ts <= p.ts THEN 0 ELSE 1 END AS dir
+            FROM p JOIN e USING (user_id)
+            WHERE abs(epoch_us(p.ts) - epoch_us(e.ts)) <= CAST({ASOF_NEAREST_TOL_S} AS BIGINT) * 1000000
+        ), best AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY event_id ORDER BY gap_us, dir, err_value DESC) AS rn
+                FROM cand
+            ) WHERE rn = 1
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               b.err_ts AS nearest_error_ts,
+               b.err_value AS nearest_error_value,
+               CAST(b.gap_us AS BIGINT) AS gap_us
+        FROM p LEFT JOIN best b ON p.event_id = b.event_id
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join: each purchase matched to the CLOSEST
+    error event of the same user in either direction (tie -> the
+    earlier one), within a 6 h tolerance — the diagnostic correlation
+    "did an error happen around this purchase" that neither backward
+    nor forward as-of answers alone. pandas merge_asof
+    (direction='nearest') parity, distributed.
+
+    Implementation is asof_join(direction="nearest")
+    (operators/relational.py): ONE shuffle on the user key, both
+    directional carries as window scans over the same merged frame,
+    per-row closer-match choice; property-tested against brute force
+    including tolerance (tests/test_properties.py). The oracle ranks
+    the candidate cross product instead — same winner by construction
+    (gap, direction, value tie-break), exact because gaps compare in
+    integer microseconds.
+
+    Scale: no interval explosion, no range cross-join; state is one
+    carried row per direction. 100x the events is 100x rows through
+    the same single-shuffle sort — the merge_asof shape at cluster
+    scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    e = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    res = asof_join(
+        p,
+        e,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["ts", "value"],
+        right_tiebreak="value",
+        direction="nearest",
+        tolerance=float(ASOF_NEAREST_TOL_S),
+    )
+    gap = F.abs(F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts")))
+    return res.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("nearest_error_ts"),
+        F.col("asof_value").alias("nearest_error_value"),
+        F.when(F.col("asof_ts").isNotNull(), gap).cast("long").alias("gap_us"),
+    )
+
+
+ZORDER_BITS = 16  # interleave width per dimension
+ZBUCKET_SHIFT = 24  # keep the top 8 of the 32 interleaved bits
+
+
+def _sql_z_value(a: str, b: str, bits: int = ZORDER_BITS) -> str:
+    """DuckDB twin of operators.layout.z_value — the same bit
+    interleave as integer arithmetic."""
+    # every term fully parenthesized: DuckDB gives all binary bit
+    # operators one precedence level (left-associative), so an
+    # unparenthesized "x | y << s" parses as "(x | y) << s"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "CAST(" + " | ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "zorder_locality_buckets",
+    ops=("A1", "A4"),
+    oracle=f"""
+        WITH z AS (
+            SELECT l_partkey, l_suppkey,
+                   {_sql_z_value("l_partkey", "l_suppkey")} >> {ZBUCKET_SHIFT} AS zbucket
+            FROM lineitem
+        )
+        SELECT CAST(zbucket AS BIGINT) AS zbucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(l_partkey) AS BIGINT) AS min_partkey,
+               CAST(MAX(l_partkey) AS BIGINT) AS max_partkey,
+               CAST(MIN(l_suppkey) AS BIGINT) AS min_suppkey,
+               CAST(MAX(l_suppkey) AS BIGINT) AS max_suppkey
+        FROM z GROUP BY zbucket
+    """,
+)
+def zorder_locality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering statistics: interleave the bits of
+    (l_partkey, l_suppkey), bucket rows by the top bits of the
+    z-value, and report each bucket's min/max range in BOTH
+    dimensions — exactly the per-file column statistics a z-ordered
+    table layout gives the scan planner (the OPTIMIZE ZORDER BY
+    analog; operators/layout.zorder_write is the writer). Tight
+    min/max ranges in both columns are what make 2-D range predicates
+    prune files, where a lexicographic sort only prunes its leading
+    column.
+
+    The z-value is pure integer bit arithmetic (operators/layout.
+    z_value), replayed verbatim by the oracle — the layout policy
+    itself is oracle-checkable, not just the data it produces.
+
+    Scale: the interleave is per-row expression work; the rollup
+    shuffles one small key (256 buckets at this shift). On a real
+    table this runs as the clustering step of a write, not a query.
+    """
+    from martian_moments_spark.operators.layout import z_value
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = li.withColumn(
+        "zbucket",
+        F.shiftright(z_value("l_partkey", "l_suppkey", bits=ZORDER_BITS), ZBUCKET_SHIFT),
+    )
+    return z.groupBy("zbucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").cast("long").alias("min_partkey"),
+        F.max("l_partkey").cast("long").alias("max_partkey"),
+        F.min("l_suppkey").cast("long").alias("min_suppkey"),
+        F.max("l_suppkey").cast("long").alias("max_suppkey"),
+    )

@@ -1718,3 +1718,97 @@ def running_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("is_rec") == 1).alias("is_record"),
         (F.col("d") - last_record_day).alias("days_since_record"),
     )
+
+
+from martian_moments_spark.llmops.textops import (  # noqa: E402
+    portable_hash31,
+    sql_portable_hash31,
+)
+
+
+@register(
+    "cdc_apply_changes",
+    ops=("E8", "W2", "U1"),
+    oracle=f"""
+        WITH feed AS (
+            SELECT o_orderkey, 1 AS seq, 'I' AS op, o_totalprice AS price
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 2, 'U', o_totalprice + 10.0
+            FROM orders
+            WHERE {sql_portable_hash31("'cdc:' || CAST(o_orderkey AS VARCHAR)")} % 3 <> 0
+            UNION ALL
+            SELECT o_orderkey, 3, 'D', NULL
+            FROM orders
+            WHERE {sql_portable_hash31("'cdc:' || CAST(o_orderkey AS VARCHAR)")} % 5 = 0
+        ), latest AS (
+            -- n_changes must be computed in the SAME select as rn
+            -- (before the rn = 1 filter), or it would count only the
+            -- surviving row
+            SELECT o_orderkey, op, price, n_changes
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY o_orderkey ORDER BY seq DESC) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY o_orderkey) AS BIGINT) AS n_changes
+                FROM feed
+            ) WHERE rn = 1
+        )
+        SELECT o_orderkey, op AS last_op, price AS final_price, n_changes
+        FROM latest WHERE op <> 'D'
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with DELETE semantics — the change-data-capture
+    counterpart of merge_upsert (E8 handles insert/update only): a
+    keyed I/U/D change feed collapses to last-writer-wins per key, and
+    keys whose final operation is a delete leave the table entirely.
+    This is the Debezium->lakehouse apply step (APPLY CHANGES INTO);
+    the feed here is derived deterministically from orders (every key
+    inserts, 2/3 update, 1/5 finally delete) so the oracle replays the
+    identical stream.
+
+    Scale: apply is one row_number window per key over the feed — a
+    single shuffle on the key, no join against the target needed for
+    the collapse itself (at 100 TB the collapsed batch then MERGEs
+    into the bucketed target exactly like merge_upsert_bucketed). The
+    change count rides the same window partitioning.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    h = portable_hash31(F.concat(F.lit("cdc:"), F.col("o_orderkey").cast("string")))
+    ins = o.select(
+        "o_orderkey",
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    upd = (
+        o.filter(h % 3 != 0)
+        .select(
+            "o_orderkey",
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 10.0).alias("price"),
+        )
+    )
+    dele = (
+        o.filter(h % 5 == 0)
+        .select(
+            "o_orderkey",
+            F.lit(3).alias("seq"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("price"),
+        )
+    )
+    feed = ins.unionByName(upd).unionByName(dele)
+    w = W.partitionBy("o_orderkey")
+    latest = (
+        feed.withColumn("rn", F.row_number().over(w.orderBy(F.col("seq").desc())))
+        .withColumn("n_changes", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("rn") == 1)
+    )
+    return latest.filter(F.col("op") != "D").select(
+        "o_orderkey",
+        F.col("op").alias("last_op"),
+        F.col("price").alias("final_price"),
+        "n_changes",
+    )

@@ -676,3 +676,42 @@ def test_lsh_skew_hot_template_bounded_by_dedup_first(spark):
     # the candidate set must not inherit the template's quadratic term
     assert dedup_first.count() < raw.count() - hot_pairs_raw + hot
     assert dedup_first.count() < n
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 999)), min_size=1, max_size=15),
+    tol=st.one_of(st.none(), st.integers(0, 30)),
+)
+@settings(**SETTINGS)
+def test_asof_join_nearest_matches_bruteforce(spark_h, left, right, tol):
+    """nearest as-of == the closer of the backward/forward candidates
+    (tie -> backward; within-direction time ties -> largest val;
+    tolerance nulls each direction independently before the choice) —
+    pandas merge_asof(direction='nearest') semantics."""
+    l = spark_h.createDataFrame([(k, t, i) for i, (k, t) in enumerate(left)], "k INT, t INT, lid INT")
+    r = spark_h.createDataFrame(right, "k INT, t INT, val INT")
+    got = {
+        row["lid"]: row["asof_val"]
+        for row in asof_join(
+            l, r, on="k", left_time="t", right_time="t",
+            value_cols=["val"], right_tiebreak="val", direction="nearest",
+            tolerance=tol,
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        back = [(rt, rv) for rk, rt, rv in right if rk == k and rt <= t
+                and (tol is None or t - rt <= tol)]
+        fwd = [(rt, -rv) for rk, rt, rv in right if rk == k and rt >= t
+               and (tol is None or rt - t <= tol)]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if b is None and f is None:
+            expect = None
+        elif f is None:
+            expect = b[1]
+        elif b is None:
+            expect = -f[1]
+        else:
+            expect = b[1] if (t - b[0]) <= (f[0] - t) else -f[1]
+        assert got[i] == expect, (i, k, t, b, f, got[i])
