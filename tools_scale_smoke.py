@@ -48,7 +48,10 @@ SCALE_QUERIES = (
     "embedding_ann_ivf",          # k-means quantizer + per-cell matmul
     "dedup_connected_components", # iterative min-label propagation
     "sessionize_events",          # stateful gap sessionization over events
-    "edit_distance_pairs",        # blocked banded-DP fuzzy matching (slowest sf1 in the full sweep)
+    "edit_distance_pairs",        # deletion-canopy + banded-DP fuzzy matching
+    "ngram_jaccard_pairs",        # LSH-fed exact Jaccard verify (r05 re-registration)
+    "semantic_dedup_cells",       # SemDeDup at adaptive-cell operating point
+    "embedding_ann_ivfpq",        # coarse cells + ADC over PQ codes, full FAISS shape
 )
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf1")
 LINEAR_CAP = 12.0  # 10x data; ratio above this is a named finding
@@ -97,6 +100,42 @@ def _multiprobe_scale_point(spark, sf_dir):
     return topk_units_probed(probed, assigned, k=5)
 
 
+def _semdedup_scale_point(spark, sf_dir):
+    """semantic_dedup_cells at its scale point: cells scale with the
+    corpus (constant ~500-vector cells) so within-cell pair work stays
+    O(N * cell_size); the registered K_CELLS=4 is the oracle-parity
+    pin, same documented dial as embedding_ann_ivf."""
+    from martian_moments_spark.llmops.similarity import cosine_fixed
+    from martian_moments_spark.plans.queries_curation import SEMDEDUP_TAU
+
+    assigned, _ = _adaptive_cells(spark, sf_dir)
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("units").alias("units_a"),
+        F.col("norm2").alias("na"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("units").alias("units_b"),
+        F.col("norm2").alias("nb"),
+    )
+    cos = cosine_fixed(F.col("units_a"), F.col("units_b"), F.col("na"), F.col("nb"))
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= F.lit(SEMDEDUP_TAU))
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dup, "vec_id", "left")
+        .select("vec_id", "cell", "dup_of", F.col("dup_of").isNull().alias("is_kept"))
+    )
+
+
 def _rnn_scale_point(spark, sf_dir):
     """reciprocal_nearest_neighbors at its scale point: same adaptive
     quantizer; the mutual join itself is linear in the top-1 list."""
@@ -118,6 +157,7 @@ SCALE_OVERRIDES = {
     "embedding_ann_ivf": _ivf_scale_point,
     "embedding_ann_multiprobe": _multiprobe_scale_point,
     "reciprocal_nearest_neighbors": _rnn_scale_point,
+    "semantic_dedup_cells": _semdedup_scale_point,
 }
 
 
