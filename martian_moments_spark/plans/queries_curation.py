@@ -508,3 +508,131 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 5)
     )
+
+
+TRAIN_BUDGET_TOKENS = 1_000_000  # training-run token budget apportioned
+# uniformly across sources (the mechanism under audit; real runs feed
+# mixture weights — mixture_temperature_weights — into the same math)
+EPOCH_CAP_BP = 40_000  # 4 epochs in basis points: the data-constrained
+# scaling finding that repeating data beyond ~4 epochs rapidly stops
+# buying loss (Muennighoff et al. 2023, public scaling-law literature)
+
+
+@register(
+    "effective_epochs_data_constrained",
+    ops=("A1", "W2", "P8"),
+    oracle=f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), w AS (
+            SELECT source, n_tokens,
+                   CAST({TRAIN_BUDGET_TOKENS} // COUNT(*) OVER () AS BIGINT)
+                       AS allocated_tokens
+            FROM per
+        )
+        SELECT source, n_tokens, allocated_tokens,
+               CAST(CASE WHEN n_tokens > 0
+                         THEN allocated_tokens * 10000 // n_tokens
+                         ELSE 0 END AS BIGINT) AS epochs_bp,
+               CASE WHEN n_tokens > 0
+                    THEN allocated_tokens * 10000 // n_tokens
+                    ELSE 0 END > {EPOCH_CAP_BP} AS over_repeat_cap,
+               CAST(LEAST(allocated_tokens, n_tokens * 4) AS BIGINT)
+                   AS effective_tokens
+        FROM w
+    """,
+)
+def effective_epochs_data_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained training audit: when the token budget exceeds
+    a source's unique tokens, the source gets repeated — and repeats
+    beyond ~4 epochs buy almost nothing (the data-constrained scaling
+    result). Per source: unique token mass, the budget share a uniform
+    apportionment allocates, the implied epoch count in basis points,
+    the over-the-cap flag, and the value-bearing token count with
+    repeats clipped at 4 epochs. This is the report that tells a
+    100 TB pipeline which sources need MORE crawling rather than more
+    sampling weight.
+
+    Epochs are integer basis points (allocated * 10000 DIV unique) —
+    no float division until nothing downstream consumes it; the
+    over-cap flag compares the same integer, so both engines agree
+    bit-for-bit.
+
+    Scale: one map-side-combined aggregate on source; the budget
+    split is a window over the per-source frame (metadata-scale, one
+    row per source)."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    per = (
+        docs.select("source", F.size(tokens("text")).cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_tokens"))
+    )
+    # integer budget split: BUDGET DIV n_sources (metadata-scale window)
+    n_src = F.count(F.lit(1)).over(W.partitionBy())
+    w = per.withColumn("n_src", n_src).withColumn(
+        "allocated_tokens", F.expr(f"{TRAIN_BUDGET_TOKENS} DIV n_src").cast("long")
+    )
+    epochs_bp = F.when(
+        F.col("n_tokens") > 0,
+        F.expr("allocated_tokens * 10000 DIV n_tokens"),
+    ).otherwise(F.lit(0)).cast("long")
+    return w.select(
+        "source",
+        "n_tokens",
+        "allocated_tokens",
+        epochs_bp.alias("epochs_bp"),
+        (epochs_bp > EPOCH_CAP_BP).alias("over_repeat_cap"),
+        F.least(F.col("allocated_tokens"), F.col("n_tokens") * 4)
+        .cast("long")
+        .alias("effective_tokens"),
+    )
+
+
+@register(
+    "ivf_cell_balance_report",
+    ops=("A1", "W2"),
+    oracle=f"""
+        WITH {_SQL_KMEANS}, per AS (
+            SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM kassign GROUP BY cell
+        )
+        SELECT CAST(cell AS INT) AS cell, n_vecs,
+               CAST(n_vecs * 10000 // SUM(n_vecs) OVER () AS BIGINT) AS share_bp,
+               CAST(n_vecs * {K_CELLS} * 10000 // SUM(n_vecs) OVER () AS BIGINT)
+                   AS balance_bp
+        FROM per
+    """,
+)
+def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF shard-balance audit: per quantizer cell — vector count,
+    corpus share, and the balance ratio (cell share x cell count, in
+    basis points; 10000 = perfectly balanced). The operational
+    planning report for ANN at scale: a cell holding 3x its fair
+    share is the executor that straggles every probe, and the fix
+    (re-train the quantizer, or split the hot cell) happens BEFORE
+    serving, from exactly this table. Same deterministic k-means seam
+    as embedding_ann_ivf / embedding_ann_ivfpq, so the oracle replays
+    the index build and the report hash-exactly.
+
+    Scale: the assignment pass is the index build already paid for;
+    the report is one map-side-combined aggregate on cell plus a
+    window over K_CELLS rows (metadata-scale)."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_units(emb)
+    per = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    total = F.sum("n_vecs").over(W.partitionBy())
+    return per.select(
+        F.col("cell").cast("int").alias("cell"),
+        "n_vecs",
+        F.expr("n_vecs * 10000").cast("long").alias("_num"),
+        total.alias("_tot"),
+    ).select(
+        "cell",
+        "n_vecs",
+        F.expr("_num DIV _tot").cast("long").alias("share_bp"),
+        F.expr(f"_num * {K_CELLS} DIV _tot").cast("long").alias("balance_bp"),
+    )

@@ -5017,3 +5017,236 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_at_10"
         ),
     )
+
+
+@register(
+    "near_dup_degree_stats",
+    ops=("J3", "A1"),
+    oracle=f"""
+        WITH {_SQL_LSH_PAIRS}, ends AS (
+            SELECT id_a AS doc_id FROM pairs
+            UNION ALL
+            SELECT id_b FROM pairs
+        ), deg AS (
+            SELECT d.doc_id, CAST(COUNT(e.doc_id) AS BIGINT) AS degree
+            FROM documents d LEFT JOIN ends e ON e.doc_id = d.doc_id
+            GROUP BY d.doc_id
+        )
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM deg GROUP BY degree
+    """,
+)
+def near_dup_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the verified near-duplicate graph —
+    the structural skew diagnostic for fuzzy dedup at corpus scale.
+    A healthy crawl shows a thin tail (most documents isolated, dup
+    clusters small); a hot boilerplate template shows up as a handful
+    of vertices whose degree approaches the cluster size, which is
+    exactly the C(h,2) band-collision blow-up SKEW_SCALE.md measures.
+    Reading this histogram BEFORE running the transitive closure is
+    how a 100 TB dedup run decides whether to exact-collapse a
+    template first (the engine's dedup-first composition) or proceed
+    straight to connected components.
+
+    Degree 0 rows are included (documents left-joined against the
+    edge ends), so the histogram masses sum to the corpus size and
+    sum(degree * n_docs) = 2|E| — both invariants property-testable.
+
+    Scale: rides ``_lsh_verified_pairs`` (O(band collisions), never
+    all-pairs); the degree count is one map-side-combined aggregate
+    on doc_id, the histogram a second on the (small) degree domain."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = _lsh_verified_pairs(spark, sf_dir)
+    ends = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    per_doc = ends.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    deg = docs.join(per_doc, "doc_id", "left").select(
+        F.coalesce("degree", F.lit(0)).cast("long").alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+#: Jaccard thresholds (percent) swept by ``dedup_threshold_sweep``.
+SWEEP_TAUS_PCT = (50, 60, 70, 80, 90)
+
+
+@register(
+    "dedup_threshold_sweep",
+    ops=("J2", "A1", "P6"),
+    oracle=f"""
+        WITH {_SQL_LSH_CAND}, jac AS (
+            SELECT c.id_a, c.id_b,
+                   CASE WHEN len(list_distinct(list_concat(ta.tk, tb.tk))) > 0
+                        THEN CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                             / CAST(len(list_distinct(list_concat(ta.tk, tb.tk))) AS DOUBLE)
+                        ELSE 0.0 END AS jaccard
+            FROM cand c
+            JOIN dtoks ta ON ta.doc_id = c.id_a
+            JOIN dtoks tb ON tb.doc_id = c.id_b
+        ), taus AS (
+            SELECT unnest([{", ".join(str(t) for t in SWEEP_TAUS_PCT)}]) AS tau_pct
+        ), p AS (
+            SELECT t.tau_pct,
+                   CAST(SUM(CASE WHEN j.jaccard >= CAST(t.tau_pct AS DOUBLE) / 100.0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+            FROM taus t CROSS JOIN jac j GROUP BY t.tau_pct
+        ), d0 AS (
+            SELECT id_b, MAX(jaccard) AS maxj FROM jac GROUP BY id_b
+        ), d AS (
+            SELECT t.tau_pct,
+                   CAST(SUM(CASE WHEN d0.maxj >= CAST(t.tau_pct AS DOUBLE) / 100.0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_retired
+            FROM taus t CROSS JOIN d0 GROUP BY t.tau_pct
+        )
+        SELECT CAST(p.tau_pct AS INT) AS tau_pct, p.n_pairs, d.n_docs_retired
+        FROM p JOIN d ON p.tau_pct = d.tau_pct
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup operating-point sweep: how many verified pairs survive —
+    and how many documents would be retired under the keep-lowest-id
+    convention — at each candidate Jaccard threshold. This is the
+    curation dial a pretraining pipeline turns before committing to a
+    corpus-wide dedup pass: too low and distinct documents merge, too
+    high and boilerplate survives; the sweep prices each choice in ONE
+    pass over the LSH candidate set instead of re-running dedup per
+    threshold.
+
+    The per-pair Jaccard is computed once (the same exact projection
+    ``ngram_jaccard_pairs`` registers); thresholds explode over it,
+    so adding a threshold costs an extra counter, not a rescan. The
+    retired-document count thresholds each document's MAX pair
+    Jaccard — max is order-independent, so no float summation enters
+    the comparison and the oracle replays it bit-for-bit.
+
+    Scale: O(band collisions * |taus|) rows through two map-side-
+    combined aggregates; the threshold list is a literal array."""
+    cand = _lsh_candidate_jaccard(spark, sf_dir)
+    taus = F.array(*[F.lit(t) for t in SWEEP_TAUS_PCT])
+    passes = F.col("jaccard") >= F.col("tau_pct").cast("double") / 100.0
+    p = (
+        cand.select("jaccard", F.explode(taus).alias("tau_pct"))
+        .groupBy("tau_pct")
+        .agg(F.sum(F.when(passes, 1).otherwise(0)).cast("long").alias("n_pairs"))
+    )
+    d0 = cand.groupBy("id_b").agg(F.max("jaccard").alias("maxj"))
+    d = (
+        d0.select("maxj", F.explode(taus).alias("tau_pct"))
+        .groupBy("tau_pct")
+        .agg(
+            F.sum(
+                F.when(F.col("maxj") >= F.col("tau_pct").cast("double") / 100.0, 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs_retired")
+        )
+    )
+    return p.join(d, "tau_pct").select(
+        F.col("tau_pct").cast("int").alias("tau_pct"), "n_pairs", "n_docs_retired"
+    )
+
+
+@register(
+    "packing_efficiency_report",
+    ops=("W2", "A1", "F8"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, doc_id,
+                   CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), cum AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start_offset
+            FROM toks
+        ), agg AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CASE WHEN n_tokens > 0
+                                  AND start_offset // {PACK_BUDGET_TOKENS}
+                                      <> (start_offset + n_tokens - 1) // {PACK_BUDGET_TOKENS}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS boundary_straddles
+            FROM cum GROUP BY source
+        )
+        SELECT source, n_docs, total_tokens,
+               CAST((total_tokens + {PACK_BUDGET_TOKENS - 1}) // {PACK_BUDGET_TOKENS}
+                    AS BIGINT) AS n_chunks,
+               boundary_straddles,
+               CAST(({PACK_BUDGET_TOKENS} - total_tokens % {PACK_BUDGET_TOKENS})
+                    % {PACK_BUDGET_TOKENS} AS BIGINT) AS tail_waste_tokens,
+               CAST(CASE WHEN total_tokens > 0
+                         THEN total_tokens * 10000
+                              // (((total_tokens + {PACK_BUDGET_TOKENS - 1})
+                                   // {PACK_BUDGET_TOKENS}) * {PACK_BUDGET_TOKENS})
+                         ELSE 0 END AS BIGINT) AS fill_bp
+        FROM agg
+    """,
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit of the concat-then-chop layout that
+    ``context_window_packing`` emits: per pack stream (source) — chunk
+    count at the fixed token budget, tokens wasted in the final
+    partial chunk, documents straddling a chunk boundary (those lose
+    cross-boundary attention in training), and the stream's fill rate
+    in basis points. These are the numbers that decide between plain
+    concat packing and best-fit document packing for a training run;
+    at 100 TB re-packing is a full-corpus rewrite, so the audit runs
+    first.
+
+    All integer arithmetic: offsets from the same window cumsum the
+    packing query uses, chunk math by integer DIV/mod, fill rate by
+    integer basis points — the oracle replays every value exactly.
+
+    Scale: one shuffle on source, the window rides that partitioning,
+    then a map-side-combined per-source aggregate; output is one row
+    per pack stream."""
+    B = PACK_BUDGET_TOKENS
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    n_tok = F.size(tokens("text")).cast("long")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    cum = docs.select("source", "doc_id", n_tok.alias("n_tokens")).withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    straddle = F.when(
+        (F.col("n_tokens") > 0)
+        & (
+            F.expr(f"start_offset DIV {B}")
+            != F.expr(f"(start_offset + n_tokens - 1) DIV {B}")
+        ),
+        1,
+    ).otherwise(0)
+    agg = cum.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(straddle).cast("long").alias("boundary_straddles"),
+    )
+    n_chunks = F.expr(f"(total_tokens + {B - 1}) DIV {B}").cast("long")
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        n_chunks.alias("n_chunks"),
+        "boundary_straddles",
+        ((F.lit(B) - F.col("total_tokens") % B) % B)
+        .cast("long")
+        .alias("tail_waste_tokens"),
+        F.when(
+            F.col("total_tokens") > 0,
+            F.expr(
+                f"total_tokens * 10000 DIV "
+                f"(((total_tokens + {B - 1}) DIV {B}) * {B})"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fill_bp"),
+    )

@@ -1812,3 +1812,117 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").alias("final_price"),
         "n_changes",
     )
+
+
+@register(
+    "snapshot_table_diff",
+    ops=("J3", "P8", "P11"),
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+                   {sql_portable_hash31("'snap:' || CAST(o_orderkey AS VARCHAR)")} AS h
+            FROM orders
+        ), a AS (
+            SELECT o_orderkey, o_orderstatus AS status_a, pc AS price_a_cents
+            FROM base WHERE h % 11 <> 0
+        ), b AS (
+            SELECT o_orderkey,
+                   CASE WHEN h % 17 = 0 THEN 'F' ELSE o_orderstatus END AS status_b,
+                   pc + CASE WHEN h % 7 = 0 THEN 1000 ELSE 0 END AS price_b_cents
+            FROM base WHERE h % 13 <> 0
+        ), j AS (
+            SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+                   status_a, status_b, price_a_cents, price_b_cents
+            FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        ), labeled AS (
+            SELECT COALESCE(ka, kb) AS o_orderkey,
+                   CASE WHEN ka IS NULL THEN 'added'
+                        WHEN kb IS NULL THEN 'removed'
+                        WHEN status_a <> status_b
+                             OR price_a_cents <> price_b_cents THEN 'changed'
+                        ELSE 'unchanged' END AS diff_status,
+                   status_a, status_b, price_a_cents, price_b_cents,
+                   CASE WHEN ka IS NULL OR kb IS NULL THEN ''
+                        ELSE (CASE WHEN status_a <> status_b THEN 'S' ELSE '' END)
+                             || (CASE WHEN price_a_cents <> price_b_cents
+                                      THEN 'P' ELSE '' END)
+                        END AS change_mask
+            FROM j
+        )
+        SELECT o_orderkey, diff_status, status_a, status_b,
+               price_a_cents, price_b_cents, change_mask
+        FROM labeled WHERE diff_status <> 'unchanged'
+    """,
+)
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the inverse of CDC apply (cdc_apply_changes
+    collapses a change feed INTO a table; this derives the change
+    feed FROM two table versions): full outer join of snapshot A and
+    snapshot B on the key, each surviving row labeled
+    added/removed/changed with a column-level change mask ('S' status
+    moved, 'P' price moved). This is the lakehouse reconciliation /
+    time-travel-diff primitive — "what did last night's load actually
+    change" — and the generator side of an incremental downstream
+    refresh. Both snapshots derive deterministically from orders
+    (1/11 of keys absent from A, 1/13 absent from B, 1/7 repriced,
+    1/17 status-flipped), so the oracle replays identical versions.
+
+    Prices diff as integer cents (the engine's established
+    round-to-BIGINT seam), statuses as strings, so every label and
+    mask is exact; unchanged rows are dropped (the diff of two 100 TB
+    snapshots is small — materializing agreement would be the scale
+    bug).
+
+    Scale: one shuffle on the join key for the full outer join —
+    at production scale both snapshots are bucketed by key, making
+    the diff shuffle-free; everything after is per-row."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    h = portable_hash31(F.concat(F.lit("snap:"), F.col("o_orderkey").cast("string")))
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("pc"),
+        h.alias("h"),
+    )
+    a = base.filter(F.col("h") % 11 != 0).select(
+        F.col("o_orderkey").alias("ka"),
+        F.col("o_orderstatus").alias("status_a"),
+        F.col("pc").alias("price_a_cents"),
+    )
+    b = base.filter(F.col("h") % 13 != 0).select(
+        F.col("o_orderkey").alias("kb"),
+        F.when(F.col("h") % 17 == 0, F.lit("F"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_b"),
+        (
+            F.col("pc")
+            + F.when(F.col("h") % 7 == 0, F.lit(1000)).otherwise(F.lit(0))
+        ).cast("long").alias("price_b_cents"),
+    )
+    j = a.join(b, a["ka"] == b["kb"], "full_outer")
+    status_moved = F.col("status_a") != F.col("status_b")
+    price_moved = F.col("price_a_cents") != F.col("price_b_cents")
+    labeled = j.select(
+        F.coalesce("ka", "kb").alias("o_orderkey"),
+        F.when(F.col("ka").isNull(), F.lit("added"))
+        .when(F.col("kb").isNull(), F.lit("removed"))
+        .when(status_moved | price_moved, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("diff_status"),
+        "status_a",
+        "status_b",
+        "price_a_cents",
+        "price_b_cents",
+        F.when(F.col("ka").isNull() | F.col("kb").isNull(), F.lit(""))
+        .otherwise(
+            F.concat(
+                F.when(status_moved, F.lit("S")).otherwise(F.lit("")),
+                F.when(price_moved, F.lit("P")).otherwise(F.lit("")),
+            )
+        )
+        .alias("change_mask"),
+    )
+    return labeled.filter(F.col("diff_status") != "unchanged")

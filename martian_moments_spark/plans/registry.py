@@ -212,6 +212,12 @@ PRIORITY: tuple[str, ...] = (
     "embedding_ann_ivfpq",
     "quantile_bands_per_group",
     "share_of_parent_rollup",
+    "near_dup_degree_stats",
+    "dedup_threshold_sweep",
+    "packing_efficiency_report",
+    "effective_epochs_data_constrained",
+    "ivf_cell_balance_report",
+    "snapshot_table_diff",
     # -- cumulative driver-green (r01∪r02∪r03), prior relative order --
     # Verified every round by the local sf0.01 oracle-parity mirror
     # (tests/test_oracle_parity.py); they re-enter the window only

@@ -715,3 +715,88 @@ def test_asof_join_nearest_matches_bruteforce(spark_h, left, right, tol):
         else:
             expect = b[1] if (t - b[0]) <= (f[0] - t) else -f[1]
         assert got[i] == expect, (i, k, t, b, f, got[i])
+
+
+def test_near_dup_degree_histogram_invariants(spark):
+    """The degree histogram must partition the corpus (sum n_docs =
+    |documents|) and carry exactly two edge ends per verified pair
+    (sum degree*n_docs = 2|E|) — the invariants that make it a safe
+    pre-closure skew diagnostic."""
+    from martian_moments_spark.plans import load_all
+    from martian_moments_spark.plans.queries_llm import _lsh_verified_pairs
+
+    REG = load_all()
+    sf = "/root/testdata/sf0.001"
+    hist = REG["near_dup_degree_stats"].fn(spark, sf).collect()
+    n_docs_total = spark.read.parquet(f"{sf}/documents.parquet").count()
+    n_edges = _lsh_verified_pairs(spark, sf).count()
+    assert sum(r["n_docs"] for r in hist) == n_docs_total
+    assert sum(r["degree"] * r["n_docs"] for r in hist) == 2 * n_edges
+
+
+def test_dedup_threshold_sweep_is_monotone(spark):
+    """Raising the threshold can only shrink both the surviving pair
+    set and the retired-document set; at FUZZY_TAU=0.8 the pair count
+    must equal |_lsh_verified_pairs| (same filter, same seam)."""
+    from martian_moments_spark.plans import load_all
+    from martian_moments_spark.plans.queries_llm import _lsh_verified_pairs
+
+    REG = load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        REG["dedup_threshold_sweep"].fn(spark, sf).collect(),
+        key=lambda r: r["tau_pct"],
+    )
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["n_pairs"] <= lo["n_pairs"]
+        assert hi["n_docs_retired"] <= lo["n_docs_retired"]
+    at80 = {r["tau_pct"]: r["n_pairs"] for r in rows}[80]
+    assert at80 == _lsh_verified_pairs(spark, sf).count()
+
+
+def test_snapshot_diff_statuses_partition_key_space(spark):
+    """added/removed/changed must be disjoint and reproduce the
+    set-algebra of the two snapshot key sets: added = B\\A,
+    removed = A\\B, and changed ⊆ A∩B with a non-empty mask."""
+    from martian_moments_spark.plans import load_all
+
+    REG = load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = REG["snapshot_table_diff"].fn(spark, sf).collect()
+    by_status: dict = {}
+    for r in rows:
+        by_status.setdefault(r["diff_status"], []).append(r)
+    assert set(by_status) <= {"added", "removed", "changed"}
+    for r in by_status.get("added", []):
+        assert r["status_a"] is None and r["price_a_cents"] is None
+        assert r["change_mask"] == ""
+    for r in by_status.get("removed", []):
+        assert r["status_b"] is None and r["price_b_cents"] is None
+        assert r["change_mask"] == ""
+    for r in by_status.get("changed", []):
+        assert r["change_mask"] in ("S", "P", "SP")
+        if "P" in r["change_mask"]:
+            assert r["price_a_cents"] != r["price_b_cents"]
+        if "S" in r["change_mask"]:
+            assert r["status_a"] != r["status_b"]
+        else:
+            assert r["status_a"] == r["status_b"]
+
+
+def test_packing_efficiency_accounting_closes(spark):
+    """Per source: chunk capacity = total tokens + tail waste (the
+    ledger must close), and the fill rate in basis points must equal
+    the integer ratio of those quantities."""
+    from martian_moments_spark.plans import load_all
+    from martian_moments_spark.plans.queries_llm import PACK_BUDGET_TOKENS
+
+    REG = load_all()
+    rows = REG["packing_efficiency_report"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        cap = r["n_chunks"] * PACK_BUDGET_TOKENS
+        assert cap == r["total_tokens"] + r["tail_waste_tokens"]
+        if r["total_tokens"]:
+            assert r["fill_bp"] == r["total_tokens"] * 10000 // cap
+            assert 0 < r["fill_bp"] <= 10000
+        assert 0 <= r["boundary_straddles"] <= r["n_docs"]
