@@ -363,6 +363,53 @@ def topk_units_cells_pandas(assigned: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def semdedup_verdicts_pandas(assigned: DataFrame, tau: float) -> DataFrame:
+    """SemDeDup keep/drop verdicts per quantizer cell: one shuffle on
+    the cell key, one int64 Gram matmul per cell, and a vectorized
+    first-masked-row scan — ``dup_of`` is the MINIMUM lower id whose
+    cosine reaches ``tau`` (ids sorted ascending make that the first
+    True row per column of the strict upper triangle). Emits ONE row
+    per vector (kept rows carry a null ``dup_of``), so the caller
+    needs no join-back against the assignment.
+
+    Float discipline matches ``cosine_fixed`` exactly — int64 dot cast
+    to double, divided once by sqrt(norm2_a)*sqrt(norm2_b) — so a SQL
+    oracle replaying the same expression stays bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = len(ids)
+        cell = int(pdf["cell"].iloc[0])
+        dup = pd.array([pd.NA] * n, dtype="Int64")
+        if n >= 2:
+            u = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["units"]])[order]
+            g = u @ u.T
+            norms = np.sqrt(np.diag(g).astype(np.float64))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = g.astype(np.float64) / np.outer(norms, norms)
+            mask = np.triu(cos >= tau, k=1)  # row i strictly below col j in id order
+            has = mask.any(axis=0)
+            first = mask.argmax(axis=0)
+            for j in np.nonzero(has)[0]:
+                dup[j] = ids[first[j]]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": np.full(n, cell, dtype="int32"),
+                "dup_of": dup,
+                "is_kept": pd.array([v is pd.NA for v in dup], dtype="boolean"),
+            }
+        )
+
+    return assigned.select("vec_id", "units", "cell").groupBy("cell").applyInPandas(
+        per_cell, "vec_id BIGINT, cell INT, dup_of BIGINT, is_kept BOOLEAN"
+    )
+
+
 def topk_units_probed(probed: DataFrame, assigned: DataFrame, k: int = 5) -> DataFrame:
     """Multi-probe search stage: queries (replicated once per probe
     cell) cogrouped with the candidates assigned to that cell; each

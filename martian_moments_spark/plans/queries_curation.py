@@ -19,8 +19,8 @@ from pyspark.sql.window import Window as W
 from martian_moments_spark.catalog import load
 from martian_moments_spark.llmops.similarity import (
     K_CELLS,
-    cosine_fixed,
     kmeans_units,
+    semdedup_verdicts_pandas,
 )
 from martian_moments_spark.llmops.textops import (
     portable_hash31,
@@ -85,33 +85,15 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays bit-for-bit in DuckDB: same sample, seeds, integer
     distances, tie-breaks) — not the deployment k; kmeans_units takes
     k as a parameter (same documented pin as embedding_ann_ivf).
+    Execution is one shuffle on the cell key + one int64 Gram matmul
+    per cell (similarity.semdedup_verdicts_pandas — the same Arrow
+    seam as the IVF search stage), emitting one verdict row per
+    vector; an earlier pair-join form pushed every within-cell pair
+    through JVM array dot products for identical output and the
+    decade sweep measured it at 57 s at sf1.
     """
     assigned, _ = kmeans_units(load(spark, sf_dir, "embeddings"))
-    a = assigned.select(
-        F.col("cell"),
-        F.col("vec_id").alias("id_a"),
-        F.col("units").alias("units_a"),
-        F.col("norm2").alias("na"),
-    )
-    b = assigned.select(
-        F.col("cell"),
-        F.col("vec_id").alias("id_b"),
-        F.col("units").alias("units_b"),
-        F.col("norm2").alias("nb"),
-    )
-    cos = cosine_fixed(F.col("units_a"), F.col("units_b"), F.col("na"), F.col("nb"))
-    dup = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= F.lit(SEMDEDUP_TAU))
-        .groupBy(F.col("id_b").alias("vec_id"))
-        .agg(F.min("id_a").alias("dup_of"))
-    )
-    return (
-        assigned.select("vec_id", "cell")
-        .join(dup, "vec_id", "left")
-        .select("vec_id", "cell", "dup_of", F.col("dup_of").isNull().alias("is_kept"))
-    )
+    return semdedup_verdicts_pandas(assigned, SEMDEDUP_TAU)
 
 
 # Target-domain marker vocabulary for importance resampling — the

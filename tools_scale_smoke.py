@@ -102,38 +102,15 @@ def _multiprobe_scale_point(spark, sf_dir):
 
 def _semdedup_scale_point(spark, sf_dir):
     """semantic_dedup_cells at its scale point: cells scale with the
-    corpus (constant ~500-vector cells) so within-cell pair work stays
+    corpus (constant ~500-vector cells) so within-cell work stays
     O(N * cell_size); the registered K_CELLS=4 is the oracle-parity
-    pin, same documented dial as embedding_ann_ivf."""
-    from martian_moments_spark.llmops.similarity import cosine_fixed
+    pin, same documented dial as embedding_ann_ivf. Same per-cell
+    int64 Gram matmul as the registered query."""
+    from martian_moments_spark.llmops.similarity import semdedup_verdicts_pandas
     from martian_moments_spark.plans.queries_curation import SEMDEDUP_TAU
 
     assigned, _ = _adaptive_cells(spark, sf_dir)
-    a = assigned.select(
-        "cell",
-        F.col("vec_id").alias("id_a"),
-        F.col("units").alias("units_a"),
-        F.col("norm2").alias("na"),
-    )
-    b = assigned.select(
-        "cell",
-        F.col("vec_id").alias("id_b"),
-        F.col("units").alias("units_b"),
-        F.col("norm2").alias("nb"),
-    )
-    cos = cosine_fixed(F.col("units_a"), F.col("units_b"), F.col("na"), F.col("nb"))
-    dup = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= F.lit(SEMDEDUP_TAU))
-        .groupBy(F.col("id_b").alias("vec_id"))
-        .agg(F.min("id_a").alias("dup_of"))
-    )
-    return (
-        assigned.select("vec_id", "cell")
-        .join(dup, "vec_id", "left")
-        .select("vec_id", "cell", "dup_of", F.col("dup_of").isNull().alias("is_kept"))
-    )
+    return semdedup_verdicts_pandas(assigned, SEMDEDUP_TAU)
 
 
 def _rnn_scale_point(spark, sf_dir):
