@@ -4517,7 +4517,10 @@ def cluster_representative_selection(spark: SparkSession, sf_dir: str) -> DataFr
     collisions), never all-pairs); component labels from the min-label
     fixpoint; the argmax is a per-component window whose partition is
     bounded by the largest dup cluster (same bound as
-    leakage_safe_split's size window)."""
+    leakage_safe_split's size window). The representative broadcasts
+    to cluster members through FIRST_VALUE over that same window
+    partitioning — the default frame always contains the partition's
+    top row — so no rank-then-self-join second shuffle."""
     docs = load(spark, sf_dir, "documents")
     comp = connected_components(
         docs.select("doc_id"), _lsh_verified_pairs(spark, sf_dir)
@@ -4527,17 +4530,13 @@ def cluster_representative_selection(spark: SparkSession, sf_dir: str) -> DataFr
         "doc_id",
     )
     w = W.partitionBy("component_id").orderBy(F.col("n_tokens").desc(), "doc_id")
-    reps = (
-        sized.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("component_id", F.col("doc_id").alias("representative_id"))
-    )
-    return sized.join(reps, "component_id").select(
+    return sized.select(
         "doc_id",
         "component_id",
         "n_tokens",
-        "representative_id",
-        (F.col("doc_id") == F.col("representative_id")).alias("is_representative"),
+        F.first_value("doc_id").over(w).alias("representative_id"),
+    ).withColumn(
+        "is_representative", F.col("doc_id") == F.col("representative_id")
     )
 
 
