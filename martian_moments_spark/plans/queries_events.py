@@ -1105,7 +1105,10 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from martian_moments_spark.llmops.textops import sql_portable_hash31  # noqa: E402
+from martian_moments_spark.llmops.textops import (  # noqa: E402
+    portable_hash31,
+    sql_portable_hash31,
+)
 
 
 @register(
@@ -2580,4 +2583,141 @@ def sessionized_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= PATH_TOP_K)
         .select("path", "n_sessions", "rank")
+    )
+
+
+#: Watermark delays audited by ``watermark_late_event_audit`` (µs).
+WM_DELAYS_US = (0, 60_000_000, 300_000_000, 600_000_000)
+WM_JITTER_US = 600_000_000  # transport jitter bound: arrival lags
+# event time by hash-deterministic 0..10 min
+WM_ARRIVAL_BUCKET_US = 86_400_000_000  # arrival µs per range bucket
+# (phase-1 split: one bucket per arrival day)
+
+
+@register(
+    "watermark_late_event_audit",
+    ops=("W1", "W2", "A1"),
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_id, epoch_us(ts) AS ts_us,
+                   epoch_us(ts)
+                   + {sql_portable_hash31("'arr:' || CAST(event_id AS VARCHAR)")}
+                     % {WM_JITTER_US} AS arrival_us
+            FROM events
+        ), runmax AS (
+            SELECT event_id, ts_us,
+                   MAX(ts_us) OVER (ORDER BY arrival_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max
+            FROM ev
+        ), delays AS (
+            SELECT unnest([{", ".join(str(d) for d in WM_DELAYS_US)}]) AS delay_us
+        ), flags AS (
+            SELECT d.delay_us,
+                   CASE WHEN r.prev_max IS NOT NULL
+                             AND r.ts_us < r.prev_max - d.delay_us
+                        THEN 1 ELSE 0 END AS dropped,
+                   CASE WHEN r.prev_max IS NOT NULL
+                             AND r.ts_us < r.prev_max - d.delay_us
+                        THEN r.prev_max - r.ts_us END AS late_us
+            FROM delays d CROSS JOIN runmax r
+        )
+        SELECT CAST(delay_us AS BIGINT) AS delay_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+               CAST(SUM(dropped) * 10000 // COUNT(*) AS BIGINT) AS dropped_bp,
+               CAST(MAX(late_us) AS BIGINT) AS max_late_us
+        FROM flags GROUP BY delay_us
+    """,
+)
+def watermark_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing audit — Structured Streaming's late-data
+    semantics replayed over the historical stream: for each candidate
+    watermark delay, how many events would arrive LATER than
+    max-event-time-seen minus the delay (and so be dropped by a
+    windowed streaming aggregate), and how late the worst one is.
+    Arrival time is event time plus a hash-deterministic transport
+    jitter bounded at 10 minutes — the out-of-order fan-in a real
+    Kafka ingest produces (the raw testdata log is time-sorted, which
+    would make every delay trivially lossless; the jitter replays
+    identically in the oracle). This is the batch-side analysis that
+    picks ``withWatermark``'s delay before a streaming job ships —
+    run it too tight and the drop count here is exactly the data the
+    stream silently loses; at the jitter bound the audit must read
+    zero (asserted in tests).
+
+    The running maximum over arrival order is a GLOBAL window — the
+    same W1 scale ceiling global_row_number documents — so it runs
+    two-phase like global_rank_range_partitioned: per-arrival-bucket
+    maxima (tiny aggregate), an exclusive prefix-max over the bucket
+    frame (a window over B metadata rows, broadcast back), and a
+    within-bucket exclusive running max; the previous-arrival maximum
+    is the greater of the two. The fact table never funnels through
+    one task; the oracle states the same quantity as the naive global
+    window. All integer microsecond arithmetic.
+    """
+    B = WM_ARRIVAL_BUCKET_US
+    jitter = portable_hash31(
+        F.concat(F.lit("arr:"), F.col("event_id").cast("string"))
+    ) % WM_JITTER_US
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            (F.unix_micros("ts") + jitter).alias("arrival_us"),
+        )
+        .withColumn("bucket", F.expr(f"arrival_us DIV {B}").cast("long"))
+    )
+    bmax = ev.groupBy("bucket").agg(F.max("ts_us").alias("b_max"))
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    boff = bmax.select(
+        "bucket", F.max("b_max").over(wb).alias("prev_bucket_max")
+    )
+    ww = W.partitionBy("bucket").orderBy("arrival_us", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    staged = (
+        ev.join(F.broadcast(boff), "bucket")
+        .withColumn("in_bucket_prev", F.max("ts_us").over(ww))
+        .withColumn(
+            "prev_max",
+            F.greatest(
+                F.coalesce(F.col("in_bucket_prev"), F.lit(-1).cast("long")),
+                F.coalesce(F.col("prev_bucket_max"), F.lit(-1).cast("long")),
+            ),
+        )
+    )
+    delays = F.array(*[F.lit(d).cast("long") for d in WM_DELAYS_US])
+    flagged = staged.select(
+        "ts_us", "prev_max", F.explode(delays).alias("delay_us")
+    ).select(
+        "delay_us",
+        F.when(
+            (F.col("prev_max") >= 0)
+            & (F.col("ts_us") < F.col("prev_max") - F.col("delay_us")),
+            1,
+        )
+        .otherwise(0)
+        .alias("dropped"),
+        F.when(
+            (F.col("prev_max") >= 0)
+            & (F.col("ts_us") < F.col("prev_max") - F.col("delay_us")),
+            F.col("prev_max") - F.col("ts_us"),
+        ).alias("late_us"),
+    )
+    return (
+        flagged.groupBy("delay_us")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+        )
+        .select(
+            "delay_us",
+            "n_events",
+            "n_dropped",
+            F.expr("n_dropped * 10000 DIV n_events").cast("long").alias("dropped_bp"),
+            "max_late_us",
+        )
     )

@@ -800,3 +800,24 @@ def test_packing_efficiency_accounting_closes(spark):
             assert r["fill_bp"] == r["total_tokens"] * 10000 // cap
             assert 0 < r["fill_bp"] <= 10000
         assert 0 <= r["boundary_straddles"] <= r["n_docs"]
+
+
+def test_watermark_audit_monotone_and_lossless_at_jitter_bound(spark):
+    """More watermark delay can only drop fewer events, and a delay
+    equal to the transport-jitter bound must drop exactly zero (no
+    arrival lags its event time by more than the bound)."""
+    from martian_moments_spark.plans import load_all
+    from martian_moments_spark.plans.queries_events import WM_JITTER_US
+
+    REG = load_all()
+    rows = sorted(
+        REG["watermark_late_event_audit"].fn(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["delay_us"],
+    )
+    assert rows and rows[-1]["delay_us"] == WM_JITTER_US
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["n_dropped"] <= lo["n_dropped"]
+    assert rows[-1]["n_dropped"] == 0 and rows[-1]["max_late_us"] is None
+    for r in rows[:-1]:
+        if r["n_dropped"]:
+            assert 0 < r["max_late_us"] < WM_JITTER_US
