@@ -410,6 +410,77 @@ def semdedup_verdicts_pandas(assigned: DataFrame, tau: float) -> DataFrame:
     )
 
 
+def hard_negatives_cells_pandas(assigned: DataFrame, k: int = 3) -> DataFrame:
+    """Hard-negative mining within quantizer cells: for every vector,
+    the ``k`` most-similar DIFFERENT-label vectors in its cell —
+    contrastive training's negative-sampling stage, IVF-bounded so
+    the scan is cell_size, not corpus. Input must carry a ``label``
+    column alongside the kmeans_units output. One shuffle on the cell
+    key, one int64 Gram matmul per cell; per-query ranking is
+    (cosine DESC, neg_id) with the cosine_fixed float discipline, so
+    a SQL oracle replaying the same expression stays bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "query_label": pd.Series([], dtype="int32"),
+                "neg_id": pd.Series([], dtype="int64"),
+                "neg_label": pd.Series([], dtype="int32"),
+                "cosine": pd.Series([], dtype="float64"),
+                "rank": pd.Series([], dtype="int32"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        labels = pdf["label"].to_numpy()[order]
+        u = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["units"]])[order]
+        g = u @ u.T
+        norms = np.sqrt(np.diag(g).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = g.astype(np.float64) / np.outer(norms, norms)
+        out = []
+        for i in range(n):
+            cand = np.nonzero(labels != labels[i])[0]
+            if len(cand) == 0:
+                continue
+            row = cos[i, cand]
+            idx = cand[np.lexsort((ids[cand], -row))][:k]
+            for rank, j in enumerate(idx, start=1):
+                out.append((ids[i], labels[i], ids[j], labels[j], cos[i, j], rank))
+        if not out:
+            return empty
+        return pd.DataFrame(
+            out,
+            columns=["query_id", "query_label", "neg_id", "neg_label", "cosine", "rank"],
+        ).astype(
+            {
+                "query_id": "int64",
+                "query_label": "int32",
+                "neg_id": "int64",
+                "neg_label": "int32",
+                "cosine": "float64",
+                "rank": "int32",
+            }
+        )
+
+    return (
+        assigned.select("vec_id", "label", "units", "cell")
+        .groupBy("cell")
+        .applyInPandas(
+            per_cell,
+            "query_id BIGINT, query_label INT, neg_id BIGINT, "
+            "neg_label INT, cosine DOUBLE, rank INT",
+        )
+    )
+
+
 def topk_units_probed(probed: DataFrame, assigned: DataFrame, k: int = 5) -> DataFrame:
     """Multi-probe search stage: queries (replicated once per probe
     cell) cogrouped with the candidates assigned to that cell; each

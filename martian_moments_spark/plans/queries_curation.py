@@ -19,6 +19,7 @@ from pyspark.sql.window import Window as W
 from martian_moments_spark.catalog import load
 from martian_moments_spark.llmops.similarity import (
     K_CELLS,
+    hard_negatives_cells_pandas,
     kmeans_units,
     semdedup_verdicts_pandas,
 )
@@ -617,4 +618,135 @@ def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         F.expr("_num DIV _tot").cast("long").alias("share_bp"),
         F.expr(f"_num * {K_CELLS} DIV _tot").cast("long").alias("balance_bp"),
+    )
+
+
+HN_K = 3  # hard negatives mined per anchor
+
+
+@register(
+    "hard_negative_mining",
+    ops=("J2", "W2", "O2"),
+    oracle=f"""
+        WITH {_SQL_KMEANS}, pairs AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neg_id,
+                   CAST(list_sum(list_transform(list_zip(a.units, b.units),
+                        z -> z[1] * z[2])) AS BIGINT) AS dot,
+                   a.norm2 AS na, b.norm2 AS nb
+            FROM kassign a JOIN kassign b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ), lab AS (
+            SELECT vec_id, label FROM embeddings
+        ), cos AS (
+            SELECT p.query_id, la.label AS query_label,
+                   p.neg_id, lb.label AS neg_label,
+                   CAST(p.dot AS DOUBLE)
+                   / (sqrt(CAST(p.na AS DOUBLE)) * sqrt(CAST(p.nb AS DOUBLE)))
+                       AS cosine
+            FROM pairs p
+            JOIN lab la ON la.vec_id = p.query_id
+            JOIN lab lb ON lb.vec_id = p.neg_id
+            WHERE la.label <> lb.label
+        )
+        SELECT query_id, CAST(query_label AS INT) AS query_label,
+               neg_id, CAST(neg_label AS INT) AS neg_label,
+               cosine, CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, neg_id) AS rn
+              FROM cos)
+        WHERE rn <= {HN_K}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every
+    anchor vector, the HN_K most-similar vectors carrying a DIFFERENT
+    label — the negatives that actually move an embedding model
+    (random negatives are trivially separable; the hard ones sit just
+    across the decision boundary). The search is IVF-bounded: anchors
+    only scan their own quantizer cell, so the cost is cell_size per
+    anchor, not corpus — the only shape that mines negatives for a
+    100 TB corpus every epoch.
+
+    Scale: one shuffle on the cell key, one int64 Gram matmul per cell
+    with a per-anchor different-label mask
+    (similarity.hard_negatives_cells_pandas, the SemDeDup/IVF Arrow
+    seam); ranking is (cosine DESC, neg_id) in cosine_fixed's float
+    discipline, so the oracle's window replays it bit-for-bit. Anchors
+    whose cell holds no other label emit nothing (both engines agree:
+    no candidate rows exist).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_units(emb)
+    with_lab = assigned.join(
+        emb.select("vec_id", F.col("label").cast("int").alias("label")), "vec_id"
+    )
+    return hard_negatives_cells_pandas(with_lab, k=HN_K)
+
+
+OUTLIER_FACTOR = 4  # dist2 > FACTOR x cell mean => outlier
+
+
+@register(
+    "embedding_outlier_pruning",
+    ops=("J1", "W2", "P8"),
+    oracle=f"""
+        WITH {_SQL_KMEANS}, d AS (
+            SELECT a.vec_id, a.cell,
+                   CAST(list_sum(list_transform(list_zip(a.units, c.c),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist2
+            FROM kassign a JOIN kcents c ON c.cell = a.cell
+        ), s AS (
+            SELECT vec_id, cell, dist2,
+                   CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell,
+                   CAST(SUM(dist2) OVER (PARTITION BY cell) AS BIGINT) AS sum_d2
+            FROM d
+        )
+        SELECT vec_id, CAST(cell AS INT) AS cell, dist2, n_cell,
+               dist2 * n_cell > {OUTLIER_FACTOR} * sum_d2 AS is_outlier
+        FROM s
+    """,
+)
+def embedding_outlier_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier pruning — the curation pass that drops
+    vectors far from their quantizer centroid (mis-embedded, corrupt,
+    or off-distribution samples poison both dedup thresholds and ANN
+    recall). A vector is an outlier when its exact int64 squared
+    distance to its cell centroid exceeds OUTLIER_FACTOR x the cell
+    mean; the comparison is integer cross-multiplied
+    (dist2 * n_cell > FACTOR * sum_d2), so no division or float ever
+    enters the verdict and the oracle replays it exactly.
+
+    Scale: the centroid matrix is a K-row broadcast; the distance is
+    one per-row zip_with/aggregate pass (no shuffle); the cell moments
+    ride one window over the cell partitioning. Same deterministic
+    k-means seam as embedding_ann_ivf / ivf_cell_balance_report.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_units(emb)
+    cent_df = spark.createDataFrame(
+        [(int(c), [int(x) for x in v]) for c, v in cents],
+        "cell INT, cent ARRAY<BIGINT>",
+    )
+    d2 = F.aggregate(
+        F.zip_with("units", "cent", lambda u, c: (u - c) * (u - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    staged = assigned.join(F.broadcast(cent_df), "cell").select(
+        F.col("vec_id"), F.col("cell").cast("int").alias("cell"), d2.alias("dist2")
+    )
+    wc = W.partitionBy("cell")
+    return (
+        staged.withColumn("n_cell", F.count(F.lit(1)).over(wc).cast("long"))
+        .withColumn("sum_d2", F.sum("dist2").over(wc).cast("long"))
+        .select(
+            "vec_id",
+            "cell",
+            "dist2",
+            "n_cell",
+            (
+                F.col("dist2") * F.col("n_cell")
+                > F.lit(OUTLIER_FACTOR) * F.col("sum_d2")
+            ).alias("is_outlier"),
+        )
     )

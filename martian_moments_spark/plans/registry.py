@@ -219,6 +219,8 @@ PRIORITY: tuple[str, ...] = (
     "ivf_cell_balance_report",
     "snapshot_table_diff",
     "watermark_late_event_audit",
+    "hard_negative_mining",
+    "embedding_outlier_pruning",
     # -- cumulative driver-green (r01∪r02∪r03), prior relative order --
     # Verified every round by the local sf0.01 oracle-parity mirror
     # (tests/test_oracle_parity.py); they re-enter the window only

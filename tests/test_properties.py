@@ -821,3 +821,50 @@ def test_watermark_audit_monotone_and_lossless_at_jitter_bound(spark):
     for r in rows[:-1]:
         if r["n_dropped"]:
             assert 0 < r["max_late_us"] < WM_JITTER_US
+
+
+def test_hard_negatives_are_cross_label_and_ranked(spark):
+    """Every mined negative must carry a different label from its
+    anchor, ranks must be contiguous from 1, and cosine must be
+    non-increasing in rank (ties broken by neg_id ascending)."""
+    from martian_moments_spark.plans import load_all
+    from martian_moments_spark.plans.queries_curation import HN_K
+
+    REG = load_all()
+    rows = REG["hard_negative_mining"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        assert r["query_label"] != r["neg_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= HN_K
+        for lo, hi in zip(rs, rs[1:]):
+            assert hi["cosine"] <= lo["cosine"] or (
+                hi["cosine"] == lo["cosine"] and hi["neg_id"] > lo["neg_id"]
+            )
+
+
+def test_outlier_pruning_markov_bound(spark):
+    """dist2 > FACTOR x cell mean can hold for fewer than
+    n_cell/FACTOR members (Markov's inequality) — the structural
+    guarantee that pruning never removes a cell's bulk."""
+    from martian_moments_spark.plans import load_all
+    from martian_moments_spark.plans.queries_curation import OUTLIER_FACTOR
+
+    REG = load_all()
+    rows = REG["embedding_outlier_pruning"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rs in by_cell.items():
+        n = len(rs)
+        assert all(r["n_cell"] == n for r in rs)
+        n_out = sum(1 for r in rs if r["is_outlier"])
+        assert n_out < n / OUTLIER_FACTOR or n_out == 0
+        total = sum(r["dist2"] for r in rs)
+        for r in rs:
+            assert r["is_outlier"] == (r["dist2"] * n > OUTLIER_FACTOR * total)
