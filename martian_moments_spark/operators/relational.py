@@ -206,8 +206,14 @@ def _asof_join_nearest(
     order_b = [F.col("__t").asc(), F.col("__side").asc()]
     order_f = [F.col("__t").desc(), F.col("__side").asc()]
     if right_tiebreak:
+        # ASCENDING in BOTH scans: last(ignorenulls) keeps the value
+        # closest in scan order before the left row, so ascending puts
+        # the LARGEST tied value there — the same largest-value-wins
+        # rule as the directional paths. (A descending forward
+        # tiebreak would carry the smallest tied value instead; the
+        # brute-force property test caught exactly that.)
         order_b.append(F.col(f"__v_{right_tiebreak}").asc_nulls_first())
-        order_f.append(F.col(f"__v_{right_tiebreak}").desc_nulls_first())
+        order_f.append(F.col(f"__v_{right_tiebreak}").asc_nulls_first())
     w_b = W.partitionBy("__k").orderBy(*order_b).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
