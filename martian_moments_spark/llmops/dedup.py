@@ -348,9 +348,19 @@ def connected_components(
     size (checked every round in that mode) — the property suite pins
     frontier-collapse dynamics on it.
     """
+    # Symmetrize with ONE pass over the edge set: a union of two
+    # selects would evaluate the (expensive — typically the whole LSH
+    # verify pipeline) edge lineage once per branch before the
+    # checkpoint barrier; exploding a 2-element struct array reads it
+    # exactly once for the same rows.
     sym = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     sym = sym.localCheckpoint(eager=True)
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("label")

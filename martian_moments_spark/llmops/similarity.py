@@ -363,6 +363,74 @@ def topk_units_cells_pandas(assigned: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def topk_units_cells_filtered_pandas(
+    assigned: DataFrame, k: int = 5, cand_col: str = "is_cand"
+) -> DataFrame:
+    """Filtered per-cell exact top-k (the pre-filter ANN strategy):
+    every vector in the cell is a QUERY, but only rows with
+    ``cand_col`` true are CANDIDATES — the
+    "WHERE label = X ORDER BY embedding <-> q LIMIT k" plan at IVF
+    cost. One shuffle on the cell key, one rectangular int64 Gram
+    matmul (queries x candidates) per cell instead of a JVM pair join
+    with a per-pair zip-dot — the same rewrite that took SemDeDup
+    from 57 s to 4.6 s at sf1. Float discipline matches
+    ``cosine_fixed`` (int64 dot cast double, one division by
+    sqrt(n2a)*sqrt(n2b)), so SQL oracles replay it bit-exactly."""
+    import numpy as np
+    import pandas as pd
+
+    out_types = {
+        "id_a": "int64",
+        "id_b": "int64",
+        "cosine": "float64",
+        "rank": "int32",
+        "cell": "int32",
+    }
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in out_types.items()}
+        )
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        cand = pdf[cand_col].to_numpy(dtype=bool)[order]
+        n, m = len(ids), int(cand.sum())
+        if n == 0 or m == 0 or (n == 1 and cand[0]):
+            return empty
+        u = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["units"]])[order]
+        norms = np.sqrt((u * u).sum(axis=1).astype(np.float64))
+        uc = u[cand]
+        g = u @ uc.T  # queries x candidates, int64-exact
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = g.astype(np.float64) / np.outer(norms, norms[cand])
+        cand_ids = ids[cand]
+        cell = int(pdf["cell"].iloc[0])
+        out = []
+        for i in range(n):
+            row = cos[i]
+            keep = cand_ids != ids[i]  # a vector never matches itself
+            cidx = np.nonzero(keep)[0]
+            if len(cidx) == 0:
+                continue
+            idx = cidx[np.lexsort((cand_ids[cidx], -row[cidx]))][:k]
+            for rank, j in enumerate(idx, start=1):
+                out.append((ids[i], cand_ids[j], cos[i, j], rank, cell))
+        if not out:
+            return empty
+        return pd.DataFrame(
+            out, columns=["id_a", "id_b", "cosine", "rank", "cell"]
+        ).astype(out_types)
+
+    return (
+        assigned.select("vec_id", "units", "cell", cand_col)
+        .groupBy("cell")
+        .applyInPandas(
+            per_cell, "id_a BIGINT, id_b BIGINT, cosine DOUBLE, rank INT, cell INT"
+        )
+    )
+
+
 def semdedup_verdicts_pandas(assigned: DataFrame, tau: float) -> DataFrame:
     """SemDeDup keep/drop verdicts per quantizer cell: one shuffle on
     the cell key, one int64 Gram matmul per cell, and a vectorized

@@ -2579,6 +2579,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint(eager=True)  # both self-join sides read it
     )
     ia = io.select("o", F.col("p").alias("a"))
     ib = io.select("o", F.col("p").alias("b"))

@@ -40,6 +40,7 @@ from martian_moments_spark.llmops.similarity import (
     topk_cosine,
     topk_cosine_blocked,
     topk_cosine_cells_pandas,
+    topk_units_cells_filtered_pandas,
     topk_units_cells_pandas,
     topk_units_probed,
     with_units_and_norm,
@@ -2750,44 +2751,20 @@ def embedding_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     selective; pre-filter keeps k whenever k matches exist in the
     probed cells).
 
-    Scale: the label predicate prunes the candidate side at its scan;
-    the join stays the within-cell equi-join (one shuffle on the cell
-    key); per-query result size is bounded by the window's top-5. A
-    denser-metadata deployment would bucket by (cell, label) to make
-    the filter a partition key."""
+    Scale: the label predicate masks the candidate AXIS of a per-cell
+    rectangular Gram matmul (queries x matching-candidates), so search
+    cost tracks the filter's selectivity inside each probed cell; one
+    shuffle on the cell key, no pair join, no per-pair zip-dot — the
+    same Arrow matmul seam as embedding_ann_ivf/SemDeDup (that rewrite
+    measured 57 s -> 4.6 s at sf1). A denser-metadata deployment would
+    bucket by (cell, label) to make the filter a partition key."""
     emb = load(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_units(emb)
-    labels = emb.select("vec_id", "label")
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("units").alias("ua"),
-        F.col("norm2").alias("na"),
-        "cell",
+    labeled = assigned.join(emb.select("vec_id", "label"), "vec_id").withColumn(
+        "is_cand", F.col("label") == _FILTER_LABEL
     )
-    b = (
-        assigned.join(labels, "vec_id")
-        .filter(F.col("label") == _FILTER_LABEL)
-        .select(
-            F.col("vec_id").alias("id_b"),
-            F.col("units").alias("ub"),
-            F.col("norm2").alias("nb"),
-            "cell",
-        )
-    )
-    pairs = a.join(b, "cell").filter(F.col("id_a") != F.col("id_b"))
-    cos = pairs.select(
-        "id_a",
-        "id_b",
-        F.col("cell").cast("int").alias("cell"),
-        cosine_fixed(F.col("ua"), F.col("ub"), F.col("na"), F.col("nb")).alias(
-            "cosine"
-        ),
-    )
-    w = W.partitionBy("id_a").orderBy(F.col("cosine").desc(), "id_b")
-    return (
-        cos.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
-        .select("id_a", "id_b", "cosine", "rank", "cell")
+    return topk_units_cells_filtered_pandas(labeled, k=5).select(
+        "id_a", "id_b", "cosine", "rank", "cell"
     )
 
 
@@ -4158,6 +4135,11 @@ def minhash_estimation_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify-stage shape as fuzzy_dedup_pipeline."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     hashed = docs.withColumn("__sh", F.transform(word_shingles("text"), portable_hash31))
+    # sig/hs are consumed by both join sides; recomputing them is
+    # deliberate — a localCheckpoint here measured NO faster (the
+    # per-row hash pipeline is cheap next to the collision join's
+    # array shipping) and serializing wide per-doc arrays is the cost
+    # you'd pay for it.
     sig = hashed.select("doc_id", *minhash_from_hashes(F.col("__sh")))
     hs = hashed.select("doc_id", F.array_distinct("__sh").alias("hset"))
     cand = minhash_lsh_candidates(spark, sf_dir)
@@ -4271,8 +4253,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = topk_cosine_blocked(
         load(spark, sf_dir, "embeddings"), k=5
     ).select("id_a", "id_b")
-    ivf = topk_units_cells_pandas(assigned, k=5).select(
-        F.col("id_a").alias("c_a"), F.col("id_b").alias("c_b")
+    # Two consumers below (the hit join and the per-vector IVF count);
+    # materialize the small top-k pair set once so the quantize +
+    # per-cell matmul pipeline doesn't run once per consumer.
+    ivf = (
+        topk_units_cells_pandas(assigned, k=5)
+        .select(F.col("id_a").alias("c_a"), F.col("id_b").alias("c_b"))
+        .localCheckpoint(eager=True)
     )
     hits = (
         exact.join(
@@ -4445,6 +4432,10 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. Exact integer set sizes; each containment is one division."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     hashed = docs.withColumn("__sh", F.transform(word_shingles("text"), portable_hash31))
+    # Recompute hs per join side on purpose: a localCheckpoint here
+    # measured no faster (per-row recompute is cheap; wide per-doc
+    # arrays are expensive to serialize — see
+    # minhash_estimation_accuracy's note).
     hs = hashed.select("doc_id", F.array_distinct("__sh").alias("hset"))
     cand = minhash_lsh_candidates(spark, sf_dir)
     ha = hs.select(F.col("doc_id").alias("id_a"), F.col("hset").alias("hset_a"))
@@ -5056,8 +5047,11 @@ def near_dup_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     on doc_id, the histogram a second on the (small) degree domain."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     pairs = _lsh_verified_pairs(spark, sf_dir)
-    ends = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
-        pairs.select(F.col("id_b").alias("doc_id"))
+    # One pass over the verified pairs: a union of two selects would
+    # run the whole LSH verify pipeline once per branch; exploding
+    # both ends of each edge reads it exactly once.
+    ends = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
     )
     per_doc = ends.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
@@ -5125,7 +5119,11 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: O(band collisions * |taus|) rows through two map-side-
     combined aggregates; the threshold list is a literal array."""
-    cand = _lsh_candidate_jaccard(spark, sf_dir)
+    # The per-pair Jaccard feeds TWO aggregates (pair counts by tau,
+    # per-doc max for retirement); materialize the collision-bounded
+    # (id_a, id_b, jaccard) rows once so the second consumer doesn't
+    # re-run the whole LSH verify pipeline.
+    cand = _lsh_candidate_jaccard(spark, sf_dir).localCheckpoint(eager=True)
     taus = F.array(*[F.lit(t) for t in SWEEP_TAUS_PCT])
     passes = F.col("jaccard") >= F.col("tau_pct").cast("double") / 100.0
     p = (
