@@ -868,3 +868,64 @@ def test_outlier_pruning_markov_bound(spark):
         total = sum(r["dist2"] for r in rs)
         for r in rs:
             assert r["is_outlier"] == (r["dist2"] * n > OUTLIER_FACTOR * total)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),            # cell
+            st.lists(st.integers(-3, 3), min_size=3, max_size=3),  # units
+            st.booleans(),                # is_cand
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(**SETTINGS)
+def test_filtered_topk_matches_bruteforce(spark_h, rows):
+    """topk_units_cells_filtered_pandas == per-query brute force over
+    same-cell candidates with the flag set: rank by (cosine DESC, id),
+    top-k, self excluded — including float-exact cosine (int64 dot
+    cast double, one division by sqrt(n2a)*sqrt(n2b))."""
+    import math
+
+    from martian_moments_spark.llmops.similarity import (
+        topk_units_cells_filtered_pandas,
+    )
+
+    data = []
+    for i, (cell, units, is_cand) in enumerate(rows):
+        if not any(units):
+            units = [1] + units[1:]  # zero vectors have no cosine
+        data.append((i, [int(u) for u in units], cell, is_cand))
+    df = spark_h.createDataFrame(
+        data, "vec_id BIGINT, units ARRAY<BIGINT>, cell INT, is_cand BOOLEAN"
+    )
+    K = 2
+    got = {}
+    for r in topk_units_cells_filtered_pandas(df, k=K).collect():
+        got.setdefault(r["id_a"], []).append(
+            (r["rank"], r["id_b"], r["cosine"], r["cell"])
+        )
+
+    def cos(ua, ub):
+        dot = sum(x * y for x, y in zip(ua, ub))
+        na = sum(x * x for x in ua)
+        nb = sum(x * x for x in ub)
+        return float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+
+    for qid, qunits, qcell, _ in data:
+        cands = [
+            (cid, cunits)
+            for cid, cunits, ccell, cflag in data
+            if ccell == qcell and cflag and cid != qid
+        ]
+        expect = sorted(
+            ((cos(qunits, cu), cid) for cid, cu in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[:K]
+        want = [
+            (rank, cid, c, qcell)
+            for rank, (c, cid) in enumerate(expect, start=1)
+        ]
+        assert sorted(got.get(qid, [])) == want, (qid, got.get(qid), want)
