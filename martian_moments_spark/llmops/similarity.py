@@ -119,6 +119,27 @@ def topk_cosine(
     )
 
 
+def _gram_f64(A, B=None):
+    """``A @ B.T`` over int64 unit matrices, computed by float64 BLAS.
+    EXACT, not approximate: every elementwise product and every
+    partial sum is an integer, and the guard keeps 4*dim*max|unit|^2
+    below 2^53 — the range where float64 addition of integers is
+    exact in ANY order — so dgemm returns bit-identical integers to
+    the int64 matmul (which numpy executes as a naive loop, ~50x
+    slower; int64 has no BLAS path). Falls back to the int64 matmul
+    when the bound cannot be proven for the data at hand. The same
+    bound covers the ``na + nb - 2ab`` distance identity built on it.
+    Returns float64 with integer values."""
+    import numpy as np
+
+    if B is None:
+        B = A
+    m = int(max(np.abs(A).max(initial=0), np.abs(B).max(initial=0)))
+    if 4 * A.shape[1] * m * m < 2**53:
+        return A.astype(np.float64) @ B.astype(np.float64).T
+    return (A @ B.T).astype(np.float64)
+
+
 def topk_cosine_cells_pandas(
     df: DataFrame,
     k: int = 5,
@@ -155,7 +176,7 @@ def topk_cosine_cells_pandas(
         u = np.stack(
             [half_up(np.asarray(e, dtype=np.float64) * FIXED_SCALE) for e in pdf[emb_col]]
         ).astype(np.int64)[order]
-        g = u @ u.T  # exact int64 dot products
+        g = _gram_f64(u)  # exact integer dot products (see _gram_f64)
         norms = np.sqrt(np.diag(g).astype(np.float64))
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = g.astype(np.float64) / np.outer(norms, norms)
@@ -251,10 +272,19 @@ def kmeans_units(
     T = np.stack([np.asarray(r[0], dtype=np.int64) for r in train_rows])
     cents = [(i, T[i].copy()) for i in range(min(k, len(T)))]
 
+    def sq_dists(A, C):
+        # ||a-c||^2 = |a|^2 + |c|^2 - 2 a.c — identical int64 values
+        # to the broadcast subtract-square (every term is exact
+        # integer arithmetic, magnitudes ~1e15 << 2^63), but a matmul
+        # instead of an (n, k, dim) broadcast temporary.
+        an = np.einsum("ij,ij->i", A, A)
+        cn = np.einsum("ij,ij->i", C, C)
+        return an[:, None] + cn[None, :] - 2 * _gram_f64(A, C)
+
     for _ in range(iters):
         cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
         C = np.stack([v for _, v in cents])
-        d = ((T[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d = sq_dists(T, C)
         a = cell_ids[d.argmin(axis=1)]
         new_cents = []
         for cid in cell_ids:
@@ -271,12 +301,15 @@ def kmeans_units(
     def fn(batches):
         import pandas as pd
 
+        cn = np.einsum("ij,ij->i", C, C)
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf.assign(cell=pd.Series([], dtype="int32"))
                 continue
             U = np.stack([np.asarray(u, dtype=np.int64) for u in pdf["units"]])
-            d = ((U[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # same exact int64 distances as the subtract-square form
+            un = np.einsum("ij,ij->i", U, U)
+            d = un[:, None] + cn[None, :] - 2 * _gram_f64(U, C)
             yield pdf.assign(cell=cell_ids[d.argmin(axis=1)].astype("int32"))
 
     schema = f"{id_col} BIGINT, units ARRAY<BIGINT>, norm2 BIGINT, cell INT"
@@ -299,12 +332,15 @@ def probe_cells(assigned: DataFrame, centroids, n_probe: int = N_PROBE) -> DataF
     def fn(batches):
         import pandas as pd
 
+        cn = np.einsum("ij,ij->i", C, C)
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf.assign(probe_cells=pd.Series([], dtype=object))
                 continue
             U = np.stack([np.asarray(u, dtype=np.int64) for u in pdf["units"]])
-            d = ((U[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # same exact int64 distances as the subtract-square form
+            un = np.einsum("ij,ij->i", U, U)
+            d = un[:, None] + cn[None, :] - 2 * _gram_f64(U, C)
             order = np.lexsort((np.broadcast_to(cell_ids, d.shape), d), axis=1)
             probes = cell_ids[order[:, :take]]
             yield pdf.assign(probe_cells=list(probes))
@@ -341,7 +377,7 @@ def topk_units_cells_pandas(assigned: DataFrame, k: int = 5) -> DataFrame:
         order = np.argsort(ids)
         ids = ids[order]
         u = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["units"]])[order]
-        g = u @ u.T
+        g = _gram_f64(u)
         norms = np.sqrt(np.diag(g).astype(np.float64))
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = g.astype(np.float64) / np.outer(norms, norms)
@@ -455,7 +491,7 @@ def semdedup_verdicts_pandas(assigned: DataFrame, tau: float) -> DataFrame:
         dup = pd.array([pd.NA] * n, dtype="Int64")
         if n >= 2:
             u = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["units"]])[order]
-            g = u @ u.T
+            g = _gram_f64(u)
             norms = np.sqrt(np.diag(g).astype(np.float64))
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = g.astype(np.float64) / np.outer(norms, norms)
@@ -509,7 +545,7 @@ def hard_negatives_cells_pandas(assigned: DataFrame, k: int = 3) -> DataFrame:
         ids = ids[order]
         labels = pdf["label"].to_numpy()[order]
         u = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["units"]])[order]
-        g = u @ u.T
+        g = _gram_f64(u)
         norms = np.sqrt(np.diag(g).astype(np.float64))
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = g.astype(np.float64) / np.outer(norms, norms)
@@ -577,7 +613,7 @@ def topk_units_probed(probed: DataFrame, assigned: DataFrame, k: int = 5) -> Dat
         ci = right["id_b"].to_numpy()
         qu = np.stack([np.asarray(u, dtype=np.int64) for u in left["units_a"]])
         cu = np.stack([np.asarray(u, dtype=np.int64) for u in right["units_b"]])
-        g = qu @ cu.T
+        g = _gram_f64(qu, cu)
         qn = np.sqrt(np.einsum("ij,ij->i", qu, qu).astype(np.float64))
         cn = np.sqrt(np.einsum("ij,ij->i", cu, cu).astype(np.float64))
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -610,7 +646,7 @@ def topk_units_probed(probed: DataFrame, assigned: DataFrame, k: int = 5) -> Dat
 def sql_kmeans_ctes(
     units_sql: str,
     hash_sql: str,
-    k: int = K_CELLS,
+    k: int | str = K_CELLS,
     iters: int = KMEANS_ITERS,
     table: str = "embeddings",
     id_col: str = "vec_id",
@@ -620,7 +656,12 @@ def sql_kmeans_ctes(
     hash-ordered training sample, same seeds, same integer distances,
     same tie-breaks, same centroid rounding). Ends with
     ``kassign(vec_id, units, norm2, cell)`` over the WHOLE table and
-    ``kcents(cell, c)`` — callers build search CTEs on top."""
+    ``kcents(cell, c)`` — callers build search CTEs on top.
+
+    ``k`` may be a SQL scalar-subquery string (e.g. ``(SELECT
+    GREATEST(4, COUNT(*) // 64) FROM embeddings)``) — it lands only in
+    the seed LIMIT, so a corpus-scaled cell count replays exactly as
+    long as the Spark side computes the identical integer."""
     parts = [
         f"""kunits AS (
             SELECT {id_col} AS vec_id, {units_sql} AS units,
@@ -733,7 +774,7 @@ def topk_cosine_blocked(
 
         qi, ci = left[id_col].to_numpy(), right[id_col].to_numpy()
         qu, cu = units(left), units(right)
-        g = qu @ cu.T
+        g = _gram_f64(qu, cu)
         qn = np.sqrt(np.einsum("ij,ij->i", qu, qu).astype(np.float64))
         cn = np.sqrt(np.einsum("ij,ij->i", cu, cu).astype(np.float64))
         # Zero-norm guard (same contract as topk_cosine_cells_pandas):
@@ -964,12 +1005,15 @@ def assign_cells(df: DataFrame, centroids, id_col: str = "vec_id", emb_col: str 
     def fn(batches):
         import pandas as pd
 
+        cn = np.einsum("ij,ij->i", C, C)
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf.assign(cell=pd.Series([], dtype="int32"))
                 continue
             U = np.stack([np.asarray(u, dtype=np.int64) for u in pdf["units"]])
-            d = ((U[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # same exact int64 distances as the subtract-square form
+            un = np.einsum("ij,ij->i", U, U)
+            d = un[:, None] + cn[None, :] - 2 * _gram_f64(U, C)
             yield pdf.assign(cell=cell_ids[d.argmin(axis=1)].astype("int32"))
 
     schema = f"{id_col} BIGINT, units ARRAY<BIGINT>, norm2 BIGINT, cell INT"
@@ -1009,7 +1053,7 @@ def neardup_min_earlier_pandas(
         u = np.stack(
             [half_up(np.asarray(e, dtype=np.float64) * FIXED_SCALE) for e in pdf[emb_col]]
         ).astype(np.int64)[order]
-        g = u @ u.T
+        g = _gram_f64(u)
         norms = np.sqrt(np.diag(g).astype(np.float64))
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = g.astype(np.float64) / np.outer(norms, norms)

@@ -1467,6 +1467,9 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "p_brand")
         .distinct()
+        # four consumers (order count, brand frequencies, both pair
+        # sides) — two narrow columns, materialize the dedup once
+        .localCheckpoint(eager=True)
     )
     n_orders = baskets.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n")

@@ -22,6 +22,7 @@ from martian_moments_spark.llmops.similarity import (
     hard_negatives_cells_pandas,
     kmeans_units,
     semdedup_verdicts_pandas,
+    sql_kmeans_ctes,
 )
 from martian_moments_spark.llmops.textops import (
     portable_hash31,
@@ -35,7 +36,10 @@ from martian_moments_spark.plans.queries_llm import (
     DECONTAM_NGRAM,
     _SQL_KMEANS,
     _SQL_TOKS,
+    _SQL_UNITS,
+    _SQL_VEC_HASH,
     _sql_shingles_n,
+    kmeans_units_corpus,
 )
 from martian_moments_spark.plans.registry import register
 
@@ -80,12 +84,12 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     wants the cheap greedy pass; the transitive-closure variant is
     dedup_connected_components.
 
-    Scale: cells scale with the corpus (constant ~hundreds-of-vectors
-    cells), so within-cell pairs stay O(N * cell_size). The registered
-    query pins K_CELLS={K_CELLS} — the oracle-parity point (kmeans_units
-    replays bit-for-bit in DuckDB: same sample, seeds, integer
-    distances, tie-breaks) — not the deployment k; kmeans_units takes
-    k as a parameter (same documented pin as embedding_ann_ivf).
+    Scale: the REGISTERED query scales its cell count with the corpus
+    (kmeans_units_corpus / the oracle's seed-LIMIT subquery — identical
+    integers in both engines, ADAPT_CELL_TARGET-vector cells), so
+    within-cell pairs stay O(N * cell_size) — linear — at every size,
+    and the quantizer still replays bit-for-bit in DuckDB (same
+    sample, seeds, integer distances, tie-breaks).
     Execution is one shuffle on the cell key + one int64 Gram matmul
     per cell (similarity.semdedup_verdicts_pandas — the same Arrow
     seam as the IVF search stage), emitting one verdict row per
@@ -93,7 +97,7 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     through JVM array dot products for identical output and the
     decade sweep measured it at 57 s at sf1.
     """
-    assigned, _ = kmeans_units(load(spark, sf_dir, "embeddings"))
+    assigned, _ = kmeans_units_corpus(load(spark, sf_dir, "embeddings"))
     return semdedup_verdicts_pandas(assigned, SEMDEDUP_TAU)
 
 
@@ -435,11 +439,12 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming passes; the only search shuffle is the (m, code, cell)
     hash join of the broadcast per-query LUT against the coded corpus,
     followed by a per-query top-k window. Cells scale with the corpus
-    (the registered query pins K_CELLS={K_CELLS} for oracle parity, the
-    documented dial as in embedding_ann_ivf).
+    in the registered query itself (kmeans_units_corpus / the oracle's
+    seed-LIMIT subquery — the same corpus-scaled quantizer as
+    embedding_ann_ivf).
     """
     emb = load(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans_units(emb)
+    assigned, _ = kmeans_units_corpus(emb)
     base, books = pq_train_codebooks(emb)
     enc = pq_encode(base, books)
     enc_long = (
@@ -603,7 +608,7 @@ def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the report is one map-side-combined aggregate on cell plus a
     window over K_CELLS rows (metadata-scale)."""
     emb = load(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans_units(emb)
+    assigned, _ = kmeans_units_corpus(emb)
     per = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs")
     )
@@ -623,12 +628,23 @@ def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HN_K = 3  # hard negatives mined per anchor
 
+#: Target quantizer-cell size for negative mining. The cell COUNT
+#: scales with the corpus (GREATEST(K_CELLS, n // target)), so the
+#: within-cell Gram stays ~target^2 per cell and total mining work is
+#: O(n * target) — LINEAR in corpus size. A pinned cell count would
+#: make cells grow with the corpus and the within-cell quadratic with
+#: them (the r05 decade sweep flagged exactly that at 12.1x per 10x
+#: rows). Both engines compute the identical integer: Spark from
+#: count(), the oracle from the scalar subquery in the seed LIMIT.
+HN_CELL_TARGET = 64
+_HN_K_SQL = f"(SELECT GREATEST({K_CELLS}, COUNT(*) // {HN_CELL_TARGET}) FROM embeddings)"
+
 
 @register(
     "hard_negative_mining",
     ops=("J2", "W2", "O2"),
     oracle=f"""
-        WITH {_SQL_KMEANS}, pairs AS (
+        WITH {sql_kmeans_ctes(_SQL_UNITS, _SQL_VEC_HASH, k=_HN_K_SQL)}, pairs AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neg_id,
                    CAST(list_sum(list_transform(list_zip(a.units, b.units),
                         z -> z[1] * z[2])) AS BIGINT) AS dot,
@@ -674,9 +690,18 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline, so the oracle's window replays it bit-for-bit. Anchors
     whose cell holds no other label emit nothing (both engines agree:
     no candidate rows exist).
+
+    The quantizer is CORPUS-SCALED (HN_CELL_TARGET): cell count =
+    max(K_CELLS, n // 64), so cells stay ~64 vectors and total work is
+    linear in n — the fixed-cell-count form grew quadratically within
+    cells and the decade sweep flagged it at 12.1x per 10x rows. The
+    one scalar count() below is the same bounded-metadata pattern as
+    the quantizer's sample train; the oracle computes the identical k
+    in its seed LIMIT subquery.
     """
     emb = load(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans_units(emb)
+    k_cells = max(K_CELLS, emb.count() // HN_CELL_TARGET)
+    assigned, _ = kmeans_units(emb, k=k_cells)
     with_lab = assigned.join(
         emb.select("vec_id", F.col("label").cast("int").alias("label")), "vec_id"
     )
@@ -722,7 +747,7 @@ def embedding_outlier_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means seam as embedding_ann_ivf / ivf_cell_balance_report.
     """
     emb = load(spark, sf_dir, "embeddings")
-    assigned, cents = kmeans_units(emb)
+    assigned, cents = kmeans_units_corpus(emb)
     cent_df = spark.createDataFrame(
         [(int(c), [int(x) for x in v]) for c, v in cents],
         "cell INT, cent ARRAY<BIGINT>",

@@ -1077,13 +1077,16 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = W.partitionBy("pid").orderBy(F.col("tts").desc(), F.col("tid").desc())
     w_cnt = W.partitionBy("pid")
+    # scored feeds both the allocation and the 'direct' anti-join —
+    # narrow integer rows, so materialize once rather than running
+    # the interval join + windows per consumer.
     scored = cand.select(
         "pid",
         "vu",
         "ttype",
         F.row_number().over(w_rank).alias("rnk"),
         F.count(F.lit(1)).over(w_cnt).alias("n_touch"),
-    )
+    ).localCheckpoint(eager=True)
     touched = scored.select(
         F.col("ttype").alias("channel"),
         (
@@ -1278,18 +1281,28 @@ def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("session_idx"),
     )
-    sessions = labeled.groupBy("user_id", "session_idx").agg(
-        F.min("ts_s").alias("start_s"), F.max("ts_s").alias("end_s")
+    # sessions is consumed by the point melt AND the n_sessions count;
+    # it is 4 longs per session, so materialize once (the narrow-stage
+    # checkpoint rule — wide stages recompute instead).
+    sessions = (
+        labeled.groupBy("user_id", "session_idx")
+        .agg(F.min("ts_s").alias("start_s"), F.max("ts_s").alias("end_s"))
+        .localCheckpoint(eager=True)
     )
-    starts = sessions.select(
-        F.col("start_s").alias("t"), F.lit(1).alias("d"), "user_id", "session_idx"
-    )
-    ends = sessions.select(
-        F.col("end_s").alias("t"), F.lit(-1).alias("d"), "user_id", "session_idx"
-    )
-    points = starts.unionByName(ends).withColumn(
-        "bucket", F.expr("t DIV 3600")
-    )
+    # Melt each interval to its two sweep points in ONE pass (a union
+    # of two selects would evaluate the sessions lineage per branch).
+    points = sessions.select(
+        "user_id",
+        "session_idx",
+        F.explode(
+            F.array(
+                F.struct(F.col("start_s").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("end_s").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.t").alias("t"), F.col("p.d").alias("d"), "user_id", "session_idx"
+    ).withColumn("bucket", F.expr("t DIV 3600"))
     w_local = (
         W.partitionBy("bucket")
         .orderBy(F.col("t"), F.col("d").desc(), F.col("user_id"), F.col("session_idx"))
@@ -1301,8 +1314,12 @@ def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = bucket_tot.select(
         "bucket", F.coalesce(F.sum("btot").over(w_prefix), F.lit(0)).alias("carry")
     )
-    swept = local.join(F.broadcast(prefix), "bucket").withColumn(
-        "conc", F.col("carry") + F.col("local_run")
+    # swept is read twice (global peak, then the argmin filter);
+    # narrow integer rows — materialize instead of re-sweeping.
+    swept = (
+        local.join(F.broadcast(prefix), "bucket")
+        .withColumn("conc", F.col("carry") + F.col("local_run"))
+        .localCheckpoint(eager=True)
     )
     peak = swept.agg(F.max("conc").alias("peak"))
     n_sessions = sessions.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))

@@ -510,7 +510,30 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_VEC_HASH = sql_portable_hash31("CAST(vec_id AS VARCHAR)")
-_SQL_KMEANS = sql_kmeans_ctes(_SQL_UNITS, _SQL_VEC_HASH, k=K_CELLS, iters=KMEANS_ITERS)
+
+#: Target quantizer-cell size: the cell COUNT scales with the corpus
+#: (GREATEST(K_CELLS, n // target)), so within-cell pair work stays
+#: O(n * target) — LINEAR in corpus size — instead of the quadratic
+#: every fixed-cell-count form grows into (the decade sweep measured
+#: 12-27x per 10x rows before this). K_CELLS remains the floor, so at
+#: the sf0.001/0.01/0.1 gate sizes (<= 2000 vectors) the cell count —
+#: and every hash-gated result — is IDENTICAL to the old pinned form;
+#: only true scale runs spread into more cells. Both engines compute
+#: the same integer: Spark from count(), the oracle from the scalar
+#: subquery in its seed LIMIT.
+ADAPT_CELL_TARGET = 500
+_SQL_K_ADAPT = (
+    f"(SELECT GREATEST({K_CELLS}, COUNT(*) // {ADAPT_CELL_TARGET}) FROM embeddings)"
+)
+_SQL_KMEANS = sql_kmeans_ctes(_SQL_UNITS, _SQL_VEC_HASH, k=_SQL_K_ADAPT, iters=KMEANS_ITERS)
+
+
+def kmeans_units_corpus(emb):
+    """``kmeans_units`` at the corpus-scaled cell count — the Spark
+    twin of ``_SQL_KMEANS``'s seed-LIMIT subquery. The scalar count()
+    is the same bounded-metadata pattern as the quantizer's sample
+    train."""
+    return kmeans_units(emb, k=max(K_CELLS, emb.count() // ADAPT_CELL_TARGET))
 
 
 @register(
@@ -547,7 +570,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction; the >=0.8 operating point is embedding_ann_multiprobe).
     Quantizer scale path: train on a sample, broadcast k*dim integer
     centroids, one streaming assignment pass over the corpus."""
-    assigned, _ = kmeans_units(load(spark, sf_dir, "embeddings"))
+    assigned, _ = kmeans_units_corpus(load(spark, sf_dir, "embeddings"))
     return topk_units_cells_pandas(assigned, k=5)
 
 
@@ -788,7 +811,7 @@ def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul per cell, then a window re-ranks the per-cell partial
     top-k. Work is O(sum over probed cells of |cell| per query) —
     N_PROBE/K_CELLS of brute force, dialable."""
-    assigned, cents = kmeans_units(load(spark, sf_dir, "embeddings"))
+    assigned, cents = kmeans_units_corpus(load(spark, sf_dir, "embeddings"))
     probed = probe_cells(assigned, cents, n_probe=N_PROBE)
     return topk_units_probed(probed, assigned, k=5)
 
@@ -2759,7 +2782,7 @@ def embedding_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 57 s -> 4.6 s at sf1). A denser-metadata deployment would
     bucket by (cell, label) to make the filter a partition key."""
     emb = load(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans_units(emb)
+    assigned, _ = kmeans_units_corpus(emb)
     labeled = assigned.join(emb.select("vec_id", "label"), "vec_id").withColumn(
         "is_cand", F.col("label") == _FILTER_LABEL
     )
@@ -2857,7 +2880,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is two IEEE divisions and one add per row — deterministic, so the
     whole hybrid stack hash-matches the oracle."""
     emb = load(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans_units(emb)
+    assigned, _ = kmeans_units_corpus(emb)
     qids = emb.select("vec_id").orderBy("vec_id").limit(_RRF_NQ)
 
     q_side = assigned.join(
@@ -3947,8 +3970,15 @@ def reciprocal_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell int64 matmul); the mutual join carries 3-column rows
     keyed by (id, id) — tiny. At 100 TB the same plan holds with the
     multi-probe candidate set swapped in for single-cell."""
-    assigned, _ = kmeans_units(load(spark, sf_dir, "embeddings"))
-    nn = topk_units_cells_pandas(assigned, k=1).select("id_a", "id_b", "cosine")
+    assigned, _ = kmeans_units_corpus(load(spark, sf_dir, "embeddings"))
+    # The NN table feeds both sides of the mutuality join — 3 narrow
+    # columns per vector, so materialize once instead of running the
+    # quantize + per-cell matmul pipeline per join side.
+    nn = (
+        topk_units_cells_pandas(assigned, k=1)
+        .select("id_a", "id_b", "cosine")
+        .localCheckpoint(eager=True)
+    )
     rev = nn.select(F.col("id_b").alias("r_a"), F.col("id_a").alias("r_b"))
     return (
         nn.join(rev, (nn.id_a == rev.r_a) & (nn.id_b == rev.r_b))
@@ -4249,7 +4279,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm is the production plan; both arms here share one quantizer
     run. Exactness: both rankings order by the same exactly-rounded
     cosine with id tie-break, so hit membership is deterministic."""
-    assigned, _ = kmeans_units(load(spark, sf_dir, "embeddings"))
+    assigned, _ = kmeans_units_corpus(load(spark, sf_dir, "embeddings"))
     exact = topk_cosine_blocked(
         load(spark, sf_dir, "embeddings"), k=5
     ).select("id_a", "id_b")

@@ -57,85 +57,10 @@ SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data"
 LINEAR_CAP = 12.0  # 10x data; ratio above this is a named finding
 
 
-def _ivf_scale_point(spark, sf_dir):
-    """embedding_ann_ivf at its SCALE operating point: cells scale with
-    the corpus (constant ~500-vector cells), so per-cell all-pairs work
-    stays O(N * cell_size). The registered query pins K_CELLS=4 — the
-    oracle-parity point, quadratic by construction when N grows with K
-    fixed — which is a correctness pin, not the deployment recipe
-    (kmeans_units takes k as a parameter; this is the documented use)."""
-    from martian_moments_spark.catalog import load
-    from martian_moments_spark.llmops.similarity import (
-        kmeans_units,
-        topk_units_cells_pandas,
-    )
-
-    emb = load(spark, sf_dir, "embeddings")
-    k_cells = max(4, emb.count() // 500)
-    assigned, _ = kmeans_units(emb, k=k_cells)
-    return topk_units_cells_pandas(assigned, k=5)
-
-
-def _adaptive_cells(spark, sf_dir):
-    from martian_moments_spark.catalog import load
-    from martian_moments_spark.llmops.similarity import kmeans_units
-
-    emb = load(spark, sf_dir, "embeddings")
-    return kmeans_units(emb, k=max(4, emb.count() // 500))
-
-
-def _multiprobe_scale_point(spark, sf_dir):
-    """embedding_ann_multiprobe at its scale point: cells grow with the
-    corpus so the probed fraction (N_PROBE cells) is constant work per
-    query instead of N_PROBE/4 of the whole corpus (the K_CELLS=4
-    parity pin the sf1 sweep measured at 26.6x)."""
-    from martian_moments_spark.llmops.similarity import (
-        probe_cells,
-        topk_units_probed,
-    )
-    from martian_moments_spark.plans.queries_llm import N_PROBE
-
-    assigned, cents = _adaptive_cells(spark, sf_dir)
-    probed = probe_cells(assigned, cents, n_probe=N_PROBE)
-    return topk_units_probed(probed, assigned, k=5)
-
-
-def _semdedup_scale_point(spark, sf_dir):
-    """semantic_dedup_cells at its scale point: cells scale with the
-    corpus (constant ~500-vector cells) so within-cell work stays
-    O(N * cell_size); the registered K_CELLS=4 is the oracle-parity
-    pin, same documented dial as embedding_ann_ivf. Same per-cell
-    int64 Gram matmul as the registered query."""
-    from martian_moments_spark.llmops.similarity import semdedup_verdicts_pandas
-    from martian_moments_spark.plans.queries_curation import SEMDEDUP_TAU
-
-    assigned, _ = _adaptive_cells(spark, sf_dir)
-    return semdedup_verdicts_pandas(assigned, SEMDEDUP_TAU)
-
-
-def _rnn_scale_point(spark, sf_dir):
-    """reciprocal_nearest_neighbors at its scale point: same adaptive
-    quantizer; the mutual join itself is linear in the top-1 list."""
-    from martian_moments_spark.llmops.similarity import topk_units_cells_pandas
-
-    assigned, _ = _adaptive_cells(spark, sf_dir)
-    nn = topk_units_cells_pandas(assigned, k=1).select("id_a", "id_b", "cosine")
-    rev = nn.select(F.col("id_b").alias("r_a"), F.col("id_a").alias("r_b"))
-    return (
-        nn.join(rev, (nn.id_a == rev.r_a) & (nn.id_b == rev.r_b))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "cosine")
-    )
-
-
-# queries measured at a scale-appropriate operating point instead of
-# their oracle-parity registration (reason documented on each fn)
-SCALE_OVERRIDES = {
-    "embedding_ann_ivf": _ivf_scale_point,
-    "embedding_ann_multiprobe": _multiprobe_scale_point,
-    "reciprocal_nearest_neighbors": _rnn_scale_point,
-    "semantic_dedup_cells": _semdedup_scale_point,
-}
+# The registered queries ARE their scale operating points since the
+# corpus-scaled quantizer landed (kmeans_units_corpus / the oracle's
+# seed-LIMIT subquery): no per-query scale overrides remain.
+SCALE_OVERRIDES: dict = {}
 
 
 def run_full_registry_sweep() -> None:
