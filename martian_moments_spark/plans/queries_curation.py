@@ -588,7 +588,7 @@ def effective_epochs_data_constrained(spark: SparkSession, sf_dir: str) -> DataF
         )
         SELECT CAST(cell AS INT) AS cell, n_vecs,
                CAST(n_vecs * 10000 // SUM(n_vecs) OVER () AS BIGINT) AS share_bp,
-               CAST(n_vecs * {K_CELLS} * 10000 // SUM(n_vecs) OVER () AS BIGINT)
+               CAST(n_vecs * COUNT(*) OVER () * 10000 // SUM(n_vecs) OVER () AS BIGINT)
                    AS balance_bp
         FROM per
     """,
@@ -604,25 +604,32 @@ def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     as embedding_ann_ivf / embedding_ann_ivfpq, so the oracle replays
     the index build and the report hash-exactly.
 
+    The fair-share denominator is the OBSERVED cell count (a window
+    count over the per-cell rows), not a pinned constant — with the
+    corpus-scaled quantizer the cell count grows with the corpus, and
+    empty cells dropped during training must not dilute the ratio.
+
     Scale: the assignment pass is the index build already paid for;
     the report is one map-side-combined aggregate on cell plus a
-    window over K_CELLS rows (metadata-scale)."""
+    window over cell-count rows (metadata-scale)."""
     emb = load(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_units_corpus(emb)
     per = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs")
     )
     total = F.sum("n_vecs").over(W.partitionBy())
+    n_cells = F.count(F.lit(1)).over(W.partitionBy())
     return per.select(
         F.col("cell").cast("int").alias("cell"),
         "n_vecs",
         F.expr("n_vecs * 10000").cast("long").alias("_num"),
         total.alias("_tot"),
+        n_cells.alias("_k"),
     ).select(
         "cell",
         "n_vecs",
         F.expr("_num DIV _tot").cast("long").alias("share_bp"),
-        F.expr(f"_num * {K_CELLS} DIV _tot").cast("long").alias("balance_bp"),
+        F.expr("_num * _k DIV _tot").cast("long").alias("balance_bp"),
     )
 
 
