@@ -531,3 +531,58 @@ def test_bpe_safe_batch_self_pair_closes_batch():
         {"left": "c", "right": "a", "pair_count": 2},
     ]
     assert _safe_batch(rows, window=13, batch_limit=4) == rows[:2]
+
+
+def test_gram_f64_matches_int64_matmul_and_guards_overflow():
+    """_gram_f64's BLAS path must return bit-identical integers to the
+    int64 matmul inside its proven bound (4*dim*max|unit|^2 < 2^53),
+    and fall back to the exact int64 path beyond it."""
+    import numpy as np
+
+    from martian_moments_spark.llmops.similarity import _gram_f64
+
+    rng = np.random.default_rng(7)
+    A = rng.integers(-1_000_000, 1_000_001, size=(37, 64), dtype=np.int64)
+    B = rng.integers(-1_000_000, 1_000_001, size=(23, 64), dtype=np.int64)
+    assert np.array_equal(_gram_f64(A, B), (A @ B.T).astype(np.float64))
+    assert np.array_equal(_gram_f64(A), (A @ A.T).astype(np.float64))
+    # magnitudes past the float64-exactness bound take the int64 path
+    # (values would diverge otherwise); the result stays the exact one
+    big = np.full((3, 64), 1 << 30, dtype=np.int64)
+    assert np.array_equal(_gram_f64(big[:, :2], big[:, :2]),
+                          (big[:, :2] @ big[:, :2].T).astype(np.float64))
+
+
+def test_kmeans_units_corpus_scales_cell_count(spark):
+    """kmeans_units_corpus floors at K_CELLS below ADAPT_CELL_TARGET *
+    K_CELLS vectors (the oracle-parity pin at gate sizes) and grows
+    the cell count linearly past it, keeping cells ~target-sized."""
+    from pyspark.sql import functions as F
+
+    from martian_moments_spark.llmops.similarity import K_CELLS
+    from martian_moments_spark.plans.queries_llm import (
+        ADAPT_CELL_TARGET,
+        kmeans_units_corpus,
+    )
+
+    def fake_embeddings(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: ((F.col("id") * 37 + i * 11) % 97 / 97.0) - 0.5,
+            ).alias("embedding"),
+        )
+
+    small, _ = kmeans_units_corpus(fake_embeddings(200))
+    n_small = small.select("cell").distinct().count()
+    assert n_small <= K_CELLS
+
+    n = ADAPT_CELL_TARGET * 12
+    big, cents = kmeans_units_corpus(fake_embeddings(n))
+    assert len(cents) <= 12
+    per = big.groupBy("cell").count().collect()
+    # every trained (non-empty) cell is bounded well under the corpus:
+    # the quantizer spread the data instead of one quadratic blob
+    assert len(per) >= 4
+    assert max(r["count"] for r in per) < n
