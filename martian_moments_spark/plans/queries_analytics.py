@@ -653,7 +653,13 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: signature explode is per-row (~190 short rows per name);
     the only shuffles are the signature equi-join (O(collisions)) and
     the two id-keyed name re-joins. 100x the customers -> ~100x the
-    candidates, never (100x)^2.
+    candidates, never (100x)^2. The query is OUTPUT-bound: sf1's 150k
+    names yield 17M true pairs, so most of its wall time is producing
+    its own result. Measured rejection, do not retry: carrying the
+    name strings through the signature join (to skip the two re-joins)
+    ran 2.8x SLOWER — the pre-distinct collision volume is far larger
+    than the distinct pair set, and widening those shuffle rows costs
+    more than re-joining names onto the deduped pairs.
     """
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
     cand = deletion_neighborhood_candidates(
