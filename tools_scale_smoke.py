@@ -52,6 +52,8 @@ SCALE_QUERIES = (
     "ngram_jaccard_pairs",        # LSH-fed exact Jaccard verify (r05 re-registration)
     "semantic_dedup_cells",       # SemDeDup at adaptive-cell operating point
     "embedding_ann_ivfpq",        # coarse cells + ADC over PQ codes, full FAISS shape
+    "near_dup_degree_stats",      # pre-closure skew diagnostic over LSH edges
+    "minhash_estimation_accuracy",  # sketch-accuracy audit, heaviest verify join
 )
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf1")
 LINEAR_CAP = 12.0  # 10x data; ratio above this is a named finding
