@@ -676,6 +676,104 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "edit_distance_topk",
+    ops=("J2", "W2", "F1", "O2"),
+    oracle="""
+        WITH pairs AS (
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 2
+        ), sym AS (
+            SELECT id_a AS c_custkey, id_b AS match_id, edit_dist FROM pairs
+            UNION ALL
+            SELECT id_b AS c_custkey, id_a AS match_id, edit_dist FROM pairs
+        )
+        SELECT c_custkey, match_rank, match_id, edit_dist
+        FROM (
+            SELECT c_custkey, match_id, edit_dist,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY edit_dist, match_id) AS BIGINT) AS match_rank
+            FROM sym
+        )
+        WHERE match_rank <= 3
+    """,
+)
+def edit_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-output companion to edit_distance_pairs (VERDICT r05
+    Next-round #5): the top-3 nearest names per customer (ed <= 2,
+    within the nation block), totally ordered by (edit_dist, match_id).
+    The pair-emitter's output grows with the number of true pairs (17M
+    rows at sf1 -> 170B at 100x, output-bound by construction); this
+    registered form caps output at 3 rows per id, so its cost scales
+    with the corpus, not the pair count — the shape an entity-
+    resolution consumer (best-match review queue) actually reads.
+
+    Same FastSS deletion-neighborhood canopy as edit_distance_pairs
+    (recall exactly 1 at ed <= 2, property-tested), same banded
+    levenshtein verify; then one symmetrize pass via explode(array(..))
+    (single lineage evaluation — union-of-two-selects re-evaluates the
+    candidate join per branch). The per-id top-3 is NOT a row_number
+    window: (edit_dist, match_id) packs into one int64 (dist in the
+    top bits — dist <= 2 and id < 2^61, unpacked with shifts, never
+    float division), so slice(array_sort(collect_list(pk)), 1, 3) does
+    the selection inside an object-hash aggregate. Measured same-
+    session A/B at sf1: 36.8 s vs 46.6 s for the window form (the
+    window sorts whole 34M-row shuffle partitions; the aggregate sorts
+    per-id lists) — identical output, exceptAll-verified both ways.
+
+    Scale: shuffles are the signature equi-join (O(collisions)), two
+    id-keyed name re-joins, and one hash aggregate on c_custkey; no
+    partition-wide sort anywhere, and no skew (ids are unique).
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
+    cand = deletion_neighborhood_candidates(
+        c, block_col="c_nationkey", id_col="c_custkey", text_col="c_name", k=2
+    )
+    names_a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))
+    names_b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"))
+    pairs = (
+        cand.join(names_a, "id_a")
+        .join(names_b, "id_b")
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 2).cast("int"))
+        .filter(F.col("edit_dist").between(0, 2))
+        .select("id_a", "id_b", "edit_dist")
+    )
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("c_custkey"),
+                    F.col("id_b").alias("match_id"),
+                    F.col("edit_dist"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("c_custkey"),
+                    F.col("id_a").alias("match_id"),
+                    F.col("edit_dist"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    packed = sym.select(
+        "c_custkey",
+        (F.shiftleft(F.col("edit_dist").cast("long"), 61) + F.col("match_id")).alias("pk"),
+    )
+    top3 = packed.groupBy("c_custkey").agg(
+        F.slice(F.array_sort(F.collect_list("pk")), 1, 3).alias("top")
+    )
+    return top3.select(
+        "c_custkey", F.posexplode("top").alias("i", "pk")
+    ).select(
+        "c_custkey",
+        (F.col("i") + 1).cast("long").alias("match_rank"),
+        F.col("pk").bitwiseAND(F.lit((1 << 61) - 1)).alias("match_id"),
+        F.shiftright("pk", 61).cast("int").alias("edit_dist"),
+    )
+
+
 # Target mixture in basis points of 10000 (keep probability per source)
 # — the literal config a corpus-mixing job would read from a manifest.
 MIXTURE_BP = {

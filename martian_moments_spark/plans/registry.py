@@ -343,6 +343,7 @@ PRIORITY: tuple[str, ...] = (
     "deterministic_split",
     "unpivot_melt",
     "edit_distance_pairs",
+    "edit_distance_topk",  # r06 registration; DEFER_NEW parks it behind the full r06 window
     "corpus_mixture_sample",
     "stratified_sample",
     # -- rows-only entries: no oracle => never hash-match; keep out of

@@ -387,21 +387,37 @@ def test_export_order_self_rotates():
     manual edits) and rows-only entries last (they can never
     hash-match, so a window slot on them is wasted)."""
     from martian_moments_spark.plans.registry import (
+        DEFER_NEW,
         REGISTRY,
+        _attested_fresh,
         _driver_attested,
         _ordered_names,
     )
 
     names = _ordered_names()
     attested = _driver_attested()
+    fresh = _attested_fresh()
     rows_only = {n for n in names if REGISTRY[n].oracle is None}
-    unattested = [n for n in names if n not in attested and n not in rows_only]
-    # every window slot goes to unattested work while any remains
-    window = names[: min(50, len(unattested))]
-    assert all(n in unattested for n in window), (
-        "window wastes slots on attested/rows-only queries: "
-        f"{[n for n in window if n not in unattested]}"
+    # "needs attestation" = never attested OR rewritten since the green
+    # row (ledger-stale); DEFER_NEW names are parked behind a full
+    # window by design, so they don't count toward the slot demand.
+    needs = [
+        n
+        for n in names
+        if n not in rows_only and n not in fresh and n not in DEFER_NEW
+    ]
+    # every window slot goes to needs-attestation work while any remains
+    window = names[: min(50, len(needs))]
+    assert all(n in needs for n in window), (
+        "window wastes slots on fresh/rows-only queries: "
+        f"{[n for n in window if n not in needs]}"
     )
+    # never-attested sorts strictly before ledger-stale re-attestation
+    never = [n for n in needs if n not in attested]
+    stale = [n for n in needs if n in attested]
+    if never and stale:
+        pos = {n: i for i, n in enumerate(names)}
+        assert max(pos[n] for n in never) < min(pos[n] for n in stale)
     # rows-only entries sort strictly after every oracle-paired query
     first_rows_only = min(names.index(n) for n in rows_only) if rows_only else len(names)
     last_oracle = max(i for i, n in enumerate(names) if REGISTRY[n].oracle is not None)
