@@ -462,6 +462,34 @@ def test_rotation_is_change_aware():
         assert content_hash(o_edited) != content_hash(spec)
 
 
+def test_attest_sync_round_trip(tmp_path):
+    """tools_attest --sync semantics: a green row records the current
+    hash; an excluded (rewritten-after-green) name is dropped and
+    stays stale; a malformed ledger degrades to empty (everything
+    re-queues) instead of raising."""
+    import json
+
+    from martian_moments_spark.plans.registry import (
+        REGISTRY,
+        _attested_fresh,
+        _attested_ledger,
+        content_hash,
+    )
+
+    bad = tmp_path / "ATTESTED.json"
+    bad.write_text("{not json")
+    assert _attested_ledger(str(bad)) == {}
+    assert _attested_fresh({}) == set()
+
+    name = next(iter(REGISTRY))
+    good = tmp_path / "ok.json"
+    good.write_text(json.dumps({name: {"hash": content_hash(REGISTRY[name]), "round": "rX"}}))
+    assert _attested_fresh(_attested_ledger(str(good))) == {name}
+    # non-dict row is ignored, not fatal
+    good.write_text(json.dumps({name: "bogus"}))
+    assert _attested_fresh(_attested_ledger(str(good))) == set()
+
+
 def test_stale_tier_sorts_between_never_attested_and_fresh():
     """Queries rewritten after their only green row (ledger-stale)
     occupy window slots immediately after the never-attested tier and

@@ -127,6 +127,18 @@ def main() -> None:
         mode="append",
         run_seconds=40,
     )
+    # the SAME business question (user sessions, 10-minute gap) asked
+    # of the built-in session_window operator, at the same offered rate
+    # and key domain — the apples-to-apples row for the guidance below
+    measure(
+        "session_window_same_q",
+        watermarked_session_agg(
+            rate_events(spark, rate=200_000, n_keys=10_000), gap="10 minutes"
+        ),
+        out,
+        mode="append",
+        run_seconds=40,
+    )
 
     with open("STREAM_SCALE.md", "w") as f:
         f.write(
@@ -146,6 +158,35 @@ def main() -> None:
                 f"| `{name}` | {m['rows_per_sec']:,} | {m['batches']} "
                 f"| {m['max_state_rows']:,} |\n"
             )
+        ss = out.get("stateful_sessionize", {}).get("rows_per_sec", 0)
+        sw_same = out.get("session_window_same_q", {}).get("rows_per_sec", 0)
+        sw_cap = out.get("session_window", {}).get("rows_per_sec", 0)
+        r_same = round(sw_same / ss, 1) if ss else float("nan")
+        r_cap = round(sw_cap / ss, 1) if ss else float("nan")
+        f.write(
+            "\n## When the built-in session_window suffices\n\n"
+            "`stateful_sessionize` and `session_window_same_q` ask the\n"
+            "SAME business question — user sessions with a 10-minute\n"
+            "inactivity gap — at the same offered rate (200k rows/s)\n"
+            "and key domain (10k users). In that overhead-dominated\n"
+            "small-batch regime the JVM-state built-in processes\n"
+            f"{sw_same:,} rows/s vs {ss:,} ({r_same}x). The regime that\n"
+            "matters for sizing is SATURATION: the built-in sustains\n"
+            f"{sw_cap:,} rows/s (the `session_window` row, 2M offered)\n"
+            "against the Python-state operator's ~{:,} ceiling — a\n".format(ss)
+            + f"{r_cap}x capacity gap that is the inherent price of\n"
+            "arbitrary Python state (per-group Arrow batch transfer +\n"
+            "pandas dispatch), not of this implementation. Reach for\n"
+            "`streaming_sessionize` only when the per-session logic\n"
+            "cannot be expressed as an aggregation over\n"
+            "`F.session_window` — emit-once-on-close payloads with\n"
+            "custom shapes, mid-session decision rules, state machines\n"
+            "over event sequences. If the output is per-session\n"
+            "aggregates (counts, sums, bounds), `watermarked_session_agg`\n"
+            "answers it at built-in speed — at 100 TB that capacity gap\n"
+            "is the difference between a small streaming job and one\n"
+            f"{r_cap}x its executor count.\n"
+        )
     print(json.dumps({"stream_smoke": out}))
     spark.stop()
 
