@@ -929,3 +929,48 @@ def test_filtered_topk_matches_bruteforce(spark_h, rows):
             for rank, (c, cid) in enumerate(expect, start=1)
         ]
         assert sorted(got.get(qid, [])) == want, (qid, got.get(qid), want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),           # owner id
+            st.integers(min_value=0, max_value=(1 << 61) - 1),  # match id (full packing domain)
+            st.integers(min_value=0, max_value=2),           # edit dist
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_packed_topk_matches_bruteforce(spark_h, rows):
+    """topk_nearest_matches (edit_distance_topk's selection stage)
+    must equal the brute-force per-id sort of (edit_dist, match_id)
+    truncated to k — including ties on distance, duplicate candidate
+    rows, and match ids at the very top of the 2^61 packing domain
+    (where any float detour in pack/unpack would corrupt low bits)."""
+    from martian_moments_spark.plans.queries_analytics import topk_nearest_matches
+
+    K = 3
+    expect: dict[int, list[tuple[int, int]]] = {}
+    for owner, mid, dist in rows:
+        expect.setdefault(owner, []).append((dist, mid))
+    want = {
+        owner: sorted(cands)[:K] for owner, cands in expect.items()
+    }
+
+    df = spark_h.createDataFrame(
+        rows, "c_custkey BIGINT, match_id BIGINT, edit_dist INT"
+    )
+    got: dict[int, list[tuple[int, int, int]]] = {}
+    for r in topk_nearest_matches(df, k=K).collect():
+        got.setdefault(r["c_custkey"], []).append(
+            (r["match_rank"], r["edit_dist"], r["match_id"])
+        )
+    got_sorted = {
+        owner: [(d, m) for _, d, m in sorted(vals)] for owner, vals in got.items()
+    }
+    assert got_sorted == want, (rows, got_sorted, want)
+    # ranks are 1..len per owner
+    for owner, vals in got.items():
+        assert [rk for rk, _, _ in sorted(vals)] == list(range(1, len(vals) + 1))

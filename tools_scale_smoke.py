@@ -49,6 +49,7 @@ SCALE_QUERIES = (
     "dedup_connected_components", # iterative min-label propagation
     "sessionize_events",          # stateful gap sessionization over events
     "edit_distance_pairs",        # deletion-canopy + banded-DP fuzzy matching
+    "edit_distance_topk",         # bounded-output top-3 form (r06): compute-bound
     "ngram_jaccard_pairs",        # LSH-fed exact Jaccard verify (r05 re-registration)
     "semantic_dedup_cells",       # SemDeDup at adaptive-cell operating point
     "embedding_ann_ivfpq",        # coarse cells + ADC over PQ codes, full FAISS shape
