@@ -91,7 +91,17 @@ def lsh_candidates(
     C(h,2) candidate pairs — LSH bounds near-dup work, not exact-dup
     work. The deployment composition is exact_dedup FIRST (identical
     docs collapse to one representative), then LSH over
-    representatives; the hot template then contributes zero pairs."""
+    representatives; the hot template then contributes zero pairs.
+
+    Measured rejection, do not retry: generating pairs by grouping
+    each band bucket (collect_set + per-row i<j expansion — the form
+    that wins for deletion_neighborhood_candidates) ran 8.6 s vs
+    2.5 s for this self-join at sf1 with identical output. The band
+    relation is tiny (n_docs x 4 rows) so double evaluation is cheap,
+    while near-dup clusters make buckets big — and a bucket row that
+    expands to C(h,2) pairs runs in ONE task, where the join spreads
+    the same collisions across tasks. See the inverse measurement in
+    deletion_neighborhood_candidates."""
     hashed = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).withColumn("__sh", F.transform(word_shingles("text"), portable_hash31))
@@ -287,7 +297,7 @@ def deletion_neighborhood_candidates(
             F.when(l >= 2, d2).otherwise(F.array().cast("array<string>")),
         )
     )
-    # Join on xxhash64(variant), not the variant string: an 8-byte
+    # Bucket on xxhash64(variant), not the variant string: an 8-byte
     # shuffle key instead of a ~l-byte one. A hash collision can only
     # ADD a candidate (the banded-DP verify rejects it), so recall
     # stays exactly 1.
@@ -300,12 +310,46 @@ def deletion_neighborhood_candidates(
         .select("block", "id", F.explode(sigs).alias("sig"))
         .select("block", "id", F.xxhash64("sig").alias("sig"))
     )
-    a = sig_rows.select("block", F.col("id").alias("id_a"), "sig")
-    b = sig_rows.select("block", F.col("id").alias("id_b"), "sig")
+    # Pairs come from grouping each signature bucket, NOT from a
+    # self-join: the join form evaluates the signature explosion once
+    # per side and shuffles both copies (the union-of-two-selects
+    # anti-pattern in self-join clothing). One groupBy shuffles the
+    # signature rows once and emits the i<j pairs per bucket with an
+    # array transform. Measured same-session A/B at sf1 (150k names,
+    # 70.1M candidate pairs): 22.4 s vs 32.4 s, identical output by
+    # exceptAll both ways.
+    #
+    # Which side of this trade a canopy lands on depends on two sizes
+    # (both measured, see lsh_candidates for the opposite case):
+    # bucket-groupBy wins when the signature relation is LARGE or
+    # expensive to build (here: ~190 substring variants per name,
+    # 28.5M rows — the join pays that twice) and buckets are SMALL
+    # (deletion variants collide only for genuinely close strings, so
+    # a bucket's C(h,2) expansion stays inside one task comfortably);
+    # the self-join wins when signatures are cheap and buckets are
+    # big/skewed, because a row that expands to C(h,2) pairs runs in
+    # ONE task while a join spreads the same collisions across tasks.
+    grp = (
+        sig_rows.groupBy("block", "sig")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    n = F.size("ids")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"),
+                    F.element_at(F.col("ids"), j).alias("id_b"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, ["block", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("block", "id_a", "id_b")
+        grp.select("block", F.explode(pairs).alias("p"))
+        .select("block", "p.id_a", "p.id_b")
         .distinct()
     )
 
