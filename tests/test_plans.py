@@ -462,6 +462,30 @@ def test_rotation_is_change_aware():
         assert content_hash(o_edited) != content_hash(spec)
 
 
+def test_defer_and_stale_priority_names_are_registered():
+    """DEFER_NEW and STALE_PRIORITY are scheduling levers over real
+    registry entries — a typo'd name would silently schedule nothing.
+    Every listed name must be registered and oracle-paired, and a
+    DEFER_NEW name must not already hold a green driver row (once
+    attested it belongs to the normal tiers; the entry should be
+    removed)."""
+    from martian_moments_spark.plans.registry import (
+        DEFER_NEW,
+        REGISTRY,
+        STALE_PRIORITY,
+        _driver_attested,
+    )
+
+    for name in (*DEFER_NEW, *STALE_PRIORITY):
+        assert name in REGISTRY, f"{name!r} not registered"
+        assert REGISTRY[name].oracle is not None, f"{name!r} is rows-only"
+    attested = _driver_attested()
+    stale_defer = [n for n in DEFER_NEW if n in attested]
+    assert not stale_defer, (
+        f"attested names still parked in DEFER_NEW (remove them): {stale_defer}"
+    )
+
+
 def test_attest_sync_round_trip(tmp_path):
     """tools_attest --sync semantics: a green row records the current
     hash; an excluded (rewritten-after-green) name is dropped and
