@@ -76,9 +76,14 @@ def main() -> None:
             samples.append(round(time.perf_counter() - t0, 4))
         # Sub-second queries dominated by fixed session overhead keep
         # descending past 3 passes (C2 recompiles, broadcast reuse);
-        # keep sampling (2 extra max) while the newest pass is still
-        # the minimum — stop as soon as the curve flattens.
-        while len(samples) < 5 and min(samples) < 2.0 and samples[-1] == min(samples):
+        # keep sampling (2 extra max) while the newest pass strictly
+        # improved on all prior ones — a tie means the curve has
+        # flattened and nothing new can be learned.
+        while (
+            len(samples) < 5
+            and min(samples) < 2.0
+            and samples[-1] < min(samples[:-1])
+        ):
             t0 = time.perf_counter()
             consume(spec.fn(spark, sf_dir))
             samples.append(round(time.perf_counter() - t0, 4))

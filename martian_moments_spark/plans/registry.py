@@ -493,10 +493,16 @@ def _ordered_names() -> list[str]:
             return 1 if n in deferred else 0
         return 2 if n in fresh else 1
 
-    return sorted(
-        REGISTRY,
-        key=lambda n: (tier(n), stale_rank.get(n, stale_tail), rank.get(n, tail), reg_pos[n]),
-    )
+    def key(n: str) -> tuple:
+        t = tier(n)
+        # STALE_PRIORITY orders ONLY the re-attestation tier; applying
+        # it in every tier would hoist those names to the head of the
+        # never-attested tier and break the documented degradation to
+        # static PRIORITY order when no CORRECTNESS files exist.
+        s = stale_rank.get(n, stale_tail) if t == 1 else stale_tail
+        return (t, s, rank.get(n, tail), reg_pos[n])
+
+    return sorted(REGISTRY, key=key)
 
 
 def register(

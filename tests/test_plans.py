@@ -539,7 +539,9 @@ def test_stale_tier_sorts_between_never_attested_and_fresh():
     pos = {n: i for i, n in enumerate(names)}
     never = oracle - attested - set(DEFER_NEW)
     last_never = max((pos[n] for n in never), default=-1)
-    first_fresh = min(pos[n] for n in oracle & fresh)
+    # with an empty/absent ledger everything is stale — there is no
+    # fresh tier to sit before, so only the never<stale half applies
+    first_fresh = min((pos[n] for n in oracle & fresh), default=len(names))
     assert all(last_never < pos[n] < first_fresh for n in stale), (
         "stale tier must sit between never-attested and fresh tiers"
     )

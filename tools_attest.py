@@ -10,13 +10,16 @@ form the driver actually verified; ``registry._ordered_names()`` then
 treats any query whose CURRENT hash differs as needing re-attestation.
 
 Usage:
-  python tools_attest.py --sync [--exclude a,b,c]
-      Record current hashes for every query with a passing row in any
-      CORRECTNESS_r*.json. RUN AT ROUND START, BEFORE EDITING — that
-      is what makes "current source == attested source" true. Names in
-      --exclude are known to have been rewritten after their green row
-      and are left out (they re-queue). Existing ledger entries are
-      kept unless the name is excluded.
+  python tools_attest.py --sync [--exclude a,b,c] [--all-rounds]
+      Record current hashes for queries with a passing row in the
+      NEWEST CORRECTNESS_r*.json (--all-rounds sweeps every file —
+      bootstrap only). RUN AT ROUND START, BEFORE EDITING — that is
+      what makes "current source == attested source" true. Latest-only
+      is the safe default: a green row from an older round may attest
+      a form that was since rewritten, and re-recording it mid-round
+      would silently mark a stale query fresh. Names in --exclude are
+      known rewritten-after-green and are left out (they re-queue).
+      Existing ledger entries are kept unless the name is excluded.
   python tools_attest.py --check
       Report never-attested / stale / fresh counts and the first 50
       export names (the next driver window).
@@ -37,13 +40,18 @@ from martian_moments_spark.plans import registry as R  # noqa: E402
 LEDGER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ATTESTED.json")
 
 
-def latest_green_round() -> dict[str, str]:
+def latest_green_round(all_rounds: bool = True) -> dict[str, str]:
     """name -> basename of the newest CORRECTNESS file with a passing
-    row for it (provenance only; freshness is decided by hash)."""
+    row for it (provenance only; freshness is decided by hash). With
+    ``all_rounds=False`` only the newest file is read — the safe
+    --sync scope (see module docstring)."""
     import glob
 
+    paths = sorted(glob.glob(os.path.join(os.path.dirname(LEDGER), "CORRECTNESS_r*.json")))
+    if not all_rounds:
+        paths = paths[-1:]
     out: dict[str, str] = {}
-    for path in sorted(glob.glob(os.path.join(os.path.dirname(LEDGER), "CORRECTNESS_r*.json"))):
+    for path in paths:
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -63,12 +71,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sync", action="store_true")
     ap.add_argument("--check", action="store_true")
+    ap.add_argument("--all-rounds", action="store_true", help="sweep every CORRECTNESS file (bootstrap); default is newest only")
     ap.add_argument("--exclude", default="", help="comma-separated names rewritten after their green row")
     args = ap.parse_args()
 
     load_all()
     ledger = R._attested_ledger(LEDGER)
-    green = latest_green_round()
+    green = latest_green_round(all_rounds=args.all_rounds)
     exclude = {n for n in args.exclude.split(",") if n}
 
     if args.sync:
@@ -84,7 +93,10 @@ def main() -> None:
             if name in exclude or name not in R.REGISTRY:
                 continue
             h = R.content_hash(R.REGISTRY[name])
-            if ledger.get(name, {}).get("hash") != h:
+            row = ledger.get(name)
+            # a malformed row (hand edit / bad merge) must be repaired
+            # by sync, not crash it — same degrade rule as the registry
+            if not isinstance(row, dict) or row.get("hash") != h:
                 ledger[name] = {"hash": h, "round": rnd}
                 added.append(name)
         with open(LEDGER, "w") as f:

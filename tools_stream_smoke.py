@@ -173,8 +173,8 @@ def main() -> None:
             f"{sw_same:,} rows/s vs {ss:,} ({r_same}x). The regime that\n"
             "matters for sizing is SATURATION: the built-in sustains\n"
             f"{sw_cap:,} rows/s (the `session_window` row, 2M offered)\n"
-            "against the Python-state operator's ~{:,} ceiling — a\n".format(ss)
-            + f"{r_cap}x capacity gap that is the inherent price of\n"
+            f"against the Python-state operator's ~{ss:,} ceiling — a\n"
+            f"{r_cap}x capacity gap that is the inherent price of\n"
             "arbitrary Python state (per-group Arrow batch transfer +\n"
             "pandas dispatch), not of this implementation. Reach for\n"
             "`streaming_sessionize` only when the per-session logic\n"
