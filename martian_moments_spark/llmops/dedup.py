@@ -301,8 +301,13 @@ def deletion_neighborhood_candidates(
     # shuffle key instead of a ~l-byte one. A hash collision can only
     # ADD a candidate (the banded-DP verify rejects it), so recall
     # stays exactly 1.
+    # Null semantics: the original self-join form dropped null-block /
+    # null-text rows via the null-unsafe equi-join; groupBy would
+    # instead collect nulls into one bucket and emit pairs for them.
+    # Filter explicitly so both forms agree for nullable inputs.
     sig_rows = (
-        df.select(
+        df.filter(F.col(block_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
             F.col(block_col).alias("block"),
             F.col(id_col).alias("id"),
             F.col(text_col).alias("__s"),

@@ -686,10 +686,28 @@ def topk_nearest_matches(sym: DataFrame, k: int = 3) -> DataFrame:
     partitions; this sorts only each id's own candidate list —
     measured 36.8 s vs 46.6 s at sf1 on edit_distance_topk, identical
     output verified by exceptAll both directions. Input columns:
-    (c_custkey, match_id, edit_dist)."""
+    (c_custkey, match_id, edit_dist).
+
+    Packing precondition is ENFORCED, not assumed: edit_dist > 3
+    would shiftleft past the sign bit (4 << 61 wraps to
+    Long.MIN_VALUE, sorting garbage FIRST), so a violating caller
+    must fail loudly rather than return wrong top-k."""
+    in_range = F.col("edit_dist").between(0, 3) & F.col("match_id").between(
+        0, (1 << 61) - 1
+    )
+    # assert_true yields NULL when the check passes; adding the
+    # coalesced zero keeps it inside the pk expression so column
+    # pruning can never drop the guard.
+    guard = F.coalesce(
+        F.assert_true(
+            in_range,
+            F.lit("topk_nearest_matches: need 0<=edit_dist<=3 and 0<=match_id<2^61"),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     packed = sym.select(
         "c_custkey",
-        (F.shiftleft(F.col("edit_dist").cast("long"), 61) + F.col("match_id")).alias("pk"),
+        (F.shiftleft(F.col("edit_dist").cast("long"), 61) + F.col("match_id") + guard).alias("pk"),
     )
     topk = packed.groupBy("c_custkey").agg(
         F.slice(F.array_sort(F.collect_list("pk")), 1, k).alias("top")

@@ -40,7 +40,7 @@ from martian_moments_spark.plans import registry as R  # noqa: E402
 LEDGER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ATTESTED.json")
 
 
-def latest_green_round(all_rounds: bool = True) -> dict[str, str]:
+def latest_green_round(all_rounds: bool = False) -> dict[str, str]:
     """name -> basename of the newest CORRECTNESS file with a passing
     row for it (provenance only; freshness is decided by hash). With
     ``all_rounds=False`` only the newest file is read — the safe
@@ -111,10 +111,30 @@ def main() -> None:
         never = oracle - attested
         stale = (oracle & attested) - fresh
         order = R._ordered_names()
+        # A name green in the NEWEST correctness file but absent from
+        # the ledger is merely awaiting --sync, not real debt; print
+        # the actionable number so a pre-sync --check doesn't read as
+        # alarming (VERDICT r06 What's-wrong #4). Assumes no edits
+        # since round close — sync first if in doubt.
+        newest_green = latest_green_round(all_rounds=False)
+        led = R._attested_ledger(LEDGER)
+        pending_sync = {
+            n
+            for n in stale & set(newest_green)
+            # already synced from the newest file and STILL stale
+            # means the code was edited after sync — real debt
+            if not (isinstance(led.get(n), dict) and led[n].get("round") == newest_green[n])
+        }
+        actionable = stale - pending_sync
         print(f"registered={len(R.REGISTRY)} oracle-paired={len(oracle)}")
         print(f"never-attested={len(never)} stale={len(stale)} fresh={len(fresh)}")
-        if stale:
-            print("stale:", ", ".join(sorted(stale)))
+        if pending_sync:
+            print(
+                f"  ({len(pending_sync)} of the stale are green in the newest "
+                f"CORRECTNESS file and just await --sync; actionable stale={len(actionable)})"
+            )
+        if actionable:
+            print("stale:", ", ".join(sorted(actionable)))
         print("next window (50):")
         for i, n in enumerate(order[:50], 1):
             tag = "NEVER" if n in never else ("STALE" if n in stale else "fresh")
