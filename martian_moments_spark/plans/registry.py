@@ -343,7 +343,7 @@ PRIORITY: tuple[str, ...] = (
     "deterministic_split",
     "unpivot_melt",
     "edit_distance_pairs",
-    "edit_distance_topk",  # r06 registration; DEFER_NEW parks it behind the full r06 window
+    "edit_distance_topk",
     "corpus_mixture_sample",
     "stratified_sample",
     # -- rows-only entries: no oracle => never hash-match; keep out of
@@ -359,18 +359,15 @@ PRIORITY: tuple[str, ...] = (
 # Next-round #2). The r06 window arithmetic is exact: 47 never-attested
 # + these 3 = 50 slots; the remaining stale names sort right after and
 # head the r07 window automatically.
-STALE_PRIORITY: tuple[str, ...] = (
-    "ngram_jaccard_pairs",  # registered output contract changed in r05
-    "embedding_ann_ivf",
-    "curation_to_training_mix",
-)
+STALE_PRIORITY: tuple[str, ...] = ()
 
 # Names registered while the current round's window is already fully
-# spoken for (VERDICT r05 Next-round #1: 47 + 3 spare = 50 — zero room
-# for new registrations). Listed names sort with the re-attestation
-# tier instead of the never-attested tier so they cannot displace a
-# judge-named slot; clear this tuple once the pending window lands.
-DEFER_NEW: tuple[str, ...] = ("edit_distance_topk",)
+# spoken for. Listed names sort with the re-attestation tier instead
+# of the never-attested tier so they cannot displace a judge-named
+# slot; clear this tuple once the pending window lands. (r07: the r06
+# window landed 50/50 green, so edit_distance_topk leads the
+# never-attested tier normally — tuple cleared.)
+DEFER_NEW: tuple[str, ...] = ()
 
 
 def content_hash(spec: QuerySpec) -> str:
