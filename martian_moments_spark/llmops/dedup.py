@@ -449,3 +449,76 @@ def connected_components(
             if frontier.limit(1).count() == 0:
                 break
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component_id"))
+
+
+def char_span_stats(
+    docs: DataFrame,
+    k: int = None,
+    sel: int = None,
+    tau: float = 0.3,
+) -> DataFrame:
+    """Per-document cross-corpus repeated-substring span statistics —
+    the engine behind the registered ``repeated_char_spans`` query
+    (see its docstring for semantics, recall law, and 100 TB posture).
+    Input: (doc_id, text). Output one row per doc: hit-anchor count,
+    merged span count, covered-char union, longest span (length +
+    1-based start, longest-then-earliest), coverage ratio, keep
+    verdict at ``tau``. Both windows share one (doc_id, i)
+    exchange+sort; the int64 (len, start) packing avoids a second
+    window for the argmax."""
+    from martian_moments_spark.llmops.textops import (
+        CHAR_ANCHOR_K,
+        CHAR_ANCHOR_SEL,
+        SPAN_PACK,
+        char_anchor_grams,
+    )
+    from pyspark.sql.window import Window as W
+
+    K = CHAR_ANCHOR_K if k is None else k
+    SEL = CHAR_ANCHOR_SEL if sel is None else sel
+    P = SPAN_PACK
+    anch = char_anchor_grams(docs, k=K, sel=SEL)
+    dup = (
+        anch.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = anch.join(dup, "g").select("doc_id", "i")
+    w = W.partitionBy("doc_id").orderBy("i")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    lag = F.lag("i").over(w)
+    flagged = hits.withColumn(
+        "ns", F.when(lag.isNull() | (F.col("i") - lag > K), 1).otherwise(0)
+    )
+    isl = flagged.withColumn("island", F.sum("ns").over(run))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"),
+        (F.max("i") - F.min("i") + K).cast("long").alias("len"),
+        F.count(F.lit(1)).alias("na"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("na").alias("n_hit_anchors"),
+        F.sum("len").alias("covered_chars"),
+        F.max(F.col("len") * P - F.col("s")).alias("pk"),
+    )
+    base = docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    covered = F.coalesce(F.col("covered_chars"), F.lit(0).cast("long"))
+    ratio = F.when(
+        F.col("n_chars") > 0, covered.cast("double") / F.col("n_chars").cast("double")
+    ).otherwise(F.lit(0.0))
+    longest_len = F.expr(f"(pk + {P}) DIV {P}").cast("long")
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("n_hit_anchors"), F.lit(0).cast("long")).alias("n_hit_anchors"),
+        F.coalesce(F.col("n_spans"), F.lit(0).cast("long")).alias("n_spans"),
+        covered.alias("covered_chars"),
+        F.coalesce(longest_len, F.lit(0).cast("long")).alias("longest_len"),
+        F.coalesce(longest_len * P - F.col("pk"), F.lit(0).cast("long")).alias("longest_start"),
+        ratio.alias("dup_coverage_ratio"),
+        F.when(F.col("n_chars") > 0, ratio <= tau)
+        .otherwise(F.lit(True))
+        .alias("keep"),
+    )

@@ -244,3 +244,73 @@ def predicted_language(col: str = "text") -> Column:
 
 
 
+
+# --------------------------------------------- substring-granularity dedup
+
+# Character-granularity repeated-substring detection (the suffix-array
+# exact-substring dedup family of Lee et al. 2022, re-expressed with
+# content-defined anchors instead of a suffix sort — a corpus-wide
+# suffix array cannot be built in one partition at 100 TB, and a
+# distributed suffix sort shuffles every rotation of every document).
+# Every k-char gram whose portable hash is 0 mod CHAR_ANCHOR_SEL is an
+# ANCHOR; anchor selection depends only on gram CONTENT, so two copies
+# of a repeated substring select identical anchors at identical
+# relative offsets regardless of alignment (the content-defined-
+# chunking property, LBFS/rsync lineage). Recall on a repeated span
+# with m eligible gram positions is 1-(1-1/SEL)^m — exponentially
+# close to 1 for spans meaningfully longer than k (SEL=4: a span with
+# 25 gram positions is missed with p ~ 7e-4); anchor density is a
+# fixed 1/SEL of gram positions, so the exploded relation is a
+# constant fraction of corpus size at any scale.
+CHAR_ANCHOR_K = 24  # gram width (~5 words of English text)
+CHAR_ANCHOR_SEL = 4  # keep grams with hash % SEL == 0 (density 1/4)
+# int64 packing base for (len, start) / (doc, pos) argmin-argmax
+# tricks; valid while doc positions < 2^31 and doc_id < 2^32
+SPAN_PACK = 1 << 31
+
+
+def char_anchor_grams(docs: DataFrame, k: int = CHAR_ANCHOR_K, sel: int = CHAR_ANCHOR_SEL) -> DataFrame:
+    """(doc_id, i, g): every anchor-selected k-char gram of ``text``
+    with its 1-based position. The (i, gram) structs are built inside
+    one array transform and filtered BEFORE the explode, so the
+    per-row array carries only the 1/sel surviving grams and the text
+    column is never duplicated per gram row. Downstream matching
+    groups on the gram STRING itself, not a hash of it — a hash
+    collision here would ADD a false cross-doc duplicate with no
+    verify step to reject it, and a k-char key is no wider than the
+    md5 it would replace."""
+    t = F.col("text")
+    n = F.length(t)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("i"), t.substr(i, F.lit(k)).alias("g")
+            ),
+        ),
+        lambda p: portable_hash31(p["g"]) % sel == 0,
+    )
+    return docs.select("doc_id", F.explode(pairs).alias("a")).select(
+        "doc_id", "a.i", "a.g"
+    )
+
+
+def sql_char_anchor_cte(k: int = CHAR_ANCHOR_K, sel: int = CHAR_ANCHOR_SEL) -> str:
+    """DuckDB CTE body mirroring char_anchor_grams exactly: same
+    grams, same md5-derived selection hash, same 1-based positions."""
+    # The TABLE functions generate_series/range reject lateral column
+    # refs in DuckDB 1.0; the LIST-valued range(1, n) + unnest form
+    # accepts them and yields an empty list (no rows, no error) for
+    # too-short docs where n <= 1.
+    return f"""
+        SELECT doc_id, CAST(i AS INT) AS i, substr(text, CAST(i AS INT), {k}) AS g
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - {k - 1}, 0) + 1)) AS i
+            FROM documents
+        ) u
+        WHERE ({sql_portable_hash31(f"substr(text, CAST(i AS INT), {k})")} % {sel}) = 0
+    """

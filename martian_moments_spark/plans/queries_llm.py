@@ -19,6 +19,7 @@ from martian_moments_spark.catalog import load
 from martian_moments_spark.guards import assert_bounded, collect_bounded
 from martian_moments_spark.llmops.dedup import (
     HASH_P,
+    char_span_stats,
     MINHASH_SEEDS,
     connected_components,
     minhash_from_hashes,
@@ -46,7 +47,11 @@ from martian_moments_spark.llmops.similarity import (
     with_units_and_norm,
 )
 from martian_moments_spark.llmops.textops import (
+    CHAR_ANCHOR_K,
+    SPAN_PACK,
+    char_anchor_grams,
     portable_hash31,
+    sql_char_anchor_cte,
     predicted_language,
     tokens,
     word_shingles,
@@ -3576,6 +3581,167 @@ def cross_doc_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(True))
             .alias("keep"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Substring-granularity cross-doc dedup (character spans, anchor-sampled)
+# ---------------------------------------------------------------------------
+
+CHAR_SPAN_TAU = 0.3  # max fraction of chars inside cross-doc repeated spans
+
+_SQL_CHAR_SPANS_PACK = SPAN_PACK  # (len, start) argmax packing base
+
+
+def _sql_char_spans_oracle() -> str:
+    K, P = CHAR_ANCHOR_K, SPAN_PACK
+    return f"""
+        WITH anch AS ({sql_char_anchor_cte()}),
+        dup AS (
+            SELECT g FROM anch GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+        ), hits AS (
+            SELECT a.doc_id, a.i FROM anch a JOIN dup USING (g)
+        ), flagged AS (
+            SELECT doc_id, i,
+                   CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > {K}
+                        THEN 1 ELSE 0 END AS ns
+            FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        ), isl AS (
+            SELECT doc_id, i,
+                   SUM(ns) OVER (PARTITION BY doc_id ORDER BY i) AS island
+            FROM flagged
+        ), spans AS (
+            SELECT doc_id, MIN(i) AS s,
+                   CAST(MAX(i) - MIN(i) + {K} AS BIGINT) AS len,
+                   CAST(COUNT(*) AS BIGINT) AS na
+            FROM isl GROUP BY doc_id, island
+        ), per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(na) AS BIGINT) AS n_hit_anchors,
+                   CAST(SUM(len) AS BIGINT) AS covered_chars,
+                   MAX(len * {P} - s) AS pk
+            FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(length(d.text) AS BIGINT) AS n_chars,
+               COALESCE(p.n_hit_anchors, 0) AS n_hit_anchors,
+               COALESCE(p.n_spans, 0) AS n_spans,
+               COALESCE(p.covered_chars, 0) AS covered_chars,
+               COALESCE((p.pk + {P}) // {P}, 0) AS longest_len,
+               COALESCE(((p.pk + {P}) // {P}) * {P} - p.pk, 0) AS longest_start,
+               CASE WHEN length(d.text) > 0
+                    THEN CAST(COALESCE(p.covered_chars, 0) AS DOUBLE)
+                         / CAST(length(d.text) AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS dup_coverage_ratio,
+               CASE WHEN length(d.text) > 0
+                    THEN (CAST(COALESCE(p.covered_chars, 0) AS DOUBLE)
+                          / CAST(length(d.text) AS DOUBLE)) <= {CHAR_SPAN_TAU}
+                    ELSE TRUE END AS keep
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@register(
+    "repeated_char_spans",
+    ops=("A1", "J1", "W2", "N2"),
+    oracle=_sql_char_spans_oracle(),
+)
+def repeated_char_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-granularity cross-document repeated-substring spans —
+    the suffix-array exact-substring dedup signal (Lee et al. 2022)
+    re-expressed Spark-first: content-defined anchor grams
+    (llmops.textops.char_anchor_grams — every 24-char gram whose
+    portable hash is 0 mod 4) replace the suffix sort, cross-doc
+    repetition is an equality groupBy on the gram STRING (exact — a
+    hash bucket would admit false duplicates with no verify step),
+    and each doc's matched [i, i+K-1] intervals are merged into
+    maximal islands with ONE lag + ONE running-sum window over the
+    same (doc_id, i) sort. Output per doc: hit-anchor count, merged
+    span count, exact covered-char union, the longest merged span's
+    length and 1-based start (longest-then-earliest, via int64
+    (len, start) packing — no second window), coverage ratio, and the
+    keep verdict at tau=0.3. Char granularity catches boilerplate
+    that word-4-gram shingles (cross_doc_ngram_spans) miss when
+    tokenization splits differently (markup, punctuation variants).
+
+    Recall: a repeated span with m eligible gram positions is missed
+    with probability (1-1/4)^m — content-defined selection means both
+    copies pick identical anchors, so detection is all-or-nothing per
+    span, never alignment-dependent.
+
+    Scale: anchors are a fixed 1/4 of gram positions (the explode is
+    a constant fraction of corpus bytes); the dup groupBy is
+    map-side-combinable on a high-cardinality 24-char key; the hit
+    join is hash-partitioned on the gram, collision-bounded, never
+    all-pairs; both windows share one (doc_id, i) exchange+sort. A
+    hot boilerplate gram contributes one dup row and per-doc hit rows
+    only — no pair expansion anywhere.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return char_span_stats(docs, tau=CHAR_SPAN_TAU)
+
+
+BOILERPLATE_TOPK = 20
+
+
+@register(
+    "repeated_boilerplate_catalog",
+    ops=("A1", "A2", "O2"),
+    oracle=f"""
+        WITH anch AS ({sql_char_anchor_cte()}),
+        cat AS (
+            SELECT g,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   MIN(doc_id * {SPAN_PACK} + i) AS ex
+            FROM anch GROUP BY g
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+        SELECT g AS gram, n_docs, n_occurrences,
+               ex // {SPAN_PACK} AS example_doc,
+               ex % {SPAN_PACK} AS example_pos
+        FROM cat
+        ORDER BY n_docs DESC, n_occurrences DESC, gram
+        LIMIT {BOILERPLATE_TOPK}
+    """,
+)
+def repeated_boilerplate_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate mining: the top-20 cross-doc repeated
+    anchor grams (see char_anchor_grams) by distinct-doc count, with
+    total occurrences and a deterministic example site (smallest
+    doc_id, then smallest position — one int64 (doc, pos) MIN, no
+    window). The catalog names WHAT the repeated boilerplate is —
+    repeated_char_spans reports WHERE it sits in each doc; together
+    they are the inspect/act pair of the substring-dedup tier.
+
+    Scale: one map-side-combinable groupBy on the gram string and a
+    TakeOrderedAndProject top-20 — the catalog never materializes a
+    global sort. Packing bound: doc_id < 2^32 and positions < 2^31
+    keep doc_id*2^31+i inside int64.
+    """
+    anch = char_anchor_grams(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    cat = (
+        anch.groupBy("g")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.col("doc_id") * SPAN_PACK + F.col("i")).alias("ex"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        cat.select(
+            F.col("g").alias("gram"),
+            "n_docs",
+            "n_occurrences",
+            F.expr(f"ex DIV {SPAN_PACK}").cast("long").alias("example_doc"),
+            F.pmod(F.col("ex"), F.lit(SPAN_PACK)).cast("long").alias("example_pos"),
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("gram"))
+        .limit(BOILERPLATE_TOPK)
     )
 
 

@@ -155,6 +155,9 @@ PRIORITY: tuple[str, ...] = (
     "null_safe_join_semantics",
     "two_sample_tstat",
     "cross_doc_ngram_spans",
+    # r07 registrations: substring-granularity cross-doc dedup tier
+    "repeated_char_spans",
+    "repeated_boilerplate_catalog",
     "bm25_probe_ranking",
     "leakage_safe_split",
     "unigram_simpson_diversity",

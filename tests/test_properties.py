@@ -974,3 +974,99 @@ def test_packed_topk_matches_bruteforce(spark_h, rows):
     # ranks are 1..len per owner
     for owner, vals in got.items():
         assert [rk for rk, _, _ in sorted(vals)] == list(range(1, len(vals) + 1))
+
+
+def _py_char_spans(texts, k, sel):
+    """Pure-Python reference for char_span_stats: md5-anchor grams,
+    cross-doc dup on gram equality, per-doc island merge."""
+    import hashlib
+
+    def h31(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 2_147_483_647
+
+    anch = []  # (doc, i 1-based, gram)
+    for d, t in texts:
+        for i in range(1, max(len(t) - k + 1, 0) + 1):
+            g = t[i - 1 : i - 1 + k]
+            if h31(g) % sel == 0:
+                anch.append((d, i, g))
+    by_gram = {}
+    for d, i, g in anch:
+        by_gram.setdefault(g, set()).add(d)
+    dup = {g for g, ds in by_gram.items() if len(ds) >= 2}
+    out = {}
+    for d, t in texts:
+        hits = sorted(i for dd, i, g in anch if dd == d and g in dup)
+        spans = []
+        for i in hits:
+            if spans and i - spans[-1][1] <= k:
+                spans[-1][1] = i
+            else:
+                spans.append([i, i])
+        spans = [(s, e - s + k) for s, e in spans]
+        covered = sum(ln for _, ln in spans)
+        if spans:
+            longest = max(spans, key=lambda p: (p[1], -p[0]))
+            l_len, l_start = longest[1], longest[0]
+        else:
+            l_len, l_start = 0, 0
+        n = len(t)
+        ratio = covered / n if n else 0.0
+        out[d] = (
+            n, len(hits), len(spans), covered, l_len, l_start, ratio,
+            (ratio <= 0.3) if n else True,
+        )
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60),
+        min_size=2,
+        max_size=8,
+    ),
+    boiler=st.text(alphabet="ab ", min_size=12, max_size=30),
+    offs=st.tuples(
+        st.integers(min_value=0, max_value=40), st.integers(min_value=0, max_value=40)
+    ),
+)
+@settings(**SETTINGS)
+def test_char_span_stats_matches_bruteforce(spark_h, docs, boiler, offs):
+    """char_span_stats (repeated_char_spans's engine) must equal the
+    pure-Python reference on every output column — including planted
+    boilerplate: the same string inserted into docs 0 and 1 at
+    arbitrary offsets (content-defined anchors make detection
+    alignment-independent), tiny alphabets where incidental repeats
+    are dense, and empty/short docs."""
+    from martian_moments_spark.llmops.dedup import char_span_stats
+
+    K, SEL = 8, 2  # smaller than production so 60-char docs exercise spans
+    planted = list(docs)
+    for idx, off in zip((0, 1), offs):
+        t = planted[idx]
+        o = min(off, len(t))
+        planted[idx] = t[:o] + boiler + t[o:]
+    rows = [(i, t) for i, t in enumerate(planted)]
+    expect = _py_char_spans(rows, K, SEL)
+
+    df = spark_h.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (
+            r["n_chars"], r["n_hit_anchors"], r["n_spans"], r["covered_chars"],
+            r["longest_len"], r["longest_start"], r["dup_coverage_ratio"], r["keep"],
+        )
+        for r in char_span_stats(df, k=K, sel=SEL).collect()
+    }
+    assert got == expect
+
+    # Recall law, all-or-nothing per span: if the planted boilerplate
+    # contains any anchor gram, BOTH host docs must report coverage.
+    import hashlib
+
+    def h31(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 2_147_483_647
+
+    if any(
+        h31(boiler[j : j + K]) % SEL == 0 for j in range(len(boiler) - K + 1)
+    ):
+        assert got[0][3] >= K and got[1][3] >= K
