@@ -278,7 +278,19 @@ def char_anchor_grams(docs: DataFrame, k: int = CHAR_ANCHOR_K, sel: int = CHAR_A
     groups on the gram STRING itself, not a hash of it — a hash
     collision here would ADD a false cross-doc duplicate with no
     verify step to reject it, and a k-char key is no wider than the
-    md5 it would replace."""
+    md5 it would replace.
+
+    Parallelism: gram hashing amplifies each input byte ~k-fold, so a
+    scan partitioned for its INPUT bytes (one task for a small file)
+    serializes the heaviest stage. When the incoming partitioning is
+    below the cluster's parallelism the docs are spread first — a
+    shuffle of raw corpus bytes that costs nothing at small scale and
+    is SKIPPED at real scale, where the scan already carries more
+    partitions than cores (measured: 2.8 s -> 0.4 s for the anchor
+    stage at sf0.1, which arrives as one 1.5 MB parquet task)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     t = F.col("text")
     n = F.length(t)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
