@@ -3644,6 +3644,7 @@ def _sql_char_spans_oracle() -> str:
 
 @register(
     "repeated_char_spans",
+    bench=True,
     ops=("A1", "J1", "W2", "N2"),
     oracle=_sql_char_spans_oracle(),
 )
