@@ -3593,10 +3593,11 @@ CHAR_SPAN_TAU = 0.3  # max fraction of chars inside cross-doc repeated spans
 _SQL_CHAR_SPANS_PACK = SPAN_PACK  # (len, start) argmax packing base
 
 
-def _sql_char_spans_oracle() -> str:
+def _sql_char_spans_per_doc_ctes() -> str:
+    """The CTE chain through per_doc, shared by the span-stats and
+    span-extract oracles (one source of truth for the island SQL)."""
     K, P = CHAR_ANCHOR_K, SPAN_PACK
-    return f"""
-        WITH anch AS ({sql_char_anchor_cte()}),
+    return f"""anch AS ({sql_char_anchor_cte()}),
         dup AS (
             SELECT g FROM anch GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
         ), hits AS (
@@ -3622,7 +3623,13 @@ def _sql_char_spans_oracle() -> str:
                    CAST(SUM(len) AS BIGINT) AS covered_chars,
                    MAX(len * {P} - s) AS pk
             FROM spans GROUP BY doc_id
-        )
+        )"""
+
+
+def _sql_char_spans_oracle() -> str:
+    P = SPAN_PACK
+    return f"""
+        WITH {_sql_char_spans_per_doc_ctes()}
         SELECT d.doc_id,
                CAST(length(d.text) AS BIGINT) AS n_chars,
                COALESCE(p.n_hit_anchors, 0) AS n_hit_anchors,
@@ -3681,6 +3688,65 @@ def repeated_char_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return char_span_stats(docs, tau=CHAR_SPAN_TAU)
+
+
+SPAN_EXTRACT_TOPK = 50
+
+
+@register(
+    "repeated_span_extracts",
+    ops=("J1", "O2", "F1"),
+    oracle=f"""
+        WITH {_sql_char_spans_per_doc_ctes()},
+        longest AS (
+            SELECT doc_id,
+                   ((pk + {SPAN_PACK}) // {SPAN_PACK}) AS span_len,
+                   ((pk + {SPAN_PACK}) // {SPAN_PACK}) * {SPAN_PACK} - pk AS span_start
+            FROM per_doc
+        )
+        SELECT l.doc_id,
+               l.span_start,
+               l.span_len,
+               substr(d.text, CAST(l.span_start AS INT), CAST(l.span_len AS INT)) AS span_text
+        FROM longest l JOIN documents d USING (doc_id)
+        WHERE l.span_len > 0
+        ORDER BY l.span_len DESC, l.doc_id
+        LIMIT {SPAN_EXTRACT_TOPK}
+    """,
+)
+def repeated_span_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The act half of the substring-dedup tier: materialize the
+    corpus's worst repeated spans AS TEXT — the top-50 longest per-doc
+    repeated character spans (repeated_char_spans semantics) with the
+    literal substring cut from the owning document, the artifact a
+    curation pass reviews before writing a strip rule. Deterministic
+    order: span length desc, then doc_id.
+
+    Scale: the span stats are the char_span_stats plan (see
+    repeated_char_spans); the extraction is a TakeOrderedAndProject
+    top-50 BEFORE the substr join back to documents, so full span
+    texts are cut for 50 rows, never per-doc.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    top = (
+        char_span_stats(docs, tau=CHAR_SPAN_TAU)
+        .filter(F.col("longest_len") > 0)
+        .select("doc_id", "longest_start", "longest_len")
+        .orderBy(F.desc("longest_len"), F.asc("doc_id"))
+        .limit(SPAN_EXTRACT_TOPK)
+    )
+    return (
+        top.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.col("longest_start").alias("span_start"),
+            F.col("longest_len").alias("span_len"),
+            F.col("text")
+            .substr(F.col("longest_start").cast("int"), F.col("longest_len").cast("int"))
+            .alias("span_text"),
+        )
+        .orderBy(F.desc("span_len"), F.asc("doc_id"))
+    )
 
 
 BOILERPLATE_TOPK = 20

@@ -158,6 +158,7 @@ PRIORITY: tuple[str, ...] = (
     # r07 registrations: substring-granularity cross-doc dedup tier
     "repeated_char_spans",
     "repeated_boilerplate_catalog",
+    "repeated_span_extracts",
     "bm25_probe_ranking",
     "leakage_safe_split",
     "unigram_simpson_diversity",
