@@ -55,6 +55,7 @@ SCALE_QUERIES = (
     "embedding_ann_ivfpq",        # coarse cells + ADC over PQ codes, full FAISS shape
     "near_dup_degree_stats",      # pre-closure skew diagnostic over LSH edges
     "minhash_estimation_accuracy",  # sketch-accuracy audit, heaviest verify join
+    "repeated_char_spans",        # substring-dedup tier (r07): anchor grams + islands
 )
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf1")
 LINEAR_CAP = 12.0  # 10x data; ratio above this is a named finding
