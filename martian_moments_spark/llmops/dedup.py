@@ -451,6 +451,62 @@ def connected_components(
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component_id"))
 
 
+def merge_hit_islands(hits: DataFrame, k: int) -> DataFrame:
+    """Merge per-doc matched gram positions into maximal disjoint
+    islands: ``hits`` is (doc_id, i) with distinct 1-based positions
+    whose [i, i+k-1] intervals are to be unioned. Consecutive
+    positions more than ``k`` apart start a new island (their
+    intervals are disjoint with >= 1 char between). One lag window +
+    one running-sum window share a single (doc_id, i) exchange+sort.
+    Returns (doc_id, s, len, na, e) — island start, covered length,
+    anchor count, inclusive end."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("i")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    lag = F.lag("i").over(w)
+    flagged = hits.withColumn(
+        "ns", F.when(lag.isNull() | (F.col("i") - lag > k), 1).otherwise(0)
+    )
+    isl = flagged.withColumn("island", F.sum("ns").over(run))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("i").alias("s"),
+            (F.max("i") - F.min("i") + k).cast("long").alias("len"),
+            F.count(F.lit(1)).alias("na"),
+        )
+        .select(
+            "doc_id", "s", "len", "na", (F.col("s") + F.col("len") - 1).alias("e")
+        )
+    )
+
+
+def char_span_islands(docs: DataFrame, k: int = None, sel: int = None) -> DataFrame:
+    """Cross-corpus repeated-substring islands per document:
+    char_anchor_grams -> gram-equality dup test (distinct-doc count
+    >= 2, exact on the gram string) -> merge_hit_islands. Returns
+    (doc_id, s, len, na, e); the shared candidate stage behind
+    repeated_char_spans / strip_repeated_spans."""
+    from martian_moments_spark.llmops.textops import (
+        CHAR_ANCHOR_K,
+        CHAR_ANCHOR_SEL,
+        char_anchor_grams,
+    )
+
+    K = CHAR_ANCHOR_K if k is None else k
+    SEL = CHAR_ANCHOR_SEL if sel is None else sel
+    anch = char_anchor_grams(docs, k=K, sel=SEL)
+    dup = (
+        anch.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = anch.join(dup, "g").select("doc_id", "i")
+    return merge_hit_islands(hits, K)
+
+
 def char_span_stats(
     docs: DataFrame,
     k: int = None,
@@ -466,37 +522,10 @@ def char_span_stats(
     verdict at ``tau``. Both windows share one (doc_id, i)
     exchange+sort; the int64 (len, start) packing avoids a second
     window for the argmax."""
-    from martian_moments_spark.llmops.textops import (
-        CHAR_ANCHOR_K,
-        CHAR_ANCHOR_SEL,
-        SPAN_PACK,
-        char_anchor_grams,
-    )
-    from pyspark.sql.window import Window as W
+    from martian_moments_spark.llmops.textops import SPAN_PACK
 
-    K = CHAR_ANCHOR_K if k is None else k
-    SEL = CHAR_ANCHOR_SEL if sel is None else sel
     P = SPAN_PACK
-    anch = char_anchor_grams(docs, k=K, sel=SEL)
-    dup = (
-        anch.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("g")
-    )
-    hits = anch.join(dup, "g").select("doc_id", "i")
-    w = W.partitionBy("doc_id").orderBy("i")
-    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    lag = F.lag("i").over(w)
-    flagged = hits.withColumn(
-        "ns", F.when(lag.isNull() | (F.col("i") - lag > K), 1).otherwise(0)
-    )
-    isl = flagged.withColumn("island", F.sum("ns").over(run))
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.min("i").alias("s"),
-        (F.max("i") - F.min("i") + K).cast("long").alias("len"),
-        F.count(F.lit(1)).alias("na"),
-    )
+    spans = char_span_islands(docs, k=k, sel=sel)
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum("na").alias("n_hit_anchors"),
@@ -521,4 +550,63 @@ def char_span_stats(
         F.when(F.col("n_chars") > 0, ratio <= tau)
         .otherwise(F.lit(True))
         .alias("keep"),
+    )
+
+
+def strip_islands_text(docs: DataFrame, islands: DataFrame) -> DataFrame:
+    """Rewrite each doc with its islands cut out — the engine behind
+    the registered ``strip_repeated_spans`` query (see its docstring).
+    ``islands`` is (doc_id, s, len, e) with per-doc DISJOINT intervals
+    (merge_hit_islands guarantees >= 1 char between islands). Kept
+    text = ordered concat of inter-island gap segments plus the tail;
+    segment rows are O(islands) and each doc's text travels through
+    one join, not per anchor. Output: (doc_id, n_chars,
+    n_chars_removed, text_cleaned)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("s")
+    pre = islands.select(
+        "doc_id",
+        F.coalesce(F.lag("e").over(w) + 1, F.lit(1).cast("long")).alias("ss"),
+        (F.col("s") - 1).cast("long").alias("se"),
+    )
+    tail = (
+        islands.groupBy("doc_id")
+        .agg((F.max("e") + 1).alias("ss"))
+        .join(docs, "doc_id")
+        .select("doc_id", "ss", F.length("text").cast("long").alias("se"))
+    )
+    seg = pre.unionByName(tail).filter(F.col("ss") <= F.col("se"))
+    segtxt = seg.join(docs, "doc_id").select(
+        "doc_id",
+        "ss",
+        F.col("text")
+        .substr(F.col("ss").cast("int"), (F.col("se") - F.col("ss") + 1).cast("int"))
+        .alias("t"),
+    )
+    agg = segtxt.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ss", "t"))), lambda x: x["t"]
+            ),
+            "",
+        ).alias("cleaned")
+    )
+    removed = islands.groupBy("doc_id").agg(F.sum("len").alias("n_chars_removed"))
+    return (
+        docs.join(removed, "doc_id", "left")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.coalesce(F.col("n_chars_removed"), F.lit(0).cast("long")).alias(
+                "n_chars_removed"
+            ),
+            F.when(
+                F.col("n_chars_removed").isNotNull(),
+                F.coalesce(F.col("cleaned"), F.lit("")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text_cleaned"),
+        )
     )

@@ -19,7 +19,10 @@ from martian_moments_spark.catalog import load
 from martian_moments_spark.guards import assert_bounded, collect_bounded
 from martian_moments_spark.llmops.dedup import (
     HASH_P,
+    char_span_islands,
     char_span_stats,
+    merge_hit_islands,
+    strip_islands_text,
     MINHASH_SEEDS,
     connected_components,
     minhash_from_hashes,
@@ -3593,16 +3596,13 @@ CHAR_SPAN_TAU = 0.3  # max fraction of chars inside cross-doc repeated spans
 _SQL_CHAR_SPANS_PACK = SPAN_PACK  # (len, start) argmax packing base
 
 
-def _sql_char_spans_per_doc_ctes() -> str:
-    """The CTE chain through per_doc, shared by the span-stats and
-    span-extract oracles (one source of truth for the island SQL)."""
-    K, P = CHAR_ANCHOR_K, SPAN_PACK
-    return f"""anch AS ({sql_char_anchor_cte()}),
-        dup AS (
-            SELECT g FROM anch GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
-        ), hits AS (
-            SELECT a.doc_id, a.i FROM anch a JOIN dup USING (g)
-        ), flagged AS (
+def _sql_island_ctes() -> str:
+    """flagged/isl/spans CTEs merging a prior ``hits`` (doc_id, i) CTE
+    into maximal disjoint islands — the SQL twin of
+    llmops.dedup.merge_hit_islands, shared by every oracle that
+    consumes repeated-span geometry."""
+    K = CHAR_ANCHOR_K
+    return f"""flagged AS (
             SELECT doc_id, i,
                    CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > {K}
                         THEN 1 ELSE 0 END AS ns
@@ -3614,9 +3614,28 @@ def _sql_char_spans_per_doc_ctes() -> str:
         ), spans AS (
             SELECT doc_id, MIN(i) AS s,
                    CAST(MAX(i) - MIN(i) + {K} AS BIGINT) AS len,
-                   CAST(COUNT(*) AS BIGINT) AS na
+                   CAST(COUNT(*) AS BIGINT) AS na,
+                   CAST(MIN(i) + MAX(i) - MIN(i) + {K} - 1 AS BIGINT) AS e
             FROM isl GROUP BY doc_id, island
-        ), per_doc AS (
+        )"""
+
+
+def _sql_cross_doc_hits_ctes() -> str:
+    """anch/dup/hits CTEs: anchor grams repeated across >= 2 docs —
+    the SQL twin of llmops.dedup.char_span_islands' candidate stage."""
+    return f"""anch AS ({sql_char_anchor_cte()}),
+        dup AS (
+            SELECT g FROM anch GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+        ), hits AS (
+            SELECT a.doc_id, a.i FROM anch a JOIN dup USING (g)
+        )"""
+
+
+def _sql_char_spans_per_doc_ctes() -> str:
+    """The CTE chain through per_doc, shared by the span-stats and
+    span-extract oracles (one source of truth for the island SQL)."""
+    P = SPAN_PACK
+    return f"""{_sql_cross_doc_hits_ctes()}, {_sql_island_ctes()}, per_doc AS (
             SELECT doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_spans,
                    CAST(SUM(na) AS BIGINT) AS n_hit_anchors,
@@ -3746,6 +3765,162 @@ def repeated_span_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("span_text"),
         )
         .orderBy(F.desc("span_len"), F.asc("doc_id"))
+    )
+
+
+@register(
+    "strip_repeated_spans",
+    ops=("A1", "J1", "W2", "F1"),
+    oracle=f"""
+        WITH {_sql_char_spans_per_doc_ctes()},
+        pre AS (
+            SELECT doc_id,
+                   COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s) + 1, 1) AS ss,
+                   s - 1 AS se
+            FROM spans
+        ), tail AS (
+            SELECT sp.doc_id, MAX(sp.e) + 1 AS ss, length(d.text) AS se
+            FROM spans sp JOIN documents d USING (doc_id)
+            GROUP BY sp.doc_id, length(d.text)
+        ), seg AS (
+            SELECT * FROM pre UNION ALL SELECT * FROM tail
+        ), segtxt AS (
+            SELECT sg.doc_id, sg.ss,
+                   substr(d.text, CAST(sg.ss AS INT), CAST(sg.se - sg.ss + 1 AS INT)) AS t
+            FROM seg sg JOIN documents d USING (doc_id)
+            WHERE sg.ss <= sg.se
+        ), agg AS (
+            SELECT doc_id, string_agg(t, '' ORDER BY ss) AS cleaned
+            FROM segtxt GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(length(d.text) AS BIGINT) AS n_chars,
+               COALESCE(p.covered_chars, 0) AS n_chars_removed,
+               CASE WHEN p.doc_id IS NOT NULL THEN COALESCE(a.cleaned, '')
+                    ELSE d.text END AS text_cleaned
+        FROM documents d
+        LEFT JOIN per_doc p USING (doc_id)
+        LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup ACTION: rewrite every document with its
+    cross-corpus repeated spans (repeated_char_spans islands) cut out
+    — the Lee et al. 2022 prescription, where removing the repeated
+    substring (not the whole document) is what preserves the unique
+    remainder of partially-boilerplate docs. Output per doc: original
+    length, removed-char count, and the cleaned text (untouched docs
+    pass through verbatim; fully-covered docs become the empty
+    string).
+
+    Mechanics: islands are disjoint with >= 1 char between (the merge
+    law in merge_hit_islands), so the kept text is the ordered concat
+    of inter-island gap segments plus the tail — one lag window over
+    islands emits each gap, a per-doc aggregate emits the tail, and
+    the concat sorts each doc's few segments inside one
+    array_sort(collect_list) (never a corpus-wide order).
+
+    Scale: segment rows are O(islands), a tiny fraction of anchor
+    rows; the substr cuts run on segment rows joined back to docs by
+    doc_id — per-doc text travels through ONE join, not per anchor.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return strip_islands_text(docs, char_span_islands(docs))
+
+
+CHAR_DECONTAM_TAU = 0.2  # max fraction of chars inside bench-shared spans
+
+
+@register(
+    "char_level_decontamination",
+    ops=("A1", "J1", "W2"),
+    oracle=f"""
+        WITH anch AS ({sql_char_anchor_cte()}),
+        bench AS (
+            SELECT DISTINCT g FROM anch WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+        ), hits AS (
+            SELECT a.doc_id, a.i FROM anch a JOIN bench USING (g)
+            WHERE a.doc_id % {DECONTAM_BENCH_MOD} <> 0
+        ), {_sql_island_ctes()},
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(SUM(na) AS BIGINT) AS n_hit_anchors,
+                   CAST(SUM(len) AS BIGINT) AS covered_chars
+            FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(length(d.text) AS BIGINT) AS n_chars,
+               COALESCE(p.n_hit_anchors, 0) AS n_hit_anchors,
+               COALESCE(p.covered_chars, 0) AS covered_chars,
+               CASE WHEN length(d.text) > 0
+                    THEN CAST(COALESCE(p.covered_chars, 0) AS DOUBLE)
+                         / CAST(length(d.text) AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS contamination_ratio,
+               COALESCE(p.n_hit_anchors, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> 0
+    """,
+)
+def char_level_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring benchmark decontamination — the GPT-3-style
+    long-n-gram hygiene pass at CHARACTER granularity: a training doc
+    is contaminated if it shares any 24-char exact substring with the
+    held-out benchmark set (doc_id % 37 == 0 stands in, as in
+    decontamination_overlap), with the shared-span char coverage and
+    island geometry as the audit evidence. Char granularity catches
+    leaks that word-shingle overlap misses when whitespace or
+    punctuation differs (decontamination_overlap is the word-4-gram
+    form; semantic_decontamination the embedding form — this
+    completes the trio on the exactness axis).
+
+    Scale: the benchmark anchor-gram set is broadcast (bounded by the
+    same declared cap as decontamination_overlap); the corpus side is
+    one anchor explode + broadcast semi-match, no corpus shuffle
+    before the per-doc island windows. Detection inherits the anchor
+    recall law: a shared span with m gram positions is missed with
+    (3/4)^m.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    assert_bounded(
+        docs.filter(is_bench).select("doc_id"),
+        DECONTAM_BENCH_DOC_CAP,
+        "char_level_decontamination benchmark docs",
+        once_key=sf_dir,
+    )
+    anch = char_anchor_grams(docs)
+    bench_g = anch.filter(is_bench).select("g").distinct()
+    hits = (
+        anch.filter(~is_bench)
+        .join(F.broadcast(bench_g), "g")
+        .select("doc_id", "i")
+    )
+    per_doc = (
+        merge_hit_islands(hits, CHAR_ANCHOR_K)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("na").alias("n_hit_anchors"),
+            F.sum("len").alias("covered_chars"),
+        )
+    )
+    covered = F.coalesce(F.col("covered_chars"), F.lit(0).cast("long"))
+    ratio = F.when(
+        F.col("n_chars") > 0, covered.cast("double") / F.col("n_chars").cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("n_hit_anchors"), F.lit(0).cast("long")).alias(
+                "n_hit_anchors"
+            ),
+            covered.alias("covered_chars"),
+            ratio.alias("contamination_ratio"),
+            (F.coalesce(F.col("n_hit_anchors"), F.lit(0)) > 0).alias("contaminated"),
+        )
     )
 
 

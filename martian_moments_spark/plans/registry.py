@@ -159,6 +159,8 @@ PRIORITY: tuple[str, ...] = (
     "repeated_char_spans",
     "repeated_boilerplate_catalog",
     "repeated_span_extracts",
+    "strip_repeated_spans",
+    "char_level_decontamination",
     "bm25_probe_ranking",
     "leakage_safe_split",
     "unigram_simpson_diversity",

@@ -1071,6 +1071,37 @@ def test_char_span_stats_matches_bruteforce(spark_h, docs, boiler, offs):
     ):
         assert got[0][3] >= K and got[1][3] >= K
 
+    # strip_repeated_spans's engine: cutting the islands out must
+    # equal deleting exactly the covered character positions
+    from martian_moments_spark.llmops.dedup import (
+        char_span_islands,
+        strip_islands_text,
+    )
+
+    islands = char_span_islands(df, k=K, sel=SEL)
+    stripped = {
+        r["doc_id"]: (r["n_chars"], r["n_chars_removed"], r["text_cleaned"])
+        for r in strip_islands_text(df, islands).collect()
+    }
+    anch2 = {}
+    for d, t in rows:
+        anch2[d] = [
+            i
+            for i in range(1, max(len(t) - K + 1, 0) + 1)
+            if h31(t[i - 1 : i - 1 + K]) % SEL == 0
+        ]
+    by_gram2 = {}
+    for d, t in rows:
+        for i in anch2[d]:
+            by_gram2.setdefault(t[i - 1 : i - 1 + K], set()).add(d)
+    for d, t in rows:
+        covered = set()
+        for i in anch2[d]:
+            if len(by_gram2[t[i - 1 : i - 1 + K]]) >= 2:
+                covered.update(range(i, i + K))
+        kept = "".join(ch for pos, ch in enumerate(t, 1) if pos not in covered)
+        assert stripped[d] == (len(t), len(covered), kept), (d, stripped[d])
+
 
 class _Crash(RuntimeError):
     pass
