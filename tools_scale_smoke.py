@@ -102,6 +102,17 @@ def run_full_registry_sweep() -> None:
         row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 0.01), 1)
         results[name] = row
         print(json.dumps({"query": name, **row}), flush=True)
+        # Free the finished query's cached blocks NOW: eager
+        # localCheckpoints otherwise accumulate across the ~270-query
+        # session until the ContextCleaner falls behind and the heap
+        # OOMs mid-sweep (it did — triangle_count_copurchase at query
+        # ~258 took out the 16 after it). Between queries every
+        # persistent RDD is dead, so a blanket unpersist is safe.
+        jsc = spark.sparkContext._jsc.sc()
+        for rdd in spark.sparkContext._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+            jsc.getPersistentRDDs()
+        ).values():
+            rdd.unpersist(False)
 
     flagged = {
         n: r for n, r in results.items() if r["ratio"] > LINEAR_CAP and r["sf1"] > 1.5
