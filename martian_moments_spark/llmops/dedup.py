@@ -482,12 +482,18 @@ def merge_hit_islands(hits: DataFrame, k: int) -> DataFrame:
     )
 
 
-def char_span_islands(docs: DataFrame, k: int = None, sel: int = None) -> DataFrame:
+def char_span_islands(
+    docs: DataFrame,
+    k: int = None,
+    sel: int = None,
+    spread: bool | None = None,
+) -> DataFrame:
     """Cross-corpus repeated-substring islands per document:
     char_anchor_grams -> gram-equality dup test (distinct-doc count
     >= 2, exact on the gram string) -> merge_hit_islands. Returns
     (doc_id, s, len, na, e); the shared candidate stage behind
-    repeated_char_spans / strip_repeated_spans."""
+    repeated_char_spans / strip_repeated_spans. ``spread`` is passed
+    through to char_anchor_grams (see scan_is_narrow)."""
     from martian_moments_spark.llmops.textops import (
         CHAR_ANCHOR_K,
         CHAR_ANCHOR_SEL,
@@ -496,7 +502,7 @@ def char_span_islands(docs: DataFrame, k: int = None, sel: int = None) -> DataFr
 
     K = CHAR_ANCHOR_K if k is None else k
     SEL = CHAR_ANCHOR_SEL if sel is None else sel
-    anch = char_anchor_grams(docs, k=K, sel=SEL)
+    anch = char_anchor_grams(docs, k=K, sel=SEL, spread=spread)
     dup = (
         anch.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -512,6 +518,7 @@ def char_span_stats(
     k: int = None,
     sel: int = None,
     tau: float = 0.3,
+    spread: bool | None = None,
 ) -> DataFrame:
     """Per-document cross-corpus repeated-substring span statistics —
     the engine behind the registered ``repeated_char_spans`` query
@@ -525,7 +532,7 @@ def char_span_stats(
     from martian_moments_spark.llmops.textops import SPAN_PACK
 
     P = SPAN_PACK
-    spans = char_span_islands(docs, k=k, sel=sel)
+    spans = char_span_islands(docs, k=k, sel=sel, spread=spread)
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum("na").alias("n_hit_anchors"),

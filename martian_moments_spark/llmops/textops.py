@@ -269,12 +269,50 @@ CHAR_ANCHOR_SEL = 4  # keep grams with hash % SEL == 0 (density 1/4)
 SPAN_PACK = 1 << 31
 
 
-def char_anchor_grams(docs: DataFrame, k: int = CHAR_ANCHOR_K, sel: int = CHAR_ANCHOR_SEL) -> DataFrame:
+_NARROW_SCAN_MEMO: dict = {}
+
+
+def scan_is_narrow(docs: DataFrame, memo_key: str | None = None) -> bool:
+    """Whether ``docs`` arrives in fewer partitions than the session's
+    default parallelism — i.e. an amplifying per-position text op
+    (k-fold byte expansion per gram) would serialize on too few tasks
+    and should spread the input first. Session conf
+    ``martian.textops.anchorSpread`` pins the answer (``always`` /
+    ``never``) so cluster operators get environment-independent,
+    audit-reproducible plans; the default ``auto`` probes the physical
+    partitioning ONCE per ``memo_key`` per process. The probe forces
+    physical planning of ``docs``, which is exactly why it lives here
+    — outside the plan builders — and is memoized per dataset instead
+    of being re-paid on every query build."""
+    mode = docs.sparkSession.conf.get("martian.textops.anchorSpread", "auto")
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    if memo_key is not None and memo_key in _NARROW_SCAN_MEMO:
+        return _NARROW_SCAN_MEMO[memo_key]
+    narrow = (
+        docs.rdd.getNumPartitions()
+        < docs.sparkSession.sparkContext.defaultParallelism
+    )
+    if memo_key is not None:
+        _NARROW_SCAN_MEMO[memo_key] = narrow
+    return narrow
+
+
+def char_anchor_grams(
+    docs: DataFrame,
+    k: int = CHAR_ANCHOR_K,
+    sel: int = CHAR_ANCHOR_SEL,
+    spread: bool | None = None,
+) -> DataFrame:
     """(doc_id, i, g): every anchor-selected k-char gram of ``text``
-    with its 1-based position. The (i, gram) structs are built inside
-    one array transform and filtered BEFORE the explode, so the
-    per-row array carries only the 1/sel surviving grams and the text
-    column is never duplicated per gram row. Downstream matching
+    with its 1-based position. The anchor filter runs on POSITIONS:
+    each candidate position's k-char substring is hashed and 1/sel
+    survive; only the surviving positions are then materialized as
+    (i, gram) structs, so a rejected gram is hashed and discarded —
+    never stored — and peak per-row array memory is O(n + n*k/sel)
+    rather than O(n*k) for a long document. Downstream matching
     groups on the gram STRING itself, not a hash of it — a hash
     collision here would ADD a false cross-doc duplicate with no
     verify step to reject it, and a k-char key is no wider than the
@@ -282,28 +320,31 @@ def char_anchor_grams(docs: DataFrame, k: int = CHAR_ANCHOR_K, sel: int = CHAR_A
 
     Parallelism: gram hashing amplifies each input byte ~k-fold, so a
     scan partitioned for its INPUT bytes (one task for a small file)
-    serializes the heaviest stage. When the incoming partitioning is
-    below the cluster's parallelism the docs are spread first — a
-    shuffle of raw corpus bytes that costs nothing at small scale and
-    is SKIPPED at real scale, where the scan already carries more
+    serializes the heaviest stage. When ``spread`` is true the docs
+    are spread to the session's default parallelism first — a shuffle
+    of raw corpus bytes that costs nothing at small scale and is
+    skipped at real scale, where the scan already carries more
     partitions than cores (measured: 2.8 s -> 0.4 s for the anchor
-    stage at sf0.1, which arrives as one 1.5 MB parquet task)."""
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
+    stage at sf0.1, which arrives as one 1.5 MB parquet task).
+    Callers decide ``spread`` via scan_is_narrow(docs, memo_key=...)
+    so the physical-planning probe happens once per dataset, not
+    inside this plan builder (ADVICE r07); ``spread=None`` falls back
+    to an un-memoized probe for ad-hoc library use."""
+    if spread is None:
+        spread = scan_is_narrow(docs)
+    if spread:
+        docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     t = F.col("text")
     n = F.length(t)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
         F.array().cast("array<int>")
     )
-    pairs = F.filter(
-        F.transform(
-            idx,
-            lambda i: F.struct(
-                i.alias("i"), t.substr(i, F.lit(k)).alias("g")
-            ),
-        ),
-        lambda p: portable_hash31(p["g"]) % sel == 0,
+    keep = F.filter(
+        idx, lambda i: portable_hash31(t.substr(i, F.lit(k))) % sel == 0
+    )
+    pairs = F.transform(
+        keep,
+        lambda i: F.struct(i.alias("i"), t.substr(i, F.lit(k)).alias("g")),
     )
     return docs.select("doc_id", F.explode(pairs).alias("a")).select(
         "doc_id", "a.i", "a.g"

@@ -691,7 +691,10 @@ def topk_nearest_matches(sym: DataFrame, k: int = 3) -> DataFrame:
     Packing precondition is ENFORCED, not assumed: edit_dist > 3
     would shiftleft past the sign bit (4 << 61 wraps to
     Long.MIN_VALUE, sorting garbage FIRST), so a violating caller
-    must fail loudly rather than return wrong top-k."""
+    must fail loudly rather than return wrong top-k. NULL edit_dist
+    or match_id fail the same guard (assert_true throws on a null
+    condition) — deliberate: a null candidate row is a caller bug,
+    not a row to drop silently, and the error message says so."""
     in_range = F.col("edit_dist").between(0, 3) & F.col("match_id").between(
         0, (1 << 61) - 1
     )
@@ -701,7 +704,10 @@ def topk_nearest_matches(sym: DataFrame, k: int = 3) -> DataFrame:
     guard = F.coalesce(
         F.assert_true(
             in_range,
-            F.lit("topk_nearest_matches: need 0<=edit_dist<=3 and 0<=match_id<2^61"),
+            F.lit(
+                "topk_nearest_matches: need NON-NULL 0<=edit_dist<=3 "
+                "and 0<=match_id<2^61"
+            ),
         ).cast("long"),
         F.lit(0).cast("long"),
     )

@@ -53,6 +53,7 @@ from martian_moments_spark.llmops.textops import (
     CHAR_ANCHOR_K,
     SPAN_PACK,
     char_anchor_grams,
+    scan_is_narrow,
     portable_hash31,
     sql_char_anchor_cte,
     predicted_language,
@@ -3706,7 +3707,8 @@ def repeated_char_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — no pair expansion anywhere.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return char_span_stats(docs, tau=CHAR_SPAN_TAU)
+    sp = scan_is_narrow(docs, memo_key=sf_dir + ":documents")
+    return char_span_stats(docs, tau=CHAR_SPAN_TAU, spread=sp)
 
 
 SPAN_EXTRACT_TOPK = 50
@@ -3747,8 +3749,9 @@ def repeated_span_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts are cut for 50 rows, never per-doc.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sp = scan_is_narrow(docs, memo_key=sf_dir + ":documents")
     top = (
-        char_span_stats(docs, tau=CHAR_SPAN_TAU)
+        char_span_stats(docs, tau=CHAR_SPAN_TAU, spread=sp)
         .filter(F.col("longest_len") > 0)
         .select("doc_id", "longest_start", "longest_len")
         .orderBy(F.desc("longest_len"), F.asc("doc_id"))
@@ -3825,7 +3828,8 @@ def strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id — per-doc text travels through ONE join, not per anchor.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return strip_islands_text(docs, char_span_islands(docs))
+    sp = scan_is_narrow(docs, memo_key=sf_dir + ":documents")
+    return strip_islands_text(docs, char_span_islands(docs, spread=sp))
 
 
 CHAR_DECONTAM_TAU = 0.2  # max fraction of chars inside bench-shared spans
@@ -3888,7 +3892,9 @@ def char_level_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "char_level_decontamination benchmark docs",
         once_key=sf_dir,
     )
-    anch = char_anchor_grams(docs)
+    anch = char_anchor_grams(
+        docs, spread=scan_is_narrow(docs, memo_key=sf_dir + ":documents")
+    )
     bench_g = anch.filter(is_bench).select("g").distinct()
     hits = (
         anch.filter(~is_bench)
@@ -3962,8 +3968,9 @@ def repeated_boilerplate_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort. Packing bound: doc_id < 2^32 and positions < 2^31
     keep doc_id*2^31+i inside int64.
     """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     anch = char_anchor_grams(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
+        docs, spread=scan_is_narrow(docs, memo_key=sf_dir + ":documents")
     )
     cat = (
         anch.groupBy("g")

@@ -118,13 +118,19 @@ def main() -> None:
         # since round close — sync first if in doubt.
         newest_green = latest_green_round(all_rounds=False)
         led = R._attested_ledger(LEDGER)
-        pending_sync = {
-            n
-            for n in stale & set(newest_green)
-            # already synced from the newest file and STILL stale
-            # means the code was edited after sync — real debt
-            if not (isinstance(led.get(n), dict) and led[n].get("round") == newest_green[n])
-        }
+        # already synced from the newest file and STILL stale means
+        # the code was edited after sync — real debt. A NON-DICT
+        # ledger row has unknown provenance and must also count as
+        # real debt (a malformed row must not hide an edited query
+        # from the actionable line); only a missing row or a dict
+        # row from an older round is genuinely awaiting --sync.
+        pending_sync = set()
+        for n in stale & set(newest_green):
+            row = led.get(n)
+            if row is None or (
+                isinstance(row, dict) and row.get("round") != newest_green[n]
+            ):
+                pending_sync.add(n)
         actionable = stale - pending_sync
         print(f"registered={len(R.REGISTRY)} oracle-paired={len(oracle)}")
         print(f"never-attested={len(never)} stale={len(stale)} fresh={len(fresh)}")

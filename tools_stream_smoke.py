@@ -184,7 +184,14 @@ def disorder_smoke(spark) -> dict:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # an availableNow run that outlives the wait must not leave a
+        # live query behind — the next run_once() would start a second
+        # query on the same checkpoint and fail confusingly
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "disorder smoke: availableNow run exceeded 300 s; stopped"
+            )
         return [json.loads(p.json) for p in q.recentProgress]
 
     t_start = time.time()
