@@ -1,11 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake features / NotImplementedError for real codecs) —
-but the Spark-side plumbing is real: binary columns, metadata structs,
-Arrow-batched ``mapInPandas`` with an explicit output schema, and
-partition-count-preserving execution. Swapping the stub for PIL/ffmpeg
-changes one function body, not the plan.
+The container has no image/audio codec LIBRARIES, so codec-requiring
+formats (PNG/JPEG/MP4) keep a NotImplementedError hook — but binary
+PGM (P5) needs no codec, and its decode path is REAL end to end:
+``encode_pgm`` builds genuine P5 payloads, ``decode_pgm`` is a pure
+numpy parser (header tokenizer + zero-copy pixel view), and
+``pgm_features`` runs it Arrow-batched on executors with integer
+pixel stats the DuckDB oracle replays exactly. The rest of the
+plumbing is equally real: binary columns, metadata structs,
+``mapInPandas`` with explicit output schemas, partition-preserving
+execution. Swapping the remaining hook for PIL/ffmpeg changes one
+function body, not the plan.
 
 Scale notes: payload bytes ride the shuffle only if you shuffle them —
 feature extraction is mapInPandas over the scan partitioning (no
@@ -66,9 +71,45 @@ def attach_fake_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def decode_pgm(b: bytes):
+    """Pure-numpy binary PGM (P5) decoder — a REAL decode, not a stub:
+    parses the whitespace-separated header (magic, width, height,
+    maxval; comments unsupported), then views the pixel block as an
+    (h, w) uint8 array with zero copies. Returns (width, height,
+    maxval, pixels). Raises ValueError on malformed payloads — a
+    truncated pixel block must fail loudly, not yield short stats."""
+    import numpy as np
+
+    if bytes(b[:2]) != b"P5":
+        raise ValueError("not a binary PGM (P5) payload")
+    fields, i = [], 2
+    while len(fields) < 3:
+        while i < len(b) and b[i] in b" \t\r\n":
+            i += 1
+        start = i
+        while i < len(b) and b[i] not in b" \t\r\n":
+            i += 1
+        if start == i:
+            raise ValueError("truncated PGM header")
+        fields.append(int(b[start:i]))
+    w, h, maxval = fields
+    if not (0 < maxval < 256):
+        raise ValueError("only single-byte-per-pixel PGM is supported")
+    i += 1  # the spec mandates exactly ONE whitespace byte after maxval
+    px = np.frombuffer(b, dtype=np.uint8, offset=i)
+    if px.size < w * h:
+        raise ValueError("pixel block shorter than width*height")
+    return w, h, maxval, px[: w * h].reshape(h, w)
+
+
 def decode_image(payload: bytes) -> object:
-    """Real codec hook — intentionally unimplemented in this container
-    (no PIL/libjpeg). Replace with e.g. PIL.Image.open(io.BytesIO(b))."""
+    """Image decode hook. Binary PGM (P5) decodes FOR REAL via the
+    pure-numpy parser above — no codec library needed; codec-requiring
+    formats (PNG/JPEG/...) remain intentionally unimplemented in this
+    container (no PIL/libjpeg). Replace this arm with e.g.
+    PIL.Image.open(io.BytesIO(b)) where codecs exist."""
+    if bytes(payload[:2]) == b"P5":
+        return decode_pgm(payload)
     raise NotImplementedError("image decoding requires a codec library (e.g. PIL)")
 
 
@@ -113,6 +154,103 @@ def extract_features(with_payload: DataFrame, batch_size: int | None = None) -> 
                 yield _extract_batch(pdf)
 
     return with_payload.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+# ------------------------------------------------ real PGM decode path
+
+PGM_W = 8
+PGM_H = 8
+
+PGM_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("maxval", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pixel_min", IntegerType()),
+        StructField("pixel_max", IntegerType()),
+        StructField("pixel_checksum", LongType()),
+    ]
+)
+
+
+def encode_pgm(docs: DataFrame, w: int = PGM_W, h: int = PGM_H) -> DataFrame:
+    """Wrap the first w*h ASCII bytes of each document's text as a
+    REAL binary PGM (P5) image payload — the deterministic fixture
+    generator for the real-decode path (the testdata ships no image
+    bytes; the text IS the byte source). JVM-side concat/encode only.
+    Rows shorter than w*h chars, or containing any non-ASCII char
+    (char count != byte count, so substring-by-chars would not be
+    substring-by-bytes), are excluded so the pixel block is always
+    exactly w*h single-byte pixels."""
+    n = w * h
+    eligible = (F.length("text") >= n) & (
+        F.octet_length("text") == F.length("text")
+    )
+    return docs.filter(eligible).select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit(f"P5\n{w} {h}\n255\n"), F.substring("text", 1, n)),
+            "UTF-8",
+        )
+        .cast(BinaryType())
+        .alias("payload"),
+    )
+
+
+def _pgm_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-Arrow-batch REAL decode: every payload goes through the
+    binary PGM parser; stats are integer reductions over the decoded
+    pixel matrix, and the checksum is the portable 31-bit md5 hash of
+    the raw pixel bytes (DuckDB replays it as md5 of the same chars)."""
+    import numpy as np
+
+    out = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        w, h, maxval, px = decode_pgm(bytes(payload))
+        flat = px.ravel()
+        out.append(
+            (
+                int(doc_id),
+                w,
+                h,
+                maxval,
+                int(flat.size),
+                int(flat.sum(dtype=np.int64)),
+                int(flat.min()),
+                int(flat.max()),
+                _payload_checksum(flat.tobytes()),
+            )
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "doc_id",
+            "width",
+            "height",
+            "maxval",
+            "n_pixels",
+            "pixel_sum",
+            "pixel_min",
+            "pixel_max",
+            "pixel_checksum",
+        ],
+    )
+
+
+def pgm_features(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched real-decode feature extraction: decode_pgm runs
+    on executors over (doc_id, payload). Preserves the input
+    partitioning (no shuffle); payload bytes never ride a shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _pgm_batch(pdf)
+
+    return with_payload.mapInPandas(gen, PGM_FEATURE_SCHEMA)
 
 
 def frame_sample(with_payload: DataFrame, every_n: int = 6) -> DataFrame:

@@ -161,6 +161,10 @@ PRIORITY: tuple[str, ...] = (
     "repeated_span_extracts",
     "strip_repeated_spans",
     "char_level_decontamination",
+    # r08 registrations: LM-perplexity quality tier + real multimodal decode
+    "lm_perplexity_filter",
+    "perplexity_gated_curation",
+    "multimodal_real_decode",
     "bm25_probe_ranking",
     "leakage_safe_split",
     "unigram_simpson_diversity",

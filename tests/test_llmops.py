@@ -586,3 +586,51 @@ def test_kmeans_units_corpus_scales_cell_count(spark):
     # the quantizer spread the data instead of one quadratic blob
     assert len(per) >= 4
     assert max(r["count"] for r in per) < n
+
+
+def test_decode_pgm_roundtrip_and_malformed():
+    """The pure-numpy P5 parser is a real decoder: arbitrary dims and
+    header whitespace round-trip; malformed payloads fail loudly."""
+    import numpy as np
+    import pytest
+
+    from martian_moments_spark.llmops.multimodal import decode_image, decode_pgm
+
+    rng = np.random.default_rng(7)
+    for w, h, ws in [(1, 1, b" "), (5, 3, b"\n"), (16, 2, b"\t"), (8, 8, b"\r\n")]:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        payload = b"P5" + ws + str(w).encode() + ws + str(h).encode() + ws + b"255\n" + px.tobytes()
+        gw, gh, gmax, gpx = decode_pgm(payload)
+        assert (gw, gh, gmax) == (w, h, 255)
+        assert np.array_equal(gpx, px)
+        # the codec dispatch routes P5 to the real parser
+        assert np.array_equal(decode_image(payload)[3], px)
+
+    with pytest.raises(ValueError, match="not a binary PGM"):
+        decode_pgm(b"P6\n1 1\n255\nxxx")  # PPM color: not supported
+    with pytest.raises(ValueError, match="shorter than"):
+        decode_pgm(b"P5\n4 4\n255\n" + b"\x00" * 15)  # truncated pixels
+    with pytest.raises(ValueError, match="truncated PGM header"):
+        decode_pgm(b"P5\n4 4")  # header cut before maxval
+    with pytest.raises(ValueError, match="single-byte"):
+        decode_pgm(b"P5\n1 1\n65535\n\x00\x00")  # 16-bit PGM
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n")  # codec-requiring format
+
+
+def test_encode_pgm_produces_real_payloads(spark):
+    """encode_pgm output decodes with the real parser and the pixels
+    are exactly the doc's first 64 utf-8 bytes."""
+    from martian_moments_spark.llmops.multimodal import PGM_H, PGM_W, encode_pgm
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(40)
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    from martian_moments_spark.llmops.multimodal import decode_pgm
+
+    n = PGM_W * PGM_H
+    got = encode_pgm(docs).collect()
+    assert got and all(len(src[r["doc_id"]]) >= n for r in got)
+    for r in got:
+        w, h, maxval, px = decode_pgm(bytes(r["payload"]))
+        assert (w, h, maxval) == (PGM_W, PGM_H, 255)
+        assert px.tobytes() == src[r["doc_id"]].encode("utf-8")[:n]

@@ -1222,3 +1222,83 @@ def test_bucketed_merge_survives_crash_injection(spark_h, batches, crashes, tmp_
         assert got == model, f"vacuum broke live state (swept {swept})"
     finally:
         lh.CHECKPOINT_INTERVAL = old_interval
+
+
+# ---------------------------------------------------------------- LM filter
+
+lm_natural_docs = st.lists(
+    st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]),
+        min_size=12,
+        max_size=30,
+    ),
+    min_size=5,
+    max_size=15,
+)
+
+
+@given(natural=lm_natural_docs, n_planted=st.integers(min_value=2, max_value=8))
+@settings(**SETTINGS)
+def test_bigram_lm_sharp_invariants(spark_h, natural, n_planted):
+    """The two provable laws of llmops.lm (see its module docstring):
+
+    1. An all-out-of-vocabulary probe scores ppl_proxy == V EXACTLY
+       (every term is (0+1)/(0+V); sum(8V)/sum(8) divides exactly).
+    2. A probe made of a template planted in the reference slice
+       scores strictly below V — algebraically (4P+7V)/(4P+7) < V
+       for any planted count P >= 1 and V > 1.
+
+    Both probes are kept under 10 tokens so they FAIL the reference
+    gate and can never pollute the model they are scored against.
+    The keep verdict's integer cross-multiplication is also checked
+    against the emitted ratio on every row."""
+    from martian_moments_spark.llmops.lm import (
+        BIGRAM_PPL_MAX,
+        LM_GATE_MIN_DISTINCT,
+        LM_GATE_MIN_TOKENS,
+        bigram_lm_scores,
+    )
+
+    # planted reference docs: 10 unique fillers then the dedicated
+    # template pair at END of doc — 'ta' only ever precedes 'tb', and
+    # 'tb' is doc-final so it is never a bigram context.
+    planted = [
+        [f"p{j}_{i}" for i in range(10)] + ["ta", "tb"] for j in range(n_planted)
+    ]
+    probe_oov = [f"z{i}" for i in range(9)]  # 9 tokens: fails the gate
+    probe_tpl = ["ta", "tb"] * 4  # 8 tokens: fails the gate
+    corpus = natural + planted + [probe_oov, probe_tpl]
+    oov_id, tpl_id = len(corpus) - 2, len(corpus) - 1
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    docs = spark_h.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    # python-side V: distinct tokens across gate-passing docs
+    ref = [
+        t
+        for t in corpus
+        if len(t) >= LM_GATE_MIN_TOKENS
+        and len(set(t)) / len(t) >= LM_GATE_MIN_DISTINCT
+    ]
+    v = len({tok for t in ref for tok in t})
+    assert v > 1  # planted docs alone guarantee this
+
+    got = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    assert len(got) == len(corpus)
+
+    oov = got[oov_id]
+    assert oov["n_hit_bigrams"] == 0
+    assert oov["score_num"] == len(probe_oov) - 1
+    assert oov["ppl_proxy"] == float(v)  # exact, not approximate
+
+    tpl = got[tpl_id]
+    assert tpl["n_hit_bigrams"] >= 4  # the 4 'ta tb' terms hit
+    assert tpl["ppl_proxy"] < float(v)
+    assert tpl["ppl_proxy"] < oov["ppl_proxy"]
+
+    for r in got.values():
+        if r["n_bigrams"] == 0:
+            assert r["keep"] is False and r["ppl_proxy"] is None
+        else:
+            assert r["keep"] == (
+                r["score_den"] <= r["score_num"] * BIGRAM_PPL_MAX
+            )

@@ -56,6 +56,9 @@ SCALE_QUERIES = (
     "near_dup_degree_stats",      # pre-closure skew diagnostic over LSH edges
     "minhash_estimation_accuracy",  # sketch-accuracy audit, heaviest verify join
     "repeated_char_spans",        # substring-dedup tier (r07): anchor grams + islands
+    "repeated_span_extracts",     # steepest substring-tier sub-decade ratio (r07: 4.1x)
+    "strip_repeated_spans",       # island strip path (r07: 3.5x sub-decade)
+    "lm_perplexity_filter",       # bigram-LM quality gate (r08): corpus explode + model joins
 )
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf1")
 LINEAR_CAP = 12.0  # 10x data; ratio above this is a named finding
