@@ -253,6 +253,134 @@ def pgm_features(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(gen, PGM_FEATURE_SCHEMA)
 
 
+# ------------------------------------------------ real WAV decode path
+
+WAV_SAMPLE_RATE = 8_000
+WAV_N_SAMPLES = 64
+
+WAV_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("amp_sum", LongType()),
+        StructField("amp_min", IntegerType()),
+        StructField("amp_max", IntegerType()),
+        StructField("sample_checksum", LongType()),
+    ]
+)
+
+
+def encode_wav(
+    docs: DataFrame, rate: int = WAV_SAMPLE_RATE, n: int = WAV_N_SAMPLES
+) -> DataFrame:
+    """Wrap the first ``n`` ASCII bytes of each document's text as a
+    REAL RIFF/WAVE file — canonical 44-byte header (PCM, mono, 8-bit,
+    ``rate`` Hz) + the raw sample block — the audio twin of
+    encode_pgm. All header fields are little-endian integers built as
+    a constant byte string (they depend only on rate/n); eligibility
+    is the same ASCII + length predicate as the PGM path."""
+    import struct
+
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", n)
+    )
+    eligible = (F.length("text") >= n) & (
+        F.octet_length("text") == F.length("text")
+    )
+    return docs.filter(eligible).select(
+        "doc_id",
+        F.concat(
+            F.lit(header).cast(BinaryType()),
+            F.encode(F.substring("text", 1, n), "UTF-8").cast(BinaryType()),
+        ).alias("payload"),
+    )
+
+
+def decode_wav(b: bytes):
+    """Pure-numpy RIFF/WAVE decoder — a REAL parser, not a stub: walks
+    the chunk list (so payloads with extra chunks before ``data``
+    decode correctly), validates PCM/mono/8-bit, and views the sample
+    block zero-copy. Returns (sample_rate, samples). Raises ValueError
+    on malformed or unsupported payloads."""
+    import struct
+
+    import numpy as np
+
+    if bytes(b[:4]) != b"RIFF" or bytes(b[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = bytes(b[i : i + 4])
+        (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        body = b[i + 8 : i + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", bytes(body[:16]))
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 8):
+        raise ValueError("only 8-bit mono PCM is supported")
+    return rate, np.frombuffer(data, dtype=np.uint8)
+
+
+def _wav_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    out = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        rate, samples = decode_wav(bytes(payload))
+        out.append(
+            (
+                int(doc_id),
+                rate,
+                int(samples.size),
+                int(samples.size) * 1000 // rate,
+                int(samples.sum(dtype=np.int64)),
+                int(samples.min()),
+                int(samples.max()),
+                _payload_checksum(samples.tobytes()),
+            )
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "doc_id",
+            "sample_rate",
+            "n_samples",
+            "duration_ms",
+            "amp_sum",
+            "amp_min",
+            "amp_max",
+            "sample_checksum",
+        ],
+    )
+
+
+def wav_features(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched real WAV decode on executors; same partitioning
+    contract as pgm_features."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _wav_batch(pdf)
+
+    return with_payload.mapInPandas(gen, WAV_FEATURE_SCHEMA)
+
+
 def frame_sample(with_payload: DataFrame, every_n: int = 6) -> DataFrame:
     """Frame-sampling plumbing for video payloads: one output row per
     sampled frame index (the decode of the frame itself is the stub).

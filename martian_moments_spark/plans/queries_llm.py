@@ -962,6 +962,50 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pgm_features(encode_pgm(docs))
 
 
+@register(
+    "multimodal_wav_decode",
+    ops=("P3", "A1"),
+    oracle=f"""
+        WITH smp AS (
+            SELECT doc_id,
+                   list_transform(range(1, {64 + 1}),
+                                  i -> ord(substr(text, CAST(i AS INT), 1))) AS p,
+                   substr(text, 1, 64) AS s
+            FROM documents
+            WHERE length(text) >= 64
+              AND octet_length(encode(text)) = length(text)
+        )
+        SELECT doc_id,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(64 AS BIGINT) AS n_samples,
+               CAST(64 * 1000 // 8000 AS BIGINT) AS duration_ms,
+               CAST(list_sum(p) AS BIGINT) AS amp_sum,
+               CAST(list_min(p) AS INT) AS amp_min,
+               CAST(list_max(p) AS INT) AS amp_max,
+               {sql_portable_hash31("s")} AS sample_checksum
+        FROM smp
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of multimodal_real_decode: a genuine RIFF/WAVE
+    PCM file per document (canonical 44-byte header + 64 8-bit mono
+    samples from the doc's first ASCII bytes), decoded on executors by
+    the pure-numpy chunk-walking WAV parser (llmops.multimodal.
+    decode_wav validates magics, walks the chunk list, checks
+    PCM/mono/8-bit, zero-copy sample view), emitting integer amplitude
+    statistics and the portable md5 checksum over the DECODED sample
+    bytes. A header the parser mis-walked would shift the sample block
+    and break every stat against the oracle.
+
+    Scale: identical posture to multimodal_real_decode — per-row JVM
+    payload concat, Arrow-batched mapInPandas decode over the scan
+    partitioning, metadata-width output."""
+    from martian_moments_spark.llmops.multimodal import encode_wav, wav_features
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return wav_features(encode_wav(docs))
+
+
 # ------------------------------------------------------- pipeline hygiene ops
 
 DECONTAM_BENCH_MOD = 37  # doc_id % MOD == 0 -> held-out benchmark doc

@@ -165,6 +165,7 @@ PRIORITY: tuple[str, ...] = (
     "lm_perplexity_filter",
     "perplexity_gated_curation",
     "multimodal_real_decode",
+    "multimodal_wav_decode",
     "bm25_probe_ranking",
     "leakage_safe_split",
     "unigram_simpson_diversity",

@@ -91,7 +91,16 @@ def _sessionize(
     open session closes through the EVENT-TIME TIMEOUT: when the
     watermark passes session_end + gap, Spark invokes this function
     with hasTimedOut and no data, and the final session is emitted —
-    the state-expiry path windows can't express."""
+    the state-expiry path windows can't express.
+
+    DO-NOT-RETRY (r08, measured 3x — tools_sessionize_ab.py /
+    STREAM_SCALE.md): replacing this per-event loop with a numpy
+    diff segment scan + single close-frame measured 0.92x at the
+    default trigger and no reliable win even at a 5 s trigger
+    (~100 events/group) — the operator is dispatch-bound, not
+    loop-bound. The measured lever is MICRO-BATCH SIZING: a 5 s
+    processingTime trigger gained ~1.5x by amortizing per-group
+    Arrow transfer + pandas dispatch."""
     (user_id,) = key
     if state.hasTimedOut:
         start_us, end_us, n = state.get

@@ -634,3 +634,59 @@ def test_encode_pgm_produces_real_payloads(spark):
         w, h, maxval, px = decode_pgm(bytes(r["payload"]))
         assert (w, h, maxval) == (PGM_W, PGM_H, 255)
         assert px.tobytes() == src[r["doc_id"]].encode("utf-8")[:n]
+
+
+def test_decode_wav_roundtrip_and_malformed():
+    """The chunk-walking WAV parser is a real decoder: extra chunks
+    before data, word-aligned odd chunks, and malformed payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from martian_moments_spark.llmops.multimodal import decode_wav
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(0, 256, size=33, dtype=np.uint8)  # odd size
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = chunk(b"LIST", b"junk metadata") + chunk(b"fmt ", fmt) + chunk(b"data", samples.tobytes())
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate, got = decode_wav(payload)
+    assert rate == 8000 and np.array_equal(got, samples)
+
+    with pytest.raises(ValueError, match="not a RIFF/WAVE"):
+        decode_wav(b"RIFX" + payload[4:])
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(payload[:-8])
+    stereo = struct.pack("<HHIIHH", 1, 2, 8000, 16000, 2, 8)
+    bad = b"RIFF" + struct.pack("<I", 100) + b"WAVE" + chunk(b"fmt ", stereo) + chunk(b"data", b"\x00\x00")
+    with pytest.raises(ValueError, match="8-bit mono"):
+        decode_wav(bad)
+
+
+def test_encode_wav_produces_real_payloads(spark):
+    """encode_wav output decodes with the real parser; samples are the
+    doc's first 64 utf-8 bytes; stdlib wave module agrees on header."""
+    import io
+    import wave
+
+    from martian_moments_spark.llmops.multimodal import decode_wav, encode_wav
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(20)
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = encode_wav(docs).collect()
+    assert got
+    for r in got:
+        payload = bytes(r["payload"])
+        rate, samples = decode_wav(payload)
+        assert rate == 8000
+        assert samples.tobytes() == src[r["doc_id"]].encode("utf-8")[:64]
+        with wave.open(io.BytesIO(payload)) as w:  # independent referee
+            assert (w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes()) == (8000, 1, 1, 64)
+            assert w.readframes(64) == samples.tobytes()
