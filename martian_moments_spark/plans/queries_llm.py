@@ -5795,6 +5795,80 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ============== LM-perplexity quality tier (r08, VERDICT r07 #1) =====
 
+@register(
+    "perplexity_buckets",
+    ops=("W1", "W2", "A1"),
+    oracle=f"""
+        WITH {sql_bigram_lm_ctes()},
+        eligible AS (
+            SELECT doc_id, score_num, score_den, ppl_proxy
+            FROM lm WHERE n_bigrams > 0
+        ),
+        tiled AS (
+            SELECT doc_id, ppl_proxy,
+                   CAST(ntile(3) OVER (ORDER BY ppl_proxy, doc_id) AS INT)
+                       AS bucket_idx
+            FROM eligible
+        )
+        SELECT doc_id, ppl_proxy, bucket_idx,
+               CASE bucket_idx WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM tiled
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's canonical use of the LM score (Wenzek et al. 2020 §4.4):
+    cut the corpus into head / middle / tail perplexity TERCILES —
+    head (lowest perplexity, most in-distribution) is what high-budget
+    mixes upsample, tail is what gets dropped or heavily downsampled.
+    Exact ntile over the total order (ppl_proxy, doc_id), restricted
+    to documents that have bigrams at all.
+
+    Scale: the oracle's global ntile window is a single task; the plan
+    is the two-phase range-ranking shape of curriculum_phases /
+    global_rank_range_partitioned — range-bucket on the ppl value,
+    per-bucket counts prefix-summed into broadcast offsets, global
+    rank = offset + within-bucket row_number, ntile arithmetic in
+    closed form on (rank, total). The corpus shuffles once on the
+    bucket id; ppl_proxy is the same two-int64 IEEE division in both
+    engines, so bucketing on it is deterministic."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = bigram_lm_scores(docs).filter(F.col("n_bigrams") > 0)
+    rows = scored.select("doc_id", "ppl_proxy").withColumn(
+        "__b", F.floor(F.col("ppl_proxy") / F.lit(0.25)).cast("long")
+    )
+    counts = rows.groupBy("__b").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    w_off = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).cast("long").alias("__off"),
+    )
+    total = counts.agg(F.sum("__n").cast("long").alias("__total"))
+    w_in = W.partitionBy("__b").orderBy("ppl_proxy", "doc_id")
+    ranked = (
+        rows.join(F.broadcast(offsets), "__b")
+        .withColumn("__rn", F.col("__off") + F.row_number().over(w_in))
+        .crossJoin(F.broadcast(total))
+    )
+    k = F.lit(3).cast("long")
+    q = (F.col("__total") / k).cast("long")
+    rem = F.col("__total") % k
+    r0 = F.col("__rn") - 1
+    tile = F.when(
+        r0 < rem * (q + 1), (r0 / (q + 1)).cast("long")
+    ).otherwise(rem + ((r0 - rem * (q + 1)) / F.greatest(q, F.lit(1))).cast("long"))
+    bucket_idx = (tile + 1).cast("int")
+    return ranked.select(
+        "doc_id",
+        "ppl_proxy",
+        bucket_idx.alias("bucket_idx"),
+        F.when(bucket_idx == 1, "head")
+        .when(bucket_idx == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 
 @register(
     "lm_perplexity_filter",

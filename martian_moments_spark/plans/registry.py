@@ -166,6 +166,7 @@ PRIORITY: tuple[str, ...] = (
     "perplexity_gated_curation",
     "multimodal_real_decode",
     "multimodal_wav_decode",
+    "perplexity_buckets",
     "bm25_probe_ranking",
     "leakage_safe_split",
     "unigram_simpson_diversity",
