@@ -286,6 +286,11 @@ def disorder_section(res: dict) -> str:
 
 
 def main() -> None:
+    try:
+        with open("STREAM_SCALE.md") as f:
+            prior_doc = f.read()
+    except FileNotFoundError:
+        prior_doc = ""
     spark = get_spark(app_name="mm-stream-smoke")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     out: dict[str, dict] = {}
@@ -378,6 +383,17 @@ def main() -> None:
     res = disorder_smoke(spark)
     with open("STREAM_SCALE.md", "a") as f:
         f.write(disorder_section(res))
+    # carry the sessionize A/B record (written by tools_sessionize_ab)
+    # through the full-table rewrite instead of clobbering it
+    try:
+        from tools_sessionize_ab import AB_MARK
+
+        cut = prior_doc.find(AB_MARK)
+        if cut != -1:
+            with open("STREAM_SCALE.md", "a") as f:
+                f.write("\n" + prior_doc[cut:].rstrip() + "\n")
+    except Exception:
+        pass
     print(json.dumps({"stream_smoke": out}))
     spark.stop()
 
@@ -390,11 +406,25 @@ def main_disorder_only() -> None:
     res = disorder_smoke(spark)
     with open("STREAM_SCALE.md") as f:
         doc = f.read()
+    # section order is [table] [disorder] [A/B]: cutting at the
+    # disorder mark also drops a trailing A/B record — keep it aside
+    # and re-append after the fresh disorder section
+    tail = ""
+    try:
+        from tools_sessionize_ab import AB_MARK
+
+        ab_at = doc.find(AB_MARK)
+        if ab_at != -1:
+            tail = "\n" + doc[ab_at:].rstrip() + "\n"
+    except Exception:
+        pass
     cut = doc.find(DISORDER_MARK)
     if cut != -1:
         doc = doc[: doc.rfind("\n", 0, cut)]
+    elif tail:
+        doc = doc[: doc.find(AB_MARK)].rstrip() + "\n"
     with open("STREAM_SCALE.md", "w") as f:
-        f.write(doc + disorder_section(res))
+        f.write(doc + disorder_section(res) + tail)
     spark.stop()
 
 
