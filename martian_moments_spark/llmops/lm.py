@@ -124,6 +124,12 @@ def bigram_lm_scores(docs: DataFrame, ppl_max: int = BIGRAM_PPL_MAX) -> DataFram
     v = ref.select(F.explode("t").alias("tok")).agg(
         F.count_distinct("tok").cast("long").alias("v")
     )
+    # DO-NOT-RETRY (r08, same-session 4-run A/B at sf0.1): eager
+    # localCheckpoint of this stage — narrow, consumed by both ctx and
+    # the scoring join, so a checkpoint-law candidate — measured 1.54 s
+    # vs 1.42 s baseline: Spark already reuses the groupBy exchange for
+    # both consumers, and the eager materialization only adds a
+    # blocking job.
     model = (
         _doc_bigrams(ref)
         .groupBy("bg")
