@@ -95,6 +95,56 @@ def gen_skew() -> None:
     spark.stop()
 
 
+def gen_sf10() -> None:
+    """Second decade for the documents-family queries: 500k docs with
+    the SAME text law as sf1 — the 5% template slice keeps 10 copies
+    per template by scaling the template COUNT 250 -> 2500, so
+    per-template group sizes, LSH bucket sizes, and anchor-gram
+    collision fan-outs stay IDENTICAL to sf1 and growth in any
+    linear-design query must be ~10x again (the same methodology as
+    the TPC-H key-offset replication). Only documents are
+    synthesized; the other tables are symlinked from sf1 so the
+    DuckDB oracle's view registration still works.
+    Run: python tools_gen_scale.py --sf10   (~1 min, ~0.3 GB)"""
+    spark = get_spark(app_name="mm-gen-scale-sf10")
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf10"
+    )
+    os.makedirs(out, exist_ok=True)
+    n_docs, n_templates = 500_000, 2_500
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    is_tpl = F.col("doc_id") < (n_docs // 20)
+    # non-template seeds start at 1e6 so they can never collide with
+    # the 0..2499 template seed range
+    seed = F.when(is_tpl, F.pmod(F.col("doc_id"), F.lit(n_templates))).otherwise(
+        F.col("doc_id") + 1_000_000
+    )
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("zh"), F.lit("de")),
+        (
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string"), F.lit("lang")), F.lit(5))
+            + 1
+        ).cast("int"),
+    )
+    docs = base.select(
+        "doc_id",
+        _doc_text(seed).alias("text"),
+        lang.alias("lang"),
+        F.concat(
+            F.lit("src"), F.pmod(F.col("doc_id"), F.lit(20)).cast("string")
+        ).alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    print("sf10 documents:", spark.read.parquet(f"{out}/documents.parquet").count())
+    sf1 = os.path.join(os.path.dirname(out), "sf1")
+    for t in sorted(os.listdir(sf1)):
+        dst = os.path.join(out, t)
+        if t.startswith("documents") or os.path.lexists(dst):
+            continue
+        os.symlink(os.path.join("..", "sf1", t), dst)
+    spark.stop()
+
+
 def main() -> None:
     spark = get_spark(app_name="mm-gen-scale")
     os.makedirs(OUT, exist_ok=True)
@@ -171,5 +221,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         gen_skew()
+    elif "--sf10" in sys.argv:
+        gen_sf10()
     else:
         main()

@@ -61,7 +61,24 @@ SCALE_QUERIES = (
     "lm_perplexity_filter",       # bigram-LM quality gate (r08): corpus explode + model joins
 )
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf1")
+SF10_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf10")
 LINEAR_CAP = 12.0  # 10x data; ratio above this is a named finding
+
+# --decade2: the documents-family queries re-measured on a SECOND
+# decade (sf1 -> sf10, 500k docs; tools_gen_scale.py --sf10). Two
+# stacked decades with the same per-template group sizes separate
+# "linear with a big constant" from "quietly superlinear" in a way a
+# single decade cannot.
+DECADE2_MARK = "## Second decade (sf1 -> sf10, documents family)"
+DECADE2_QUERIES = (
+    "repeated_char_spans",
+    "repeated_boilerplate_catalog",
+    "repeated_span_extracts",
+    "strip_repeated_spans",
+    "char_level_decontamination",
+    "lm_perplexity_filter",
+    "cross_doc_ngram_spans",
+)
 
 
 # The registered queries ARE their scale operating points since the
@@ -242,6 +259,14 @@ def run_named_query_smoke() -> None:
         results[name] = row
         print(json.dumps({"query": name, **row}), flush=True)
 
+    # the full rewrite below must not clobber the --decade2 section
+    try:
+        with open("SCALE.md") as f:
+            prior = f.read()
+        d2_at = prior.find(DECADE2_MARK)
+        decade2_tail = "\n" + prior[d2_at:].rstrip() + "\n" if d2_at != -1 else ""
+    except FileNotFoundError:
+        decade2_tail = ""
     with open("SCALE.md", "w") as f:
         f.write(
             "# SCALE — empirical decade scaling of the heaviest queries\n\n"
@@ -275,7 +300,81 @@ def run_named_query_smoke() -> None:
             )
             for n, fn in SCALE_OVERRIDES.items():
                 f.write(f"- `{n}`: {' '.join((fn.__doc__ or '').split())}\n")
+        f.write(decade2_tail)
     print(json.dumps({"scale_smoke": results, "flagged": [n for n, r in results.items() if r["ratio"] > LINEAR_CAP]}))
+    spark.stop()
+
+
+def run_decade2_smoke() -> None:
+    """--decade2: warm best-of-two at sf1 AND sf10 for the
+    documents-family set, with sf10 hash parity against the same
+    registered oracle. Appends/refreshes the second-decade section of
+    SCALE.md (the named smoke preserves it across rewrites)."""
+    from bench import consume
+    from martian_moments_spark.plans import load_all
+    from tests.oracle_utils import compare, duckdb_con
+
+    if not os.path.isdir(SF10_DIR):
+        sys.exit("run `python tools_gen_scale.py --sf10` first (missing .scale_data/sf10)")
+    registry = load_all()
+    spark = get_spark(app_name="mm-scale-decade2")
+    con = duckdb_con(SF10_DIR)
+    results: dict[str, dict] = {}
+    for name in DECADE2_QUERIES:
+        fn = registry[name].fn
+        row: dict = {}
+        for label, sf_dir in (("sf1", SF1_DIR), ("sf10", SF10_DIR)):
+            consume(fn(spark, sf_dir))  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                consume(fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            row[label] = round(best, 2)
+        row["ratio"] = round(row["sf10"] / row["sf1"], 1)
+        pdf = con.execute(registry[name].oracle).df()
+        problems = compare(fn(spark, SF10_DIR), pdf)
+        row["sf10_parity"] = "OK" if not problems else "; ".join(problems)
+        results[name] = row
+        print(json.dumps({"query": name, **row}), flush=True)
+        # same inter-query hygiene as the full sweep: drop dead
+        # persistent RDDs so checkpoint blocks never accumulate
+        jsc = spark.sparkContext._jsc.sc()
+        for rdd in spark.sparkContext._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+            jsc.getPersistentRDDs()
+        ).values():
+            rdd.unpersist(False)
+
+    section = (
+        f"\n{DECADE2_MARK}\n\n"
+        "Generated by `python tools_scale_smoke.py --decade2` against\n"
+        "`.scale_data/sf10` (500k docs; template COUNT scales 250 -> 2500\n"
+        "so per-template group sizes / collision fan-outs stay identical\n"
+        "to sf1 — tools_gen_scale.py --sf10). Warm best-of-two; sf10\n"
+        "results hash-compared against the registered DuckDB oracle.\n"
+        "Two stacked decades separate linear-with-a-constant from\n"
+        "quietly-superlinear.\n\n"
+        "| query | sf1 (s) | sf10 (s) | ratio | verdict | sf10 hash parity |\n"
+        "|---|---|---|---|---|---|\n"
+    )
+    for name, row in results.items():
+        verdict = "✅ ~linear" if row["ratio"] <= LINEAR_CAP else "❌ SUPERLINEAR"
+        par = row["sf10_parity"]
+        par = "✅ exact" if par == "OK" else f"❌ {par}"
+        section += (
+            f"| `{name}` | {row['sf1']} | {row['sf10']} | {row['ratio']}x "
+            f"| {verdict} | {par} |\n"
+        )
+    flagged = [n for n, r in results.items() if r["ratio"] > LINEAR_CAP]
+    section += f"\nFlagged superlinear: {flagged if flagged else 'none'}.\n"
+    with open("SCALE.md") as f:
+        doc = f.read()
+    cut = doc.find(DECADE2_MARK)
+    if cut != -1:
+        doc = doc[: doc.rfind("\n", 0, cut)]
+    with open("SCALE.md", "w") as f:
+        f.write(doc + section)
+    print(json.dumps({"decade2": results, "flagged": flagged}))
     spark.stop()
 
 
@@ -362,6 +461,9 @@ def run_skew_smoke() -> None:
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         run_skew_smoke()
+        sys.exit(0)
+    if "--decade2" in sys.argv:
+        run_decade2_smoke()
         sys.exit(0)
     if "--queries" in sys.argv:
         if "--all" in sys.argv:
