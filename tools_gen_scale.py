@@ -145,6 +145,57 @@ def gen_sf10() -> None:
     spark.stop()
 
 
+def gen_sf100() -> None:
+    """Third decade for the documents-family queries: 5M docs under
+    the SAME text law as sf1/sf10 — template COUNT scales 2,500 ->
+    25,000 so the 5% template slice keeps exactly 10 copies per
+    template and every per-template group size / collision fan-out
+    stays IDENTICAL across all three decades. Three stacked decades
+    (sf0.1 -> sf1 -> sf10 -> sf100, 5k -> 5M docs) is the strongest
+    superlinearity detector this container can hold: a hidden
+    O(n^1.3) term that hides inside one decade's noise compounds to
+    ~4x across three. Only documents are synthesized; other tables
+    symlink to sf1 for oracle view registration.
+    Run: python tools_gen_scale.py --sf100   (~2 min, ~1.5 GB)"""
+    spark = get_spark(app_name="mm-gen-scale-sf100")
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf100"
+    )
+    os.makedirs(out, exist_ok=True)
+    n_docs, n_templates = 5_000_000, 25_000
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    is_tpl = F.col("doc_id") < (n_docs // 20)
+    # non-template seeds start at 1e7 so they can never collide with
+    # the 0..24999 template seed range
+    seed = F.when(is_tpl, F.pmod(F.col("doc_id"), F.lit(n_templates))).otherwise(
+        F.col("doc_id") + 10_000_000
+    )
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("zh"), F.lit("de")),
+        (
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string"), F.lit("lang")), F.lit(5))
+            + 1
+        ).cast("int"),
+    )
+    docs = base.select(
+        "doc_id",
+        _doc_text(seed).alias("text"),
+        lang.alias("lang"),
+        F.concat(
+            F.lit("src"), F.pmod(F.col("doc_id"), F.lit(20)).cast("string")
+        ).alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.repartition(64).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    print("sf100 documents:", spark.read.parquet(f"{out}/documents.parquet").count())
+    sf1 = os.path.join(os.path.dirname(out), "sf1")
+    for t in sorted(os.listdir(sf1)):
+        dst = os.path.join(out, t)
+        if t.startswith("documents") or os.path.lexists(dst):
+            continue
+        os.symlink(os.path.join("..", "sf1", t), dst)
+    spark.stop()
+
+
 def main() -> None:
     spark = get_spark(app_name="mm-gen-scale")
     os.makedirs(OUT, exist_ok=True)
@@ -221,6 +272,8 @@ def main() -> None:
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         gen_skew()
+    elif "--sf100" in sys.argv:
+        gen_sf100()
     elif "--sf10" in sys.argv:
         gen_sf10()
     else:

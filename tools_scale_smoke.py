@@ -59,6 +59,8 @@ SCALE_QUERIES = (
     "repeated_span_extracts",     # steepest substring-tier sub-decade ratio (r07: 4.1x)
     "strip_repeated_spans",       # island strip path (r07: 3.5x sub-decade)
     "lm_perplexity_filter",       # bigram-LM quality gate (r08): corpus explode + model joins
+    "dsir_hashed_ngram_weights",  # DSIR two-model estimator (r08): bucket-bounded broadcast models
+    "training_shard_manifest",    # two-phase global token cumsum + shard manifest (r08)
 )
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf1")
 SF10_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf10")
@@ -78,7 +80,31 @@ DECADE2_QUERIES = (
     "char_level_decontamination",
     "lm_perplexity_filter",
     "cross_doc_ngram_spans",
+    "dsir_hashed_ngram_weights",
+    "training_shard_manifest",
 )
+
+# --decade3: a THIRD stacked decade (sf10 -> sf100, 5M docs;
+# tools_gen_scale.py --sf100) for the model-table family — the plan
+# shape whose hit mass stays LINEAR in corpus bytes (vocabulary-bounded
+# model joins). The span/shingle queries are deliberately NOT here:
+# their hit mass is superlinear BY DATA CONSTRUCTION (the synthetic
+# 28-word vocabulary saturates the gram space — decade2 measured dup
+# grams growing 18.1x and hit rows 21.5x per 10x docs), so at 5M docs
+# an sf100 run measures that birthday-collision artifact, not the
+# engine (measured r08: repeated_char_spans at sf100 GC-thrashed an 8g
+# driver on chance-collision mass no real corpus exhibits). Their
+# scale evidence is the two-decade table above plus the hit-mass
+# interpretation note.
+DECADE3_MARK = "## Third decade (sf10 -> sf100, documents family)"
+DECADE3_QUERIES = (
+    "lm_perplexity_filter",
+    "dsir_hashed_ngram_weights",
+    "training_shard_manifest",
+)
+DECADE3_PARITY = DECADE3_QUERIES
+SF100_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf100")
+
 
 
 # The registered queries ARE their scale operating points since the
@@ -316,6 +342,10 @@ def run_decade2_smoke() -> None:
 
     if not os.path.isdir(SF10_DIR):
         sys.exit("run `python tools_gen_scale.py --sf10` first (missing .scale_data/sf10)")
+    # the sf10 span queries' hit mass (~25M rows) needs driver headroom
+    # for AQE broadcast decisions: 8g OOMed (measured r08), 16g is the
+    # recorded working regime for every decade smoke.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     registry = load_all()
     spark = get_spark(app_name="mm-scale-decade2")
     con = duckdb_con(SF10_DIR)
@@ -369,11 +399,17 @@ def run_decade2_smoke() -> None:
     section += f"\nFlagged superlinear: {flagged if flagged else 'none'}.\n"
     with open("SCALE.md") as f:
         doc = f.read()
+    # a decade3 section (appended after this one) must survive the
+    # decade2 refresh — carve it out and re-append
+    d3_at = doc.find(DECADE3_MARK)
+    decade3_tail = "\n" + doc[d3_at:].rstrip() + "\n" if d3_at != -1 else ""
+    if d3_at != -1:
+        doc = doc[: doc.rfind("\n", 0, d3_at)]
     cut = doc.find(DECADE2_MARK)
     if cut != -1:
         doc = doc[: doc.rfind("\n", 0, cut)]
     with open("SCALE.md", "w") as f:
-        f.write(doc + section)
+        f.write(doc + section + decade3_tail)
     print(json.dumps({"decade2": results, "flagged": flagged}))
     spark.stop()
 
@@ -458,11 +494,93 @@ def run_skew_smoke() -> None:
     spark.stop()
 
 
+def run_decade3_smoke() -> None:
+    """--decade3: warm best-of-two at sf10 AND sf100 for the reduced
+    documents-family set, sf100 hash parity for the PARITY subset.
+    Appends/refreshes the third-decade section of SCALE.md."""
+    from bench import consume
+    from martian_moments_spark.plans import load_all
+    from tests.oracle_utils import compare, duckdb_con
+
+    if not os.path.isdir(SF100_DIR):
+        sys.exit("run `python tools_gen_scale.py --sf100` first (missing .scale_data/sf100)")
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")  # see decade2 note
+    registry = load_all()
+    spark = get_spark(app_name="mm-scale-decade3")
+    con = duckdb_con(SF100_DIR)
+    results: dict[str, dict] = {}
+    for name in DECADE3_QUERIES:
+        fn = registry[name].fn
+        row: dict = {}
+        for label, sf_dir in (("sf10", SF10_DIR), ("sf100", SF100_DIR)):
+            consume(fn(spark, sf_dir))  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                consume(fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            row[label] = round(best, 2)
+        row["ratio"] = round(row["sf100"] / row["sf10"], 1)
+        if name in DECADE3_PARITY:
+            pdf = con.execute(registry[name].oracle).df()
+            problems = compare(fn(spark, SF100_DIR), pdf)
+            row["sf100_parity"] = "OK" if not problems else "; ".join(problems)
+        else:
+            row["sf100_parity"] = "n/a (oracle cost wall; exact at sf10)"
+        results[name] = row
+        print(json.dumps({"query": name, **row}), flush=True)
+        jsc = spark.sparkContext._jsc.sc()
+        for rdd in spark.sparkContext._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+            jsc.getPersistentRDDs()
+        ).values():
+            rdd.unpersist(False)
+
+    section = (
+        f"\n{DECADE3_MARK}\n\n"
+        "Generated by `python tools_scale_smoke.py --decade3` against\n"
+        "`.scale_data/sf100` (5M docs; template COUNT scales 2,500 ->\n"
+        "25,000 so per-template group sizes / collision fan-outs stay\n"
+        "identical across all three decades — tools_gen_scale.py\n"
+        "--sf100). Warm best-of-two; every row hash-compared against its\n"
+        "registered DuckDB oracle at 5M docs. Scope is the model-table\n"
+        "family, whose hit mass stays linear in corpus bytes; the\n"
+        "span/shingle queries stay two-decade evidence because their\n"
+        "hit mass is superlinear by data construction (vocabulary\n"
+        "saturation, see the decade2 interpretation note) — an sf100 run\n"
+        "measures that artifact, not the engine. Three stacked decades:\n"
+        "a hidden O(n^1.3) term invisible in one decade compounds to\n"
+        "~4x across three.\n\n"
+        "| query | sf10 (s) | sf100 (s) | ratio | verdict | sf100 hash parity |\n"
+        "|---|---|---|---|---|---|\n"
+    )
+    for name, row in results.items():
+        verdict = "\u2705 ~linear" if row["ratio"] <= LINEAR_CAP else "\u274c SUPERLINEAR"
+        par = row["sf100_parity"]
+        par = "\u2705 exact" if par == "OK" else par
+        section += (
+            f"| `{name}` | {row['sf10']} | {row['sf100']} | {row['ratio']}x "
+            f"| {verdict} | {par} |\n"
+        )
+    flagged = [n for n, r in results.items() if r["ratio"] > LINEAR_CAP]
+    section += f"\nFlagged superlinear: {flagged if flagged else 'none'}.\n"
+    with open("SCALE.md") as f:
+        doc = f.read()
+    cut = doc.find(DECADE3_MARK)
+    if cut != -1:
+        doc = doc[: doc.rfind("\n", 0, cut)]
+    with open("SCALE.md", "w") as f:
+        f.write(doc + section)
+    print(json.dumps({"decade3": results, "flagged": flagged}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         run_skew_smoke()
         sys.exit(0)
-    if "--decade2" in sys.argv:
+    if "--decade3" in sys.argv:
+        run_decade3_smoke()
+    elif "--decade2" in sys.argv:
         run_decade2_smoke()
         sys.exit(0)
     if "--queries" in sys.argv:
