@@ -397,6 +397,24 @@ def run_decade2_smoke() -> None:
         )
     flagged = [n for n, r in results.items() if r["ratio"] > LINEAR_CAP]
     section += f"\nFlagged superlinear: {flagged if flagged else 'none'}.\n"
+    section += (
+        "\nReading the 7-11x span-query ratios right: the synthetic corpus draws\n"
+        "from a 28-word vocabulary, so at 500k docs the 24-char gram space\n"
+        "saturates and CHANCE cross-doc matches dominate — measured on this\n"
+        "pair of corpora, anchor rows grow exactly 10.0x (3.47M -> 34.8M,\n"
+        "linear in bytes) while cross-doc dup grams grow 18.1x (345k -> 6.23M)\n"
+        "and hit rows 21.5x (1.17M -> 25.2M). The hit mass is superlinear BY\n"
+        "DATA CONSTRUCTION (birthday collisions in a tiny vocabulary — real\n"
+        "corpora have ~1e5+ vocabularies and nothing like this density), and\n"
+        "every span query's wall-clock ratio sits well UNDER its 21.5x input\n"
+        "growth: the plans are linear-to-sublinear in the hit mass they are\n"
+        "fed. This is also why the span queries stop at two decades — at 5M\n"
+        "docs the chance-collision mass is the whole measurement (an 8g\n"
+        "driver GC-thrashed on it, r08) — while the model-table family, whose\n"
+        "hit mass is vocabulary-bounded, carries the third decade below. The\n"
+        "decade smokes pin a 16 GB driver (tools_scale_smoke.py); ratios, not\n"
+        "absolute times, are the signal here.\n"
+    )
     with open("SCALE.md") as f:
         doc = f.read()
     # a decade3 section (appended after this one) must survive the
