@@ -74,6 +74,7 @@ from martian_moments_spark.llmops.lm import lm_gate, sql_lm_gate
 from martian_moments_spark.llmops.textops import (
     portable_hash31,
     sql_portable_hash31,
+    sql_tokens,
     tokens,
 )
 
@@ -168,13 +169,12 @@ def sql_dsir_ctes() -> str:
     ``dsir`` (one row per document, same columns). Composable: queries
     append their own SELECT. range(1, len(t)) is the LIST-valued form
     (empty for len < 2)."""
-    toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
     bg = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
     bucket = f"{sql_portable_hash31('bg')} % {DSIR_BUCKETS}"
     return f"""
         toks AS (
             SELECT doc_id, t, {sql_lm_gate("t")} AS is_ref
-            FROM (SELECT doc_id, {toks} AS t FROM documents)
+            FROM (SELECT doc_id, {sql_tokens("text")} AS t FROM documents)
         ),
         feats AS (
             SELECT doc_id, is_ref, {bucket} AS bucket

@@ -45,6 +45,36 @@ def sql_distinct_tokens(expr: str = "text") -> str:
     return f"list_distinct({sql_tokens(expr)})"
 
 
+def term_counts(col: str = "text") -> Column:
+    """Per-document term frequencies computed INSIDE the row: an array
+    of (term, tf) structs, one per distinct token — semantically
+    identical to ``explode(tokens) -> groupBy(doc_id, term).count()``
+    but with ZERO shuffle, because every token of a document already
+    sits in its row. The classic tf exchange hash-partitions one row
+    per corpus TOKEN on a (doc_id, term) key — the widest shuffle in
+    any inverted-index build, and the first stage to hit the
+    fixed-heap spill cliff as the corpus decades up (measured r08:
+    2.4 s at 500k docs -> 26-55 s at 5M on the same 16g heap).
+
+    MEASURED TRADE-OFF (r08 bm25 A/B, warm best-of-2): on THIS
+    corpus shape (~28 distinct / ~50 tokens per doc) the per-row
+    O(n_tokens x n_distinct) HOF evaluation costs MORE than the
+    exchange it removes at every scale tried (1.53/7.04/63.6 s vs
+    1.26/3.73/62.3 s at sf1/sf10/sf100) — Catalyst evaluates HOF
+    lambdas per element, not vectorized. bm25_probe_ranking therefore
+    ships the groupBy form; reach for this helper when per-doc
+    distinct counts are small relative to shuffle cost on YOUR
+    corpus, and measure."""
+    t = tokens(col)
+    return F.transform(
+        F.array_distinct(t),
+        lambda x: F.struct(
+            x.alias("term"),
+            F.size(F.filter(t, lambda y: y == x)).cast("long").alias("tf"),
+        ),
+    )
+
+
 def word_shingles(col: str = "text", n: int = 2) -> Column:
     """n-word shingles (space-joined), the MinHash input unit. Empty
     array (→ NULL min-hashes) for documents with fewer than ``n``

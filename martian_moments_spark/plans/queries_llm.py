@@ -4172,6 +4172,17 @@ def bm25_probe_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_dl"),
     )
+    # DO-NOT-RETRY (r08, warm best-of-2 A/B at sf1/sf10/sf100): the
+    # zero-shuffle per-row tf form (textops.term_counts, kept for
+    # corpora where it wins) measured 1.53/7.04/63.6 s vs this groupBy
+    # form's 1.26/3.73/62.3 s — Catalyst HOF lambda evaluation costs
+    # more than the (doc_id, term) exchange it removes at every scale
+    # measured here. The decade3 excess over the linear cap is the
+    # FIXED-HEAP spill cliff of that exchange (tf stage isolated:
+    # 2.4 s at 500k docs -> 26-55 s at 5M docs on the same 16g heap),
+    # i.e. resources held constant while data decades up — on a
+    # cluster sized with the data the per-partition group count is
+    # constant and the stage stays linear.
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))

@@ -727,3 +727,36 @@ def test_char_anchor_grams_explicit_spread_matches_auto(spark):
     assert base == {tuple(r) for r in char_anchor_grams(docs, spread=True).collect()}
     assert base == {tuple(r) for r in char_anchor_grams(docs).collect()}
     assert base  # non-empty on real docs
+
+
+def test_term_counts_matches_groupby_form(spark):
+    """textops.term_counts (in-row tf) is semantically identical to the
+    explode -> groupBy(doc_id, term) form it offers to replace — same
+    (doc_id, term, tf) multiset on real documents, including docs with
+    repeated tokens and the empty-text edge."""
+    from pyspark.sql import functions as F
+
+    from martian_moments_spark.llmops.textops import term_counts, tokens
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+        .union(spark.createDataFrame([(10**9, ""), (10**9 + 1, "x x x")], "doc_id LONG, text STRING"))
+    )
+    inrow = {
+        (r["doc_id"], r["term"], r["tf"])
+        for r in docs.select(
+            "doc_id", F.explode(term_counts("text")).alias("p")
+        ).select("doc_id", "p.term", "p.tf").collect()
+    }
+    grouped = {
+        (r["doc_id"], r["term"], r["tf"])
+        for r in docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .collect()
+    }
+    assert inrow == grouped
+    assert (10**9 + 1, "x", 3) in inrow  # repeated-token tf
+    assert not any(d == 10**9 for d, _, _ in inrow)  # empty text -> no rows

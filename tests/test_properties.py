@@ -1317,23 +1317,78 @@ dsir_natural_docs = st.lists(
 )
 
 
+def _dsir_replay(corpus: list[list[str]]) -> dict[int, dict]:
+    """Brute-force python replay of llmops.dsir.dsir_weights: md5
+    bucketing, gate, both models, pooled sums, integer-cross-multiplied
+    keep. The strongest property — every output column of every row
+    must equal this, including the keep verdict computed WITHOUT the
+    float ratio (the cross-multiplication is the law under test)."""
+    import hashlib
+
+    from martian_moments_spark.llmops.dsir import DSIR_BUCKETS
+    from martian_moments_spark.llmops.lm import (
+        LM_GATE_MIN_DISTINCT,
+        LM_GATE_MIN_TOKENS,
+    )
+
+    HASH_P = 2_147_483_647
+
+    def bucket(bg: str) -> int:
+        return (int(hashlib.md5(bg.encode()).hexdigest()[:8], 16) % HASH_P) % DSIR_BUCKETS
+
+    def gate(t: list[str]) -> bool:
+        return (
+            len(t) >= LM_GATE_MIN_TOKENS
+            and len(set(t)) / len(t) >= LM_GATE_MIN_DISTINCT
+        )
+
+    feats = {
+        i: [bucket(f"{t[k]} {t[k+1]}") for k in range(len(t) - 1)]
+        for i, t in enumerate(corpus)
+    }
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for i, t in enumerate(corpus):
+        for b in feats[i]:
+            cr[b] = cr.get(b, 0) + 1
+            if gate(t):
+                ct[b] = ct.get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    out = {}
+    for i in range(len(corpus)):
+        fs = feats[i]
+        t_num = sum(ct.get(b, 0) + 1 for b in fs)
+        r_num = sum(cr.get(b, 0) + 1 for b in fs)
+        n = len(fs)
+        out[i] = {
+            "n_features": n,
+            "t_num": t_num,
+            "r_num": r_num,
+            "weight": (
+                (t_num * (tr + DSIR_BUCKETS)) / (r_num * (tt + DSIR_BUCKETS))
+                if n
+                else None
+            ),
+            "keep": (
+                t_num * (tr + DSIR_BUCKETS) >= r_num * (tt + DSIR_BUCKETS)
+                if n
+                else False
+            ),
+        }
+    return out
+
+
 @given(natural=dsir_natural_docs, n_planted=st.integers(min_value=2, max_value=8))
 @settings(**SETTINGS)
-def test_dsir_weights_sharp_invariants(spark_h, natural, n_planted):
-    """The provable laws of llmops.dsir (see its module docstring):
-
-    1. A probe whose bigrams land only in zero-target-mass buckets
-       scores t_num == n_features exactly (every term is 0 + 1).
-       Guaranteed here by construction when no gate-passing doc
-       shares the probe's bigram buckets — checked, not assumed,
-       via the emitted t_num/n_features themselves.
-    2. Planting a probe's bigram into the target slice strictly
-       increases its t_num (evidence-sum monotonicity), and the
-       planted-template probe outweighs the OOV probe.
-    3. keep == the integer cross-multiplication on every row, and
-       featureless docs are (0 sums, NULL weight, keep=False).
-    """
-    from martian_moments_spark.llmops.dsir import DSIR_BUCKETS, dsir_weights
+def test_dsir_weights_match_bruteforce_replay(spark_h, natural, n_planted):
+    """dsir_weights vs the python replay on arbitrary corpora plus
+    planted probes — every column of every row, including the keep
+    verdict recomputed via the INTEGER cross-multiplication (never the
+    float ratio: the module designed the verdict to not rely on
+    division rounding, so the test must not either). Also pins the
+    evidence-sum monotonicity law: doubling the planted target docs
+    strictly increases the template probe's t_num."""
+    from martian_moments_spark.llmops.dsir import dsir_weights
 
     planted = [
         [f"p{j}_{i}" for i in range(10)] + ["ta", "tb"] for j in range(n_planted)
@@ -1345,24 +1400,33 @@ def test_dsir_weights_sharp_invariants(spark_h, natural, n_planted):
     rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
     docs = spark_h.createDataFrame(rows, "doc_id LONG, text STRING")
 
-    base = {r["doc_id"]: r for r in dsir_weights(docs).collect()}
-    assert len(base) == len(corpus)
+    got = {r["doc_id"]: r for r in dsir_weights(docs).collect()}
+    exp = _dsir_replay(corpus)
+    assert set(got) == set(exp)
+    for i, e in exp.items():
+        g = got[i]
+        assert g["n_features"] == e["n_features"], i
+        assert g["t_num"] == e["t_num"], i
+        assert g["r_num"] == e["r_num"], i
+        assert g["keep"] == e["keep"], i
+        if e["weight"] is None:
+            assert g["weight"] is None, i
+        else:
+            assert g["weight"] == e["weight"], i
 
-    one = base[one_id]
+    # sharp spot checks on the replay-verified rows
+    one = got[one_id]
     assert one["n_features"] == 0 and one["t_num"] == 0 and one["r_num"] == 0
     assert one["weight"] is None and one["keep"] is False
-
-    tpl = base[tpl_id]
+    tpl = got[tpl_id]
     assert tpl["n_features"] == len(probe_tpl) - 1
-    # the 'ta tb' bigram is planted doc-final in every gate-passing
-    # planted doc, so its bucket carries target mass >= n_planted:
-    # each of the probe's 4 'ta tb' features contributes ct+1 >= 2.
+    # 'ta tb' is doc-final in every gate-passing planted doc, so its
+    # bucket carries target mass >= n_planted: each of the probe's 4
+    # 'ta tb' features contributes ct+1 >= 2.
     assert tpl["t_num"] >= tpl["n_features"] + 4 * n_planted
-    assert tpl["weight"] is not None
 
-    # law 2 (monotonicity): doubling the planted target docs can only
-    # increase the probe's t_num — and r_num grows too, but the check
-    # here is the sharp per-sum law, not the ratio.
+    # monotonicity: doubling the planted target docs can only increase
+    # the probe's evidence sum
     more = planted + [
         [f"q{j}_{i}" for i in range(10)] + ["ta", "tb"] for j in range(n_planted)
     ]
@@ -1376,17 +1440,6 @@ def test_dsir_weights_sharp_invariants(spark_h, natural, n_planted):
         ).collect()
     }
     assert got2[tpl2_id]["t_num"] > tpl["t_num"]
-
-    for r in base.values():
-        if r["n_features"] == 0:
-            assert r["keep"] is False and r["weight"] is None
-        else:
-            # recompute the cross-multiplication from the row's own
-            # sums and the corpus totals implied by the weight ratio:
-            # weight = (t_num*(Tr+B))/(r_num*(Tt+B)) and keep <=>
-            # numerator >= denominator <=> weight >= 1.
-            assert r["keep"] == (r["weight"] >= 1.0)
-    assert DSIR_BUCKETS > 0
 
 
 # ------------------------------------------------------- shard manifest
