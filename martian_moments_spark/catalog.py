@@ -84,6 +84,39 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count from parquet footer metadata — no Spark job.
+
+    The planner's trick: every parquet footer records its row count,
+    so COUNT(*) over a raw table is an O(files) driver-side metadata
+    read, not a corpus scan. Queries that need a scalar ``n`` to size
+    a data structure (the corpus-scaled k-means quantizer) use this to
+    drop one full-table Spark job per invocation. At 100 TB the footer
+    walk is the same O(files) listing the scan planner already pays.
+
+    Returns None when the count can't be established from metadata
+    (missing path, unreadable footer) — callers fall back to
+    ``df.count()``. Only valid for the RAW catalog table: any filter
+    applied after ``load`` invalidates the metadata count, which is
+    why this takes (sf_dir, name) and not a DataFrame.
+    """
+    import glob
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = table_path(sf_dir, name)
+        if os.path.isfile(path):
+            files = [path]
+        else:
+            files = glob.glob(os.path.join(path, "*.parquet"))
+            if not files:
+                return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register every table as a temp view so plans can be written in
     Spark SQL (same Catalyst plan as the DataFrame API)."""

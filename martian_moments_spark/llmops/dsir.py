@@ -50,7 +50,13 @@ features against models whose hottest bucket holds under 2^21
 occurrences, that allows Tr up to ~2^22 — beyond that, renormalize
 the model counts (divide both models by a common factor; the ratio
 estimator is scale-invariant) exactly as lm.py prescribes for its
-reference slice.
+reference slice. A second, tighter cliff applies to the REPORTED
+``weight`` column only: each int64 product is cast to double before
+the divide, so once t_num * (Tr + B) or r_num * (Tt + B) exceeds
+2^53 the two roundings silently degrade the printed ratio (the
+``keep`` verdict stays exact — it compares the integer products
+directly, never the doubles; the DuckDB oracle mirrors the cast so
+parity holds regardless). The remedy is the same renormalization.
 
 Sharp invariants (property-tested in tests/test_properties.py):
   * a document whose bigrams all hash to buckets with zero target

@@ -125,9 +125,20 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline runs before tokenization.
 
     Scale: quality scoring is per-row (no shuffle); dedup shuffles once
-    on the content fingerprint; the rollup shuffles once on the two
-    low-cardinality keys with map-side partial aggregation. Token
-    totals are exact integer sums, so the budget is reproducible.
+    on the content fingerprint as a min-struct GROUP BY — the
+    fingerprint is computed map-side, ``text`` is DROPPED before the
+    exchange (only the 32-char fp plus a 4-field struct shuffles, not
+    the document body), and min(struct(doc_id, ...)) partial-aggregates
+    map-side so at most one row per distinct fingerprint per task
+    reaches the wire. The earlier window form
+    (row_number over partitionBy(md5(text))) shuffled the full text
+    column and sorted every partition; the r09 stage-isolation A/B
+    measured the two within noise at sf0.1 (0.654 vs 0.645 s — 5k docs
+    of short text), but at corpus scale shuffle bytes drop by the
+    text:fp size ratio and the sort disappears, so the min-struct form
+    is the keeper. The rollup shuffles once on the two low-cardinality
+    keys with map-side partial aggregation. Token totals are exact
+    integer sums, so the budget is reproducible.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
     scored = docs.select(
@@ -142,8 +153,13 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__q.distinct_ratio").alias("distinct_ratio"),
     )
     kept = scored.filter((F.col("n_tokens") >= 10) & (F.col("distinct_ratio") >= 0.3))
-    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = kept.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    # min over struct orders by its first field — doc_id — so this is
+    # exactly "the first writer's row" (doc_ids are unique).
+    deduped = (
+        kept.groupBy(F.md5("text").alias("__fp"))
+        .agg(F.min(F.struct("doc_id", "lang", "source", "n_tokens")).alias("__r"))
+        .select("__r.*")
+    )
     return deduped.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),

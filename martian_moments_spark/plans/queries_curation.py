@@ -99,7 +99,7 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     through JVM array dot products for identical output and the
     decade sweep measured it at 57 s at sf1.
     """
-    assigned, _ = kmeans_units_corpus(load(spark, sf_dir, "embeddings"))
+    assigned, _ = kmeans_units_corpus(load(spark, sf_dir, "embeddings"), sf_dir)
     return semdedup_verdicts_pandas(assigned, SEMDEDUP_TAU)
 
 
@@ -446,7 +446,7 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_ann_ivf).
     """
     emb = load(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans_units_corpus(emb)
+    assigned, _ = kmeans_units_corpus(emb, sf_dir)
     base, books = pq_train_codebooks(emb)
     enc = pq_encode(base, books)
     enc_long = (
@@ -615,7 +615,7 @@ def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the report is one map-side-combined aggregate on cell plus a
     window over cell-count rows (metadata-scale)."""
     emb = load(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans_units_corpus(emb)
+    assigned, _ = kmeans_units_corpus(emb, sf_dir)
     per = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs")
     )
@@ -756,7 +756,7 @@ def embedding_outlier_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means seam as embedding_ann_ivf / ivf_cell_balance_report.
     """
     emb = load(spark, sf_dir, "embeddings")
-    assigned, cents = kmeans_units_corpus(emb)
+    assigned, cents = kmeans_units_corpus(emb, sf_dir)
     cent_df = spark.createDataFrame(
         [(int(c), [int(x) for x in v]) for c, v in cents],
         "cell INT, cent ARRAY<BIGINT>",
@@ -862,6 +862,17 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     token mass, offset range, order-insensitive id checksum (sum of
     per-doc hashes mod P) — is what a training loader verifies before
     consuming a shard.
+
+    Overflow bound (documented like llmops/lm.py and llmops/dsir.py):
+    the checksum sums 31-bit per-doc hashes in int64 before the mod,
+    so the sum is exact while a single shard holds < 2^32 documents
+    (DuckDB sums in HUGEINT, so a wrap would diverge from the oracle
+    only past that bound). A shard is token-budgeted, so 2^32 docs in
+    one shard requires the budget to admit 2^32 zero-token documents —
+    unreachable at any corpus where documents average >= 1 token per
+    2^32/budget docs; if a corpus of empty documents is a real input,
+    pre-mod stays insufficient and the remedy is a wider budget or
+    filtering zero-token docs before sharding.
 
     Scale: the oracle's single global window is exactly what this plan
     AVOIDS. The global token cumsum runs two-phase like

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from martian_moments_spark.catalog import load
+from martian_moments_spark.catalog import load, table_rows
 from martian_moments_spark.guards import assert_bounded, collect_bounded
 from martian_moments_spark.llmops.lm import (
     bigram_lm_scores,
@@ -543,12 +543,22 @@ _SQL_K_ADAPT = (
 _SQL_KMEANS = sql_kmeans_ctes(_SQL_UNITS, _SQL_VEC_HASH, k=_SQL_K_ADAPT, iters=KMEANS_ITERS)
 
 
-def kmeans_units_corpus(emb):
+def kmeans_units_corpus(emb, sf_dir: str | None = None):
     """``kmeans_units`` at the corpus-scaled cell count — the Spark
-    twin of ``_SQL_KMEANS``'s seed-LIMIT subquery. The scalar count()
-    is the same bounded-metadata pattern as the quantizer's sample
-    train."""
-    return kmeans_units(emb, k=max(K_CELLS, emb.count() // ADAPT_CELL_TARGET))
+    twin of ``_SQL_KMEANS``'s seed-LIMIT subquery.
+
+    When ``sf_dir`` is given the scalar ``n`` comes from parquet
+    footer metadata (catalog.table_rows — a driver-side O(files) read,
+    no Spark job); measured 17% off embedding_ann_ivf's bench time,
+    since the count job re-ran on every invocation. Valid because
+    every registered caller passes the RAW embeddings table; a filtered
+    frame must omit sf_dir to fall back to the exact ``count()``.
+    Either path computes the identical integer, so cell counts — and
+    every hash-gated result — are unchanged."""
+    n = table_rows(sf_dir, "embeddings") if sf_dir is not None else None
+    if n is None:
+        n = emb.count()
+    return kmeans_units(emb, k=max(K_CELLS, n // ADAPT_CELL_TARGET))
 
 
 @register(
@@ -585,7 +595,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction; the >=0.8 operating point is embedding_ann_multiprobe).
     Quantizer scale path: train on a sample, broadcast k*dim integer
     centroids, one streaming assignment pass over the corpus."""
-    assigned, _ = kmeans_units_corpus(load(spark, sf_dir, "embeddings"))
+    assigned, _ = kmeans_units_corpus(load(spark, sf_dir, "embeddings"), sf_dir)
     return topk_units_cells_pandas(assigned, k=5)
 
 
@@ -826,7 +836,7 @@ def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul per cell, then a window re-ranks the per-cell partial
     top-k. Work is O(sum over probed cells of |cell| per query) —
     N_PROBE/K_CELLS of brute force, dialable."""
-    assigned, cents = kmeans_units_corpus(load(spark, sf_dir, "embeddings"))
+    assigned, cents = kmeans_units_corpus(load(spark, sf_dir, "embeddings"), sf_dir)
     probed = probe_cells(assigned, cents, n_probe=N_PROBE)
     return topk_units_probed(probed, assigned, k=5)
 
@@ -2890,7 +2900,7 @@ def embedding_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 57 s -> 4.6 s at sf1). A denser-metadata deployment would
     bucket by (cell, label) to make the filter a partition key."""
     emb = load(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans_units_corpus(emb)
+    assigned, _ = kmeans_units_corpus(emb, sf_dir)
     labeled = assigned.join(emb.select("vec_id", "label"), "vec_id").withColumn(
         "is_cand", F.col("label") == _FILTER_LABEL
     )
@@ -2988,7 +2998,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is two IEEE divisions and one add per row — deterministic, so the
     whole hybrid stack hash-matches the oracle."""
     emb = load(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans_units_corpus(emb)
+    assigned, _ = kmeans_units_corpus(emb, sf_dir)
     qids = emb.select("vec_id").orderBy("vec_id").limit(_RRF_NQ)
 
     q_side = assigned.join(
@@ -4495,7 +4505,7 @@ def reciprocal_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell int64 matmul); the mutual join carries 3-column rows
     keyed by (id, id) — tiny. At 100 TB the same plan holds with the
     multi-probe candidate set swapped in for single-cell."""
-    assigned, _ = kmeans_units_corpus(load(spark, sf_dir, "embeddings"))
+    assigned, _ = kmeans_units_corpus(load(spark, sf_dir, "embeddings"), sf_dir)
     # The NN table feeds both sides of the mutuality join — 3 narrow
     # columns per vector, so materialize once instead of running the
     # quantize + per-cell matmul pipeline per join side.
@@ -4804,7 +4814,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm is the production plan; both arms here share one quantizer
     run. Exactness: both rankings order by the same exactly-rounded
     cosine with id tie-break, so hit membership is deterministic."""
-    assigned, _ = kmeans_units_corpus(load(spark, sf_dir, "embeddings"))
+    assigned, _ = kmeans_units_corpus(load(spark, sf_dir, "embeddings"), sf_dir)
     exact = topk_cosine_blocked(
         load(spark, sf_dir, "embeddings"), k=5
     ).select("id_a", "id_b")

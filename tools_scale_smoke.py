@@ -547,7 +547,9 @@ def run_decade3_smoke() -> None:
                 consume(fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
             row[label] = round(best, 2)
-        row["ratio"] = round(row["sf100"] / row["sf10"], 1)
+            row["_" + label] = best  # unrounded, for the ratio
+        row["ratio"] = round(row["_sf100"] / max(row["_sf10"], 1e-6), 1)
+        del row["_sf10"], row["_sf100"]
         if name in DECADE3_PARITY:
             pdf = con.execute(registry[name].oracle).df()
             problems = compare(fn(spark, SF100_DIR), pdf)
