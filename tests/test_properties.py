@@ -1523,3 +1523,118 @@ def test_training_shard_manifest_accounting_closes(spark_h, tok_counts):
     assert sum(g["n_tokens"] for g in got.values()) == sum(tok_counts)
     for sid, g in got.items():
         assert g["first_offset"] // SHARD_TOKEN_BUDGET == sid
+
+
+# ------------------------------------------------------- classifier
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(st.integers(0, 5), min_size=4, max_size=4),  # x
+            st.sampled_from([1, -1]),                             # y
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    epochs=st.integers(1, 4),
+)
+@settings(max_examples=50, deadline=None)
+def test_perceptron_replay_exact(rows, epochs):
+    """train_perceptron (numpy int64) must equal a pure-Python integer
+    fold on any sample in any order — the exactness law the DuckDB
+    recursive-CTE oracle relies on (same updates, same final (w, b),
+    including boundary samples where y*(w.x+b) == 0 triggering an
+    update)."""
+    import numpy as np
+
+    from martian_moments_spark.llmops.classifier import train_perceptron
+
+    X = [x for x, _ in rows]
+    y = [lbl for _, lbl in rows]
+    w_ref = [0, 0, 0, 0]
+    b_ref = 0
+    n_ref = 0
+    for _ in range(epochs):
+        for xi, yi in zip(X, y):
+            s = sum(a * b for a, b in zip(w_ref, xi)) + b_ref
+            if yi * s <= 0:
+                w_ref = [a + yi * b for a, b in zip(w_ref, xi)]
+                b_ref += yi
+                n_ref += 1
+    Xa = np.array(X, dtype=np.int64).reshape(len(X), 4)
+    w, b, n = train_perceptron(Xa, np.array(y, dtype=np.int64), epochs)
+    assert list(w[:4]) == w_ref and b == b_ref and n == n_ref
+
+
+cls_gibberish_docs = st.lists(
+    st.lists(
+        # tokens outside the quality template's vocabulary (template
+        # tokens are q0..q39; these are g<seed> strings)
+        st.integers(0, 10_000).map(lambda i: f"g{i}"),
+        min_size=2,
+        max_size=8,
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(gibberish=cls_gibberish_docs)
+@settings(max_examples=25, deadline=None)
+def test_perceptron_separates_planted_gibberish(gibberish):
+    """Planted gibberish scores below quality documents on any seed:
+    build a corpus whose quality class (+1) is a fixed 40-token
+    template and whose junk class (-1) is hypothesis-random short
+    docs; when the two classes touch DISJOINT hash buckets the data
+    is linearly separable with margin, so the perceptron convergence
+    theorem guarantees a finite-epoch model classifying every
+    training doc — i.e. every gibberish doc scores <= 0 < every
+    quality doc. (Colliding-bucket draws are assumed away; at 512
+    buckets vs ~40 occupied the rejection rate is small.)"""
+    import hashlib
+
+    import numpy as np
+    from hypothesis import assume
+
+    from martian_moments_spark.llmops.classifier import (
+        CLS_BUCKETS,
+        train_perceptron,
+    )
+
+    HASH_P = 2_147_483_647
+
+    def bucket(bg: str) -> int:
+        return (
+            int(hashlib.md5(bg.encode()).hexdigest()[:8], 16) % HASH_P
+        ) % CLS_BUCKETS
+
+    template = [f"q{i}" for i in range(40)]
+    q_buckets = {
+        bucket(f"{template[i]} {template[i+1]}")
+        for i in range(len(template) - 1)
+    }
+    g_rows = []
+    for toks in gibberish:
+        bks = [bucket(f"{toks[i]} {toks[i+1]}") for i in range(len(toks) - 1)]
+        assume(not q_buckets & set(bks))  # disjoint support => separable
+        g_rows.append(bks)
+
+    def dense(bks):
+        x = np.zeros(CLS_BUCKETS, dtype=np.int64)
+        for b in bks:
+            x[b] += 1
+        return x
+
+    q_bks = [
+        bucket(f"{template[i]} {template[i+1]}")
+        for i in range(len(template) - 1)
+    ]
+    X = np.stack([dense(q_bks)] * 3 + [dense(b) for b in g_rows])
+    y = np.array([1] * 3 + [-1] * len(g_rows), dtype=np.int64)
+    w, b, _ = train_perceptron(X, y, epochs=256)
+    scores = X @ w + b
+    # converged: every training doc on its own side (strictly for +1,
+    # <= 0 for -1 — the update rule fires on the boundary)
+    assert all(s > 0 for s in scores[:3]), scores
+    assert all(s <= 0 for s in scores[3:]), scores
+    assert max(scores[3:]) < min(scores[:3])
