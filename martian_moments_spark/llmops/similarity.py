@@ -215,7 +215,55 @@ N_PROBE = 3
 #: vectors with the smallest (md5-hash, id) — a deterministic,
 #: order-free sample both engines select identically. Testdata corpora
 #: are far smaller than the cap, so training sees every vector there.
+#: SCALE DISCIPLINE: the sample must stay >= the cell count k, or the
+#: Spark side (seeds = first min(k, sample) of the sample) and the SQL
+#: side (seeds = first k of the table order) diverge, and cells cap at
+#: the sample size — cell sizes then grow linearly past
+#: sample * target vectors and within-cell work goes quadratic. The
+#: corpus-scaled callers (kmeans_units_corpus, hard_negatives) pass
+#: sample = max(KMEANS_SAMPLE, 2 * k), which is the identity below
+#: ~1M vectors (so every recorded result is unchanged) and holds the
+#: cell-size target above it. Driver training is O(sample * k * dim)
+#: float64 BLAS — seconds at 20k x 10k x 64.
 KMEANS_SAMPLE = 4096
+
+
+def _argmin_cells(U, C, cell_ids, chunk: int = 1024):
+    """Nearest-centroid assignment — argmin over cells of the exact
+    squared L2 distance ``|u|^2 + |c|^2 - 2 u.c`` — computed in
+    centroid CHUNKS with a running best. Value-identical to the
+    one-shot (n, k) matrix argmin: every distance is the same exact
+    integer (see _gram_f64), cell_ids ascend, and the strict ``<``
+    cross-chunk update keeps ties at the lowest cell id, which is
+    argmin's first-occurrence rule. The point is memory shape: the
+    largest temporary is (n, chunk) instead of (n, k) — at 5M vectors
+    x 10k cells the one-shot form allocates an 800 MB distance matrix
+    per Arrow batch, and on this container FIRST-TOUCH page faults
+    dominate fresh multi-GB allocations (measured ~80 MB/s first
+    touch vs GB/s reuse); same-size chunk temporaries are recycled by
+    the allocator after the first chunk. At 100 TB the same shape
+    holds: assignment cost is O(n*k*dim) flops with O(n*chunk)
+    memory, streaming over the corpus."""
+    import numpy as np
+
+    un = np.einsum("ij,ij->i", U, U)
+    best_d = None
+    best_c = None
+    rows = np.arange(len(U))
+    for s in range(0, len(cell_ids), chunk):
+        Cc = C[s : s + chunk]
+        cn = np.einsum("ij,ij->i", Cc, Cc)
+        d = un[:, None] + cn[None, :] - 2 * _gram_f64(U, Cc)
+        j = d.argmin(axis=1)
+        dj = d[rows, j]
+        cj = cell_ids[s + j]
+        if best_d is None:
+            best_d, best_c = dj, cj
+        else:
+            upd = dj < best_d
+            best_d = np.where(upd, dj, best_d)
+            best_c = np.where(upd, cj, best_c)
+    return best_c
 
 
 def kmeans_units(
@@ -272,28 +320,24 @@ def kmeans_units(
     T = np.stack([np.asarray(r[0], dtype=np.int64) for r in train_rows])
     cents = [(i, T[i].copy()) for i in range(min(k, len(T)))]
 
-    def sq_dists(A, C):
-        # ||a-c||^2 = |a|^2 + |c|^2 - 2 a.c — identical int64 values
-        # to the broadcast subtract-square (every term is exact
-        # integer arithmetic, magnitudes ~1e15 << 2^63), but a matmul
-        # instead of an (n, k, dim) broadcast temporary.
-        an = np.einsum("ij,ij->i", A, A)
-        cn = np.einsum("ij,ij->i", C, C)
-        return an[:, None] + cn[None, :] - 2 * _gram_f64(A, C)
-
     for _ in range(iters):
         cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
         C = np.stack([v for _, v in cents])
-        d = sq_dists(T, C)
-        a = cell_ids[d.argmin(axis=1)]
-        new_cents = []
-        for cid in cell_ids:
-            members = T[a == cid]
-            if len(members):
-                new_cents.append(
-                    (int(cid), np.floor(members.sum(axis=0) / len(members) + 0.5).astype(np.int64))
-                )
-        cents = new_cents
+        a = _argmin_cells(T, C, cell_ids)
+        # centroid update by sort + reduceat: O(n log n) instead of a
+        # per-cell boolean mask scan (O(n*k) — minutes at k=10k).
+        # Value-identical: int64 sums are order-free and reduceat
+        # emits groups in ascending cell id, exactly the order the
+        # mask loop walked; empty cells simply never appear.
+        ordr = np.argsort(a, kind="stable")
+        sa = a[ordr]
+        starts = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
+        sums = np.add.reduceat(T[ordr], starts, axis=0)
+        counts = np.diff(np.r_[starts, len(sa)])
+        cents = [
+            (int(cid), np.floor(ssum / cnt + 0.5).astype(np.int64))
+            for cid, ssum, cnt in zip(sa[starts], sums, counts)
+        ]
 
     cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
     C = np.stack([v for _, v in cents])
@@ -301,16 +345,14 @@ def kmeans_units(
     def fn(batches):
         import pandas as pd
 
-        cn = np.einsum("ij,ij->i", C, C)
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf.assign(cell=pd.Series([], dtype="int32"))
                 continue
             U = np.stack([np.asarray(u, dtype=np.int64) for u in pdf["units"]])
-            # same exact int64 distances as the subtract-square form
-            un = np.einsum("ij,ij->i", U, U)
-            d = un[:, None] + cn[None, :] - 2 * _gram_f64(U, C)
-            yield pdf.assign(cell=cell_ids[d.argmin(axis=1)].astype("int32"))
+            yield pdf.assign(
+                cell=_argmin_cells(U, C, cell_ids).astype("int32")
+            )
 
     schema = f"{id_col} BIGINT, units ARRAY<BIGINT>, norm2 BIGINT, cell INT"
     return base.mapInPandas(fn, schema), cents
@@ -361,8 +403,21 @@ def probe_cells(assigned: DataFrame, centroids, n_probe: int = N_PROBE) -> DataF
 
 def topk_units_cells_pandas(assigned: DataFrame, k: int = 5) -> DataFrame:
     """Per-cell exact top-k from precomputed units (the kmeans_units
-    output): one shuffle on the cell key, one int64 numpy matmul per
-    cell — the search stage of the IVF path."""
+    output): one shuffle on the cell key, blocked int64 matmuls per
+    cell — the search stage of the IVF path.
+
+    HOT-CELL DISCIPLINE (r09, measured at 5M vectors): quantizer cells
+    are never perfectly balanced (the 5M cell-balance report shows a
+    40x-target hottest cell), and the earlier whole-cell form built an
+    m x m cosine matrix (3.2 GB at m=20k) plus a PER-ROW python
+    lexsort (m sorts of m — minutes for one hot cell). Queries now
+    stream in fixed row-chunks against the whole candidate set: the
+    largest temporary is (chunk, m) (~80 MB at m=20k) and selection is
+    one vectorized STABLE argsort per chunk. Value-identical: the
+    cosine keeps the exact division order (g / (na*nb), one division),
+    candidate columns are in ascending-id order so a stable sort on
+    -cos breaks ties toward the lowest id — precisely the old
+    lexsort((ids, -cos)) rule."""
     import numpy as np
     import pandas as pd
 
@@ -377,20 +432,34 @@ def topk_units_cells_pandas(assigned: DataFrame, k: int = 5) -> DataFrame:
         order = np.argsort(ids)
         ids = ids[order]
         u = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["units"]])[order]
-        g = _gram_f64(u)
-        norms = np.sqrt(np.diag(g).astype(np.float64))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = g.astype(np.float64) / np.outer(norms, norms)
-        np.fill_diagonal(cos, -np.inf)
+        norms = np.sqrt(np.einsum("ij,ij->i", u, u).astype(np.float64))
         kk = min(k, n - 1)
         cell = int(pdf["cell"].iloc[0])
-        out = []
-        for i in range(n):
-            idx = np.lexsort((ids, -cos[i]))[: kk + 1]
-            idx = idx[idx != i][:kk]
-            for rank, j in enumerate(idx, start=1):
-                out.append((ids[i], ids[j], cos[i, j], rank, cell))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "cosine", "rank", "cell"]).astype(
+        ida, idb, cosv, rankv = [], [], [], []
+        chunk = 512
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            g = _gram_f64(u[s:e], u)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = g / np.outer(norms[s:e], norms)
+            rows = np.arange(s, e)
+            cos[np.arange(e - s), rows] = -np.inf  # self-exclude
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            for r in range(e - s):
+                sel = top[r]
+                ida.append(np.full(kk, ids[s + r]))
+                idb.append(ids[sel])
+                cosv.append(cos[r, sel])
+            rankv.append(np.tile(np.arange(1, kk + 1), e - s))
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(ida),
+                "id_b": np.concatenate(idb),
+                "cosine": np.concatenate(cosv),
+                "rank": np.concatenate(rankv),
+                "cell": cell,
+            }
+        ).astype(
             {"id_a": "int64", "id_b": "int64", "cosine": "float64", "rank": "int32", "cell": "int32"}
         )
 
@@ -491,14 +560,29 @@ def semdedup_verdicts_pandas(assigned: DataFrame, tau: float) -> DataFrame:
         dup = pd.array([pd.NA] * n, dtype="Int64")
         if n >= 2:
             u = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["units"]])[order]
-            g = _gram_f64(u)
-            norms = np.sqrt(np.diag(g).astype(np.float64))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = g.astype(np.float64) / np.outer(norms, norms)
-            mask = np.triu(cos >= tau, k=1)  # row i strictly below col j in id order
-            has = mask.any(axis=0)
-            first = mask.argmax(axis=0)
-            for j in np.nonzero(has)[0]:
+            norms = np.sqrt(np.einsum("ij,ij->i", u, u).astype(np.float64))
+            # hot-cell discipline (see topk_units_cells_pandas): the
+            # candidate rows stream in fixed chunks against all
+            # columns, so the largest temporary is (chunk, n), not
+            # (n, n). Chunks ascend in id order and a column keeps its
+            # FIRST hit, so dup_of is still the MINIMUM lower id —
+            # value-identical to the one-shot triu scan.
+            first = np.full(n, -1, dtype=np.int64)
+            cols = np.arange(n)
+            chunk = 512
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                g = _gram_f64(u[s:e], u)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = g / np.outer(norms[s:e], norms)
+                mask = (cos >= tau) & (
+                    (np.arange(s, e)[:, None]) < cols[None, :]
+                )
+                has_c = mask.any(axis=0)
+                first_c = mask.argmax(axis=0)
+                take = has_c & (first == -1)
+                first[take] = s + first_c[take]
+            for j in np.nonzero(first >= 0)[0]:
                 dup[j] = ids[first[j]]
         return pd.DataFrame(
             {
@@ -650,7 +734,7 @@ def sql_kmeans_ctes(
     iters: int = KMEANS_ITERS,
     table: str = "embeddings",
     id_col: str = "vec_id",
-    sample: int = KMEANS_SAMPLE,
+    sample: int | str = KMEANS_SAMPLE,
 ) -> str:
     """DuckDB CTE chain replaying ``kmeans_units`` exactly (same
     hash-ordered training sample, same seeds, same integer distances,
@@ -661,7 +745,10 @@ def sql_kmeans_ctes(
     ``k`` may be a SQL scalar-subquery string (e.g. ``(SELECT
     GREATEST(4, COUNT(*) // 64) FROM embeddings)``) — it lands only in
     the seed LIMIT, so a corpus-scaled cell count replays exactly as
-    long as the Spark side computes the identical integer."""
+    long as the Spark side computes the identical integer. ``sample``
+    may likewise be a SQL expression (the corpus-scaled callers pass
+    ``GREATEST(KMEANS_SAMPLE, 2 * k)`` — see the KMEANS_SAMPLE scale
+    note); it must evaluate >= k or the seed selections diverge."""
     parts = [
         f"""kunits AS (
             SELECT {id_col} AS vec_id, {units_sql} AS units,

@@ -16,10 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from martian_moments_spark.catalog import load
+from martian_moments_spark.catalog import load, table_rows
 from martian_moments_spark.llmops.dsir import dsir_weights, sql_dsir_ctes
 from martian_moments_spark.llmops.similarity import (
     K_CELLS,
+    KMEANS_SAMPLE,
     hard_negatives_cells_pandas,
     kmeans_units,
     semdedup_verdicts_pandas,
@@ -647,13 +648,16 @@ HN_K = 3  # hard negatives mined per anchor
 #: count(), the oracle from the scalar subquery in the seed LIMIT.
 HN_CELL_TARGET = 64
 _HN_K_SQL = f"(SELECT GREATEST({K_CELLS}, COUNT(*) // {HN_CELL_TARGET}) FROM embeddings)"
+# sample scales with the cell count (identity below ~131k vectors at
+# the 64-vector HN target — see the KMEANS_SAMPLE scale note).
+_HN_SAMPLE_SQL = f"GREATEST({KMEANS_SAMPLE}, 2 * {_HN_K_SQL})"
 
 
 @register(
     "hard_negative_mining",
     ops=("J2", "W2", "O2"),
     oracle=f"""
-        WITH {sql_kmeans_ctes(_SQL_UNITS, _SQL_VEC_HASH, k=_HN_K_SQL)}, pairs AS (
+        WITH {sql_kmeans_ctes(_SQL_UNITS, _SQL_VEC_HASH, k=_HN_K_SQL, sample=_HN_SAMPLE_SQL)}, pairs AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neg_id,
                    CAST(list_sum(list_transform(list_zip(a.units, b.units),
                         z -> z[1] * z[2])) AS BIGINT) AS dot,
@@ -709,8 +713,13 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     in its seed LIMIT subquery.
     """
     emb = load(spark, sf_dir, "embeddings")
-    k_cells = max(K_CELLS, emb.count() // HN_CELL_TARGET)
-    assigned, _ = kmeans_units(emb, k=k_cells)
+    n = table_rows(sf_dir, "embeddings")
+    if n is None:
+        n = emb.count()
+    k_cells = max(K_CELLS, n // HN_CELL_TARGET)
+    assigned, _ = kmeans_units(
+        emb, k=k_cells, sample=max(KMEANS_SAMPLE, 2 * k_cells)
+    )
     with_lab = assigned.join(
         emb.select("vec_id", F.col("label").cast("int").alias("label")), "vec_id"
     )

@@ -42,6 +42,7 @@ from martian_moments_spark.llmops.similarity import (
     FIXED_SCALE,
     K_CELLS,
     KMEANS_ITERS,
+    KMEANS_SAMPLE,
     N_PROBE,
     cosine_fixed,
     kmeans_units,
@@ -540,7 +541,16 @@ ADAPT_CELL_TARGET = 500
 _SQL_K_ADAPT = (
     f"(SELECT GREATEST({K_CELLS}, COUNT(*) // {ADAPT_CELL_TARGET}) FROM embeddings)"
 )
-_SQL_KMEANS = sql_kmeans_ctes(_SQL_UNITS, _SQL_VEC_HASH, k=_SQL_K_ADAPT, iters=KMEANS_ITERS)
+# sample scales with the cell count (identity below ~1M vectors — see
+# the KMEANS_SAMPLE scale note) so cells never cap at the sample size.
+_SQL_SAMPLE_ADAPT = f"GREATEST({KMEANS_SAMPLE}, 2 * {_SQL_K_ADAPT})"
+_SQL_KMEANS = sql_kmeans_ctes(
+    _SQL_UNITS,
+    _SQL_VEC_HASH,
+    k=_SQL_K_ADAPT,
+    iters=KMEANS_ITERS,
+    sample=_SQL_SAMPLE_ADAPT,
+)
 
 
 def kmeans_units_corpus(emb, sf_dir: str | None = None):
@@ -558,7 +568,8 @@ def kmeans_units_corpus(emb, sf_dir: str | None = None):
     n = table_rows(sf_dir, "embeddings") if sf_dir is not None else None
     if n is None:
         n = emb.count()
-    return kmeans_units(emb, k=max(K_CELLS, n // ADAPT_CELL_TARGET))
+    k = max(K_CELLS, n // ADAPT_CELL_TARGET)
+    return kmeans_units(emb, k=k, sample=max(KMEANS_SAMPLE, 2 * k))
 
 
 @register(

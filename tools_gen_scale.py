@@ -269,9 +269,60 @@ def main() -> None:
     spark.stop()
 
 
+
+
+def _emb_df(spark, n_vec: int, dim: int = 64):
+    """The fixture's embedding law at any size: 64 hash-derived floats
+    in [-1, 1) per vector, 10 labels — same expression as main()'s
+    20k set, so sf10emb/sf100emb vectors 0..19999 are IDENTICAL to
+    sf1's (a superset, the key-offset-replication analogue: the law,
+    not the data, is what scales)."""
+    return spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id").cast("string"), j.cast("string")), F.lit(2000))
+                .cast("double")
+                / F.lit(1000.0)
+                - F.lit(1.0)
+            ).cast("float"),
+        ).alias("embedding"),
+        F.pmod(F.xxhash64((F.col("id") + 7).cast("string")), F.lit(10)).cast("int").alias("label"),
+    )
+
+
+def gen_embdecade() -> None:
+    """Embedding decade pair for the quantizer-family scale evidence
+    (VERDICT r08 Next-round #4): .scale_data/sf10emb (500k x 64) and
+    .scale_data/sf100emb (5M x 64) under the same hash law as sf1's
+    20k set. Separate dirs (not a swap of sf10/sf100's embeddings
+    symlink) so the recorded documents-family decade evidence keeps
+    its exact inputs. Other tables symlink to sf1 for oracle view
+    registration. Run: python tools_gen_scale.py --embdecade
+    (~3 min, ~1.6 GB)."""
+    spark = get_spark(app_name="mm-gen-scale-emb")
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data")
+    for name, n_vec, parts in (("sf10emb", 500_000, 16), ("sf100emb", 5_000_000, 64)):
+        out = os.path.join(base, name)
+        os.makedirs(out, exist_ok=True)
+        _emb_df(spark, n_vec).repartition(parts).write.mode("overwrite").parquet(
+            f"{out}/embeddings.parquet"
+        )
+        print(name, "embeddings:", spark.read.parquet(f"{out}/embeddings.parquet").count())
+        sf1 = os.path.join(base, "sf1")
+        for t in sorted(os.listdir(sf1)):
+            dst = os.path.join(out, t)
+            if t.startswith("embeddings") or os.path.lexists(dst):
+                continue
+            os.symlink(os.path.join("..", "sf1", t), dst)
+    spark.stop()
+
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         gen_skew()
+    elif "--embdecade" in sys.argv:
+        gen_embdecade()
     elif "--sf100" in sys.argv:
         gen_sf100()
     elif "--sf10" in sys.argv:

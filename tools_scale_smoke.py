@@ -102,6 +102,7 @@ DECADE3_QUERIES = (
     "dsir_hashed_ngram_weights",
     "training_shard_manifest",
     "bm25_probe_ranking",  # inverted-index family; carries the fixed-heap note below
+    "quality_classifier_scores",  # learned tier (r09): train-replay + broadcast scoring
 )
 # curation_to_training_mix is deliberately absent: its decontamination
 # benchmark side is a FIXED EXTERNAL TABLE at production scale, but the
@@ -109,8 +110,27 @@ DECADE3_QUERIES = (
 # corpus and trips the declared guards.assert_bounded broadcast cap at
 # 5M docs — the guard refusing to broadcast an unbounded side is the
 # designed behavior, measured r08.
-DECADE3_PARITY = DECADE3_QUERIES
+# Every decade3 row is hash-compared against its DuckDB oracle at 5M
+# docs (the former DECADE3_PARITY alias and its unreachable else
+# branch are gone — ADVICE r08; the embedding decade below is where a
+# genuine oracle cost wall exists, and it carries its own note).
 SF100_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf100")
+
+# --embdecade: the quantizer-family decade (sf10emb 500k -> sf100emb
+# 5M vectors; tools_gen_scale.py --embdecade). Build and search are
+# measured SEPARATELY: IVF-Flat index build (nearest-centroid
+# assignment) is O(n*k*dim) = O(n^2 * dim / target) BY CONSTRUCTION
+# (cells scale with the corpus to hold the 500-vector target), so its
+# decade ratio is ~100x in flops and is reported as a declared-design
+# row outside the linear gate — production systems build once and
+# search many, and the linear-at-build path is hierarchical routing
+# (IMI/HNSW coarse quantizers), documented as the deployment note.
+# The GATED rows are the search-side stages over the prebuilt index —
+# within-cell top-k, SemDeDup verdicts, cell-balance report — whose
+# work is O(n * target), genuinely linear.
+EMB10_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf10emb")
+EMB100_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf100emb")
+EMBDECADE_MARK = "## Embedding decade (sf10emb 500k -> sf100emb 5M vectors, quantizer family)"
 
 
 
@@ -550,12 +570,9 @@ def run_decade3_smoke() -> None:
             row["_" + label] = best  # unrounded, for the ratio
         row["ratio"] = round(row["_sf100"] / max(row["_sf10"], 1e-6), 1)
         del row["_sf10"], row["_sf100"]
-        if name in DECADE3_PARITY:
-            pdf = con.execute(registry[name].oracle).df()
-            problems = compare(fn(spark, SF100_DIR), pdf)
-            row["sf100_parity"] = "OK" if not problems else "; ".join(problems)
-        else:
-            row["sf100_parity"] = "n/a (oracle cost wall; exact at sf10)"
+        pdf = con.execute(registry[name].oracle).df()
+        problems = compare(fn(spark, SF100_DIR), pdf)
+        row["sf100_parity"] = "OK" if not problems else "; ".join(problems)
         results[name] = row
         print(json.dumps({"query": name, **row}), flush=True)
         jsc = spark.sparkContext._jsc.sc()
@@ -626,9 +643,193 @@ def run_decade3_smoke() -> None:
     spark.stop()
 
 
+def run_embdecade_smoke() -> None:
+    """--embdecade: the quantizer family at 500k and 5M vectors (see
+    the EMB10_DIR block comment for the build/search methodology).
+    Per scale: ONE timed index build (kmeans_units_corpus assignment,
+    materialized to parquet — the declared-design O(n*k) row), then
+    warm best-of-two over the PREBUILT index for the gated linear
+    stages. Hash parity with DuckDB is a genuine cost wall here (the
+    SQL kmeans replay is O(n*k) list-dot-products — hours at 500k),
+    so sf100emb correctness evidence is (a) the decade1 sf1 parity
+    rows for the same code path, (b) a same-session determinism
+    double-hash at 5M, (c) assignment invariants: every vector
+    assigned, cell count == the corpus-scaled k, max cell size
+    reported (the 5M cell-balance report)."""
+    from bench import consume
+    from martian_moments_spark.catalog import load, table_rows
+    from martian_moments_spark.llmops.similarity import (
+        semdedup_verdicts_pandas,
+        topk_units_cells_pandas,
+    )
+    from martian_moments_spark.plans import load_all
+    from martian_moments_spark.plans.queries_curation import SEMDEDUP_TAU
+    from martian_moments_spark.plans.queries_llm import (
+        ADAPT_CELL_TARGET,
+        kmeans_units_corpus,
+    )
+
+    if not os.path.isdir(EMB100_DIR):
+        sys.exit("run `python tools_gen_scale.py --embdecade` first")
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+    load_all()
+    spark = get_spark(app_name="mm-scale-embdecade")
+
+    def hash_consume(df):
+        from pyspark.sql import functions as F
+
+        return df.select(F.xxhash64(*df.columns).alias("__h")).agg(
+            F.bit_xor("__h")
+        ).collect()[0][0]
+
+    results: dict[str, dict] = {}
+    balance: dict[str, dict] = {}
+    for label, sf_dir in (("sf10emb", EMB10_DIR), ("sf100emb", EMB100_DIR)):
+        n = table_rows(sf_dir, "embeddings")
+        k = max(4, n // ADAPT_CELL_TARGET)
+        idx_path = os.path.join(sf_dir, "ivf_index.parquet")
+        t0 = time.perf_counter()
+        assigned, _ = kmeans_units_corpus(load(spark, sf_dir, "embeddings"), sf_dir)
+        assigned.write.mode("overwrite").parquet(idx_path)
+        build_s = round(time.perf_counter() - t0, 2)
+        results.setdefault("ivf_index_build", {})[label] = build_s
+        idx = spark.read.parquet(idx_path)
+        # assignment invariants — the cell-balance report
+        per = idx.groupBy("cell").count()
+        from pyspark.sql import functions as F
+
+        stats = per.agg(
+            F.count("*").alias("n_cells"),
+            F.sum("count").alias("n_assigned"),
+            F.max("count").alias("max_cell"),
+        ).collect()[0]
+        balance[label] = {
+            "n": n,
+            "k": k,
+            "n_cells": stats["n_cells"],
+            "n_assigned": stats["n_assigned"],
+            "max_cell": stats["max_cell"],
+            "max_over_target": round(stats["max_cell"] / ADAPT_CELL_TARGET, 1),
+        }
+        assert stats["n_assigned"] == n, balance[label]
+        print(json.dumps({"build": label, "sec": build_s, **balance[label]}), flush=True)
+
+        stages = {
+            "ivf_search_topk": lambda idx=idx: consume(
+                topk_units_cells_pandas(idx, k=5)
+            ),
+            "ivf_cell_balance": lambda per=per: consume(
+                per.select("cell", F.col("count").cast("long").alias("n"))
+            ),
+            "semdedup_verdicts": lambda idx=idx: consume(
+                semdedup_verdicts_pandas(idx, SEMDEDUP_TAU)
+            ),
+        }
+        for sname, thunk in stages.items():
+            thunk()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                thunk()
+                best = min(best, time.perf_counter() - t0)
+            results.setdefault(sname, {})[label] = round(best, 2)
+            results[sname]["_" + label] = best
+            print(json.dumps({"stage": sname, "scale": label, "sec": round(best, 2)}), flush=True)
+
+    # determinism double-hash at 5M (same session, two full executions)
+    idx100 = spark.read.parquet(os.path.join(EMB100_DIR, "ivf_index.parquet"))
+    h1 = hash_consume(topk_units_cells_pandas(idx100, k=5))
+    h2 = hash_consume(topk_units_cells_pandas(idx100, k=5))
+    determinism = {"hash1": h1, "hash2": h2, "equal": h1 == h2}
+    assert h1 == h2, determinism
+
+    for sname, row in results.items():
+        if "_sf10emb" in row:
+            row["ratio"] = round(row["_sf100emb"] / max(row["_sf10emb"], 1e-6), 1)
+            del row["_sf10emb"], row["_sf100emb"]
+        else:
+            row["ratio"] = round(row["sf100emb"] / max(row["sf10emb"], 1e-6), 1)
+
+    section = (
+        f"\n{EMBDECADE_MARK}\n\n"
+        "Generated by `python tools_scale_smoke.py --embdecade` against\n"
+        "`.scale_data/sf10emb` (500k x 64) and `.scale_data/sf100emb`\n"
+        "(5M x 64; same hash law as sf1's 20k set — tools_gen_scale.py\n"
+        "--embdecade). Build and search measured SEPARATELY, the way\n"
+        "production vector systems run them: the index is built once\n"
+        "(one timed pass, materialized to parquet) and the search-side\n"
+        "stages run warm best-of-two over the PREBUILT index.\n\n"
+        "| stage | sf10emb (s) | sf100emb (s) | ratio | verdict |\n"
+        "|---|---|---|---|---|\n"
+    )
+    for sname, row in results.items():
+        if sname == "ivf_index_build":
+            verdict = "declared O(n·k) build (see note)"
+        else:
+            verdict = (
+                "✅ ~linear" if row["ratio"] <= LINEAR_CAP else "❌ SUPERLINEAR"
+            )
+        section += (
+            f"| `{sname}` | {row['sf10emb']} | {row['sf100emb']} "
+            f"| {row['ratio']}x | {verdict} |\n"
+        )
+    flagged = [
+        n
+        for n, r in results.items()
+        if n != "ivf_index_build" and r["ratio"] > LINEAR_CAP
+    ]
+    section += f"\nFlagged superlinear (gated search stages): {flagged if flagged else 'none'}.\n"
+    section += (
+        "\nCell-balance report (the assignment invariants at both\n"
+        "scales — every vector assigned, cell count == the\n"
+        "corpus-scaled k, max cell vs the 500-vector target):\n\n"
+        "| scale | n | k | cells | max cell | max/target |\n"
+        "|---|---|---|---|---|---|\n"
+    )
+    for label, b in balance.items():
+        section += (
+            f"| {label} | {b['n']} | {b['k']} | {b['n_cells']} "
+            f"| {b['max_cell']} | {b['max_over_target']}x |\n"
+        )
+    section += (
+        f"\nDeterminism at 5M: two same-session executions of the top-k\n"
+        f"search hash-agree ({determinism['hash1']}).\n"
+        "\nReading the build row right: IVF-Flat nearest-centroid\n"
+        "assignment is O(n*k*dim) with k = n/500, i.e. O(n^2*dim/500)\n"
+        "BY CONSTRUCTION — the decade ratio carries a 100x flops term\n"
+        "partially hidden under linear Arrow/serialization overheads.\n"
+        "This is the standard flat-quantizer trade every IVF system\n"
+        "makes; the linear-at-build deployment path is hierarchical\n"
+        "coarse routing (IMI / HNSW-assigned cells), which changes\n"
+        "cell membership and is therefore a separate operator, not a\n"
+        "rewrite of this one. Search-side stages are O(n * target) and\n"
+        "measured linear above. DuckDB hash parity at these sizes is a\n"
+        "genuine oracle cost wall (the SQL kmeans replay is O(n*k)\n"
+        "list-dot-products — hours at 500k); exactness is anchored by\n"
+        "the decade1 sf1 parity rows over the identical code path, the\n"
+        "determinism double-hash, and the assignment invariants above.\n"
+        "kmeans training itself is chunk-streamed (similarity.py\n"
+        "_argmin_cells): the one-shot (n, k) distance matrix measured\n"
+        "105 s/iter at 20k x 10k on this container's first-touch-slow\n"
+        "memory vs 22 s total chunked.\n"
+    )
+    with open("SCALE.md") as f:
+        doc = f.read()
+    cut = doc.find(EMBDECADE_MARK)
+    if cut != -1:
+        doc = doc[: max(doc.rfind("\n", 0, cut), 0)]
+    with open("SCALE.md", "w") as f:
+        f.write(doc + section)
+    print(json.dumps({"embdecade": results, "balance": balance, "flagged": flagged}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         run_skew_smoke()
+        sys.exit(0)
+    if "--embdecade" in sys.argv:
+        run_embdecade_smoke()
         sys.exit(0)
     if "--decade3" in sys.argv:
         run_decade3_smoke()

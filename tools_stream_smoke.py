@@ -64,15 +64,17 @@ def rate_events(spark, rate=RATE, n_keys=N_KEYS):
     )
 
 
-def measure(name, df, out, mode="update", run_seconds=RUN_SECONDS):
+def measure(name, df, out, mode="update", run_seconds=RUN_SECONDS, trigger=None):
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
+    writer = (
         df.writeStream.outputMode(mode)
         .format("noop")
         .option("checkpointLocation", ckpt)
         .queryName(name)
-        .start()
     )
+    if trigger is not None:
+        writer = writer.trigger(processingTime=trigger)
+    q = writer.start()
     try:
         time.sleep(run_seconds)
         prog = [json.loads(p.json) for p in q.recentProgress]
@@ -313,12 +315,18 @@ def main() -> None:
     # rate: per-group pandas overhead caps it well below the built-in
     # operators, which is exactly the seam-vs-builtin gap worth recording
     ev_slow = rate_events(spark, rate=200_000, n_keys=10_000)
+    # measured at the RECOMMENDED operating point (stateful.py
+    # SESSIONIZE_TRIGGER = 5 s — the r08 A/B's +1.5x lever), so the
+    # recorded number is what a user following the docstring gets.
+    from martian_moments_spark.streaming.stateful import SESSIONIZE_TRIGGER
+
     measure(
         "stateful_sessionize",
         streaming_sessionize(ev_slow.select("user_id", "ts"), gap_minutes=10),
         out,
         mode="append",
         run_seconds=40,
+        trigger=SESSIONIZE_TRIGGER,
     )
     # the SAME business question (user sessions, 10-minute gap) asked
     # of the built-in session_window operator, at the same offered rate
@@ -331,6 +339,7 @@ def main() -> None:
         out,
         mode="append",
         run_seconds=40,
+        trigger=SESSIONIZE_TRIGGER,  # same trigger: apples-to-apples
     )
 
     with open("STREAM_SCALE.md", "w") as f:
@@ -356,6 +365,13 @@ def main() -> None:
         sw_cap = out.get("session_window", {}).get("rows_per_sec", 0)
         r_same = round(sw_same / ss, 1) if ss else float("nan")
         r_cap = round(sw_cap / ss, 1) if ss else float("nan")
+        f.write(
+            "\nBoth sessionize rows run at the RECOMMENDED 5 s\n"
+            "processingTime trigger (stateful.SESSIONIZE_TRIGGER — the\n"
+            "r08 A/B's measured +1.5x lever over ASAP), so the numbers\n"
+            "above are the default operating point the docstring sends\n"
+            "users to, not the worst-case dispatch-bound one.\n"
+        )
         f.write(
             "\n## When the built-in session_window suffices\n\n"
             "`stateful_sessionize` and `session_window_same_q` ask the\n"
