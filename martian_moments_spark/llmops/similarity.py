@@ -176,25 +176,29 @@ def topk_cosine_cells_pandas(
         u = np.stack(
             [half_up(np.asarray(e, dtype=np.float64) * FIXED_SCALE) for e in pdf[emb_col]]
         ).astype(np.int64)[order]
-        g = _gram_f64(u)  # exact integer dot products (see _gram_f64)
-        norms = np.sqrt(np.diag(g).astype(np.float64))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = g.astype(np.float64) / np.outer(norms, norms)
-        np.fill_diagonal(cos, -np.inf)  # exclude self
         n = len(ids)
         kk = min(k, n - 1)
         if kk <= 0:
             return pd.DataFrame(
                 {"id_a": [], "id_b": [], "cosine": [], "rank": [], "cell": []}
             ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64", "rank": "int32", "cell": "int32"})
+        norms = np.sqrt(np.einsum("ij,ij->i", u, u).astype(np.float64))
         out = []
         cell = pdf[cell_col].iloc[0]
-        for i in range(n):
-            # sort by (-cosine, id_b): lexsort keys are last-key-primary
-            idx = np.lexsort((ids, -cos[i]))[:kk + 1]
-            idx = idx[idx != i][:kk]
-            for rank, j in enumerate(idx, start=1):
-                out.append((ids[i], ids[j], cos[i, j], rank, cell))
+        # hot-cell discipline (see topk_units_cells_pandas): chunked
+        # queries, stable argsort over id-ascending columns, self at
+        # -inf — identical ranking to the old per-row lexsort.
+        chunk = 512
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            g = _gram_f64(u[s:e], u)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = g / np.outer(norms[s:e], norms)
+            cos[np.arange(e - s), np.arange(s, e)] = -np.inf
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            for r in range(e - s):
+                for rank, j in enumerate(top[r], start=1):
+                    out.append((ids[s + r], ids[j], cos[r, j], rank, cell))
         return pd.DataFrame(out, columns=["id_a", "id_b", "cosine", "rank", "cell"]).astype(
             {"id_a": "int64", "id_b": "int64", "cosine": "float64", "rank": "int32", "cell": "int32"}
         )
@@ -504,23 +508,32 @@ def topk_units_cells_filtered_pandas(
         if n == 0 or m == 0 or (n == 1 and cand[0]):
             return empty
         u = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["units"]])[order]
-        norms = np.sqrt((u * u).sum(axis=1).astype(np.float64))
+        norms = np.sqrt(np.einsum("ij,ij->i", u, u).astype(np.float64))
         uc = u[cand]
-        g = u @ uc.T  # queries x candidates, int64-exact
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = g.astype(np.float64) / np.outer(norms, norms[cand])
         cand_ids = ids[cand]
+        cand_norms = norms[cand]
         cell = int(pdf["cell"].iloc[0])
         out = []
-        for i in range(n):
-            row = cos[i]
-            keep = cand_ids != ids[i]  # a vector never matches itself
-            cidx = np.nonzero(keep)[0]
-            if len(cidx) == 0:
-                continue
-            idx = cidx[np.lexsort((cand_ids[cidx], -row[cidx]))][:k]
-            for rank, j in enumerate(idx, start=1):
-                out.append((ids[i], cand_ids[j], cos[i, j], rank, cell))
+        # hot-cell discipline (see topk_units_cells_pandas): query rows
+        # stream in fixed chunks against the candidate block, _gram_f64
+        # replaces the naive int64 matmul, and selection is one stable
+        # argsort per chunk — candidate columns ascend in id, so ties
+        # break toward the lowest id exactly like the old per-row
+        # lexsort((cand_ids, -cos)); self sits at -inf and sorts last,
+        # then the validity filter drops it.
+        chunk = 512
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            g = _gram_f64(u[s:e], uc)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = g / np.outer(norms[s:e], cand_norms)
+            valid = cand_ids[None, :] != ids[s:e, None]
+            masked = np.where(valid, cos, -np.inf)
+            top = np.argsort(-masked, axis=1, kind="stable")[:, : k + 1]
+            for r in range(e - s):
+                sel = top[r][valid[r, top[r]]][:k]
+                for rank, j in enumerate(sel, start=1):
+                    out.append((ids[s + r], cand_ids[j], cos[r, j], rank, cell))
         if not out:
             return empty
         return pd.DataFrame(
@@ -629,19 +642,29 @@ def hard_negatives_cells_pandas(assigned: DataFrame, k: int = 3) -> DataFrame:
         ids = ids[order]
         labels = pdf["label"].to_numpy()[order]
         u = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["units"]])[order]
-        g = _gram_f64(u)
-        norms = np.sqrt(np.diag(g).astype(np.float64))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = g.astype(np.float64) / np.outer(norms, norms)
+        norms = np.sqrt(np.einsum("ij,ij->i", u, u).astype(np.float64))
         out = []
-        for i in range(n):
-            cand = np.nonzero(labels != labels[i])[0]
-            if len(cand) == 0:
-                continue
-            row = cos[i, cand]
-            idx = cand[np.lexsort((ids[cand], -row))][:k]
-            for rank, j in enumerate(idx, start=1):
-                out.append((ids[i], labels[i], ids[j], labels[j], cos[i, j], rank))
+        # hot-cell discipline (see topk_units_cells_pandas): chunked
+        # queries, stable argsort with same-label candidates masked to
+        # -inf (columns ascend in id, so ties break toward the lowest
+        # neg_id exactly like the old per-row lexsort on the
+        # different-label subset; masked entries sort last and the
+        # validity filter drops them).
+        chunk = 512
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            g = _gram_f64(u[s:e], u)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = g / np.outer(norms[s:e], norms)
+            valid = labels[None, :] != labels[s : e, None]
+            masked = np.where(valid, cos, -np.inf)
+            top = np.argsort(-masked, axis=1, kind="stable")[:, :k]
+            for r in range(e - s):
+                sel = top[r][valid[r, top[r]]][:k]
+                for rank, j in enumerate(sel, start=1):
+                    out.append(
+                        (ids[s + r], labels[s + r], ids[j], labels[j], cos[r, j], rank)
+                    )
         if not out:
             return empty
         return pd.DataFrame(
@@ -695,21 +718,32 @@ def topk_units_probed(probed: DataFrame, assigned: DataFrame, k: int = 5) -> Dat
             return empty
         qi = left["id_a"].to_numpy()
         ci = right["id_b"].to_numpy()
+        order_c = np.argsort(ci)  # ascending ids => stable sort = id tie-break
+        ci = ci[order_c]
         qu = np.stack([np.asarray(u, dtype=np.int64) for u in left["units_a"]])
-        cu = np.stack([np.asarray(u, dtype=np.int64) for u in right["units_b"]])
-        g = _gram_f64(qu, cu)
+        cu = np.stack([np.asarray(u, dtype=np.int64) for u in right["units_b"]])[order_c]
         qn = np.sqrt(np.einsum("ij,ij->i", qu, qu).astype(np.float64))
         cn = np.sqrt(np.einsum("ij,ij->i", cu, cu).astype(np.float64))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = g.astype(np.float64) / np.outer(qn, cn)
         out = []
-        kk = min(k + 1, len(ci))  # +1: self is present in the home cell
-        for i in range(len(qi)):
-            row = cos[i]
-            idx = np.lexsort((ci, -row))[:kk]
-            for j in idx:
-                if ci[j] != qi[i]:
-                    out.append((qi[i], ci[j], row[j]))
+        # hot-cell discipline (see topk_units_cells_pandas): chunked
+        # queries, stable argsort over id-ascending candidate columns
+        # — identical ranking to the old per-row lexsort((ci, -row)).
+        # Emitting the per-cell top-k NON-SELF suffices for the final
+        # window (a cell's k+1th candidate can never enter the global
+        # top-k past its own k better cellmates).
+        chunk = 512
+        for s in range(0, len(qi), chunk):
+            e = min(s + chunk, len(qi))
+            g = _gram_f64(qu[s:e], cu)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = g / np.outer(qn[s:e], cn)
+            valid = ci[None, :] != qi[s:e, None]
+            masked = np.where(valid, cos, -np.inf)
+            top = np.argsort(-masked, axis=1, kind="stable")[:, : k + 1]
+            for r in range(e - s):
+                sel = top[r][valid[r, top[r]]][:k]
+                for j in sel:
+                    out.append((qi[s + r], ci[j], cos[r, j]))
         return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"]).astype(
             {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
         )
@@ -1140,17 +1174,28 @@ def neardup_min_earlier_pandas(
         u = np.stack(
             [half_up(np.asarray(e, dtype=np.float64) * FIXED_SCALE) for e in pdf[emb_col]]
         ).astype(np.int64)[order]
-        g = _gram_f64(u)
-        norms = np.sqrt(np.diag(g).astype(np.float64))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = g.astype(np.float64) / np.outer(norms, norms)
-        out_ids, out_dup = [], []
-        for j in range(len(ids)):
-            # earlier ids are exactly the prefix (ids sorted ascending)
-            hits = np.nonzero(cos[j, :j] >= tau)[0]
-            out_ids.append(ids[j])
-            out_dup.append(int(ids[hits[0]]) if len(hits) else None)
-        return pd.DataFrame({id_col: out_ids, "dup_of": out_dup}).astype(
+        n = len(ids)
+        norms = np.sqrt(np.einsum("ij,ij->i", u, u).astype(np.float64))
+        # hot-cell discipline (see semdedup_verdicts_pandas): earlier
+        # (lower-id) candidates stream in ascending chunks against all
+        # columns; a column keeps its FIRST hit, so dup_of is still
+        # the MINIMUM earlier id — value-identical to the per-column
+        # prefix scan, with (chunk, n) temporaries instead of (n, n).
+        first = np.full(n, -1, dtype=np.int64)
+        cols = np.arange(n)
+        chunk = 512
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            g = _gram_f64(u[s:e], u)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = g / np.outer(norms[s:e], norms)
+            mask = (cos >= tau) & (np.arange(s, e)[:, None] < cols[None, :])
+            has_c = mask.any(axis=0)
+            first_c = mask.argmax(axis=0)
+            take = has_c & (first == -1)
+            first[take] = s + first_c[take]
+        out_dup = [int(ids[first[j]]) if first[j] >= 0 else None for j in range(n)]
+        return pd.DataFrame({id_col: ids, "dup_of": out_dup}).astype(
             {id_col: "int64", "dup_of": "Int64"}
         )
 
