@@ -17,6 +17,7 @@ from pyspark.sql.window import Window as W
 
 from martian_moments_spark.catalog import load, table_rows
 from martian_moments_spark.guards import assert_bounded, collect_bounded
+from martian_moments_spark.llmops.hier import sql_hier_ctes
 from martian_moments_spark.llmops.lm import (
     bigram_lm_scores,
     lm_gate,
@@ -607,6 +608,55 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quantizer scale path: train on a sample, broadcast k*dim integer
     centroids, one streaming assignment pass over the corpus."""
     assigned, _ = kmeans_units_corpus(load(spark, sf_dir, "embeddings"), sf_dir)
+    return topk_units_cells_pandas(assigned, k=5)
+
+
+@register(
+    "embedding_ann_hier",
+    ops=("J2", "W2", "O2"),
+    oracle=f"""
+        WITH {sql_hier_ctes(_SQL_UNITS, _SQL_VEC_HASH, k=_SQL_K_ADAPT)}, pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.cell AS INT) AS cell,
+                   CAST(list_sum(list_transform(list_zip(a.units, b.units),
+                        z -> z[1] * z[2])) AS BIGINT) AS dot,
+                   a.norm2 AS na, b.norm2 AS nb
+            FROM hassign a JOIN hassign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ), cos AS (
+            SELECT id_a, id_b, cell,
+                   CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+            FROM pairs
+        )
+        SELECT id_a, id_b, cosine, CAST(rn AS INT) AS rank, cell
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn FROM cos)
+        WHERE rn <= 5
+    """,
+)
+def embedding_ann_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN behind a TWO-LEVEL coarse quantizer (llmops/hier.py) —
+    the linear-at-build routing path SCALE.md's embedding decade names
+    as the deployment answer to flat IVF's O(n*k) assignment: each
+    vector visits ~sqrt(k) parents then one parent's children instead
+    of all k cells, so index build flops drop ~50x at k=10k while the
+    search stage (within-cell exact top-k, topk_units_cells_pandas)
+    is byte-identical to embedding_ann_ivf's. Routing is the
+    seed-quantizer variant — deterministic hash-ordered seeds, exact
+    int64 distances, lowest-id ties — so the DuckDB oracle replays
+    BOTH routing levels and the search hash-exactly. Cell membership
+    is approximate by design (a vector may land in a near-optimal
+    child — the trade every production coarse tree makes); the flat
+    exact-argmin quantizer remains embedding_ann_ivf.
+
+    Scale: the seed collect is k rows (bounded metadata); routing is
+    one shuffle-free mapInPandas pass with sqrt(k)-sized chunked
+    temporaries; the search keeps the single cell-keyed exchange."""
+    from martian_moments_spark.llmops.hier import hier_route_units
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = table_rows(sf_dir, "embeddings")
+    if n is None:
+        n = emb.count()
+    k = max(K_CELLS, n // ADAPT_CELL_TARGET)
+    assigned, _, _ = hier_route_units(emb, k=k)
     return topk_units_cells_pandas(assigned, k=5)
 
 

@@ -367,6 +367,7 @@ PRIORITY: tuple[str, ...] = (
     "quality_classifier_scores",
     "classifier_gated_curation",
     "quality_tier_agreement",
+    "embedding_ann_hier",
     # -- rows-only entries: no oracle => never hash-match; keep out of
     #    the window permanently (registry policy above; VERDICT r03
     #    What's-wrong #1).

@@ -797,3 +797,36 @@ def test_classifier_scores_planted_corpus(spark):
     assert max(got[100 + i]["score"] for i in range(10)) < min(
         got[i]["score"] for i in range(20)
     )
+
+
+def test_hier_route_units_invariants(spark):
+    """Two-level router (llmops/hier.py): every vector gets exactly one
+    cell; cells are valid child ids; the first k1 seeds are parents and
+    each routes to itself (distance 0, lowest-id tie) when seeds are
+    distinct; and routing is deterministic across invocations."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from martian_moments_spark.llmops.hier import hier_route_units
+
+    def fake_embeddings(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: ((F.col("id") * 37 + i * 11) % 97 / 97.0) - 0.5,
+            ).alias("embedding"),
+        )
+
+    n, k = 600, 36
+    assigned, k_eff, k1 = hier_route_units(fake_embeddings(n), k=k)
+    assert k_eff == k and k1 == int(math.floor(math.sqrt(k)))
+    rows = assigned.collect()
+    assert len(rows) == n
+    cells = {r["cell"] for r in rows}
+    assert all(0 <= c < k for c in cells)
+    assert len(cells) >= k1  # at least the live parents' own cells route
+    # determinism: a second invocation routes identically
+    again = {r["vec_id"]: r["cell"] for r in hier_route_units(fake_embeddings(n), k=k)[0].collect()}
+    assert again == {r["vec_id"]: r["cell"] for r in rows}

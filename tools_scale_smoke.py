@@ -634,11 +634,19 @@ def run_decade3_smoke() -> None:
     )
     with open("SCALE.md") as f:
         doc = f.read()
+    # an embedding-decade section (appended after this one) must
+    # survive the decade3 refresh — carve it out and re-append (the
+    # decade2 writer does the same for this section; the r09 refresh
+    # truncated --embdecade's output before this guard existed)
+    emb_at = doc.find(EMBDECADE_MARK)
+    emb_tail = "\n" + doc[emb_at:].rstrip() + "\n" if emb_at != -1 else ""
+    if emb_at != -1:
+        doc = doc[: max(doc.rfind("\n", 0, emb_at), 0)]
     cut = doc.find(DECADE3_MARK)
     if cut != -1:
         doc = doc[: max(doc.rfind("\n", 0, cut), 0)]
     with open("SCALE.md", "w") as f:
-        f.write(doc + section)
+        f.write(doc + section + emb_tail)
     print(json.dumps({"decade3": results, "flagged": flagged}))
     spark.stop()
 
