@@ -952,11 +952,22 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HLL++ with default rsd=0.05 has standard error ~5%; 3 sigma = 15% is
+# the contract bound the gate checks (measured relative error on this
+# data: 3.0% at sf0.01, 2.6% at sf0.1 — wide margin, deterministic).
+APPROX_RSD_BOUND = 0.15
+
+
 @register(
     "approx_count_distinct",
     ops=("A2",),
-    oracle=None,  # HLL sketches are engine-specific — rows-only check;
-    # accuracy is pinned against exact counts in the rows-only test.
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+               TRUE AS approx_within_bound
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
 )
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the scale path for A2:
@@ -968,11 +979,29 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.63 s), because the exact audit column's distinct rewrite
     expands the relation the dense sketch then updates. If tighter
     error is ever needed, drop the audit column from the same plan.
+
+    Oracle contract (closes the VERDICT r09 #1 gap): DuckDB cannot
+    replay Spark's HLL++ registers, but it CAN state the estimator's
+    guarantee — the hash-gated output is the exact count plus a
+    boolean asserting |approx − exact| ≤ 3·rsd·exact, which Spark
+    computes for real from the sketch and the oracle states as TRUE
+    (the correct answer whenever the estimator honors its bound).
+    A broken sketch, a wrong rsd, or a hash regression flips the
+    boolean and fails the hash gate at ANY sf — unlike a pinned
+    VALUES oracle this stays valid when the data scales.
     """
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_suppkey")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
         F.countDistinct("l_suppkey").alias("exact_suppliers"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_suppliers",
+        (
+            F.abs(F.col("approx_suppliers") - F.col("exact_suppliers"))
+            <= F.lit(APPROX_RSD_BOUND) * F.col("exact_suppliers")
+        ).alias("approx_within_bound"),
     )
 
 

@@ -368,9 +368,12 @@ PRIORITY: tuple[str, ...] = (
     "classifier_gated_curation",
     "quality_tier_agreement",
     "embedding_ann_hier",
-    # -- rows-only entries: no oracle => never hash-match; keep out of
-    #    the window permanently (registry policy above; VERDICT r03
-    #    What's-wrong #1).
+    # -- r10: formerly rows-only, now oracle-paired (VERDICT r09 #1).
+    #    incremental_hll_merge: exact-count oracle, valid in the HLL
+    #    sparse regime both gate scales sit in. approx_count_distinct:
+    #    exact count + 3·rsd bound boolean, valid at any sf. Their
+    #    content hashes changed with the oracle, so the self-rotating
+    #    order re-windows them automatically (tier 1).
     "incremental_hll_merge",
     "approx_count_distinct",
 )
