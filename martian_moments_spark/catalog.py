@@ -109,7 +109,12 @@ def table_rows(sf_dir: str, name: str) -> int | None:
         if os.path.isfile(path):
             files = [path]
         else:
-            files = glob.glob(os.path.join(path, "*.parquet"))
+            # recursive: a partitioned/nested dataset keeps data files
+            # under subdirectories; a top-level-only glob would silently
+            # undercount and desync every corpus-scaled k between Spark
+            # and the DuckDB oracle (ADVICE r09). _SUCCESS/_metadata
+            # markers don't match *.parquet so they never inflate it.
+            files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
             if not files:
                 return None
         return sum(pq.ParquetFile(f).metadata.num_rows for f in files)

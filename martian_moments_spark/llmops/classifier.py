@@ -248,6 +248,11 @@ def sql_classifier_ctes(epochs: int = CLS_EPOCHS) -> str:
     seed labels read the ``toks`` and ``lm`` CTEs)."""
     bucket = f"{sql_portable_hash31('bg')} % {CLS_BUCKETS}"
     samp_h = sql_portable_hash31("'cls:' || CAST(doc_id AS VARCHAR)")
+    # aliased twin built directly (ADVICE r09): post-hoc .replace on the
+    # expansion would silently rewrite any other 'doc_id' occurrence if
+    # sql_portable_hash31 ever grows one. Byte-identical to the old
+    # replace output today, so attested oracle hashes are unchanged.
+    samp_h_lb = sql_portable_hash31("'cls:' || CAST(lb.doc_id AS VARCHAR)")
     return f"""
         labeled AS (
             SELECT t.doc_id,
@@ -273,7 +278,7 @@ def sql_classifier_ctes(epochs: int = CLS_EPOCHS) -> str:
                 WHERE lb.seed_label <> 0
                   AND EXISTS (SELECT 1 FROM cls_counts c
                               WHERE c.doc_id = lb.doc_id)
-                ORDER BY {samp_h.replace("doc_id", "lb.doc_id")}, lb.doc_id
+                ORDER BY {samp_h_lb}, lb.doc_id
                 LIMIT {CLS_SAMPLE}
             )
         ),

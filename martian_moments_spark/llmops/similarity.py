@@ -195,9 +195,13 @@ def topk_cosine_cells_pandas(
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = g / np.outer(norms[s:e], norms)
             cos[np.arange(e - s), np.arange(s, e)] = -np.inf
-            top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            # take kk+1 then drop self positionally (ADVICE r09): NaN
+            # columns from a zero-norm vector sort after -inf, so the
+            # -inf marking alone cannot guarantee self-exclusion.
+            top = np.argsort(-cos, axis=1, kind="stable")[:, : kk + 1]
             for r in range(e - s):
-                for rank, j in enumerate(top[r], start=1):
+                sel = top[r][top[r] != s + r][:kk]
+                for rank, j in enumerate(sel, start=1):
                     out.append((ids[s + r], ids[j], cos[r, j], rank, cell))
         return pd.DataFrame(out, columns=["id_a", "id_b", "cosine", "rank", "cell"]).astype(
             {"id_a": "int64", "id_b": "int64", "cosine": "float64", "rank": "int32", "cell": "int32"}
@@ -447,10 +451,14 @@ def topk_units_cells_pandas(assigned: DataFrame, k: int = 5) -> DataFrame:
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = g / np.outer(norms[s:e], norms)
             rows = np.arange(s, e)
-            cos[np.arange(e - s), rows] = -np.inf  # self-exclude
-            top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            cos[np.arange(e - s), rows] = -np.inf  # self sorts last on clean input
+            # take kk+1 then drop self POSITIONALLY (ADVICE r09): a
+            # zero-norm vector makes NaN cosine columns, and NaN sorts
+            # after -inf in argsort, letting self re-enter the top-kk
+            # window — the -inf marking alone is not an exclusion.
+            top = np.argsort(-cos, axis=1, kind="stable")[:, : kk + 1]
             for r in range(e - s):
-                sel = top[r]
+                sel = top[r][top[r] != s + r][:kk]
                 ida.append(np.full(kk, ids[s + r]))
                 idb.append(ids[sel])
                 cosv.append(cos[r, sel])

@@ -116,6 +116,49 @@ def test_ivf_pandas_matmul_equals_jvm_formulation(spark):
     assert jvm == np_
 
 
+def test_chunked_topk_never_emits_self_on_zero_norm_input(spark):
+    """ADVICE r09 regression: a zero-norm vector makes NaN cosine
+    columns; NaN sorts AFTER the -inf self marker in argsort, so the
+    chunked kernels could emit self-pairs on degenerate input. The
+    positional take-(k+1)-drop-self fix must keep self out — matching
+    the DuckDB oracle's a.vec_id <> b.vec_id — and leave clean-input
+    results untouched (covered by the bit-identity test above)."""
+    from martian_moments_spark.llmops.similarity import (
+        topk_cosine_cells_pandas,
+        topk_units_cells_pandas,
+    )
+
+    # 4 vectors in one cell, one of them all-zero (NaN cosine vs all)
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 0),
+        (3, [0.0, 0.0, 0.0], 0),  # zero-norm → NaN cosine columns
+        (4, [0.0, 1.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+    got = topk_cosine_cells_pandas(emb, k=3, cell_col="label").collect()
+    assert got, "kernel emitted nothing"
+    assert all(r["id_a"] != r["id_b"] for r in got), [
+        (r["id_a"], r["id_b"]) for r in got if r["id_a"] == r["id_b"]
+    ]
+
+    # same property through the units-based kernel (IVF search stage)
+    from pyspark.sql import functions as F
+
+    assigned = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x * 1000000).cast("long")
+        ).alias("units"),
+        F.col("label").cast("int").alias("cell"),
+    )
+    got_u = topk_units_cells_pandas(assigned, k=3).collect()
+    assert got_u, "units kernel emitted nothing"
+    assert all(r["id_a"] != r["id_b"] for r in got_u)
+
+
 def test_tokenizer_edge_cases(spark):
     """Empty/whitespace-only/multi-space text — the malformed-input
     parity cases (reference tests malformed JSON / missing keys)."""

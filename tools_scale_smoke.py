@@ -692,9 +692,16 @@ def run_embdecade_smoke() -> None:
 
     results: dict[str, dict] = {}
     balance: dict[str, dict] = {}
+    from martian_moments_spark.llmops.similarity import K_CELLS
+
     for label, sf_dir in (("sf10emb", EMB10_DIR), ("sf100emb", EMB100_DIR)):
+        # mirror kmeans_units_corpus exactly (ADVICE r09): Spark-count
+        # fallback when the footer walk fails, K_CELLS as the floor —
+        # a hardcoded 4 would desync k if the floor ever moves.
         n = table_rows(sf_dir, "embeddings")
-        k = max(4, n // ADAPT_CELL_TARGET)
+        if n is None:
+            n = load(spark, sf_dir, "embeddings").count()
+        k = max(K_CELLS, n // ADAPT_CELL_TARGET)
         idx_path = os.path.join(sf_dir, "ivf_index.parquet")
         t0 = time.perf_counter()
         assigned, _ = kmeans_units_corpus(load(spark, sf_dir, "embeddings"), sf_dir)
