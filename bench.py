@@ -59,14 +59,19 @@ def main() -> None:
         for spec in bench_specs.values():
             consume(spec.fn(spark, sf_dir))
 
-    # Best of three measured passes per query, with every pass
-    # recorded: a single pass is at the mercy of GC pauses and host
-    # jitter, and sub-second queries have tripped the driver's 2x
+    # Median of three-to-five measured passes per query, with every
+    # pass recorded: a single pass is at the mercy of GC pauses and
+    # host jitter, and sub-second queries have tripped the driver's 2x
     # regression line on pure session noise (VERDICT r05 What's-wrong
     # #2). The per-run arrays make the artifact itself carry the
-    # noise evidence — the spread IS the error bar — while
-    # ``queries`` stays the best-of-3 steady-state estimator.
+    # noise evidence — the spread IS the error bar. Since r10 the
+    # headline estimator is the MEDIAN (VERDICT r09 Next-round #3):
+    # best-of-N ratchets toward lucky passes and made round-over-round
+    # ratios read as code regressions when they were session noise;
+    # the median is noise-robust in both directions. ``best`` rides
+    # along per query so historical best-of comparisons stay possible.
     timings: dict[str, float] = {}
+    best: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name, spec in bench_specs.items():
         samples: list[float] = []
@@ -88,9 +93,13 @@ def main() -> None:
             consume(spec.fn(spark, sf_dir))
             samples.append(round(time.perf_counter() - t0, 4))
         runs[name] = samples
-        timings[name] = min(samples)
+        import statistics as _st
+
+        timings[name] = round(_st.median(samples), 4)
+        best[name] = min(samples)
 
     total = round(sum(timings.values()), 4)
+    best_total = round(sum(best.values()), 4)
 
     # Per-query history: every run appends to BENCH_HISTORY.jsonl, and
     # the current run is compared against the MEDIAN prior time at the
@@ -127,12 +136,15 @@ def main() -> None:
                     "sf": sf,
                     "total": total,
                     "queries": timings,
+                    "best": best,
+                    "best_total": best_total,
                     "runs": runs,
                     # Estimator provenance: records before this field
-                    # exists were best-of-2; current records are
-                    # best-of-3-to-5 (adaptive), so ratios against
-                    # pre-field medians are biased slightly low.
-                    "passes": "best-of-3-to-5",
+                    # exists were best-of-2; then best-of-3-to-5
+                    # (adaptive); since r10 ``queries`` carries the
+                    # MEDIAN of the passes and ``best`` the minimum,
+                    # so both lineages stay comparable.
+                    "passes": "median-of-3-to-5",
                 }
             )
             + "\n"
@@ -149,11 +161,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "best_total": best_total,
                 # Recordings before round 2 used a count() sink that
                 # let Catalyst prune projections; cross-sink ratios
                 # (e.g. vs BENCH_r01) overstate projection-heavy
-                # sub-second queries by construction.
+                # sub-second queries by construction. Per-query values
+                # are medians of 3-5 passes since r10 (was best-of);
+                # compare r<=9 per-query numbers against "best_total"
+                # lineage, not the median.
                 "sink": "xxhash64-bitxor, comparable since r02",
+                "estimator": "median-of-3-to-5 passes (since r10)",
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
                 "regressions": regressions,
             }

@@ -82,16 +82,14 @@ def _argmin_rows(U, C, chunk: int = 1024):
     return best_j
 
 
-def hier_route_units(df: DataFrame, k: int, id_col: str = "vec_id", emb_col: str = "embedding"):
-    """Route every vector of (id, embedding) through the two-level
-    seed quantizer. Returns ``(assigned_df, n_children, k1)`` where
-    assigned_df carries (id, units, norm2, cell) — the kmeans_units
-    output contract, so every search kernel composes unchanged."""
+def _hier_model(base: DataFrame, k: int, id_col: str = "vec_id"):
+    """Build the two-level seed model shared by single-cell and
+    multi-probe routing: hash-ordered seed children, the sqrt-prefix
+    parents, the exact child->parent argmin, and the live-parent
+    bookkeeping. One bounded collect of k seed rows (the kmeans_units
+    metadata pattern)."""
     import numpy as np
 
-    base = with_units_and_norm(df.select(id_col, emb_col), emb_col).select(
-        id_col, "units", "norm2"
-    )
     seed_rows = (
         base.withColumn("__h", portable_hash31(F.col(id_col).cast("string")))
         .orderBy("__h", id_col)
@@ -106,9 +104,21 @@ def hier_route_units(df: DataFrame, k: int, id_col: str = "vec_id", emb_col: str
     child_parent = _argmin_rows(S, P)
     live = np.unique(child_parent)  # parents that own >= 1 child (all, absent dup seeds)
     P_live = P[live]
-    children_of = {
-        int(p): np.flatnonzero(child_parent == p) for p in live
-    }
+    children_of = {int(p): np.flatnonzero(child_parent == p) for p in live}
+    return S, k_eff, k1, live, P_live, children_of
+
+
+def hier_route_units(df: DataFrame, k: int, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Route every vector of (id, embedding) through the two-level
+    seed quantizer. Returns ``(assigned_df, n_children, k1)`` where
+    assigned_df carries (id, units, norm2, cell) — the kmeans_units
+    output contract, so every search kernel composes unchanged."""
+    import numpy as np
+
+    base = with_units_and_norm(df.select(id_col, emb_col), emb_col).select(
+        id_col, "units", "norm2"
+    )
+    S, k_eff, k1, live, P_live, children_of = _hier_model(base, k, id_col)
 
     def fn(batches):
         import pandas as pd
@@ -128,6 +138,90 @@ def hier_route_units(df: DataFrame, k: int, id_col: str = "vec_id", emb_col: str
 
     schema = f"{id_col} BIGINT, units ARRAY<BIGINT>, norm2 BIGINT, cell INT"
     return base.mapInPandas(fn, schema), k_eff, k1
+
+
+def hier_probe_route_units(
+    df: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Multi-probe routing through the two-level quantizer — the IMI
+    probe dial: each vector visits its ``min(n_probe, #live)`` nearest
+    parents (exact int64 distance, ties to the lowest parent id), then
+    probes the ``n_probe`` nearest CHILD cells among those parents'
+    children (ties to the lowest child id). Returns ``(probed_df,
+    n_children, k1)`` where probed_df carries one row per (vector,
+    probe_cell) — the ``probe_cells`` output contract, so the flat
+    path's ``topk_units_probed`` search composes unchanged.
+
+    Recall/cost: n_probe=1 reduces exactly to ``hier_route_units``'s
+    cell (same argmin chain); n_probe >= k visits every parent and
+    therefore every child — brute force. In between, routing cost is
+    O(#live + n_probe*sqrt(k)) distances per vector, and search cost
+    grows linearly with the probed-cell mass (test_ann_recall.py pins
+    the resulting recall floors).
+
+    Scale: same shuffle-free mapInPandas pass as single-cell routing;
+    per-batch temporaries are (batch, #live) and per-parent-combo
+    (rows, union-children) blocks — both sqrt(k)-scaled. Rows sharing
+    the same selected-parent set are routed as one vectorized block,
+    so the python loop runs per distinct combo, not per row."""
+    import numpy as np
+
+    base = with_units_and_norm(df.select(id_col, emb_col), emb_col).select(
+        id_col, "units", "norm2"
+    )
+    S, k_eff, k1, live, P_live, children_of = _hier_model(base, k, id_col)
+    np_par = min(n_probe, len(live))
+
+    def fn(batches):
+        import pandas as pd
+
+        pn = np.einsum("ij,ij->i", P_live, P_live)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(probe_cells=pd.Series([], dtype=object))
+                continue
+            U = np.stack([np.asarray(u, dtype=np.int64) for u in pdf["units"]])
+            un = np.einsum("ij,ij->i", U, U)
+            dp = un[:, None] + pn[None, :] - 2 * _gram_f64(U, P_live)
+            # top parents by (distance, parent id) — lexsort keys are
+            # applied last-key-primary, so distance wins, id breaks ties
+            ordp = np.lexsort(
+                (np.broadcast_to(live, dp.shape), dp), axis=1
+            )[:, :np_par]
+            sel = np.sort(live[ordp], axis=1)  # (m, np_par) parent ids
+            probes = [None] * len(U)
+            combos, inv = np.unique(sel, axis=0, return_inverse=True)
+            for ci in range(len(combos)):
+                rows = np.flatnonzero(inv == ci)
+                kids = np.unique(
+                    np.concatenate([children_of[int(p)] for p in combos[ci]])
+                )
+                C = S[kids]
+                cn = np.einsum("ij,ij->i", C, C)
+                d = (
+                    un[rows][:, None]
+                    + cn[None, :]
+                    - 2 * _gram_f64(U[rows], C)
+                )
+                take = min(n_probe, len(kids))
+                ordc = np.lexsort(
+                    (np.broadcast_to(kids, d.shape), d), axis=1
+                )[:, :take]
+                for r, row in enumerate(rows):
+                    probes[row] = kids[ordc[r]].astype("int64")
+            yield pdf.assign(probe_cells=probes)
+
+    schema = (
+        f"{id_col} BIGINT, units ARRAY<BIGINT>, norm2 BIGINT, "
+        "probe_cells ARRAY<BIGINT>"
+    )
+    out = base.mapInPandas(fn, schema)
+    probed = out.withColumn("probe_cell", F.explode("probe_cells")).drop("probe_cells")
+    return probed, k_eff, k1
 
 
 def sql_hier_ctes(

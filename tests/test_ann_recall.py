@@ -157,6 +157,55 @@ def test_recall_curve_16_cells(spark):
     assert work_1probe < 2 / 16
 
 
+def test_hier_recall_floors_single_cell_and_probed(spark):
+    """VERDICT r09 #4: the hierarchical coarse quantizer
+    (embedding_ann_hier) has cell-APPROXIMATE membership by design; pin
+    its recall@5 against the exact brute-force baseline so a routing
+    regression cannot hide behind 'approximate anyway'. Floors mirror
+    the flat-IVF characterization: single-cell >= 0.30 (scanned-
+    fraction regime on isotropic data), 3-probe >= 0.8 (the stated
+    operating point), k-probe == 1.0 (probing every child IS brute
+    force), and the curve must be monotone in n_probe. Also pins the
+    reduction identity: n_probe=1 routes every vector to exactly the
+    single-cell path's cell."""
+    from martian_moments_spark.catalog import table_rows
+    from martian_moments_spark.llmops.hier import (
+        hier_probe_route_units,
+        hier_route_units,
+    )
+    from martian_moments_spark.llmops.similarity import topk_units_probed
+    from martian_moments_spark.plans import load_all
+
+    REGISTRY = load_all()
+    exact = _pairs(REGISTRY["embedding_cosine_topk"].fn(spark, SF_DIR))
+    single = _pairs(REGISTRY["embedding_ann_hier"].fn(spark, SF_DIR))
+    r_single = len(exact & single) / len(exact)
+
+    emb = load(spark, SF_DIR, "embeddings")
+    n = table_rows(SF_DIR, "embeddings") or emb.count()
+    k = max(K_CELLS, n // 500)  # ADAPT_CELL_TARGET, mirrored
+    assigned, _, _ = hier_route_units(emb, k=k)
+    assigned = assigned.localCheckpoint(eager=True)
+
+    recalls = {}
+    for n_probe in range(1, k + 1):
+        probed, _, _ = hier_probe_route_units(emb, k=k, n_probe=n_probe)
+        got = _pairs(topk_units_probed(probed, assigned, k=K))
+        recalls[n_probe] = len(exact & got) / len(exact)
+        if n_probe == 1:
+            assert got == single, "probe=1 must reduce to single-cell routing"
+
+    print(
+        f"hier recall@{K}: single={r_single:.3f} "
+        f"curve={[round(recalls[p], 3) for p in sorted(recalls)]}"
+    )
+    assert r_single >= 0.30, f"single-cell hier recall collapsed: {r_single:.3f}"
+    rs = [recalls[p] for p in sorted(recalls)]
+    assert all(b >= a for a, b in zip(rs, rs[1:])), "curve not monotone"
+    assert recalls[min(3, k)] >= 0.8, f"3-probe below operating point: {recalls[min(3, k)]:.3f}"
+    assert recalls[k] == 1.0, "probing every child must be brute force"
+
+
 def test_ivf_index_persists_and_assigns_incrementally(spark, tmp_path):
     """Build-once/query-many: a saved+reloaded index must reproduce
     the trainer's centroids exactly, and incremental assignment of new
