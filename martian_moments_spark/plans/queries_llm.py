@@ -660,6 +660,91 @@ def embedding_ann_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_units_cells_pandas(assigned, k=5)
 
 
+#: Hier probe count — the two-level quantizer's stated operating
+#: point, matching the flat path's N_PROBE=3 (recall@5 >= 0.8 on
+#: isotropic testdata, pinned in tests/test_ann_recall.py).
+HIER_N_PROBE = 3
+
+_SQL_HIER_DIST = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+)
+
+
+@register(
+    "embedding_ann_hier_probed",
+    ops=("J2", "W2", "O2", "N3"),
+    oracle=f"""
+        WITH {sql_hier_ctes(_SQL_UNITS, _SQL_VEC_HASH, k=_SQL_K_ADAPT)}, hp1 AS (
+            SELECT vec_id, parent FROM (
+                SELECT v.vec_id, p.parent,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_SQL_HIER_DIST.format(a="v.units", b="p.units")}, p.parent) AS rn
+                FROM hunits v
+                CROSS JOIN (SELECT hp.parent, hp.units FROM hparents hp
+                            JOIN hlive USING (parent)) p
+            ) WHERE rn <= {HIER_N_PROBE}
+        ), hprobe AS (
+            SELECT vec_id, cell FROM (
+                SELECT q.vec_id, s.child AS cell,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_SQL_HIER_DIST.format(a="q.units", b="s.units")}, s.child) AS rn
+                FROM hunits q
+                JOIN hp1 ON hp1.vec_id = q.vec_id
+                JOIN hcp ON hcp.parent = hp1.parent
+                JOIN hseeds s ON s.child = hcp.child
+            ) WHERE rn <= {HIER_N_PROBE}
+        ), pairs AS (
+            SELECT q.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(list_sum(list_transform(list_zip(q.units, b.units),
+                        z -> z[1] * z[2])) AS BIGINT) AS dot,
+                   q.norm2 AS na, b.norm2 AS nb
+            FROM hunits q
+            JOIN hprobe p ON p.vec_id = q.vec_id
+            JOIN hassign b ON b.cell = p.cell AND b.vec_id <> q.vec_id
+        ), cos AS (
+            SELECT id_a, id_b,
+                   CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+            FROM pairs
+        )
+        SELECT id_a, id_b, cosine, CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn FROM cos)
+        WHERE rn <= 5
+    """,
+)
+def embedding_ann_hier_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN through the TWO-LEVEL quantizer (the IMI probe
+    dial, llmops/hier.py:hier_probe_route_units): each vector visits
+    its HIER_N_PROBE nearest parents, probes the HIER_N_PROBE nearest
+    child cells among their children, and searches those cells with
+    the flat path's cogrouped kernel (topk_units_probed) unchanged —
+    recall climbs from the single-cell floor (~0.4 at sf0.001) to the
+    >= 0.8 operating point while the build stays linear. Routing is
+    deterministic at every step (hash-ordered seeds, exact int64
+    distances, lowest-id ties at both levels), so the DuckDB oracle
+    replays parent ranking, child probing, and the search hash-
+    exactly. A child belongs to exactly ONE parent (hcp is an argmin),
+    so the probed-cell union needs no dedup on either engine.
+
+    Scale: one bounded k-row seed collect, a shuffle-free routing
+    pass with sqrt(k)-sized temporaries, then the probe path's two
+    cell-keyed exchanges; search work is the probed-cell mass —
+    n_probe/k of brute force, dialable per query."""
+    from martian_moments_spark.llmops.hier import (
+        hier_probe_route_units,
+        hier_route_units,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = table_rows(sf_dir, "embeddings")
+    if n is None:
+        n = emb.count()
+    k = max(K_CELLS, n // ADAPT_CELL_TARGET)
+    probed, _, _ = hier_probe_route_units(emb, k=k, n_probe=HIER_N_PROBE)
+    assigned, _, _ = hier_route_units(emb, k=k)
+    return topk_units_probed(probed, assigned, k=5)
+
+
 def _lsh_candidate_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard for each MinHash+LSH candidate pair:
     ``(id_a, id_b, jaccard)``, unthresholded — the shared verify seam
