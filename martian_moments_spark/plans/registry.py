@@ -368,8 +368,9 @@ PRIORITY: tuple[str, ...] = (
     "classifier_gated_curation",
     "quality_tier_agreement",
     "embedding_ann_hier",
-    # -- r10 registrations: hier multi-probe dial ---------------------
+    # -- r10 registrations: hier multi-probe dial + real PNG codec ----
     "embedding_ann_hier_probed",
+    "multimodal_png_decode",
     # -- r10: formerly rows-only, now oracle-paired (VERDICT r09 #1).
     #    incremental_hll_merge: exact-count oracle, valid in the HLL
     #    sparse regime both gate scales sit in. approx_count_distinct:
