@@ -791,3 +791,173 @@ def test_checkpoint_restart_processes_each_file_exactly_once(spark, tmp_path):
     run()  # restart from the same checkpoint
     second = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert second == list(range(0, 9)), "duplicate or lost rows after restart"
+
+
+# --------------------------------------------------------------------
+# sf1 end-to-end medallion with injected crash/restart (VERDICT r09 #6)
+
+SF1_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_data", "sf1"
+)
+
+
+def _write_sf1_envelopes(spark, envel_dir: str, batch: int = 10_000, n_files: int = 25):
+    """Materialize the FULL sf1 events table (1M rows) as bronze JSONL
+    envelope files — Spark-side (collect_list per 10k-event group, one
+    to_json per envelope), not a driver loop."""
+    ev = spark.read.parquet(os.path.join(SF1_DIR, "events.parquet")).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.floor(F.col("event_id") / batch).alias("g"),
+    )
+    env = (
+        ev.groupBy("g")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("event_id", "ts", "user_id", "event_type", "value")
+                )
+            ).alias("events")
+        )
+        .select(
+            F.to_json(
+                F.struct(
+                    F.concat(
+                        F.lit("events_batch_"),
+                        F.lpad(F.col("g").cast("string"), 5, "0"),
+                        F.lit(".json"),
+                    ).alias("filename"),
+                    F.size("events").cast("long").alias("event_count"),
+                    F.lit("2024-02-01T00:00:00").alias("ingestion_date"),
+                    F.col("events"),
+                )
+            ).alias("value")
+        )
+    )
+    env.repartition(n_files).write.mode("overwrite").text(envel_dir)
+
+
+def _stop_after_batches(q, min_batch_id: int, timeout_s: float = 600.0):
+    """Let the availableNow run commit at least ``min_batch_id + 1``
+    micro-batches, then stop it mid-stream — the kill half of the
+    kill/restart drill. Returns True if the query was stopped early
+    (False = it drained before reaching the threshold)."""
+    import time as _t
+
+    t0 = _t.monotonic()
+    while _t.monotonic() - t0 < timeout_s:
+        if not q.isActive:
+            return False
+        lp = q.lastProgress
+        if lp and lp.get("batchId", -1) >= min_batch_id:
+            q.stop()
+            q.awaitTermination(120)
+            return True
+        _t.sleep(0.25)
+    raise AssertionError("stream never reached the target batch count")
+
+
+def _drop_latest_commit(ck: str) -> int:
+    """Crash injection: delete the newest checkpoint commit marker so
+    the restart must REPLAY that micro-batch (offsets say it started,
+    commits say it never finished — exactly the state a JVM kill
+    between sink write and commit leaves behind). Returns the replayed
+    batch id."""
+    import glob
+
+    commits = sorted(
+        (c for c in glob.glob(os.path.join(ck, "commits", "*")) if os.path.basename(c).isdigit()),
+        key=lambda c: int(os.path.basename(c)),
+    )
+    assert commits, "no committed batches to crash"
+    os.remove(commits[-1])
+    return int(os.path.basename(commits[-1]))
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF1_DIR), reason="sf1 corpus not generated (tools_gen_scale.py)"
+)
+def test_streaming_medallion_sf1_kill_restart_exactly_once(spark, tmp_path):
+    """The reference's full load path (snowflake_load_dag.py:41-60) at
+    sf1 volume with TWO injected crashes: 1M events as 100 JSONL
+    envelopes stream through file_json_stream -> bronze parquet append
+    (file-sink transaction log) -> streamed flatten -> foreachBatch
+    keyed silver upsert + load-complete markers. Each stage is stopped
+    mid-run AND has its newest commit marker deleted, so the restart
+    replays a batch whose outputs already landed: the file sink must
+    skip the replayed batch via its _spark_metadata log, and the
+    keyed upsert must absorb it idempotently. Exactly-once is judged
+    against the batch flatten of the same envelopes — identical
+    multiset of rows, 1M distinct event_ids, no duplicates."""
+    envel = str(tmp_path / "envelopes")
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver" / "t")
+    ck_a = str(tmp_path / "ck_bronze")
+    ck_b = str(tmp_path / "ck_silver")
+
+    _write_sf1_envelopes(spark, envel)
+
+    # ---- stage A: envelope JSONL -> bronze parquet append ----------
+    def run_a():
+        stream = file_json_stream(spark, envel, ENVELOPE_SCHEMA, max_files_per_trigger=4)
+        return append_parquet_sink(stream, bronze, ck_a)
+
+    stopped = _stop_after_batches(run_a(), min_batch_id=2)
+    assert stopped, "stage A drained before the kill could be injected"
+    replayed_a = _drop_latest_commit(ck_a)
+    q = run_a()  # restart: must replay batch `replayed_a`, then drain
+    assert q.awaitTermination(600)
+
+    bronze_df = spark.read.parquet(bronze)
+    n_envelopes = bronze_df.count()
+    assert n_envelopes == 100, f"bronze envelope count {n_envelopes} != 100 (replayed batch {replayed_a} duplicated?)"
+
+    # ---- stage B: bronze stream -> flatten -> keyed silver upsert --
+    def run_b():
+        stream = (
+            spark.readStream.schema(bronze_df.schema)
+            .option("maxFilesPerTrigger", "8")
+            .parquet(bronze)
+        )
+        return upsert_foreach_batch(
+            flatten_envelopes(stream),
+            silver,
+            ck_b,
+            keys=["event_id"],
+            order_col="ingestion_ts",
+        )
+
+    stopped = _stop_after_batches(run_b(), min_batch_id=1)
+    assert stopped, "stage B drained before the kill could be injected"
+    replayed_b = _drop_latest_commit(ck_b)
+    q = run_b()
+    assert q.awaitTermination(600)
+
+    # ---- exactly-once: streamed silver == batch flatten ------------
+    from martian_moments_spark.streaming.sinks import BUCKET_COL
+
+    expected = flatten_envelopes(spark.read.schema(ENVELOPE_SCHEMA).json(envel))
+    got = spark.read.parquet(silver).drop(BUCKET_COL)
+
+    assert got.count() == 1_000_000
+    assert got.select("event_id").distinct().count() == 1_000_000
+    cols = expected.columns
+    assert got.select(cols).exceptAll(expected).count() == 0, (
+        f"rows not in batch flatten (batch {replayed_b} replay duplicated?)"
+    )
+    assert expected.exceptAll(got.select(cols)).count() == 0, "rows lost across restart"
+
+    # load-complete markers: one per distinct committed batch id (the
+    # replayed batch overwrites its own marker, never doubles it)
+    markers = [
+        f for f in os.listdir(os.path.dirname(silver)) if f.startswith("_load_complete_")
+    ]
+    batch_ids = {int(f.split("_")[-1].split(".")[0]) for f in markers}
+    assert len(markers) == len(batch_ids) >= 2
+    total_marked = sum(
+        json.load(open(os.path.join(os.path.dirname(silver), f)))["rows"] for f in markers
+    )
+    assert total_marked >= 1_000_000  # replays re-report merged counts
