@@ -503,10 +503,13 @@ def char_span_islands(
     K = CHAR_ANCHOR_K if k is None else k
     SEL = CHAR_ANCHOR_SEL if sel is None else sel
     anch = char_anchor_grams(docs, k=K, sel=SEL, spread=spread)
+    # min != max, not count_distinct >= 2 — see cross_doc_ngram_spans:
+    # the distinct form's map-side (g, doc_id) pair state measured 45x
+    # on 10x docs in the decade3 smoke; min/max is O(1) per group.
     dup = (
         anch.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("g")
     )
     hits = anch.join(dup, "g").select("doc_id", "i")
@@ -616,4 +619,155 @@ def strip_islands_text(docs: DataFrame, islands: DataFrame) -> DataFrame:
             .otherwise(F.col("text"))
             .alias("text_cleaned"),
         )
+    )
+
+
+# ------------------------------------------------ suffix-array tier
+
+#: Target shard size in DOCUMENTS: the shard modulus scales with the
+#: corpus (GREATEST(floor, n_docs // target)) so one shard stays
+#: ~SA_SHARD_TARGET docs at ANY corpus size — that fixed bound is what
+#: makes the in-shard single-task rank stages honestly bounded at
+#: 100 TB (run n_docs/target shards to cover the corpus, Lee et al.'s
+#: per-shard-SA + union-verdicts recipe). The floor keeps the gate
+#: scales populated: at sf0.001 (520 docs) mod = 4 -> ~130-doc shard.
+SA_SHARD_TARGET = 200
+SA_SHARD_FLOOR = 4
+SA_MIN_SHARED = 48  # chars: the exact-substring dedup drop threshold
+
+
+def sa_shard_mod(n_docs: int) -> int:
+    """Corpus-scaled shard modulus — the ADAPT_CELL_TARGET pattern."""
+    return max(SA_SHARD_FLOOR, n_docs // SA_SHARD_TARGET)
+
+
+def suffix_array_ranks(shard: DataFrame) -> DataFrame:
+    """Distributed suffix array by PREFIX DOUBLING (Manber-Myers;
+    the Flick & Aluru distributed formulation) over (doc_id, text):
+    returns one row per suffix (doc_id, i, n_chars, rank) where
+    ``rank`` orders all suffixes of all shard documents by binary
+    string comparison — identical to ``ORDER BY substr(text, i)``,
+    which is exactly how the DuckDB oracle replays it.
+
+    Round k orders every suffix by its first 2^k characters: each
+    suffix's key is (rank_k(i), rank_k(i + 2^k)) — the second
+    component -1 when i + 2^k runs past the document end, matching
+    the shorter-string-sorts-first rule of binary collation — and a
+    dense re-rank over that pair becomes rank_{k+1}. log2(max doc
+    length) rounds, each ONE self-join (a shifted column rename, so
+    it co-partitions on doc_id) plus one global dense rank.
+    Convergence is detected when all ranks are distinct (equal ranks
+    after the final round = byte-identical suffixes; every consumer
+    below is proven invariant to their relative order).
+
+    Scale: this operator is SHARD-BOUNDED BY DESIGN (its only
+    registered caller filters to a deterministic 1/SA_SHARD_MOD of
+    documents — the Lee et al. recipe runs per-shard suffix arrays
+    and unions verdicts). Within the shard the per-round dense rank
+    is a single-partition window over n_suffix rows — the W1 ceiling,
+    accepted here because the shard cap bounds it (the
+    range-partitioned two-phase rank of global_rank_range_partitioned
+    is the drop-in replacement the day a shard outgrows one task).
+    localCheckpoint truncates the growing loop lineage, same as
+    dedup_connected_components."""
+    from pyspark.sql.window import Window as W
+
+    suf = shard.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        "n_chars",
+        # initial rank = the codepoint of character i: UTF-8 binary
+        # collation orders by codepoint, matching DuckDB's ORDER BY
+        F.expr("ascii(substr(text, i, 1))").cast("long").alias("rank"),
+    )
+    r = suf.localCheckpoint(eager=True)
+    n = r.count()
+    if n == 0:
+        return r
+    max_len = r.agg(F.max("n_chars")).first()[0] or 0
+    k = 1
+    while k < max_len:
+        shifted = r.select(
+            "doc_id", (F.col("i") - F.lit(k)).alias("i"), F.col("rank").alias("rank2")
+        )
+        paired = (
+            r.join(shifted, ["doc_id", "i"], "left")
+            .na.fill({"rank2": -1})
+        )
+        w = W.orderBy("rank", "rank2")
+        r = paired.select(
+            "doc_id", "i", "n_chars", F.dense_rank().over(w).cast("long").alias("rank")
+        ).localCheckpoint(eager=True)
+        if r.agg(F.max("rank")).first()[0] == n:
+            break
+        k *= 2
+    return r
+
+
+def exact_substring_shared(shard: DataFrame, min_shared: int = SA_MIN_SHARED) -> DataFrame:
+    """Per-document longest EXACT substring shared with any OTHER
+    document in the shard — the true Lee et al. (2022) suffix-array
+    dedup signal that cross_doc_ngram_spans / repeated_char_spans
+    approximate at gram granularity (a shared span shorter than the
+    gram width, or one that straddles anchor selection, is invisible
+    to them; the suffix array sees every shared byte run).
+
+    From the suffix array: for any two suffixes u in doc A, v in doc
+    B sharing a prefix of length L, every suffix ranked between them
+    shares >= L, and the doc label must flip somewhere in that range
+    — so some ADJACENT pair with differing docs has LCP >= L. The
+    per-doc max over adjacent cross-doc pair LCPs therefore equals
+    the true max over ALL cross-doc suffix pairs, and (proven
+    invariant) does not depend on how byte-identical suffixes are
+    tie-ordered: equal suffixes contribute their full length to every
+    doc present in the tie group under any permutation, and a
+    boundary pair's LCP is the same whichever group member sits at
+    the edge. That invariance is what makes the hash gate fair —
+    DuckDB's ORDER BY substr(text, i) picks its own tie order.
+
+    Adjacent LCPs are computed directly on the two (text, start)
+    pairs with one JVM higher-order filter (first differing offset),
+    identical to the oracle's list_filter formula. Output one row per
+    shard doc: (doc_id, n_chars, longest_shared_len, keep) with
+    keep = longest < ``min_shared``."""
+    from pyspark.sql.window import Window as W
+
+    sa = suffix_array_ranks(shard)
+    w = W.orderBy("rank", "doc_id", "i")
+    adj = (
+        sa.select("doc_id", "i", "rank")
+        .withColumn("pdoc", F.lag("doc_id").over(w))
+        .withColumn("pi", F.lag("i").over(w))
+        .filter(F.col("pdoc").isNotNull() & (F.col("pdoc") != F.col("doc_id")))
+    )
+    ta = shard.select(F.col("doc_id").alias("doc_id"), F.col("text").alias("ta"))
+    tb = shard.select(F.col("doc_id").alias("pdoc"), F.col("text").alias("tb"))
+    lcp = F.expr(
+        """
+        coalesce(
+          array_min(filter(
+            sequence(1, least(length(ta) - i + 1, length(tb) - pi + 1)),
+            x -> substr(ta, i + x - 1, 1) <> substr(tb, pi + x - 1, 1))),
+          least(length(ta) - i + 1, length(tb) - pi + 1) + 1) - 1
+        """
+    ).cast("long")
+    pairs = (
+        adj.join(ta, "doc_id").join(tb, "pdoc")
+        .select("doc_id", "pdoc", lcp.alias("lcp"))
+    )
+    both = pairs.select("doc_id", "lcp").unionByName(
+        pairs.select(F.col("pdoc").alias("doc_id"), "lcp")
+    )
+    per = both.groupBy("doc_id").agg(F.max("lcp").alias("longest_shared_len"))
+    longest = F.coalesce(F.col("longest_shared_len"), F.lit(0).cast("long"))
+    return shard.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        longest.alias("longest_shared_len"),
+        (longest < min_shared).alias("keep"),
     )

@@ -368,9 +368,11 @@ PRIORITY: tuple[str, ...] = (
     "classifier_gated_curation",
     "quality_tier_agreement",
     "embedding_ann_hier",
-    # -- r10 registrations: hier multi-probe dial + real PNG codec ----
+    # -- r10 registrations: hier multi-probe dial + real PNG codec
+    #    + suffix-array exact-substring dedup ---------------------------
     "embedding_ann_hier_probed",
     "multimodal_png_decode",
+    "exact_substring_spans",
     # -- r10: formerly rows-only, now oracle-paired (VERDICT r09 #1).
     #    incremental_hll_merge: exact-count oracle, valid in the HLL
     #    sparse regime both gate scales sit in. approx_count_distinct:

@@ -926,3 +926,70 @@ def test_hier_route_units_invariants(spark):
     # determinism: a second invocation routes identically
     again = {r["vec_id"]: r["cell"] for r in hier_route_units(fake_embeddings(n), k=k)[0].collect()}
     assert again == {r["vec_id"]: r["cell"] for r in rows}
+
+
+def test_suffix_array_ranks_match_naive_sort(spark):
+    """The prefix-doubling suffix array must order suffixes exactly as
+    a naive python sort of the suffix strings (binary comparison,
+    shorter-prefix-first) — including repeated substrings, full-doc
+    duplicates (tie groups), and single-char docs."""
+    from martian_moments_spark.llmops.dedup import suffix_array_ranks
+
+    rows = [
+        (1, "banana"),
+        (2, "bandana"),
+        (3, "a"),
+        (4, "banana"),   # byte-identical to doc 1 -> tie groups
+        (5, "nan"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = suffix_array_ranks(df).collect()
+
+    suffixes = [(d, i + 1, t[i:]) for d, t in rows for i in range(len(t))]
+    order = sorted(suffixes, key=lambda x: x[2])
+    # expected dense rank of each suffix = 1 + #distinct strings before it
+    uniq = sorted({s for _, _, s in order})
+    exp_rank = {s: r for r, s in enumerate(uniq, start=1)}
+    exp = {(d, i): exp_rank[s] for d, i, s in suffixes}
+
+    assert len(got) == len(suffixes)
+    for r in got:
+        assert exp[(r["doc_id"], r["i"])] == r["rank"], (
+            r["doc_id"], r["i"], r["rank"], exp[(r["doc_id"], r["i"])]
+        )
+
+
+def test_exact_substring_shared_finds_true_longest(spark):
+    """Per-doc longest shared substring must equal the brute-force
+    answer (all substring pairs) — the adjacency argument in the
+    docstring, checked against ground truth on crafted docs with a
+    long shared run, a full duplicate, and a unique doc."""
+    from martian_moments_spark.llmops.dedup import exact_substring_shared
+
+    rows = [
+        (1, "xxTHE SHARED BOILERPLATE RUNzz"),
+        (2, "abTHE SHARED BOILERPLATE RUNcd"),
+        (3, "completely unique content qqq"),
+        (4, "completely unique content qqq"),  # full duplicate of 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["longest_shared_len"] for r in exact_substring_shared(df, min_shared=10).collect()}
+
+    def brute(a, b):
+        best = 0
+        for i in range(len(a)):
+            for j in range(len(b)):
+                k = 0
+                while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    texts = dict(rows)
+    for d in texts:
+        expected = max(brute(texts[d], texts[o]) for o in texts if o != d)
+        assert got[d] == expected, (d, got[d], expected)
+    keeps = {r["doc_id"]: r["keep"] for r in exact_substring_shared(df, min_shared=10).collect()}
+    assert keeps == {1: False, 2: False, 3: False, 4: False}  # all share >= 10
+    keeps_90 = {r["doc_id"]: r["keep"] for r in exact_substring_shared(df, min_shared=90).collect()}
+    assert all(keeps_90.values())
