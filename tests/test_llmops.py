@@ -710,8 +710,12 @@ def test_decode_pgm_roundtrip_and_malformed():
         decode_pgm(b"P5\n4 4")  # header cut before maxval
     with pytest.raises(ValueError, match="single-byte"):
         decode_pgm(b"P5\n1 1\n65535\n\x00\x00")  # 16-bit PGM
+    # PNG routes to the REAL codec since r10 (truncated -> ValueError,
+    # not NotImplementedError); only entropy-coded formats keep the hook
+    with pytest.raises(ValueError, match="IHDR/IDAT"):
+        decode_image(b"\x89PNG\r\n\x1a\n")  # signature only, no chunks
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n")  # codec-requiring format
+        decode_image(b"\xff\xd8\xff\xe0 jpeg")  # codec-requiring format
 
 
 def test_encode_pgm_produces_real_payloads(spark):

@@ -854,7 +854,15 @@ def _stop_after_batches(q, min_batch_id: int, timeout_s: float = 600.0):
         lp = q.lastProgress
         if lp and lp.get("batchId", -1) >= min_batch_id:
             q.stop()
-            q.awaitTermination(120)
+            # stop() waits for the in-flight batch, which at sf1 volume
+            # can outlast a fixed awaitTermination window on a loaded
+            # host — and restarting while the old query still holds the
+            # checkpoint raises "Multiple streaming queries are
+            # concurrently using <ckpt>". Wait on isActive explicitly.
+            t1 = _t.monotonic()
+            while q.isActive and _t.monotonic() - t1 < timeout_s:
+                _t.sleep(0.25)
+            assert not q.isActive, "query did not release the checkpoint after stop()"
             return True
         _t.sleep(0.25)
     raise AssertionError("stream never reached the target batch count")
@@ -874,6 +882,15 @@ def _drop_latest_commit(ck: str) -> int:
     )
     assert commits, "no committed batches to crash"
     os.remove(commits[-1])
+    # the local-FS checkpoint manager writes a Hadoop checksum sidecar
+    # (.N.crc) next to every commit marker; a real crash loses both,
+    # and leaving it behind makes the replay's rename-into-place fail
+    # with FileAlreadyExistsException on the sidecar
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), "." + os.path.basename(commits[-1]) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
     return int(os.path.basename(commits[-1]))
 
 

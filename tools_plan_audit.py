@@ -79,21 +79,18 @@ BNLJ_ALLOW: dict[str, str] = {
 }
 
 # Queries allowed to funnel RAW rows through a single-partition stage.
-# Same contract as BNLJ_ALLOW: every entry states why. Before r10 this
-# was empty: every global window/sort in the registry (including the
-# W1 idiom global_row_number) ran over a keyed aggregate or bounded
-# metadata, never raw rows.
-SP_ALLOW: dict[str, str] = {
-    "exact_substring_spans": (
-        "prefix-doubling dense rank + adjacent-pair lag run over the "
-        "suffix rows of ONE shard, and the shard modulus scales with "
-        "the corpus (GREATEST(floor, n_docs // SA_SHARD_TARGET)) so "
-        "one shard is ~200 docs (~15k suffixes) at ANY corpus size — "
-        "a FIXED bound, not a fraction; the two-phase range rank of "
-        "global_rank_range_partitioned is the named lift if a shard "
-        "target is ever raised past one task"
-    ),
-}
+# Same contract as BNLJ_ALLOW: every entry states why. Currently empty:
+# every global window/sort in the registry (including the W1 idiom
+# global_row_number) runs over a keyed aggregate or bounded metadata,
+# never raw rows. Note exact_substring_spans audits clean WITHOUT an
+# entry: its prefix-doubling loop runs behind eager localCheckpoints,
+# so the heavy in-loop windows never appear in the final audited plan,
+# and the remaining in-shard stages are bounded by the corpus-scaled
+# shard cap (~200 docs / ~15k suffixes at any corpus size — see the
+# query's docstring; the two-phase range rank of
+# global_rank_range_partitioned is the named lift if the shard target
+# is ever raised past one task).
+SP_ALLOW: dict[str, str] = {}
 
 
 def parse_plan_nodes(plan: str):
