@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -93,9 +94,7 @@ def main() -> None:
             consume(spec.fn(spark, sf_dir))
             samples.append(round(time.perf_counter() - t0, 4))
         runs[name] = samples
-        import statistics as _st
-
-        timings[name] = round(_st.median(samples), 4)
+        timings[name] = round(statistics.median(samples), 4)
         best[name] = min(samples)
 
     total = round(sum(timings.values()), 4)
@@ -107,10 +106,20 @@ def main() -> None:
     # noise every run). Ratios > 1.5x with > 0.3 s absolute delta are
     # reported in the JSON line itself — regressions were previously
     # only findable by hand-diffing BENCH_r{N}.json files.
-    import statistics
-
+    #
+    # Lineage discipline (ADVICE r10): records written before the r10
+    # estimator switch hold BEST-OF times in "queries"; since r10 they
+    # hold medians and carry a separate "best" map. Comparing this
+    # run's median against a history dominated by best-of rows is
+    # biased toward false regression flags (median sits systematically
+    # above best-of). So the gate compares like lineages: median vs
+    # prior medians when enough median-era rows exist, else this run's
+    # BEST against the prior best lineage (old "queries" values are
+    # best-of by construction; median-era rows contribute their
+    # "best" map).
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
-    prior: dict[str, list[float]] = {}
+    prior_med: dict[str, list[float]] = {}
+    prior_best: dict[str, list[float]] = {}
     if os.path.exists(hist_path):
         with open(hist_path) as f:
             for line in f:
@@ -120,14 +129,29 @@ def main() -> None:
                     continue
                 if str(rec.get("sf")) != sf:
                     continue
-                for q, t in rec.get("queries", {}).items():
-                    prior.setdefault(q, []).append(t)
-    med = {q: round(statistics.median(ts), 4) for q, ts in prior.items()}
-    regressions = {
-        name: {"now": t, "median": round(med[name], 4), "ratio": round(t / med[name], 2)}
-        for name, t in timings.items()
-        if name in med and t > 0.3 and t > 1.5 * med[name] and t - med[name] > 0.3
-    }
+                median_era = rec.get("passes") == "median-of-3-to-5"
+                if median_era:
+                    for q, t in rec.get("queries", {}).items():
+                        prior_med.setdefault(q, []).append(t)
+                for q, t in (rec.get("best") or (rec.get("queries") if not median_era else {}) or {}).items():
+                    prior_best.setdefault(q, []).append(t)
+    regressions = {}
+    for name, t in timings.items():
+        if len(prior_med.get(name, [])) >= 2:
+            now, m = t, statistics.median(prior_med[name])
+            lineage = "median"
+        elif prior_best.get(name):
+            now, m = best[name], statistics.median(prior_best[name])
+            lineage = "best"
+        else:
+            continue
+        if now > 0.3 and now > 1.5 * m and now - m > 0.3:
+            regressions[name] = {
+                "now": now,
+                "median": round(m, 4),
+                "ratio": round(now / m, 2),
+                "lineage": lineage,
+            }
     with open(hist_path, "a") as f:
         f.write(
             json.dumps(

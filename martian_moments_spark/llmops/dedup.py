@@ -672,7 +672,11 @@ def suffix_array_ranks(shard: DataFrame) -> DataFrame:
     dedup_connected_components."""
     from pyspark.sql.window import Window as W
 
-    suf = shard.select(
+    # Empty docs contribute no suffixes. Without the filter,
+    # sequence(1, 0) yields a DESCENDING [1, 0] (Spark semantics) and
+    # injects two phantom suffixes over '', diverging from the
+    # oracle's empty range(1, length+1).
+    suf = shard.filter(F.length("text") > 0).select(
         "doc_id",
         "text",
         F.length("text").cast("long").alias("n_chars"),

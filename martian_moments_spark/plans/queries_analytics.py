@@ -639,6 +639,7 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "edit_distance_pairs",
     ops=("J2", "F1", "P6"),
+    bench=True,
     oracle="""
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
@@ -747,6 +748,7 @@ def topk_nearest_matches(sym: DataFrame, k: int = 3) -> DataFrame:
 @register(
     "edit_distance_topk",
     ops=("J2", "W2", "F1", "O2"),
+    bench=True,
     oracle="""
         WITH pairs AS (
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -381,6 +381,9 @@ PRIORITY: tuple[str, ...] = (
     #    order re-windows them automatically (tier 1).
     "incremental_hll_merge",
     "approx_count_distinct",
+    # r11: the baseline-DCT JPEG codec path (closes the last
+    # NotImplementedError arm; never driver-attested, heads the window)
+    "multimodal_jpeg_decode",
 )
 
 

@@ -183,7 +183,9 @@ def test_hier_recall_floors_single_cell_and_probed(spark):
 
     emb = load(spark, SF_DIR, "embeddings")
     n = table_rows(SF_DIR, "embeddings") or emb.count()
-    k = max(K_CELLS, n // 500)  # ADAPT_CELL_TARGET, mirrored
+    from martian_moments_spark.plans.queries_llm import ADAPT_CELL_TARGET
+
+    k = max(K_CELLS, n // ADAPT_CELL_TARGET)
     assigned, _, _ = hier_route_units(emb, k=k)
     assigned = assigned.localCheckpoint(eager=True)
 

@@ -164,9 +164,101 @@ def test_png_codec_round_trip_all_filters():
     )
     with pytest.raises(ValueError, match="length"):
         decode_png(short)
-    # entropy-coded formats stay behind the hook
-    with pytest.raises(NotImplementedError):
+    # JPEG routes to the REAL baseline codec since r11: a truncated
+    # stream is a data error, and unknown signatures are too (the
+    # NotImplementedError capability hook is closed)
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(ValueError, match="unrecognized image signature"):
+        decode_image(b"GIF89a not supported")
+
+
+def test_jpeg_codec_constant_blocks_exact():
+    """The baseline-DCT JPEG round trip must be BIT-EXACT on the
+    constant-block family the oracle gate rides on: a constant 8x8
+    block has a single DC coefficient 8*(v-128) and the fixture quant
+    table pins the DC step to 8, so any defect in marker framing,
+    canonical huffman reconstruction, bit order, the DC predictor,
+    byte (un)stuffing, EXTEND, or the IDCT normalization shifts whole
+    blocks. Exercises the full printable-ASCII DC range, including
+    multi-block DC deltas of both signs."""
+    import numpy as np
+
+    from martian_moments_spark.llmops.multimodal import (
+        JPEG_H,
+        JPEG_W,
+        decode_image,
+        decode_jpeg,
+        encode_jpeg_bytes,
+    )
+
+    for chars in [b"HelloJPG", b"~~!!~~!!", b" zAzAzA ", bytes(range(32, 40))]:
+        blocks = np.frombuffer(chars, dtype=np.uint8).reshape(2, 4)
+        px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        b = encode_jpeg_bytes(px, JPEG_W, JPEG_H)
+        w, h, out = decode_jpeg(b)
+        assert (w, h) == (JPEG_W, JPEG_H)
+        assert np.array_equal(out, px), chars
+    # decode_image routes JPEG payloads through the real codec
+    w, h, out = decode_image(b)
+    assert np.array_equal(out, px)
+
+
+def test_jpeg_codec_general_ac_path_and_malformed():
+    """The general (lossy) path must drive the full AC machinery —
+    run/size symbols, ZRL, EOB, negative amplitudes, byte stuffing —
+    and stay inside the quantization error bound: with an all-ones
+    quant table the only loss is coefficient rounding (<=0.5 each),
+    whose pixel-domain footprint is bounded by 0.5 * sum|basis| < 8.
+    A wrong huffman table, swapped run/size nibbles, or mis-ordered
+    zigzag produces errors in the hundreds, not <= 8. Malformed and
+    unsupported streams must fail loudly."""
+    import numpy as np
+    import pytest
+
+    from martian_moments_spark.llmops.multimodal import (
+        decode_jpeg,
+        encode_jpeg_bytes,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(8, 8), (16, 24), (24, 40)]:
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        b = encode_jpeg_bytes(img, w, h, qtable=[1] * 64)
+        w2, h2, out = decode_jpeg(b)
+        assert (w2, h2) == (w, h)
+        err = np.abs(out.astype(int) - img.astype(int)).max()
+        assert err <= 8, err
+    # byte stuffing must appear in at least one entropy stream above
+    # (random data at q=1 emits 0xFF bytes with near-certainty) and
+    # the decoder just proved it unstuffs them
+    assert b"\xff\x00" in b
+
+    # the standard quant table decodes too (visibly lossy, structurally
+    # sound: a broken decode path would not stay within ~4x the JND)
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_bytes(img, 16, 16))[2]
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 40
+
+    good = encode_jpeg_bytes(img, 16, 16)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"P5 not jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:40])  # truncated mid-segment
+    with pytest.raises(ValueError, match="EOI"):
+        decode_jpeg(good[:-2])  # entropy stream without EOI
+    # corrupting a huffman BITS count must not decode silently
+    bad = bytearray(good)
+    dht = good.index(b"\xff\xc4")
+    bad[dht + 6] ^= 0x05
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    # progressive (SOF2) must be rejected, not mis-decoded
+    bad = bytearray(good)
+    sof = good.index(b"\xff\xc0")
+    bad[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(bad))
 
 
 def test_chunked_topk_never_emits_self_on_zero_norm_input(spark):
@@ -710,12 +802,15 @@ def test_decode_pgm_roundtrip_and_malformed():
         decode_pgm(b"P5\n4 4")  # header cut before maxval
     with pytest.raises(ValueError, match="single-byte"):
         decode_pgm(b"P5\n1 1\n65535\n\x00\x00")  # 16-bit PGM
-    # PNG routes to the REAL codec since r10 (truncated -> ValueError,
-    # not NotImplementedError); only entropy-coded formats keep the hook
+    # PNG routes to the REAL codec since r10, JPEG since r11; malformed
+    # streams are data errors, and so are unknown signatures — the
+    # NotImplementedError capability hook no longer exists
     with pytest.raises(ValueError, match="IHDR/IDAT"):
         decode_image(b"\x89PNG\r\n\x1a\n")  # signature only, no chunks
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg")  # codec-requiring format
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg")  # truncated JPEG stream
+    with pytest.raises(ValueError, match="unrecognized image signature"):
+        decode_image(b"BM windows bitmap")
 
 
 def test_encode_pgm_produces_real_payloads(spark):
@@ -945,6 +1040,8 @@ def test_suffix_array_ranks_match_naive_sort(spark):
         (3, "a"),
         (4, "banana"),   # byte-identical to doc 1 -> tie groups
         (5, "nan"),
+        (6, ""),         # empty doc: zero suffixes (sequence(1,0) is
+                         # DESCENDING in Spark and must not leak in)
     ]
     df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
     got = suffix_array_ranks(df).collect()

@@ -978,3 +978,211 @@ def test_streaming_medallion_sf1_kill_restart_exactly_once(spark, tmp_path):
         json.load(open(os.path.join(os.path.dirname(silver), f)))["rows"] for f in markers
     )
     assert total_marked >= 1_000_000  # replays re-report merged counts
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF1_DIR), reason="sf1 corpus not generated (tools_gen_scale.py)"
+)
+def test_compaction_during_sf1_streaming_upsert_snapshot_isolated(spark, tmp_path):
+    """VERDICT r10 Next-round #5 — the two hardening drills COMPOSED:
+    transactional compaction running DURING a streaming bucketed
+    upsert at sf1 volume. The stream drains the 1M-event envelope
+    corpus through foreachBatch merge_upsert_bucketed (one commit-log
+    version per micro-batch) while a concurrent thread repeatedly
+    OPTIMIZEs the same table via lakehouse.compact. Both writers go
+    through the optimistic version CAS, so snapshot isolation must
+    hold with zero coordination: no upserted row may be lost when
+    compaction rewrites files out from under a merge's base snapshot
+    (the loser retries against the new version), no row may be
+    duplicated when a merge's base is a compacted layout, and time
+    travel to a pre-compaction version must still read. Exactly-once
+    is judged against the batch flatten of the same envelopes."""
+    import threading
+
+    import martian_moments_spark.lakehouse as lh
+
+    envel = str(tmp_path / "envelopes")
+    table = str(tmp_path / "lake" / "events")
+    ck = str(tmp_path / "ck")
+
+    _write_sf1_envelopes(spark, envel)
+
+    def _apply(batch_df, batch_id):
+        lh.merge_upsert_bucketed(
+            batch_df.sparkSession,
+            batch_df,
+            table,
+            keys=["event_id"],
+            order_col="ingestion_ts",
+            num_buckets=16,
+        )
+
+    stream = file_json_stream(spark, envel, ENVELOPE_SCHEMA, max_files_per_trigger=4)
+    q = (
+        flatten_envelopes(stream)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    compact_errors: list[Exception] = []
+    compactions: list[int] = []
+    stop_compactor = threading.Event()
+
+    def compactor():
+        # small target_bytes so every pass genuinely rewrites the
+        # snapshot into few files (maximum interference with merges)
+        while not stop_compactor.is_set():
+            try:
+                if lh.current_version(table) is not None:
+                    compactions.append(
+                        lh.compact(spark, table, target_bytes=8 * 1024 * 1024)
+                    )
+            except Exception as e:  # pragma: no cover - failure detail
+                compact_errors.append(e)
+                return
+            stop_compactor.wait(1.0)
+
+    t = threading.Thread(target=compactor)
+    t.start()
+    try:
+        assert q.awaitTermination(900)
+    finally:
+        stop_compactor.set()
+        t.join(timeout=120)
+    assert not compact_errors, compact_errors
+
+    hist = {
+        r["version"]: r["op"] for r in lh.table_history(spark, table).collect()
+    }
+    merge_versions = [v for v, op in hist.items() if op == "merge_bucketed"]
+    compact_versions = [v for v, op in hist.items() if op == "compact"]
+    assert len(merge_versions) >= 5, hist
+    assert compactions and compact_versions, "compactor never committed"
+    # at least one compaction INTERLEAVED with the merges (committed
+    # strictly before the last merge landed) — otherwise this test
+    # degenerates to sequential compaction, which test_lakehouse
+    # already covers
+    assert min(compact_versions) < max(merge_versions), hist
+
+    # exactly-once under interference: final state == batch flatten
+    from martian_moments_spark.streaming.sinks import BUCKET_COL
+
+    expected = flatten_envelopes(spark.read.schema(ENVELOPE_SCHEMA).json(envel))
+    got = lh.read_table(spark, table).drop(BUCKET_COL)
+    assert got.count() == 1_000_000
+    assert got.select("event_id").distinct().count() == 1_000_000
+    cols = expected.columns
+    assert got.select(cols).exceptAll(expected).count() == 0, (
+        "rows not in batch flatten (compaction resurrected a rewritten file?)"
+    )
+    assert expected.exceptAll(got.select(cols)).count() == 0, (
+        "rows lost (a merge's base snapshot was compacted away mid-commit?)"
+    )
+
+    # snapshot isolation backward: a pre-compaction version still reads
+    # (compaction removes files from the CURRENT snapshot only; the old
+    # version's files stay until vacuum)
+    first_merge = min(merge_versions)
+    old = lh.read_table(spark, table, version=first_merge)
+    assert 0 < old.count() <= 1_000_000
+    # and the final layout is genuinely compacted: far fewer live
+    # files than the merge churn produced in total
+    assert len(lh.snapshot_files(table)) < sum(
+        1 for v, op in hist.items() if op == "merge_bucketed"
+    ) * 16
+
+
+def test_kafka_stream_builder_wiring(spark):
+    """VERDICT r10 Next-round #7: kafka_stream's real builder path has
+    never executed because no spark-sql-kafka package ships in this
+    container. This test executes kafka_stream ITSELF (not a copy of
+    its body) against a recording stand-in for SparkSession.readStream
+    whose .load() returns a real DataFrame with the Kafka source
+    contract schema — asserting (a) the exact reader wiring the
+    reference's consumer needs (format kafka, bootstrap servers,
+    subscribe topic, startingOffsets; src/utils/kafka.py:5-24) and
+    (b) that the returned frame is the parsed control-message shape,
+    proving the .load() seam composes with parse_kafka_frame without
+    modification. With a broker-enabled classpath the stand-in
+    disappears and nothing else changes."""
+    from martian_moments_spark.streaming.sources import kafka_stream
+
+    raw = spark.createDataFrame(
+        [
+            (
+                None,
+                b'{"tmp_jsonl_staging_path": "s/p1.jsonl", "status": "success", "timestamp": "2024-03-01T00:00:00"}',
+                "snowflake-load-complete",
+                0,
+                7,
+                None,
+                0,
+            )
+        ],
+        "key BINARY, value BINARY, topic STRING, partition INT, "
+        "offset BIGINT, timestamp TIMESTAMP, timestampType INT",
+    )
+
+    calls = {"format": None, "options": {}, "loaded": False}
+
+    class _Reader:
+        def format(self, fmt):
+            calls["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            calls["options"][k] = v
+            return self
+
+        def load(self):
+            calls["loaded"] = True
+            return raw
+
+    class _FakeSpark:
+        readStream = _Reader()
+
+    parsed = kafka_stream(
+        _FakeSpark(),
+        brokers="broker-1:9092,broker-2:9092",
+        topic="snowflake-load-complete",
+        value_schema="tmp_jsonl_staging_path STRING, status STRING, timestamp STRING",
+    )
+
+    assert calls["format"] == "kafka"
+    assert calls["loaded"]
+    assert calls["options"] == {
+        "kafka.bootstrap.servers": "broker-1:9092,broker-2:9092",
+        "subscribe": "snowflake-load-complete",
+        "startingOffsets": "earliest",
+    }
+    assert parsed.columns == [
+        "topic",
+        "kafka_ts",
+        "tmp_jsonl_staging_path",
+        "status",
+        "timestamp",
+    ]
+    row = parsed.collect()[0]
+    assert row["topic"] == "snowflake-load-complete"
+    assert row["tmp_jsonl_staging_path"] == "s/p1.jsonl"
+    assert row["status"] == "success"
+
+
+def test_kafka_connector_probe_records_environment():
+    """Probe spark-sql-kafka availability on THIS classpath. The jar
+    is absent from the container's pyspark distribution (recorded in
+    COVERAGE.md); if a future environment ships it, this test starts
+    failing on purpose — the signal to add the real-broker smoke and
+    retire the stand-in above."""
+    import os
+
+    import pyspark
+
+    jars = os.listdir(os.path.join(pyspark.__path__[0], "jars"))
+    kafka_jars = [j for j in jars if "kafka" in j.lower()]
+    assert kafka_jars == [], (
+        f"spark-sql-kafka now available ({kafka_jars}): wire the "
+        "real-broker kafka_stream smoke test"
+    )

@@ -196,6 +196,55 @@ def gen_sf100() -> None:
     spark.stop()
 
 
+def gen_sf10cust() -> None:
+    """Edit-distance decade 2 input (VERDICT r10 Next-round #4): a
+    1.5M-row customer table = 10 key-offset copies of sf1's 150k with
+    REPLICA-DISTINCT name prefixes. The tag discipline is what keeps
+    the decade honest: sf1's replication left names byte-identical
+    across copies (10 copies per name per nation), so replicating
+    again unchanged would put 100 identical copies in each block and
+    grow the ed<=2 pair mass ~100x per decade BY DATA CONSTRUCTION —
+    the same artifact the span family's vocabulary saturation causes.
+    Prefixing copies 1..9 with three-character tags that pairwise
+    differ in every position ("AAA-".."III-") pins every cross-replica
+    name pair at edit distance >= 3 > 2, so the true pair set is
+    exactly 10 disjoint shifted copies of sf1's: pair mass grows
+    exactly 10x, per-block structure is preserved, and replica 0
+    (untagged, ids < 150k) IS sf1's pair set — the affordable parity
+    anchor, since the quadratic all-pairs DuckDB oracle is
+    cost-walled at 1.5M rows. Run: python tools_gen_scale.py
+    --sf10cust (~1 min)."""
+    spark = get_spark(app_name="mm-gen-scale-sf10cust")
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf10cust"
+    )
+    os.makedirs(out, exist_ok=True)
+    sf1 = os.path.join(os.path.dirname(out), "sf1")
+    c = spark.read.parquet(f"{sf1}/customer.parquet")
+    off = c.agg(F.max("c_custkey")).collect()[0][0] + 1
+    copies = spark.range(COPIES).select(F.col("id").alias("__copy"))
+    tags = F.array(
+        F.lit(""), *[F.lit(chr(ord("A") + i) * 3 + "-") for i in range(1, COPIES)]
+    )
+    out_df = (
+        c.crossJoin(copies)
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("__copy") * F.lit(off))
+        .withColumn(
+            "c_name",
+            F.concat(F.element_at(tags, (F.col("__copy") + 1).cast("int")), F.col("c_name")),
+        )
+        .drop("__copy")
+    )
+    out_df.repartition(32).write.mode("overwrite").parquet(f"{out}/customer.parquet")
+    print("sf10cust customer:", spark.read.parquet(f"{out}/customer.parquet").count())
+    for t in sorted(os.listdir(sf1)):
+        dst = os.path.join(out, t)
+        if t.startswith("customer") or os.path.lexists(dst):
+            continue
+        os.symlink(os.path.join("..", "sf1", t), dst)
+    spark.stop()
+
+
 def main() -> None:
     spark = get_spark(app_name="mm-gen-scale")
     os.makedirs(OUT, exist_ok=True)
@@ -325,6 +374,8 @@ if __name__ == "__main__":
         gen_embdecade()
     elif "--sf100" in sys.argv:
         gen_sf100()
+    elif "--sf10cust" in sys.argv:
+        gen_sf10cust()
     elif "--sf10" in sys.argv:
         gen_sf10()
     else:
