@@ -1057,17 +1057,48 @@ def run_decade3spans_smoke() -> None:
         "by the sf10 parity rows in the second-decade table over the\n"
         "identical code path.\n"
     )
-    with open("SCALE.md") as f:
-        doc = f.read()
-    cut = doc.find(SPANS3_MARK)
-    if cut != -1:
-        doc = doc[: max(doc.rfind("\n", 0, cut), 0)]
-    with open("SCALE.md", "w") as f:
-        f.write(doc.rstrip() + "\n" + section)
+    # _splice_section replaces ONLY this block: sections recorded
+    # after it (dedup-family decades, edit-distance decade) survive a
+    # spans rerun — the cut-to-EOF form this replaced would have
+    # silently dropped them.
+    _splice_section(SPANS3_MARK, section)
     print(json.dumps({"decade3spans": results, "flagged": flagged}))
     spark.stop()
 
 
+
+
+# --dedupdecades: the dedup family re-measured on STACKED decades
+# (sf1 -> sf10 -> sf100 documents) with the candidate-mass split
+# (VERDICT r10 Next-round #4). fuzzy_dedup_pipeline /
+# ngram_jaccard_pairs / near_dup_degree_stats had only the first
+# decade recorded (2.6-2.8x at sf0.1 -> sf1); two more stacked
+# decades separate linear-with-constant from quietly-superlinear.
+# All three ride the same LSH candidate graph, so the masses that
+# matter are band-collision candidate pairs (what the verifier is
+# FED) and tau-verified pairs (what downstream consumers read); the
+# pass criterion mirrors the span family: wall growth <= fed-mass
+# growth, with ~10x the linear baseline.
+DEDUP3_MARK = "## Dedup-family stacked decades (sf1 -> sf10 -> sf100, candidate-mass split)"
+DEDUP3_QUERIES = (
+    "fuzzy_dedup_pipeline",
+    "ngram_jaccard_pairs",
+    "near_dup_degree_stats",
+)
+
+# --editdecade: the edit-distance kernels' second decade (sf1 150k ->
+# sf10cust 1.5M customers; tools_gen_scale.py --sf10cust). The
+# replica-tag construction makes the true pair set exactly 10 disjoint
+# copies of sf1's, so pair mass growth is exactly 10x BY CONSTRUCTION
+# — any wall growth beyond ~10x is engine, not data. The quadratic
+# all-pairs DuckDB oracle is cost-walled at 1.5M rows (45B levenshtein
+# evals); parity is anchored by (a) the exact-10x output invariant and
+# (b) the replica-0 slice (ids < 150k), which must hash-match the sf1
+# oracle output row-for-row.
+EDIT2_MARK = "## Edit-distance decade 2 (sf1 150k -> sf10cust 1.5M customers)"
+SF10CUST_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf10cust"
+)
 
 
 def _splice_section(mark: str, section: str) -> None:
@@ -1480,36 +1511,3 @@ if __name__ == "__main__":
 
     print(json.dumps({"rows": N, "shapes": shapes, "total": round(sum(shapes.values()), 2)}))
     spark.stop()
-
-
-# --dedupdecades: the dedup family re-measured on STACKED decades
-# (sf1 -> sf10 -> sf100 documents) with the candidate-mass split
-# (VERDICT r10 Next-round #4). fuzzy_dedup_pipeline /
-# ngram_jaccard_pairs / near_dup_degree_stats had only the first
-# decade recorded (2.6-2.8x at sf0.1 -> sf1); two more stacked
-# decades separate linear-with-constant from quietly-superlinear.
-# All three ride the same LSH candidate graph, so the masses that
-# matter are band-collision candidate pairs (what the verifier is
-# FED) and tau-verified pairs (what downstream consumers read); the
-# pass criterion mirrors the span family: wall growth <= fed-mass
-# growth, with ~10x the linear baseline.
-DEDUP3_MARK = "## Dedup-family stacked decades (sf1 -> sf10 -> sf100, candidate-mass split)"
-DEDUP3_QUERIES = (
-    "fuzzy_dedup_pipeline",
-    "ngram_jaccard_pairs",
-    "near_dup_degree_stats",
-)
-
-# --editdecade: the edit-distance kernels' second decade (sf1 150k ->
-# sf10cust 1.5M customers; tools_gen_scale.py --sf10cust). The
-# replica-tag construction makes the true pair set exactly 10 disjoint
-# copies of sf1's, so pair mass growth is exactly 10x BY CONSTRUCTION
-# — any wall growth beyond ~10x is engine, not data. The quadratic
-# all-pairs DuckDB oracle is cost-walled at 1.5M rows (45B levenshtein
-# evals); parity is anchored by (a) the exact-10x output invariant and
-# (b) the replica-0 slice (ids < 150k), which must hash-match the sf1
-# oracle output row-for-row.
-EDIT2_MARK = "## Edit-distance decade 2 (sf1 150k -> sf10cust 1.5M customers)"
-SF10CUST_DIR = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".scale_data", "sf10cust"
-)
