@@ -80,7 +80,7 @@ def _rest(base: str, path: str):
         return json.loads(r.read())
 
 
-def _stage_totals(base: str, app_id: str) -> dict[str, int]:
+def _stage_totals_once(base: str, app_id: str) -> dict[str, int]:
     totals = {
         "input_bytes": 0,
         "shuffle_write": 0,
@@ -93,6 +93,23 @@ def _stage_totals(base: str, app_id: str) -> dict[str, int]:
         totals["shuffle_read"] += st.get("shuffleReadBytes", 0)
         totals["spill_bytes"] += st.get("diskBytesSpilled", 0)
     return totals
+
+
+def _stage_totals(base: str, app_id: str) -> dict[str, int]:
+    """Poll until two consecutive reads agree: the AppStatusListener
+    records stage completion ASYNCHRONOUSLY after collect() returns,
+    so a single immediate read can miss the last stages of the job
+    just finished (first audit run under-counted text-column scans
+    this way — the missing bytes then cancelled out of the NEXT
+    query's before/after diff, silently deflating inputs)."""
+    prev = _stage_totals_once(base, app_id)
+    for _ in range(40):
+        time.sleep(0.5)
+        cur = _stage_totals_once(base, app_id)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
 
 
 def _fmt_bytes(n: int) -> str:
