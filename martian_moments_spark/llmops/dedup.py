@@ -25,6 +25,7 @@ from martian_moments_spark.llmops.textops import (
     portable_hash31,
     word_shingles,
 )
+from martian_moments_spark.operators.parallelize import spread_fanout
 
 # Deterministic MinHash family h_i(x) = (a_i * h(x) + b_i) mod P.
 # a_i odd and < 2^17 keeps a_i * h(x) < 2^48 — no BIGINT overflow.
@@ -290,12 +291,17 @@ def deletion_neighborhood_candidates(
             ),
         )
     )
-    sigs = F.array_distinct(
-        F.concat(
-            F.array(s),
-            F.when(l >= 1, d1).otherwise(F.array().cast("array<string>")),
-            F.when(l >= 2, d2).otherwise(F.array().cast("array<string>")),
-        )
+    # No array_distinct over the variant array: duplicate variants of
+    # ONE string (equal deletions over repeated characters) land in the
+    # same (block, sig) bucket where collect_set(id) collapses them, so
+    # the candidate-pair set is provably unchanged — while the distinct
+    # pass itself cost ~10% of the signature stage (r11 measured
+    # 3.7 s -> 3.5 s serial, 1.0 s -> 0.7 s spread; pair sets verified
+    # identical at sf0.1, 694,624 rows both ways).
+    sigs = F.concat(
+        F.array(s),
+        F.when(l >= 1, d1).otherwise(F.array().cast("array<string>")),
+        F.when(l >= 2, d2).otherwise(F.array().cast("array<string>")),
     )
     # Bucket on xxhash64(variant), not the variant string: an 8-byte
     # shuffle key instead of a ~l-byte one. A hash collision can only
@@ -305,15 +311,21 @@ def deletion_neighborhood_candidates(
     # null-text rows via the null-unsafe equi-join; groupBy would
     # instead collect nulls into one bucket and emit pairs for them.
     # Filter explicitly so both forms agree for nullable inputs.
-    sig_rows = (
-        df.filter(F.col(block_col).isNotNull() & F.col(text_col).isNotNull())
-        .select(
+    # The signature explode amplifies each row ~l^2/2 x, so its stage
+    # cost is decoupled from its INPUT size — a small scan (one split)
+    # would run the whole expansion on one core (measured 3.7 s serial
+    # vs 1.0 s spread at sf0.1, r11 profile). spread_fanout is the
+    # identity once the scan has >= defaultParallelism splits.
+    base = spread_fanout(
+        df.filter(F.col(block_col).isNotNull() & F.col(text_col).isNotNull()).select(
             F.col(block_col).alias("block"),
             F.col(id_col).alias("id"),
             F.col(text_col).alias("__s"),
-        )
-        .select("block", "id", F.explode(sigs).alias("sig"))
-        .select("block", "id", F.xxhash64("sig").alias("sig"))
+        ),
+        "id",
+    )
+    sig_rows = base.select("block", "id", F.explode(sigs).alias("sig")).select(
+        "block", "id", F.xxhash64("sig").alias("sig")
     )
     # Pairs come from grouping each signature bucket, NOT from a
     # self-join: the join form evaluates the signature explosion once

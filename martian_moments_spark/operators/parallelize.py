@@ -1,0 +1,54 @@
+"""Scan-parallelism repair for fan-out stages (optimization guide
+§2.4 "remove shuffles outright" has a dual: ADD the one cheap shuffle
+that unserializes a stage).
+
+Spark sizes scan partitions by INPUT bytes (``maxPartitionBytes`` /
+``openCostInBytes``), which is right when downstream per-byte cost is
+O(1). A fan-out stage — an explode of O(len^2) signature variants, an
+Arrow-batched decode, a per-row neighborhood expansion — multiplies
+each input byte by orders of magnitude, so a kilobyte-scale scan (one
+split, one task) serializes the whole stage's CPU on a single core
+while the rest of the cluster idles. Measured on the FastSS signature
+stage at sf0.1: 3.7 s serial vs 1.0 s after hash-repartitioning onto
+the session's cores (r11 profile, stage `edit_distance_*` #1).
+
+``spread_fanout`` hash-repartitions the (narrow — call it BEFORE the
+fan-out, while rows are still small) input onto the session's default
+parallelism when, and only when, the input's own partition count is
+below it. At real scale a corpus scan already has more splits than
+cores, so the call is the identity and no extra shuffle is paid where
+the scan itself provides the parallelism — the knob is scale-adaptive
+by construction, not tuned to local core counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def spread_fanout(df: DataFrame, key_col: str) -> DataFrame:
+    """Ensure ``df`` is spread over the session's parallelism before a
+    high-amplification (explode / Arrow-UDF) stage.
+
+    - Partitioning key is a real column (deterministic under task
+      retry — guide §2.5 forbids rand()-derived keys), so re-run map
+      tasks reproduce the same row placement.
+    - The partition count is passed EXPLICITLY: a bare
+      ``repartition(col)`` is AQE-coalescible, and AQE would fold a
+      kilobyte-scale shuffle straight back into one task, undoing the
+      repair. REPARTITION_BY_NUM is exempt from coalescing.
+    - Identity when the input already has >= defaultParallelism
+      partitions (the at-scale case), so this never ADDS a shuffle of
+      a large input.
+
+    Call it on a scan-shaped input (scan + filter + narrow project):
+    ``df.rdd.getNumPartitions()`` builds the physical plan to count
+    partitions, which is cheap there and would not be on a plan that
+    already contains joins.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key_col))
