@@ -60,6 +60,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from martian_moments_spark.llmops.textops import tokens
+from martian_moments_spark.operators.parallelize import spread_fanout
 
 #: the repo's standard heuristic quality gate (source_mix_report):
 #: docs passing it form the LM's reference (training) slice.
@@ -119,7 +120,17 @@ def bigram_lm_scores(docs: DataFrame, ppl_max: int = BIGRAM_PPL_MAX) -> DataFram
     score_den, ppl_proxy, keep). Documents with fewer than 2 tokens
     have no bigrams: zero sums, NULL ppl_proxy, keep = false (a 0/1
     token document is never training-worthy)."""
-    toks = docs.select("doc_id", tokens("text").alias("t"))
+    # spread: the model branch, the context branch, the scoring bigram
+    # explode and the final doc spine all re-derived the tokenize from
+    # their own copy of the one-split scan — serial single-task stages
+    # at bench scale (r11 profile: 0.62 + 0.53 + 0.46 s). One keyed
+    # repartition of the raw docs lets ReuseExchange share the scan and
+    # runs every branch's tokenize/explode at full parallelism;
+    # identity at real scale (spread_fanout), where the scan itself
+    # has enough splits.
+    toks = spread_fanout(docs, "doc_id").select(
+        "doc_id", tokens("text").alias("t")
+    )
     ref = toks.filter(lm_gate(F.col("t")))
     v = ref.select(F.explode("t").alias("tok")).agg(
         F.count_distinct("tok").cast("long").alias("v")

@@ -52,3 +52,15 @@ def spread_fanout(df: DataFrame, key_col: str) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, F.col(key_col))
+
+
+# An r11 draft also carried ``repartition_for_key`` (pre-materialize
+# the exchange that keyed consumers would insert, hoping ReuseExchange
+# collapses sibling subtrees). Measured and REMOVED: column pruning
+# gives sibling consumers different projections below the exchange, so
+# the subtrees never canonicalize equal and nothing is reused — and
+# when the consumer is a broadcast join the keyed exchange serves no
+# one at all (cross_doc_ngram_spans benched 1.80 s with it vs 1.20 s
+# without, same session, interleaved). Exchange sharing that actually
+# fires comes from IDENTICAL subtrees (this module's spread_fanout
+# qualifies: both consumers read the same spread shuffle files).

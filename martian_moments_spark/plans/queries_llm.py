@@ -73,6 +73,7 @@ from martian_moments_spark.llmops.textops import (
     sql_portable_hash31,
     sql_quality_metrics,
 )
+from martian_moments_spark.operators.parallelize import spread_fanout
 from martian_moments_spark.plans.registry import register
 
 # Shared DuckDB CTE fragments (kept in lockstep with llmops helpers).
@@ -1750,6 +1751,15 @@ def embedding_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_units_and_norm,
     )
 
+    # MEASURED REJECTION (r11): spreading this scan + repartitioning
+    # `bands` on the band key looked like the profile's answer (every
+    # stage <= 1 task) but benched 1.3 s -> 2.7-4.4 s. The Python-seam
+    # stages here are LATENCY-bound, not compute-bound, at bench scale:
+    # the 2000-vector band matmul is microseconds of numpy, so 32-way
+    # spread just pays 32 Python-worker round-trips plus two extra
+    # AQE stage barriers. Leave the seams on the scan's own
+    # parallelism; at real scale the scan has splits and the seams
+    # parallelize by themselves.
     base = with_units_and_norm(
         load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ).select("vec_id", "units", "norm2")
@@ -1918,7 +1928,14 @@ def curation_to_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row hash math; the final rollup shuffles two tiny keys. No
     stage materializes an intermediate — Catalyst plans the chain
     end to end, reusing the scan."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    raw_docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # spread: four consumers (quality gate, dedup winner agg, bench
+    # shingles, contamination shingles) each re-derived this scan under
+    # their own exchange, all SERIAL on the one-split scan (r11
+    # profile: 0.68 + 0.47 + 0.25 + 0.09 s one-task stages). One
+    # keyed repartition parallelizes the text fan-out work and lets
+    # ReuseExchange share the scan across all branches.
+    docs = spread_fanout(raw_docs, "doc_id")
     # alias-then-unpack (see quality_metrics_packed): computed once in
     # the projection; the downstream quality-gate filter may re-inline
     # it via predicate pushdown — measured a wash, never a regression
@@ -4004,9 +4021,23 @@ def cross_doc_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped because dup membership is one row per distinct shingle."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     sh_arr = F.transform(word_shingles("text", n=CROSS_DOC_NGRAM), portable_hash31)
-    pos = docs.select(
-        "doc_id", F.posexplode(sh_arr).alias("p0", "sh")
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), "sh")
+    # spread: the shingle posexplode amplifies each doc into ~n_tokens
+    # rows, so a single-split scan serializes it (r11 profile: 0.9 s
+    # one-task stage). The spread exchange is written once and READ by
+    # both consumers (dup aggregate + hit join — runtime-verified via
+    # REST stage metrics: one 0.85 MB map stage, two reduce stages).
+    # The explode itself still runs once per consumer: column pruning
+    # gives the dup branch a narrower projection ([doc_id, sh] vs
+    # [doc_id, p, sh]), so the subtrees never canonicalize equal — but
+    # both run at full parallelism above the spread. NOT keyed on the
+    # shingle (an earlier r11 draft repartition_for_key'd "sh" here):
+    # the hit join broadcasts `dup`, so a shingle-keyed exchange of the
+    # full pos relation serves no consumer — measured pure overhead.
+    pos = (
+        spread_fanout(docs, "doc_id")
+        .select("doc_id", F.posexplode(sh_arr).alias("p0", "sh"))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "sh")
+    )
     # "appears in >= 2 distinct docs" as min != max, NOT
     # count_distinct >= 2: the distinct form expands partial state to
     # every (sh, doc_id) pair in the MAP-SIDE hash table (scan-task-
@@ -4541,6 +4572,15 @@ def bm25_probe_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook skew key). Result provably equals the single-window
     form: any global top-10 row is in its salt bucket's top-10."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # MEASURED REJECTION (r11, interleaved same-session A/B at sf0.1,
+    # 5 passes/arm): spreading the scan and sharing one tokens()
+    # exchange across dl/stats/tf — the profile's answer to three
+    # serial single-task tokenize stages — benched 1.01 s -> 1.22 s
+    # (0.82x). The tokenize passes are cheap relative to the exchange
+    # of raw text plus the extra stage barrier AQE inserts; contrast
+    # cross_doc_ngram_spans, whose shingle explode amplifies enough to
+    # win 1.21x from the same transform. At real scale the scan has
+    # splits and the branches parallelize by themselves.
     dl = docs.select("doc_id", F.size(tokens("text")).cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
