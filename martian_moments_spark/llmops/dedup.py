@@ -512,19 +512,34 @@ def char_span_islands(
         char_anchor_grams,
     )
 
+    from pyspark.sql.window import Window as W
+
     K = CHAR_ANCHOR_K if k is None else k
     SEL = CHAR_ANCHOR_SEL if sel is None else sel
     anch = char_anchor_grams(docs, k=K, sel=SEL, spread=spread)
-    # min != max, not count_distinct >= 2 — see cross_doc_ngram_spans:
-    # the distinct form's map-side (g, doc_id) pair state measured 45x
-    # on 10x docs in the decade3 smoke; min/max is O(1) per group.
-    dup = (
-        anch.groupBy("g")
-        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+    # Dup test as a gram-partitioned window, not groupBy(g)+join back:
+    # the join form consumed ``anch`` twice, and Catalyst re-derived
+    # the anchor Generate (an md5 per character position — the
+    # dominant compute of this whole family) once per consumer, plus
+    # broadcast EVERY duplicated gram to every executor (a hard
+    # 8 GB-cap failure mode at corpus scale). min/max over the
+    # gram partition reads the Generate output exactly once and
+    # shuffles it once; the agg form's partial aggregate saved almost
+    # nothing anyway (24-char grams are near-unique per map
+    # partition). min != max, not count_distinct >= 2 — see
+    # cross_doc_ngram_spans: the distinct form's map-side (g, doc_id)
+    # pair state measured 45x on 10x docs in the decade3 smoke.
+    wg = W.partitionBy("g")
+    hits = (
+        anch.select(
+            "doc_id",
+            "i",
+            F.min("doc_id").over(wg).alias("d0"),
+            F.max("doc_id").over(wg).alias("d1"),
+        )
         .filter(F.col("d0") != F.col("d1"))
-        .select("g")
+        .select("doc_id", "i")
     )
-    hits = anch.join(dup, "g").select("doc_id", "i")
     return merge_hit_islands(hits, K)
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def spread_fanout(df: DataFrame, key_col: str) -> DataFrame:
+def spread_fanout(df: DataFrame, key_col: str, *more_cols: str) -> DataFrame:
     """Ensure ``df`` is spread over the session's parallelism before a
     high-amplification (explode / Arrow-UDF) stage.
 
@@ -46,12 +46,16 @@ def spread_fanout(df: DataFrame, key_col: str) -> DataFrame:
     ``df.rdd.getNumPartitions()`` builds the physical plan to count
     partitions, which is cheap there and would not be on a plan that
     already contains joins.
+
+    Pass extra columns when the single natural key is too low-
+    cardinality to spread evenly (guide §2.5: use far more distinct
+    key values than partitions); the hash covers the tuple.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
-    return df.repartition(target, F.col(key_col))
+    return df.repartition(target, *[F.col(c) for c in (key_col, *more_cols)])
 
 
 # An r11 draft also carried ``repartition_for_key`` (pre-materialize

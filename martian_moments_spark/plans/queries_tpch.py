@@ -598,12 +598,18 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers): orders whose total quantity
     exceeds a threshold, with their customers — the grouped-HAVING
-    IN-subquery shape, decorrelated into a left-semi join on the
-    aggregated keyset. Quantities sum as BIGINT.
+    IN-subquery shape. The textbook form semi-joins the keyset back to
+    lineitem and re-aggregates the detail rows, scanning and summing
+    lineitem TWICE; since o_orderkey is unique in orders (and the
+    final GROUP BY is therefore one row per surviving orderkey), the
+    HAVING aggregate ALREADY IS total_qty — joining it straight to
+    orders/customer computes the identical result with one lineitem
+    pass, no semi-join, and no second aggregation (r11: 2 lineitem
+    scans -> 1, 2 shuffle aggs -> 1; oracle hash unchanged).
+    Quantities sum as BIGINT.
 
-    Scale: the HAVING aggregate and the detail join both key on
-    orderkey — one shuffle partitioning serves the semi-join, the
-    re-aggregation, and the orders join; the top-100 is
+    Scale: one shuffle aggregate on orderkey; the filtered aggregate
+    (few rows) broadcasts to the orders join; the top-100 is
     TakeOrderedAndProject, never a global sort."""
     lineitem = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.round(F.col("l_quantity")).cast("long").alias("qty")
@@ -612,22 +618,22 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
         lineitem.groupBy("l_orderkey")
         .agg(F.sum("qty").alias("sum_qty"))
         .filter(F.col("sum_qty") > 250)
-        .select("l_orderkey")
     )
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    kept = lineitem.join(
-        big_orders.withColumnRenamed("l_orderkey", "bo_orderkey"),
-        F.col("l_orderkey") == F.col("bo_orderkey"),
-        "left_semi",
-    )
     return (
-        kept.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        big_orders.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("qty").cast("long").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty").cast("long").alias("total_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )

@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Same-session interleaved A/B for r11 STRUCTURAL rewrites.
+
+tools_r11_ab.py toggles the spread operators via monkeypatch; this
+harness covers rewrites where the old form is a different plan shape
+entirely. For each target it holds TWO plan builders — A = the
+pre-rewrite form (inlined below, byte-for-byte the old query body),
+B = the registered (rewritten) form — warms both, then times them
+INTERLEAVED (A,B,A,B,...) in one session so host drift hits both arms
+equally. Set AB_ORDER=BA to reverse arm order (order-effect control).
+Results: stdout JSON + /tmp/r11_ab2_<name>.json.
+
+Usage:
+    python tools_r11_ab2.py repeated_char_spans tpch_q18_large_volume_customers
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+from pyspark.sql.types import MapType  # noqa: E402
+
+from martian_moments_spark.catalog import load  # noqa: E402
+from martian_moments_spark.llmops.dedup import merge_hit_islands  # noqa: E402
+from martian_moments_spark.llmops.textops import (  # noqa: E402
+    CHAR_ANCHOR_K,
+    CHAR_ANCHOR_SEL,
+    char_anchor_grams,
+    scan_is_narrow,
+)
+from martian_moments_spark.plans import load_all  # noqa: E402
+from martian_moments_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PASSES = int(os.environ.get("AB_PASSES", "5"))
+
+
+def consume(df: DataFrame) -> None:
+    cols = [
+        F.to_json(F.col(f.name)) if isinstance(f.dataType, MapType) else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    df.select(F.xxhash64(*cols).alias("__h")).agg(F.bit_xor("__h")).collect()
+
+
+# ---------------------------------------------------------------- old forms
+
+
+def _old_char_span_islands(docs, k=None, sel=None, spread=None):
+    """Pre-r11 form: groupBy(g) dup set + join back (anch consumed
+    twice -> Generate re-derived per consumer + dup-gram broadcast)."""
+    K = CHAR_ANCHOR_K if k is None else k
+    SEL = CHAR_ANCHOR_SEL if sel is None else sel
+    anch = char_anchor_grams(docs, k=K, sel=SEL, spread=spread)
+    dup = (
+        anch.groupBy("g")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("g")
+    )
+    hits = anch.join(dup, "g").select("doc_id", "i")
+    return merge_hit_islands(hits, K)
+
+
+def old_repeated_char_spans(spark, sf_dir):
+    from martian_moments_spark.llmops.dedup import char_span_stats as _css
+    import martian_moments_spark.llmops.dedup as _d
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sp = scan_is_narrow(docs, memo_key=sf_dir + ":documents")
+    real = _d.char_span_islands
+    _d.char_span_islands = _old_char_span_islands
+    try:
+        out = _css(docs, tau=0.3, spread=sp)
+    finally:
+        _d.char_span_islands = real
+    return out
+
+
+def old_tpch_q18(spark, sf_dir):
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round(F.col("l_quantity")).cast("long").alias("qty")
+    )
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    kept = lineitem.join(
+        big_orders.withColumnRenamed("l_orderkey", "bo_orderkey"),
+        F.col("l_orderkey") == F.col("bo_orderkey"),
+        "left_semi",
+    )
+    return (
+        kept.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("qty").cast("long").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+OLD_FORMS = {
+    "repeated_char_spans": old_repeated_char_spans,
+    "tpch_q18_large_volume_customers": old_tpch_q18,
+}
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    registry = load_all()
+    spark = get_spark(app_name="mm-r11-ab2")
+    for n in names:
+        new_fn = registry[n].fn
+        old_fn = OLD_FORMS[n]
+        for fn in (old_fn, new_fn, old_fn, new_fn):  # warm both arms
+            consume(fn(spark, SF))
+        runs = {"A_old": [], "B_new": []}
+        arm_order = (("A_old", old_fn), ("B_new", new_fn))
+        if os.environ.get("AB_ORDER") == "BA":
+            arm_order = arm_order[::-1]
+        for _ in range(PASSES):
+            for key, fn in arm_order:
+                t0 = time.perf_counter()
+                consume(fn(spark, SF))
+                runs[key].append(round(time.perf_counter() - t0, 4))
+        med = {k: round(statistics.median(v), 4) for k, v in runs.items()}
+        res = {
+            "query": n,
+            "sf_dir": SF,
+            "median": med,
+            "runs": runs,
+            "speedup": round(med["A_old"] / med["B_new"], 3),
+        }
+        print(json.dumps(res))
+        with open(f"/tmp/r11_ab2_{n}.json", "w") as f:
+            json.dump(res, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
