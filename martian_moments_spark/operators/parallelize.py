@@ -58,6 +58,57 @@ def spread_fanout(df: DataFrame, key_col: str, *more_cols: str) -> DataFrame:
     return df.repartition(target, *[F.col(c) for c in (key_col, *more_cols)])
 
 
+#: scan-narrowness memo: (memo_key, target) -> bool. Same contract as
+#: llmops.textops.scan_is_narrow but keyed here so relational plan
+#: builders don't pay a physical-planning probe per query build — the
+#: split count of a table's scan depends only on its files, never on
+#: the projection/filter above it, so one probe per (dataset, session
+#: parallelism) serves every query over that table.
+_NARROW_MEMO: dict = {}
+
+
+def spread_scan(
+    df: DataFrame, memo_key: str, key_col: str, *more_cols: str
+) -> DataFrame:
+    """spread_fanout for FACT-TABLE scans, with the narrowness probe
+    memoized per dataset (``memo_key`` = sf_dir + table name).
+
+    Motivation (r11 profile): at bench scale a single-row-group
+    parquet file yields ONE effective scan task, so scan-side work —
+    expression evaluation, partial aggregation, broadcast-join
+    probing — serializes on one core while 31 idle. Repartitioning
+    the narrow post-scan projection onto the session's parallelism
+    unserializes all of it for the cost of one small shuffle. At real
+    scale the scan carries >= cores splits and this is the identity —
+    same scale-adaptive contract as spread_fanout.
+
+    Pick ``key_col`` (+ ``more_cols``) as the FIRST downstream
+    shuffle key where one exists: ``repartition(N, key)`` establishes
+    hashpartitioning(key, N), which a following groupBy/join on the
+    same key reuses (guide §2.4 "two operations keyed the same way
+    can share one exchange"), so the spread replaces — not adds — an
+    exchange in those plans.
+
+    Session conf ``martian.parallelize.spreadScan`` (``always`` /
+    ``never`` / default ``auto``) pins the decision for cluster
+    operators, mirroring ``martian.textops.anchorSpread``.
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get("martian.parallelize.spreadScan", "auto")
+    if mode == "never":
+        return df
+    target = spark.sparkContext.defaultParallelism
+    if mode != "always":
+        key = (memo_key, target)
+        narrow = _NARROW_MEMO.get(key)
+        if narrow is None:
+            narrow = df.rdd.getNumPartitions() < target
+            _NARROW_MEMO[key] = narrow
+        if not narrow:
+            return df
+    return df.repartition(target, *[F.col(c) for c in (key_col, *more_cols)])
+
+
 # An r11 draft also carried ``repartition_for_key`` (pre-materialize
 # the exchange that keyed consumers would insert, hoping ReuseExchange
 # collapses sibling subtrees). Measured and REMOVED: column pruning

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from martian_moments_spark.catalog import load
+from martian_moments_spark.operators.parallelize import spread_scan
 from martian_moments_spark.functions.numeric import (
     fixed_avg,
     fixed_sum,
@@ -125,9 +126,17 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    kept = spread_scan(
+        # spread on two high-cardinality value columns: the group key
+        # (flag, status) has only ~4 combinations and cannot fill the
+        # session's partitions (guide §2.5)
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")),
+        sf_dir + ":lineitem",
+        "l_extendedprice",
+        "l_quantity",
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        kept.groupBy("l_returnflag", "l_linestatus")
         .agg(
             fixed_sum("l_quantity").alias("sum_qty"),
             fixed_sum("l_extendedprice").alias("sum_base_price"),
@@ -217,7 +226,16 @@ def validation_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_shipdate"
     )
     actual = (
-        lineitem.filter(F.col("l_shipdate") <= F.lit("1997-01-01").cast("timestamp"))
+        # spread on the agg key: the repartition establishes the very
+        # hashpartitioning the (count-distinct two-phase) aggregate
+        # needs, so it replaces the agg exchange rather than adding one
+        spread_scan(
+            lineitem.filter(
+                F.col("l_shipdate") <= F.lit("1997-01-01").cast("timestamp")
+            ),
+            sf_dir + ":lineitem",
+            "l_orderkey",
+        )
         .groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("actual_item_count"),

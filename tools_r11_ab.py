@@ -38,6 +38,13 @@ _PATCH_SITES = (
     "martian_moments_spark.llmops.lm",
     "martian_moments_spark.llmops.dedup",
     "martian_moments_spark.plans.queries_llm",
+    "martian_moments_spark.plans.queries_analytics",
+    "martian_moments_spark.plans.queries_incremental",
+    "martian_moments_spark.plans.queries_nested",
+    "martian_moments_spark.plans.queries_operators",
+    "martian_moments_spark.plans.queries_relational",
+    "martian_moments_spark.plans.queries_streaming",
+    "martian_moments_spark.plans.queries_tpch",
     "martian_moments_spark.operators.parallelize",
 )
 
@@ -59,23 +66,33 @@ def _set_identity(on: bool) -> None:
     def ident_repart(df, *cols):
         return df
 
+    def ident_spread_scan(df, memo_key, key_col, *more):
+        return df
+
     from martian_moments_spark.operators import parallelize
 
     real_spread = parallelize.__dict__.get("_real_spread_fanout")
     real_repart = parallelize.__dict__.get("_real_repartition_for_key")
+    real_spread_scan = parallelize.__dict__.get("_real_spread_scan")
     if real_spread is None:
         parallelize._real_spread_fanout = parallelize.spread_fanout
         parallelize._real_repartition_for_key = getattr(
             parallelize, "repartition_for_key", ident_repart
         )
+        parallelize._real_spread_scan = getattr(
+            parallelize, "spread_scan", ident_spread_scan
+        )
         real_spread = parallelize._real_spread_fanout
         real_repart = parallelize._real_repartition_for_key
+        real_spread_scan = parallelize._real_spread_scan
     for name in _PATCH_SITES:
         mod = importlib.import_module(name)
         if hasattr(mod, "spread_fanout"):
             mod.spread_fanout = ident_spread if on else real_spread
         if hasattr(mod, "repartition_for_key"):
             mod.repartition_for_key = ident_repart if on else real_repart
+        if hasattr(mod, "spread_scan"):
+            mod.spread_scan = ident_spread_scan if on else real_spread_scan
 
 
 def main() -> None:
