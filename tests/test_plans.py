@@ -78,7 +78,18 @@ def test_ordered_limit_is_top_k(plans):
 
 
 def test_json_extract_is_shuffle_free(plans):
-    assert "Exchange" not in plans["json_path_extract"]
+    # r11: the from_json parse is still per-row — the ONLY exchange
+    # allowed is the deliberate spread_scan REPARTITION_BY_NUM that
+    # unserializes the one-split gate-scale scan (identity at real
+    # scale); any OTHER exchange (an aggregation, a join) would be a
+    # real shuffle regression in a parse-only plan.
+    import re
+
+    plan = plans["json_path_extract"]
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "hashpartitioning" for e in exchanges), exchanges
+    assert len(exchanges) <= 1, exchanges
+    assert "REPARTITION_BY_NUM" in plan or not exchanges
 
 
 def test_anti_join_only_ships_key_column(plans):
