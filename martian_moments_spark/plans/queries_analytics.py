@@ -322,6 +322,13 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both facts are bucketed by order key so even that join is
     co-located. Revenue is a fixed-point sum, so the top-10 cut is
     deterministic (ties broken by order key).
+
+    r11 measured rejection (do not retry): spread_scan on the filtered
+    orders probe benched 0.91x / 0.79x (interleaved A/B, both arm
+    orders) — the group keys (l_orderkey, o_orderdate, o_orderpriority)
+    differ from the spread key so the repartition replaces nothing,
+    and the broadcast probes are too cheap to amortize the added
+    exchange (same shape as the daily_activity / tpch_q10 rejections).
     """
     cutoff = F.lit("1995-03-15").cast("timestamp")
     c = (
