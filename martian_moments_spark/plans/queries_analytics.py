@@ -141,16 +141,34 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums, so the budget is reproducible.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    # r11: evaluate the packed quality struct ONCE per row. The plain
+    # two-step unpack lets predicate pushdown substitute the whole
+    # packed expression into the gate FILTER below the projection, so
+    # the tokenize/score pipeline ran ~2x per row (once in Filter —
+    # codegen CSE collapses its two field references — once in
+    # Project; r11 before-plan shows the expression inlined three
+    # times). explode(array(struct(...))) is a Generate: predicates on
+    # generator output cannot push below it and CollapseProject cannot
+    # re-inline through it, so the struct is computed exactly once.
+    # One-row explode adds no rows; interleaved A/B 1.06x/1.12x/1.16x
+    # across three runs (largest on the quietest window, B arm won
+    # 8/8 interleaved pairs there).
     scored = docs.select(
-        "doc_id", "lang", "source", "text",
-        quality_metrics_packed("text").alias("__q"),
+        F.explode(
+            F.array(
+                F.struct(
+                    "doc_id", "lang", "source", "text",
+                    quality_metrics_packed("text").alias("__q"),
+                )
+            )
+        ).alias("r")
     ).select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.col("__q.n_tokens").alias("n_tokens"),
-        F.col("__q.distinct_ratio").alias("distinct_ratio"),
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.lang").alias("lang"),
+        F.col("r.source").alias("source"),
+        F.col("r.text").alias("text"),
+        F.col("r.__q.n_tokens").alias("n_tokens"),
+        F.col("r.__q.distinct_ratio").alias("distinct_ratio"),
     )
     kept = scored.filter((F.col("n_tokens") >= 10) & (F.col("distinct_ratio") >= 0.3))
     # min over struct orders by its first field — doc_id — so this is

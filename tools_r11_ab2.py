@@ -113,9 +113,103 @@ def old_tpch_q18(spark, sf_dir):
     )
 
 
+def old_corpus_curation(spark, sf_dir):
+    """Pre-r11 form: two-step unpack of quality_metrics_packed; the
+    gate filter is pushed below the projection and re-inlines the
+    packed expression (scored ~2x per row)."""
+    from martian_moments_spark.llmops.textops import quality_metrics_packed
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    scored = docs.select(
+        "doc_id", "lang", "source", "text",
+        quality_metrics_packed("text").alias("__q"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.col("__q.n_tokens").alias("n_tokens"),
+        F.col("__q.distinct_ratio").alias("distinct_ratio"),
+    )
+    kept = scored.filter((F.col("n_tokens") >= 10) & (F.col("distinct_ratio") >= 0.3))
+    deduped = (
+        kept.groupBy(F.md5("text").alias("__fp"))
+        .agg(F.min(F.struct("doc_id", "lang", "source", "n_tokens")).alias("__r"))
+        .select("__r.*")
+    )
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+def old_curation_to_training_mix(spark, sf_dir):
+    """Pre-r11-barrier form: alias-then-unpack quality gate (pushdown
+    re-inlines the packed expression into the gate filter)."""
+    import martian_moments_spark.plans.queries_llm as qllm
+    from martian_moments_spark.llmops.textops import (
+        portable_hash31,
+        quality_metrics_packed,
+        word_shingles,
+    )
+    from martian_moments_spark.guards import assert_bounded
+
+    raw_docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = qllm.spread_fanout(raw_docs, "doc_id")
+    scored = docs.select(
+        "doc_id", "lang", "text", quality_metrics_packed("text").alias("__q")
+    ).select(
+        "doc_id", "lang", "text",
+        F.col("__q.n_tokens").alias("n_tokens"),
+        F.col("__q.distinct_ratio").alias("distinct_ratio"),
+    )
+    kept = scored.filter((F.col("n_tokens") >= 10) & (F.col("distinct_ratio") >= 0.3))
+    winners = kept.groupBy(F.md5("text").alias("__fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = kept.join(winners.select("doc_id"), "doc_id")
+
+    is_bench = F.col("doc_id") % qllm.DECONTAM_BENCH_MOD == 0
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_shingles("text", n=qllm.DECONTAM_NGRAM), portable_hash31
+                )
+            )
+        ).alias("sh"),
+    )
+    assert_bounded(
+        docs.filter(is_bench).select("doc_id"),
+        qllm.DECONTAM_BENCH_DOC_CAP,
+        "curation_to_training_mix benchmark docs",
+        once_key=sf_dir,
+    )
+    bench_sh = sh.filter(is_bench).select("sh").distinct()
+    contaminated = (
+        sh.filter(~is_bench).join(F.broadcast(bench_sh), "sh").select("doc_id").distinct()
+    )
+    clean = deduped.filter(~is_bench).join(contaminated, "doc_id", "left_anti")
+
+    h = portable_hash31(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    assigned = clean.withColumn(
+        "split", F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 OLD_FORMS = {
     "repeated_char_spans": old_repeated_char_spans,
     "tpch_q18_large_volume_customers": old_tpch_q18,
+    "corpus_curation": old_corpus_curation,
+    "curation_to_training_mix": old_curation_to_training_mix,
 }
 
 
