@@ -120,14 +120,15 @@ def bigram_lm_scores(docs: DataFrame, ppl_max: int = BIGRAM_PPL_MAX) -> DataFram
     score_den, ppl_proxy, keep). Documents with fewer than 2 tokens
     have no bigrams: zero sums, NULL ppl_proxy, keep = false (a 0/1
     token document is never training-worthy)."""
-    # spread: the model branch, the context branch, the scoring bigram
-    # explode and the final doc spine all re-derived the tokenize from
-    # their own copy of the one-split scan — serial single-task stages
-    # at bench scale (r11 profile: 0.62 + 0.53 + 0.46 s). One keyed
-    # repartition of the raw docs lets ReuseExchange share the scan and
-    # runs every branch's tokenize/explode at full parallelism;
-    # identity at real scale (spread_fanout), where the scan itself
-    # has enough splits.
+    # spread: the model branch, the context branch and the scoring
+    # bigram explode all re-derived the tokenize from their own copy of
+    # the one-split scan — serial single-task stages at bench scale
+    # (r11 profile: 0.62 + 0.53 + 0.46 s). One keyed repartition of the
+    # raw docs runs every branch's tokenize/explode at full
+    # parallelism; identity at real scale (spread_fanout), where the
+    # scan itself has enough splits. (The former 4th consumer — a
+    # doc-id spine left-joined back — was removed by the explode_outer
+    # rewrite below.)
     toks = spread_fanout(docs, "doc_id").select(
         "doc_id", tokens("text").alias("t")
     )
@@ -155,47 +156,59 @@ def bigram_lm_scores(docs: DataFrame, ppl_max: int = BIGRAM_PPL_MAX) -> DataFram
         .groupBy("lw")
         .agg(F.sum("cb").cast("long").alias("cu"))
     )
+    # r11 (guide §2.1 remove shuffles outright): the scoring explode is
+    # OUTER, so a 0/1-token document keeps one (lw=NULL, bg=NULL) row
+    # and survives the per-doc aggregate with n_bigrams = count(bg) = 0
+    # — which removes the former doc-spine branch (a 4th read of the
+    # corpus) AND its final left join back (one whole shuffle join).
+    # Per-row equivalence with the join form: bg is never NULL for a
+    # real pair (tokens are non-empty), so count(bg) == count(1) there,
+    # and the when(bg-present) guards make the null row contribute
+    # NULL sums exactly like the old left-join miss did.
+    pairs = F.when(F.size("t") >= 2, F.expr(_BG_PAIRS)).otherwise(
+        F.expr("CAST(array() AS array<struct<lw:string,bg:string>>)")
+    )
+    sc_rows = toks.select(
+        "doc_id", F.explode_outer(pairs).alias("p")
+    ).select("doc_id", "p.lw", "p.bg")
+    has_pair = F.col("bg").isNotNull()
     scored = (
-        _doc_bigrams(toks)
+        sc_rows
         .join(model, "bg", "left")
         .join(ctx, "lw", "left")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.count("bg").cast("long").alias("n_bigrams"),
             F.count("cb").cast("long").alias("n_hit_bigrams"),
-            F.sum(F.coalesce(F.col("cb"), F.lit(0)) + 1)
+            F.sum(F.when(has_pair, F.coalesce(F.col("cb"), F.lit(0)) + 1))
             .cast("long")
             .alias("score_num"),
-            F.sum(F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
+            F.sum(
+                F.when(has_pair, F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
+            )
             .cast("long")
             .alias("score_den"),
         )
     )
-    has_bg = F.col("n_bigrams").isNotNull()
-    return (
-        toks.select("doc_id")
-        .join(scored, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
-            F.coalesce("n_hit_bigrams", F.lit(0).cast("long")).alias(
-                "n_hit_bigrams"
-            ),
-            F.coalesce("score_num", F.lit(0).cast("long")).alias("score_num"),
-            F.coalesce("score_den", F.lit(0).cast("long")).alias("score_den"),
+    has_bg = F.col("n_bigrams") > 0
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_hit_bigrams",
+        F.coalesce("score_num", F.lit(0).cast("long")).alias("score_num"),
+        F.coalesce("score_den", F.lit(0).cast("long")).alias("score_den"),
+        F.when(
+            has_bg,
+            F.col("score_den").cast("double")
+            / F.col("score_num").cast("double"),
+        ).alias("ppl_proxy"),
+        F.coalesce(
             F.when(
-                has_bg,
-                F.col("score_den").cast("double")
-                / F.col("score_num").cast("double"),
-            ).alias("ppl_proxy"),
-            F.coalesce(
-                F.when(
-                    has_bg, F.col("score_den") <= F.col("score_num") * ppl_max
-                ),
-                F.lit(False),
-            ).alias("keep"),
-        )
+                has_bg, F.col("score_den") <= F.col("score_num") * ppl_max
+            ),
+            F.lit(False),
+        ).alias("keep"),
     )
 
 

@@ -205,11 +205,76 @@ def old_curation_to_training_mix(spark, sf_dir):
     )
 
 
+def old_lm_perplexity_filter(spark, sf_dir):
+    """Pre-r11 form of bigram_lm_scores: inner bigram explode + doc-id
+    spine left-joined back (4th corpus read + one extra shuffle join)."""
+    import martian_moments_spark.llmops.lm as lm
+    from martian_moments_spark.llmops.lm import (
+        _BG_PAIRS,
+        _doc_bigrams,
+        BIGRAM_PPL_MAX,
+        lm_gate,
+    )
+    from martian_moments_spark.llmops.textops import tokens
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ppl_max = BIGRAM_PPL_MAX
+    toks = lm.spread_fanout(docs, "doc_id").select("doc_id", tokens("text").alias("t"))
+    ref = toks.filter(lm_gate(F.col("t")))
+    v = ref.select(F.explode("t").alias("tok")).agg(
+        F.count_distinct("tok").cast("long").alias("v")
+    )
+    model = (
+        _doc_bigrams(ref).groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    ctx = (
+        model.select(F.split(F.col("bg"), " ", 2).getItem(0).alias("lw"), "cb")
+        .groupBy("lw")
+        .agg(F.sum("cb").cast("long").alias("cu"))
+    )
+    scored = (
+        _doc_bigrams(toks)
+        .join(model, "bg", "left")
+        .join(ctx, "lw", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.count("cb").cast("long").alias("n_hit_bigrams"),
+            F.sum(F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("long").alias("score_num"),
+            F.sum(F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
+            .cast("long")
+            .alias("score_den"),
+        )
+    )
+    has_bg = F.col("n_bigrams").isNotNull()
+    return (
+        toks.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("n_hit_bigrams", F.lit(0).cast("long")).alias("n_hit_bigrams"),
+            F.coalesce("score_num", F.lit(0).cast("long")).alias("score_num"),
+            F.coalesce("score_den", F.lit(0).cast("long")).alias("score_den"),
+            F.when(
+                has_bg,
+                F.col("score_den").cast("double") / F.col("score_num").cast("double"),
+            ).alias("ppl_proxy"),
+            F.coalesce(
+                F.when(has_bg, F.col("score_den") <= F.col("score_num") * ppl_max),
+                F.lit(False),
+            ).alias("keep"),
+        )
+    )
+
+
 OLD_FORMS = {
     "repeated_char_spans": old_repeated_char_spans,
     "tpch_q18_large_volume_customers": old_tpch_q18,
     "corpus_curation": old_corpus_curation,
     "curation_to_training_mix": old_curation_to_training_mix,
+    "lm_perplexity_filter": old_lm_perplexity_filter,
 }
 
 
