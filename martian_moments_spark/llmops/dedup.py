@@ -703,6 +703,15 @@ def suffix_array_ranks(shard: DataFrame) -> DataFrame:
     # sequence(1, 0) yields a DESCENDING [1, 0] (Spark semantics) and
     # injects two phantom suffixes over '', diverging from the
     # oracle's empty range(1, length+1).
+    # Initial rank = dense rank over the first K0 characters (binary
+    # byte-wise string comparison; a strict prefix sorts first exactly
+    # like the shorter suffix does), i.e. rank_{K0} directly — the
+    # prefix-doubling invariant holds from any starting width, and
+    # starting at 8 replaces the k=1,2,4 rounds (3 self-joins, 3
+    # dense-rank windows, 3 eager checkpoints, 3 convergence actions;
+    # r11 measured the per-round driver latency dominating this
+    # operator's tail — see OPTIMIZATION_r11.md).
+    K0 = 8
     suf = shard.filter(F.length("text") > 0).select(
         "doc_id",
         "text",
@@ -712,16 +721,21 @@ def suffix_array_ranks(shard: DataFrame) -> DataFrame:
         "doc_id",
         "i",
         "n_chars",
-        # initial rank = the codepoint of character i: UTF-8 binary
-        # collation orders by codepoint, matching DuckDB's ORDER BY
-        F.expr("ascii(substr(text, i, 1))").cast("long").alias("rank"),
+        F.expr(f"substr(text, i, {K0})").alias("__pfx"),
+    )
+    w0 = W.orderBy("__pfx")
+    suf = suf.select(
+        "doc_id", "i", "n_chars",
+        F.dense_rank().over(w0).cast("long").alias("rank"),
     )
     r = suf.localCheckpoint(eager=True)
     n = r.count()
     if n == 0:
         return r
     max_len = r.agg(F.max("n_chars")).first()[0] or 0
-    k = 1
+    k = K0
+    if k < max_len and r.agg(F.max("rank")).first()[0] == n:
+        return r
     while k < max_len:
         shifted = r.select(
             "doc_id", (F.col("i") - F.lit(k)).alias("i"), F.col("rank").alias("rank2")
@@ -775,6 +789,20 @@ def exact_substring_shared(shard: DataFrame, min_shared: int = SA_MIN_SHARED) ->
         .withColumn("pdoc", F.lag("doc_id").over(w))
         .withColumn("pi", F.lag("i").over(w))
         .filter(F.col("pdoc").isNotNull() & (F.col("pdoc") != F.col("doc_id")))
+    )
+    # The global window above ALWAYS leaves this relation in ONE
+    # partition — at any scale, not just gate scale — and the LCP
+    # evaluation below it is the operator's dominant CPU (per-char
+    # interpreted substr over every adjacent cross-doc pair; r11
+    # profile: 31.9 s single-task stage at sf0.1, 92% of the query).
+    # One explicit repartition of the narrow (doc_id, i, pdoc, pi)
+    # pairs spreads that CPU over the session's cores; the downstream
+    # per-doc MAX re-aggregates under its own key, so placement is
+    # free. This is not spread_fanout's at-scale-identity case — the
+    # window's single partition is structural — so repartition
+    # unconditionally.
+    adj = adj.repartition(
+        sa.sparkSession.sparkContext.defaultParallelism, F.col("doc_id"), F.col("i")
     )
     ta = shard.select(F.col("doc_id").alias("doc_id"), F.col("text").alias("ta"))
     tb = shard.select(F.col("doc_id").alias("pdoc"), F.col("text").alias("tb"))

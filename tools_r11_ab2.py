@@ -269,12 +269,103 @@ def old_lm_perplexity_filter(spark, sf_dir):
     )
 
 
+def _old_suffix_array_ranks(shard):
+    """Pre-r11 form: ascii 1-char initial rank (3 extra doubling
+    rounds) — byte-for-byte the old loop."""
+    from pyspark.sql.window import Window as W
+
+    suf = shard.filter(F.length("text") > 0).select(
+        "doc_id",
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        "n_chars",
+        F.expr("ascii(substr(text, i, 1))").cast("long").alias("rank"),
+    )
+    r = suf.localCheckpoint(eager=True)
+    n = r.count()
+    if n == 0:
+        return r
+    max_len = r.agg(F.max("n_chars")).first()[0] or 0
+    k = 1
+    while k < max_len:
+        shifted = r.select(
+            "doc_id", (F.col("i") - F.lit(k)).alias("i"), F.col("rank").alias("rank2")
+        )
+        paired = r.join(shifted, ["doc_id", "i"], "left").na.fill({"rank2": -1})
+        w = W.orderBy("rank", "rank2")
+        r = paired.select(
+            "doc_id", "i", "n_chars", F.dense_rank().over(w).cast("long").alias("rank")
+        ).localCheckpoint(eager=True)
+        if r.agg(F.max("rank")).first()[0] == n:
+            break
+        k *= 2
+    return r
+
+
+def old_exact_substring_spans(spark, sf_dir):
+    """Pre-r11 form: single-task LCP tail (no repartition after the
+    adjacency window) + 1-char initial rank."""
+    from pyspark.sql.window import Window as W
+
+    from martian_moments_spark.catalog import table_rows
+    from martian_moments_spark.llmops.dedup import SA_MIN_SHARED, sa_shard_mod
+    from martian_moments_spark.llmops.textops import portable_hash31 as _h31
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = table_rows(sf_dir, "documents")
+    if n is None:
+        n = docs.count()
+    mod = sa_shard_mod(n)
+    shard = docs.filter(
+        _h31(F.concat(F.lit("sa:"), F.col("doc_id").cast("string"))) % mod == 0
+    )
+    min_shared = SA_MIN_SHARED
+    sa = _old_suffix_array_ranks(shard)
+    w = W.orderBy("rank", "doc_id", "i")
+    adj = (
+        sa.select("doc_id", "i", "rank")
+        .withColumn("pdoc", F.lag("doc_id").over(w))
+        .withColumn("pi", F.lag("i").over(w))
+        .filter(F.col("pdoc").isNotNull() & (F.col("pdoc") != F.col("doc_id")))
+    )
+    ta = shard.select(F.col("doc_id").alias("doc_id"), F.col("text").alias("ta"))
+    tb = shard.select(F.col("doc_id").alias("pdoc"), F.col("text").alias("tb"))
+    lcp = F.expr(
+        """
+        coalesce(
+          array_min(filter(
+            sequence(1, least(length(ta) - i + 1, length(tb) - pi + 1)),
+            x -> substr(ta, i + x - 1, 1) <> substr(tb, pi + x - 1, 1))),
+          least(length(ta) - i + 1, length(tb) - pi + 1) + 1) - 1
+        """
+    ).cast("long")
+    pairs = (
+        adj.join(ta, "doc_id").join(tb, "pdoc").select("doc_id", "pdoc", lcp.alias("lcp"))
+    )
+    both = pairs.select("doc_id", "lcp").unionByName(
+        pairs.select(F.col("pdoc").alias("doc_id"), "lcp")
+    )
+    per = both.groupBy("doc_id").agg(F.max("lcp").alias("longest_shared_len"))
+    longest = F.coalesce(F.col("longest_shared_len"), F.lit(0).cast("long"))
+    return shard.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        longest.alias("longest_shared_len"),
+        (longest < min_shared).alias("keep"),
+    )
+
+
 OLD_FORMS = {
     "repeated_char_spans": old_repeated_char_spans,
     "tpch_q18_large_volume_customers": old_tpch_q18,
     "corpus_curation": old_corpus_curation,
     "curation_to_training_mix": old_curation_to_training_mix,
     "lm_perplexity_filter": old_lm_perplexity_filter,
+    "exact_substring_spans": old_exact_substring_spans,
 }
 
 
