@@ -142,7 +142,9 @@ def _doc_bucket_rows(toks: DataFrame) -> DataFrame:
     )
 
 
-def classifier_scores(docs: DataFrame, epochs: int = CLS_EPOCHS) -> DataFrame:
+def classifier_scores(
+    docs: DataFrame, epochs: int = CLS_EPOCHS, with_tiers: bool = False
+) -> DataFrame:
     """Score every document of (doc_id, text) with the trained linear
     quality classifier. One row per input document: (doc_id,
     seed_label, n_features, score, keep). Documents with fewer than 2
@@ -151,10 +153,27 @@ def classifier_scores(docs: DataFrame, epochs: int = CLS_EPOCHS) -> DataFrame:
     agreement label (+1/-1/0) so downstream reports can audit the
     classifier against its own supervision.
 
+    ``with_tiers=True`` additionally emits the two supervising
+    verdicts (``gate_pass``, ``lm_keep``) — they are computed here
+    anyway to build the seed labels, and re-deriving them outside
+    means a second full run of the bigram-LM pipeline (the
+    quality_tier_agreement case, measured 1.3x on the r11 A/B).
+
     Jobs: ONE bounded driver collect (the <= CLS_SAMPLE x CLS_BUCKETS
     sparse sample-feature rows — the kmeans_units collect pattern);
     training is a numpy loop over that sample; scoring is a broadcast
     join + map-side-combined doc aggregate over the corpus.
+
+    ``labeled`` and ``counts`` are eager localCheckpoints: the sample
+    collect is an ACTION that computes both in full (the 256-id join
+    cannot prune the per-doc aggregates), and without the barrier the
+    returned plan recomputes them — the seed labels re-run the entire
+    bigram-LM pipeline and the features re-run the corpus bigram
+    explode, a second full corpus pass each (measured 1.9x on the
+    r11 interleaved A/B). What is persisted is narrow metadata, never
+    text: (doc_id, int) labels and the (doc_id, bucket, cnt) sparse
+    matrix bounded at CLS_BUCKETS rows per document. On a cluster use
+    reliable checkpointing — the connected_components note.
     """
     import numpy as np
 
@@ -170,11 +189,16 @@ def classifier_scores(docs: DataFrame, epochs: int = CLS_EPOCHS) -> DataFrame:
             .otherwise(0)
             .cast("int")
             .alias("seed_label"),
+            F.col("gate").alias("gate_pass"),
+            F.col("keep").alias("lm_keep"),
         )
+        .localCheckpoint(eager=True)
     )
-    feats = _doc_bucket_rows(toks)
-    counts = feats.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    counts = (
+        _doc_bucket_rows(toks)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
 
     # Bounded deterministic training sample: labeled AND featureful,
@@ -215,12 +239,17 @@ def classifier_scores(docs: DataFrame, epochs: int = CLS_EPOCHS) -> DataFrame:
     wdf = spark.createDataFrame(
         [(i, int(w[i])) for i in range(CLS_BUCKETS)], "bucket INT, wt BIGINT"
     )
+    # Score from the checkpointed sparse counts, not a re-explode of
+    # the corpus: sum(cnt) is exactly the old per-bigram-row count and
+    # sum(cnt*wt) exactly the old per-row weight sum (all int64; the
+    # module overflow bound already covers cnt*wt — it IS the score
+    # contribution of one bucket).
     scored = (
-        feats.join(F.broadcast(wdf), "bucket")
+        counts.join(F.broadcast(wdf), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_features"),
-            F.sum("wt").cast("long").alias("dot"),
+            F.sum("cnt").cast("long").alias("n_features"),
+            F.sum(F.col("cnt") * F.col("wt")).cast("long").alias("dot"),
         )
     )
     has_f = F.col("n_features").isNotNull()
@@ -234,6 +263,7 @@ def classifier_scores(docs: DataFrame, epochs: int = CLS_EPOCHS) -> DataFrame:
             F.coalesce(
                 F.when(has_f, F.col("dot") + F.lit(b) > 0), F.lit(False)
             ).alias("keep"),
+            *(["gate_pass", "lm_keep"] if with_tiers else []),
         )
     )
 

@@ -959,7 +959,6 @@ from martian_moments_spark.llmops.classifier import (  # noqa: E402
     sql_classifier_ctes,
 )
 from martian_moments_spark.llmops.lm import (  # noqa: E402
-    lm_gate,
     sql_bigram_lm_ctes,
     sql_lm_gate,
 )
@@ -1102,20 +1101,19 @@ def quality_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels ARE the agreement set).
 
     Scale: the three verdict columns ride the shared scoring plans;
-    the report aggregate is 8-row metadata.
+    the report aggregate is 8-row metadata. The gate and LM verdicts
+    come from the classifier's own ``labeled`` relation
+    (``with_tiers=True``) — classifier_scores computes both to build
+    its seed labels, and re-deriving them here re-ran the entire
+    bigram-LM pipeline a second time (r11: two joins and a full LM
+    run removed, measured interleaved A/B).
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    from martian_moments_spark.llmops.lm import bigram_lm_scores
-
-    gate = docs.select(
-        "doc_id", lm_gate(tokens("text")).alias("gate_pass")
+    cls = classifier_scores(docs, with_tiers=True).select(
+        "gate_pass", "lm_keep", F.col("keep").alias("cls_keep")
     )
-    lm = bigram_lm_scores(docs).select("doc_id", F.col("keep").alias("lm_keep"))
-    cls = classifier_scores(docs).select("doc_id", F.col("keep").alias("cls_keep"))
     return (
-        gate.join(lm, "doc_id")
-        .join(cls, "doc_id")
-        .groupBy("gate_pass", "lm_keep", "cls_keep")
+        cls.groupBy("gate_pass", "lm_keep", "cls_keep")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("gate_pass", "lm_keep", "cls_keep")
     )

@@ -359,7 +359,122 @@ def old_exact_substring_spans(spark, sf_dir):
     )
 
 
+def _old_classifier_scores(docs, epochs=None):
+    """Pre-r11 form of llmops.classifier.classifier_scores: no
+    localCheckpoint barriers (labeled + counts recomputed by the
+    returned plan after the sample collect already computed them) and
+    scoring re-explodes the corpus bigrams instead of reusing counts."""
+    import numpy as np
+
+    from martian_moments_spark.llmops.classifier import (
+        CLS_BUCKETS,
+        CLS_EPOCHS,
+        CLS_SAMPLE,
+        _doc_bucket_rows,
+        train_perceptron,
+    )
+    from martian_moments_spark.llmops.lm import bigram_lm_scores, lm_gate
+    from martian_moments_spark.llmops.textops import portable_hash31, tokens
+
+    if epochs is None:
+        epochs = CLS_EPOCHS
+    spark = docs.sparkSession
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    labeled = (
+        toks.select("doc_id", lm_gate(F.col("t")).alias("gate"))
+        .join(bigram_lm_scores(docs).select("doc_id", "keep"), "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("gate") & F.col("keep"), 1)
+            .when(~F.col("gate") & ~F.col("keep"), -1)
+            .otherwise(0)
+            .cast("int")
+            .alias("seed_label"),
+        )
+    )
+    feats = _doc_bucket_rows(toks)
+    counts = feats.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    sample_ids = (
+        labeled.filter(F.col("seed_label") != 0)
+        .join(counts.select("doc_id").distinct(), "doc_id")
+        .withColumn(
+            "__h",
+            portable_hash31(F.concat(F.lit("cls:"), F.col("doc_id").cast("string"))),
+        )
+        .orderBy("__h", "doc_id")
+        .limit(CLS_SAMPLE)
+        .select("doc_id", "seed_label", "__h")
+    )
+    rows = (
+        sample_ids.join(counts, "doc_id")
+        .select("__h", "doc_id", "seed_label", "bucket", "cnt")
+        .collect()
+    )
+    order: dict = {}
+    for r in rows:
+        key = (r["__h"], r["doc_id"])
+        order.setdefault(key, (r["seed_label"], []))[1].append((r["bucket"], r["cnt"]))
+    keys = sorted(order)
+    X = np.zeros((len(keys), CLS_BUCKETS), dtype=np.int64)
+    y = np.zeros(len(keys), dtype=np.int64)
+    for i, key in enumerate(keys):
+        lbl, pairs = order[key]
+        y[i] = lbl
+        for bkt, cnt in pairs:
+            X[i, bkt] = cnt
+    w, b, _ = train_perceptron(X, y, epochs)
+    wdf = spark.createDataFrame(
+        [(i, int(w[i])) for i in range(CLS_BUCKETS)], "bucket INT, wt BIGINT"
+    )
+    scored = (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("wt").cast("long").alias("dot"),
+        )
+    )
+    has_f = F.col("n_features").isNotNull()
+    return labeled.join(scored, "doc_id", "left").select(
+        "doc_id",
+        "seed_label",
+        F.coalesce("n_features", F.lit(0).cast("long")).alias("n_features"),
+        F.when(has_f, (F.col("dot") + F.lit(b)).cast("long")).alias("score"),
+        F.coalesce(F.when(has_f, F.col("dot") + F.lit(b) > 0), F.lit(False)).alias(
+            "keep"
+        ),
+    )
+
+
+def old_quality_classifier_scores(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return _old_classifier_scores(docs)
+
+
+def old_quality_tier_agreement(spark, sf_dir):
+    from pyspark.sql import Window as _W  # noqa: F401
+
+    from martian_moments_spark.llmops.lm import bigram_lm_scores, lm_gate
+    from martian_moments_spark.llmops.textops import tokens
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    gate = docs.select("doc_id", lm_gate(tokens("text")).alias("gate_pass"))
+    lm = bigram_lm_scores(docs).select("doc_id", F.col("keep").alias("lm_keep"))
+    cls = _old_classifier_scores(docs).select("doc_id", F.col("keep").alias("cls_keep"))
+    return (
+        gate.join(lm, "doc_id")
+        .join(cls, "doc_id")
+        .groupBy("gate_pass", "lm_keep", "cls_keep")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("gate_pass", "lm_keep", "cls_keep")
+    )
+
+
 OLD_FORMS = {
+    "quality_classifier_scores": old_quality_classifier_scores,
+    "quality_tier_agreement": old_quality_tier_agreement,
     "repeated_char_spans": old_repeated_char_spans,
     "tpch_q18_large_volume_customers": old_tpch_q18,
     "corpus_curation": old_corpus_curation,
