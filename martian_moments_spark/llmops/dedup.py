@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from martian_moments_spark.llmops.textops import (
     HASH_P,
     portable_hash31,
+    scan_is_narrow,
     word_shingles,
 )
 from martian_moments_spark.operators.parallelize import spread_fanout
@@ -126,12 +127,30 @@ def lsh_candidates(
     ).select("doc_id", "band.band_idx", "band.band_val")
     a = melted.select(F.col("doc_id").alias("id_a"), "band_idx", "band_val")
     b = melted.select(F.col("doc_id").alias("id_b"), "band_idx", "band_val")
-    return (
+    pairs = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    # At gate scale AQE folds the band join's kilobyte shuffle back to
+    # ONE task, so everything downstream of the candidate set — the
+    # exact verify's array_intersect per pair, containment, signature
+    # agreement — serializes on one core (r11 profile: a 0.6-1.3 s
+    # single-task chain inside every _lsh_verified_pairs consumer).
+    # When the corpus scan itself is narrow, pin the pair relation
+    # onto the session's parallelism BEFORE the dedup aggregate: the
+    # distinct() reuses the repartition's hashpartitioning (same keys)
+    # so this replaces — not adds — an exchange (guide §2.4), and AQE
+    # cannot coalesce a REPARTITION_BY_NUM. Identity at real scale,
+    # where the band join's own post-shuffle partitions carry the
+    # parallelism.
+    if scan_is_narrow(df):
+        pairs = pairs.repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            F.col("id_a"),
+            F.col("id_b"),
+        )
+    return pairs.distinct()
 
 
 def simhash(col: str = "text", bits: int = SIMHASH_BITS) -> Column:
@@ -422,7 +441,22 @@ def connected_components(
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    sym = sym.localCheckpoint(eager=True)
+    # Route the edge set through an AQE-coalescible exchange before
+    # checkpointing: the verify pipeline upstream may arrive spread
+    # over the session's full parallelism (lsh_candidates' gate-scale
+    # repair), and a checkpoint frozen at that layout makes EVERY
+    # round — each its own action, so nothing is reused across rounds
+    # — pay that partition count in map tasks of pure overhead
+    # (measured 0.72-0.88x when sym was checkpointed at 32 kilobyte
+    # partitions). A plain repartition("src") lets AQE size the
+    # checkpointed layout by bytes: few tasks at gate scale (the
+    # rounds are driver-latency-bound there), input-proportional at
+    # 100 TB. NOTE the checkpointed RDD reports UnknownPartitioning
+    # (verified against this Spark build), so the src keying buys
+    # placement only within the checkpoint job itself; the per-round
+    # join still exchanges sym when the frontier is too big to
+    # broadcast — a localCheckpoint limitation, not a choice.
+    sym = sym.repartition("src").localCheckpoint(eager=True)
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)

@@ -448,6 +448,62 @@ def _old_classifier_scores(docs, epochs=None):
     )
 
 
+def _old_connected_components(vertices, edges, id_col="doc_id", max_iter=50, check_every=2):
+    """Pre-r11 form: unkeyed sym checkpoint (re-shuffled every round)."""
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    sym = sym.localCheckpoint(eager=True)
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    frontier = labels
+    for rnd in range(1, max_iter + 1):
+        msgs = (
+            sym.join(frontier, sym.src == frontier.v)
+            .select(F.col("dst").alias("v"), "label")
+            .groupBy("v")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        upd = (
+            labels.join(msgs, "v", "left")
+            .select(
+                "v",
+                "label",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
+                    "new_label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = upd.filter(F.col("new_label") < F.col("label")).select(
+            "v", F.col("new_label").alias("label")
+        )
+        labels = upd.select("v", F.col("new_label").alias("label"))
+        if rnd % check_every == 0 or rnd == max_iter:
+            if frontier.limit(1).count() == 0:
+                break
+    return labels.select(F.col("v").alias(id_col), F.col("label").alias("component_id"))
+
+
+def old_dedup_connected_components(spark, sf_dir):
+    """Pre-r11 combined form: no candidate-pair spread (anchorSpread
+    never during build) + unkeyed sym checkpoint."""
+    from martian_moments_spark.plans.queries_llm import _lsh_verified_pairs
+
+    spark.conf.set("martian.textops.anchorSpread", "never")
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id")
+        return _old_connected_components(docs, _lsh_verified_pairs(spark, sf_dir))
+    finally:
+        spark.conf.unset("martian.textops.anchorSpread")
+
+
 def old_quality_classifier_scores(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return _old_classifier_scores(docs)
@@ -473,6 +529,7 @@ def old_quality_tier_agreement(spark, sf_dir):
 
 
 OLD_FORMS = {
+    "dedup_connected_components": old_dedup_connected_components,
     "quality_classifier_scores": old_quality_classifier_scores,
     "quality_tier_agreement": old_quality_tier_agreement,
     "repeated_char_spans": old_repeated_char_spans,
