@@ -28,6 +28,7 @@ from martian_moments_spark.llmops.similarity import (
 from martian_moments_spark.llmops.textops import (
     portable_hash31,
     quality_metrics_packed,
+    scan_is_narrow,
     sql_portable_hash31,
     sql_quality_metrics,
     sql_tokens,
@@ -2757,24 +2758,47 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference shape: Suri & Vassilvitskii, "Counting Triangles and
     the Curse of the Last Reducer" (WWW'11).
 
-    Each reused stage (edges, degrees, oriented edges, adjacency,
-    triangles) is an eager localCheckpoint: the DAG consumes every
-    stage several times, and without the barrier Catalyst re-inlines
-    the whole upstream subplan at each reuse (the static plan grows
+    Each reused stage (edges, degrees, oriented edges, adjacency) is
+    an eager localCheckpoint: the DAG consumes every stage several
+    times, and without the barrier Catalyst re-inlines the whole
+    upstream subplan at each reuse (the static plan grows
     multiplicatively); the barrier makes each stage compute once —
-    the same lineage-truncation rationale as connected_components."""
-    io = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint(eager=True)  # both self-join sides read it
+    the same lineage-truncation rationale as connected_components.
+
+    r11 rewrite, both halves measured (guide §2.3/§2.4): (a) edge
+    generation collects each order's distinct parts into one sorted
+    array and expands i<j pairs IN-ROW — one shuffle on o with
+    map-side-combined collect_set, replacing the (o,p)-distinct
+    exchange + self-join + io checkpoint (parts-per-order is small
+    and bounded, the safe regime for group-expansion per the
+    lsh_candidates measurement); (b) the triangle relation is never
+    materialized — each oriented edge emits weighted contributions
+    (src, m), (dst, m) and (w, 1) for the m = |adj+(src) ∩ adj+(dst)|
+    closing vertices, so the per-part aggregate reads 2E + T rows
+    once instead of checkpointing 3T role rows and reading them three
+    times (the old tri checkpoint was ~0.5 GB at sf0.1, the query's
+    dominant I/O)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    ia = io.select("o", F.col("p").alias("a"))
-    ib = io.select("o", F.col("p").alias("b"))
+    grp = li.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    np_ = F.size("ps")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), np_ - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, np_),
+                lambda j: F.struct(
+                    F.element_at(F.col("ps"), i).alias("a"),
+                    F.element_at(F.col("ps"), j).alias("b"),
+                ),
+            ),
+        )
+    )
     e = (
-        ia.join(ib, "o")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        grp.filter(np_ >= 2)  # sequence(1, 0) runs DESCENDING — guard it out
+        .select(F.explode(pair_structs).alias("pr"))
+        .select("pr.a", "pr.b")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -2800,24 +2824,59 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("dst").alias("nbrs"))
         .localCheckpoint(eager=True)
     )
-    tri = (
-        oriented.join(adj.select(F.col("v").alias("src"), F.col("nbrs").alias("nbrs_u")), "src")
-        .join(adj.select(F.col("v").alias("dst"), F.col("nbrs").alias("nbrs_v")), "dst")
-        .select(
-            F.col("src").alias("u"),
-            F.col("dst").alias("v"),
-            F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"),
-        )
-        .localCheckpoint(eager=True)
+    # One-row explode = Generate barrier (the corpus_curation gate
+    # pattern): the adjacency intersection is the query's CPU, and
+    # referencing it from the filter AND the weighted fan-out would
+    # evaluate it 2-3x per edge (measured 0.69x before the barrier).
+    # Behind the Generate it is computed exactly once per edge.
+    # At gate scale AQE coalesces both adjacency-join exchanges to a
+    # handful of tasks, serializing the intersection (the query's
+    # CPU) on them (r11 profile: 5.4 s over 6 tasks). When the fact
+    # scan is narrow, pin the exchanges the joins need anyway at the
+    # session's parallelism — repartition BY THE JOIN KEY between the
+    # joins REPLACES each exchange (EnsureRequirements accepts the
+    # pinned hashpartitioning), it adds none, and REPARTITION_BY_NUM
+    # is exempt from AQE coalescing. Identity at real scale, where
+    # the exchanges are byte-sized by AQE.
+    narrow = scan_is_narrow(li, memo_key=sf_dir + ":lineitem")
+    target = spark.sparkContext.defaultParallelism
+    osp = oriented.repartition(target, F.col("src")) if narrow else oriented
+    half = osp.join(
+        adj.select(F.col("v").alias("src"), F.col("nbrs").alias("nbrs_u")), "src"
     )
-    roles = (
-        tri.select(F.col("u").alias("part_id"))
-        .unionAll(tri.select(F.col("v").alias("part_id")))
-        .unionAll(tri.select(F.col("w").alias("part_id")))
+    if narrow:
+        half = half.repartition(target, F.col("dst"))
+    edged = half.join(
+        adj.select(F.col("v").alias("dst"), F.col("nbrs").alias("nbrs_v")), "dst"
+    ).select(
+        "src",
+        "dst",
+        F.explode(F.array(F.array_intersect("nbrs_u", "nbrs_v"))).alias("ws"),
+    )
+    m = F.size("ws").cast("long")
+    contrib = (
+        edged.filter(m > 0)
+        .select(
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(F.col("src").alias("part_id"), m.alias("n")),
+                        F.struct(F.col("dst").alias("part_id"), m.alias("n")),
+                    ),
+                    F.transform(
+                        F.col("ws"),
+                        lambda w: F.struct(
+                            w.alias("part_id"), F.lit(1).cast("long").alias("n")
+                        ),
+                    ),
+                )
+            ).alias("c")
+        )
+        .select("c.part_id", "c.n")
     )
     return (
-        roles.groupBy("part_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        contrib.groupBy("part_id")
+        .agg(F.sum("n").cast("long").alias("n_triangles"))
         .join(deg.select(F.col("v").alias("part_id"), "degree"), "part_id")
         .select("part_id", "degree", "n_triangles")
     )

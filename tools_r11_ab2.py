@@ -448,6 +448,71 @@ def _old_classifier_scores(docs, epochs=None):
     )
 
 
+def old_triangle_count_copurchase(spark, sf_dir):
+    """Pre-r11 form: io self-join pair generation (+ io checkpoint)
+    and a materialized triangle checkpoint consumed by a 3-way roles
+    union."""
+    io = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ia = io.select("o", F.col("p").alias("a"))
+    ib = io.select("o", F.col("p").alias("b"))
+    e = (
+        ia.join(ib, "o")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("degree").alias("deg_b"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).localCheckpoint(eager=True)
+    adj = (
+        oriented.groupBy(F.col("src").alias("v"))
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    tri = (
+        oriented.join(adj.select(F.col("v").alias("src"), F.col("nbrs").alias("nbrs_u")), "src")
+        .join(adj.select(F.col("v").alias("dst"), F.col("nbrs").alias("nbrs_v")), "dst")
+        .select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    roles = (
+        tri.select(F.col("u").alias("part_id"))
+        .unionAll(tri.select(F.col("v").alias("part_id")))
+        .unionAll(tri.select(F.col("w").alias("part_id")))
+    )
+    deg2 = deg.select(F.col("v").alias("part_id"), "degree")
+    return (
+        roles.groupBy("part_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .join(deg2, "part_id")
+        .select("part_id", "degree", "n_triangles")
+    )
+
+
 def _old_connected_components(vertices, edges, id_col="doc_id", max_iter=50, check_every=2):
     """Pre-r11 form: unkeyed sym checkpoint (re-shuffled every round)."""
     sym = edges.select(
@@ -529,6 +594,7 @@ def old_quality_tier_agreement(spark, sf_dir):
 
 
 OLD_FORMS = {
+    "triangle_count_copurchase": old_triangle_count_copurchase,
     "dedup_connected_components": old_dedup_connected_components,
     "quality_classifier_scores": old_quality_classifier_scores,
     "quality_tier_agreement": old_quality_tier_agreement,
