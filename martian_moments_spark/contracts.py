@@ -89,12 +89,14 @@ def contract_results(spark, sf_dir: str, contracts: Sequence[TableContract] = CO
     count). At 100 TB, FK checks against the same child table share
     its scan only if the storage layer caches it — declare only the
     FKs worth their join."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from martian_moments_spark.catalog import load
 
     from martian_moments_spark.quality import CheckResult, relationship_violations
 
-    out = []
-    for c in contracts:
+    def one_table(c: TableContract) -> list:
+        rows = []
         df = load(spark, sf_dir, c.table)
         for r in run_checks(
             df,
@@ -103,10 +105,10 @@ def contract_results(spark, sf_dir: str, contracts: Sequence[TableContract] = CO
             expressions=c.expressions,
             unique=c.unique,
         ):
-            out.append((c.table, r))
+            rows.append((c.table, r))
         for col, (ptable, pcol) in c.relationships.items():
             parent = load(spark, sf_dir, ptable)
-            out.append(
+            rows.append(
                 (
                     c.table,
                     CheckResult(
@@ -116,7 +118,16 @@ def contract_results(spark, sf_dir: str, contracts: Sequence[TableContract] = CO
                     ),
                 )
             )
-    return out
+        return rows
+
+    # Per-table suites are independent jobs whose driver actions were
+    # previously awaited serially; a small thread pool lets the next
+    # table's tasks back-fill executors freed by the current table's
+    # tail (guide §2.6 "overlap independent jobs"). pool.map preserves
+    # declaration order, so the emitted rows — and every consumer's
+    # result — are byte-identical to the serial walk.
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(contracts)))) as pool:
+        return [row for rows in pool.map(one_table, contracts) for row in rows]
 
 
 def _sql_violation_exprs(c: TableContract) -> list[tuple[str, str, str]]:

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from martian_moments_spark.catalog import load
+from martian_moments_spark.llmops.textops import scan_is_narrow
 from martian_moments_spark.plans.registry import register
 
 
@@ -142,6 +143,16 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly rather than delegating to pandas ewm() precisely so the
     arithmetic is pinned."""
     events = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    # applyInPandas needs hashpartitioning(user_id); at gate scale AQE
+    # coalesces that kilobyte exchange to ~2 tasks, so only 2 Python
+    # workers ever run and the per-group Arrow round-trips serialize
+    # behind them (r11 profile: 8.3 s task runtime, 0.4 s JVM CPU).
+    # Pin the exchange the groupBy needs anyway at the session's
+    # parallelism — replaces it, adds nothing; identity at real scale.
+    if scan_is_narrow(events, memo_key=sf_dir + ":events"):
+        events = events.repartition(
+            events.sparkSession.sparkContext.defaultParallelism, F.col("user_id")
+        )
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)

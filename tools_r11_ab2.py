@@ -448,6 +448,44 @@ def _old_classifier_scores(docs, epochs=None):
     )
 
 
+def old_contract_check_summary(spark, sf_dir):
+    """Pre-r11 form: serial per-table contract walk (no driver-side
+    job overlap)."""
+    from martian_moments_spark.catalog import load as _load
+    from martian_moments_spark.contracts import CONTRACTS, run_checks
+    from martian_moments_spark.quality import CheckResult, relationship_violations
+
+    out = []
+    for c in CONTRACTS:
+        df = _load(spark, sf_dir, c.table)
+        for r in run_checks(
+            df,
+            not_null=c.not_null,
+            accepted=c.accepted,
+            expressions=c.expressions,
+            unique=c.unique,
+        ):
+            out.append((c.table, r))
+        for col, (ptable, pcol) in c.relationships.items():
+            parent = _load(spark, sf_dir, ptable)
+            out.append(
+                (
+                    c.table,
+                    CheckResult(
+                        "relationships",
+                        f"{col}->{ptable}.{pcol}",
+                        relationship_violations(df, col, parent, pcol),
+                    ),
+                )
+            )
+    rows = [(t, r.check, r.column, r.violations, r.passed) for t, r in out]
+    return spark.createDataFrame(
+        rows,
+        "table_name STRING, check_name STRING, target STRING, "
+        "violations BIGINT, passed BOOLEAN",
+    )
+
+
 def old_triangle_count_copurchase(spark, sf_dir):
     """Pre-r11 form: io self-join pair generation (+ io checkpoint)
     and a materialized triangle checkpoint consumed by a 3-way roles
@@ -594,6 +632,7 @@ def old_quality_tier_agreement(spark, sf_dir):
 
 
 OLD_FORMS = {
+    "contract_check_summary": old_contract_check_summary,
     "triangle_count_copurchase": old_triangle_count_copurchase,
     "dedup_connected_components": old_dedup_connected_components,
     "quality_classifier_scores": old_quality_classifier_scores,
