@@ -923,6 +923,14 @@ def topk_cosine_blocked(
             {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
         )
 
+    # Measured rejection (r11, do not retry): pinning the cogroup's
+    # (__qb, __cb) exchanges at the session's parallelism — the repair
+    # that won 4.2x on ewma_per_user's applyInPandas — benched
+    # 0.98x/0.97x here (interleaved A/B). The 2000-vector block
+    # matmuls are microseconds of numpy, so spreading 64 groups over
+    # 32 pinned tasks just buys more Arrow worker round-trips; AQE's
+    # ~6-task coalesce is already right for this kernel (the same
+    # economics as the embedding_srp_neardup rejection).
     partial = (
         queries.groupBy("__qb", "__cb")
         .cogroup(cands.groupBy("__qb", "__cb"))

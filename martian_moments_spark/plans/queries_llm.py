@@ -254,9 +254,16 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit) near-dup fingerprints: majority vote per bit
     over distinct-token hashes. Order-insensitive (contrast
-    doc_fingerprint). Per-row; token hashes computed once per doc."""
+    doc_fingerprint). Per-row; token hashes computed once per doc.
+
+    The 32 per-bit majority filters are O(32 x tokens) per document —
+    a fan-out stage in CPU terms (r11 profile: 9.5 s in the scan's
+    ONE task at sf0.1), so the scan is spread first; identity at real
+    scale."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.select("doc_id", simhash("text").alias("simhash32"))
+    return spread_fanout(docs, "doc_id").select(
+        "doc_id", simhash("text").alias("simhash32")
+    )
 
 
 @register(
