@@ -104,8 +104,14 @@ def lsh_candidates(
     expands to C(h,2) pairs runs in ONE task, where the join spreads
     the same collisions across tasks. See the inverse measurement in
     deletion_neighborhood_candidates."""
-    hashed = df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    # The md5-per-shingle signature pipeline is the CPU of this
+    # builder and the a/b band branches each re-derive it; at gate
+    # scale it ran as two ~0.7 s single-task stages (r11 profile).
+    # Spread the narrow (id, text) projection first — identity at
+    # real scale, same contract as every spread_fanout site.
+    hashed = spread_fanout(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        "doc_id",
     ).withColumn("__sh", F.transform(word_shingles("text"), portable_hash31))
     sig = hashed.select("doc_id", *minhash_from_hashes(F.col("__sh")))
     banded = sig.select(

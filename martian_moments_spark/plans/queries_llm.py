@@ -185,7 +185,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document signature stage of fuzzy dedup — per-row array math,
     no shuffle, no UDF."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    hashed = docs.withColumn("__sh", F.transform(word_shingles("text"), portable_hash31))
+    # md5-per-shingle signatures are the per-row CPU: spread the
+    # narrow doc projection first (identity at real scale; r11).
+    hashed = spread_fanout(docs, "doc_id").withColumn(
+        "__sh", F.transform(word_shingles("text"), portable_hash31)
+    )
     return hashed.select("doc_id", *minhash_from_hashes(F.col("__sh")))
 
 
@@ -5124,7 +5128,11 @@ def minhash_estimation_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingle sets ship ONLY to candidate rows — the same
     verify-stage shape as fuzzy_dedup_pipeline."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    hashed = docs.withColumn("__sh", F.transform(word_shingles("text"), portable_hash31))
+    # md5-per-shingle signatures are the per-row CPU: spread the
+    # narrow doc projection first (identity at real scale; r11).
+    hashed = spread_fanout(docs, "doc_id").withColumn(
+        "__sh", F.transform(word_shingles("text"), portable_hash31)
+    )
     # sig/hs are consumed by both join sides; recomputing them is
     # deliberate — a localCheckpoint here measured NO faster (the
     # per-row hash pipeline is cheap next to the collision join's
@@ -5421,7 +5429,11 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, O(collisions)); shingle sets ship only to candidate
     rows. Exact integer set sizes; each containment is one division."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    hashed = docs.withColumn("__sh", F.transform(word_shingles("text"), portable_hash31))
+    # md5-per-shingle signatures are the per-row CPU: spread the
+    # narrow doc projection first (identity at real scale; r11).
+    hashed = spread_fanout(docs, "doc_id").withColumn(
+        "__sh", F.transform(word_shingles("text"), portable_hash31)
+    )
     # Recompute hs per join side on purpose: a localCheckpoint here
     # measured no faster (per-row recompute is cheap; wide per-doc
     # arrays are expensive to serialize — see
