@@ -931,68 +931,54 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     irreproducible across engines disappears: ten iterations replay
     bit-for-bit in the oracle's unrolled CTE chain.
 
-    Scale: each iteration is one edges-to-ranks broadcast join plus a
-    dst-keyed aggregate (map-side combined) — on a real billion-edge
-    graph the same loop shuffles on dst once per iteration and the
-    rank vector stays columnar; lineage is cut per round with
-    localCheckpoint exactly like the BPE and k-means loops. The
-    simple-variant leak at dangling nodes is absent here (every
-    observed type has out-edges) and would be a broadcast scalar per
-    round otherwise."""
+    Scale: the DATA-scale work — sessionized transition counting over
+    every event — is one distributed window + aggregate; what comes
+    back to the driver is the (src, dst, w) transition matrix, bounded
+    by the event-type VOCABULARY squared at any corpus size (the
+    kmeans_units / classifier bounded-collect pattern, and the same
+    bound the oracle's nodes CTE relies on). The 10 rank iterations
+    then run as an integer fold over that metadata: r11 measured the
+    previous distributed form of this loop at 81 driver-latency-bound
+    stages (10 rounds x checkpoint + broadcast join over a
+    vocabulary-sized rank vector) for 0.7 s of actual task time —
+    distributing a metadata-sized recurrence is pure overhead at every
+    scale. On a graph whose NODE set grows with the data (user graph,
+    url graph) the distributed round loop of connected_components is
+    the right shape instead; this operator's nodes are event types."""
     events = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts"
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.withColumn("prev_type", F.lag("event_type").over(w))
-    edges = (
+    edge_rows = (
         seq.filter(F.col("prev_type").isNotNull())
         .groupBy(
             F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .localCheckpoint(eager=True)
+        .collect()  # bounded: |event types|^2
     )
-    nodes = (
-        events.select(F.col("event_type").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=True)  # joined every iteration — scan once
+    node_rows = sorted(
+        r["node"]
+        for r in events.select(F.col("event_type").alias("node")).distinct().collect()
     )
-    n_nodes = nodes.count()  # bounded: the event-type vocabulary
-    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
+    n_nodes = len(node_rows)
     base = (15 * _PR_SCALE) // (_PR_DAMP_DEN * n_nodes)
-    ranks = nodes.withColumn(
-        "rank", F.lit(_PR_SCALE // n_nodes).cast("long")
-    ).localCheckpoint(eager=True)
+    out_w: dict = {}
+    for r in edge_rows:
+        out_w[r["src"]] = out_w.get(r["src"], 0) + r["w"]
+    rank = {n: _PR_SCALE // n_nodes for n in node_rows}
     for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(ranks, F.col("src") == F.col("node"))
-            .join(outw, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("(rank * w) DIV out_w").alias("part"),
-            )
-            .groupBy("node")
-            .agg(F.sum("part").cast("long").alias("c"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({_PR_DAMP_NUM} * coalesce(c, 0L)) DIV {_PR_DAMP_DEN}"
-                    )
-                )
-                .cast("long")
-                .alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return ranks.select(
-        F.col("node").alias("event_type"),
-        F.col("rank").alias("pagerank_units"),
-        (F.col("rank").cast("double") / F.lit(float(_PR_SCALE))).alias("pagerank"),
+        c = dict.fromkeys(node_rows, 0)
+        for r in edge_rows:
+            # same integer floor-division recurrence the oracle unrolls
+            c[r["dst"]] += (rank[r["src"]] * r["w"]) // out_w[r["src"]]
+        rank = {
+            n: base + (_PR_DAMP_NUM * c[n]) // _PR_DAMP_DEN for n in node_rows
+        }
+    return spark.createDataFrame(
+        [(n, rank[n], rank[n] / float(_PR_SCALE)) for n in node_rows],
+        "event_type STRING, pagerank_units BIGINT, pagerank DOUBLE",
     ).orderBy(F.col("pagerank_units").desc(), "event_type")
 
 

@@ -3721,7 +3721,13 @@ def window_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens * window, linear in the corpus); unigram counts broadcast
     back; the support floor (f_ab >= 5) prunes the pair table before
     ranking; top-k is TakeOrderedAndProject."""
-    pos = load(spark, sf_dir, "documents").select(
+    # Four consumers (corpus total, unigrams, both join sides) derive
+    # from this posexplode; at gate scale it ran in the scan's one
+    # split (r11 profile: 0.77 s single-task stage). Spread the narrow
+    # doc projection before the fan-out; identity at real scale.
+    pos = spread_fanout(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select(
         "doc_id", F.posexplode(tokens("text")).alias("p0", "tok")
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
     n_tok = pos.agg(F.count(F.lit(1)).cast("long").alias("n"))

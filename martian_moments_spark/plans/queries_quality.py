@@ -254,7 +254,17 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (int/string columns only — float rendering differs per engine)."""
     from pyspark.sql import functions as F
 
-    orders = load(spark, sf_dir, "orders").select(*PROFILE_COLS)
+    from martian_moments_spark.operators.parallelize import spread_scan
+
+    # The Expand-based multi-countDistinct partial aggregate is the
+    # query's CPU and ran in the scan's ONE split at gate scale (r11
+    # profile: 1.1 s single-task stage); spread the narrow projection
+    # first — identity at real scale.
+    orders = spread_scan(
+        load(spark, sf_dir, "orders").select(*PROFILE_COLS),
+        sf_dir + ":orders",
+        "o_orderkey",
+    )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in PROFILE_COLS:
         aggs += [

@@ -448,6 +448,71 @@ def _old_classifier_scores(docs, epochs=None):
     )
 
 
+def old_pagerank_event_graph(spark, sf_dir):
+    """Pre-r11 form: 10 distributed rank rounds with per-round eager
+    checkpoints over the vocabulary-sized rank vector."""
+    from pyspark.sql import Window as W
+
+    from martian_moments_spark.plans.queries_events import (
+        _PR_DAMP_DEN,
+        _PR_DAMP_NUM,
+        _PR_ITERS,
+        _PR_SCALE,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.withColumn("prev_type", F.lag("event_type").over(w))
+    edges = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        events.select(F.col("event_type").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
+    base = (15 * _PR_SCALE) // (_PR_DAMP_DEN * n_nodes)
+    ranks = nodes.withColumn(
+        "rank", F.lit(_PR_SCALE // n_nodes).cast("long")
+    ).localCheckpoint(eager=True)
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, F.col("src") == F.col("node"))
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank * w) DIV out_w").alias("part"),
+            )
+            .groupBy("node")
+            .agg(F.sum("part").cast("long").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({_PR_DAMP_NUM} * coalesce(c, 0L)) DIV {_PR_DAMP_DEN}")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias("event_type"),
+        F.col("rank").alias("pagerank_units"),
+        (F.col("rank").cast("double") / F.lit(float(_PR_SCALE))).alias("pagerank"),
+    ).orderBy(F.col("pagerank_units").desc(), "event_type")
+
+
 def old_contract_check_summary(spark, sf_dir):
     """Pre-r11 form: serial per-table contract walk (no driver-side
     job overlap)."""
@@ -632,6 +697,7 @@ def old_quality_tier_agreement(spark, sf_dir):
 
 
 OLD_FORMS = {
+    "pagerank_event_graph": old_pagerank_event_graph,
     "contract_check_summary": old_contract_check_summary,
     "triangle_count_copurchase": old_triangle_count_copurchase,
     "dedup_connected_components": old_dedup_connected_components,
