@@ -118,10 +118,19 @@ def dsir_weights(docs: DataFrame) -> DataFrame:
     importance estimator. One row per input document: (doc_id,
     n_features, t_num, r_num, weight, keep). Documents with fewer than
     2 tokens have no features: zero sums, NULL weight, keep = false
-    (mirrors the LM tier's verdict for featureless documents)."""
-    toks = docs.select("doc_id", tokens("text").alias("t")).withColumn(
-        "is_ref", lm_gate(F.col("t"))
-    )
+    (mirrors the LM tier's verdict for featureless documents).
+
+    The tokenize+bigram pipeline has three consumers (model counts,
+    per-doc scoring, the doc spine) that each re-derived it from the
+    scan's one split at gate scale (r11 profile: 0.5-0.66 s serial
+    single-task stages); the docs are spread once first so every
+    branch reads the shared spread exchange at full parallelism —
+    the bigram_lm_scores pattern. Identity at real scale."""
+    from martian_moments_spark.operators.parallelize import spread_fanout
+
+    toks = spread_fanout(docs, "doc_id").select(
+        "doc_id", tokens("text").alias("t")
+    ).withColumn("is_ref", lm_gate(F.col("t")))
     feats = _doc_feature_rows(toks)
     # both models in ONE corpus pass: raw counts every row, target
     # counts the gate-passing subset. <= DSIR_BUCKETS rows out.
