@@ -1275,7 +1275,14 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-width."""
     from martian_moments_spark.llmops.multimodal import encode_png, png_features
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # The pure-zlib decode is the CPU and the one-split gate-scale scan
+    # gave it ONE Arrow task (r11 profile: 1.3 s single-task); spread
+    # the narrow doc rows first — identity at real scale, where the
+    # scan partitioning itself carries the parallelism and payload
+    # bytes never ride a shuffle.
+    docs = spread_fanout(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     return png_features(encode_png(docs))
 
 
@@ -1336,7 +1343,13 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-width."""
     from martian_moments_spark.llmops.multimodal import encode_jpeg, jpeg_features
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # The pure-numpy huffman+IDCT decode is the CPU and ran in ONE
+    # Arrow task at gate scale (r11 profile: 4.1 s single-task);
+    # spread the narrow doc rows first — identity at real scale (see
+    # multimodal_png_decode).
+    docs = spread_fanout(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     return jpeg_features(encode_jpeg(docs))
 
 
