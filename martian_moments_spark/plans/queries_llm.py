@@ -1459,7 +1459,12 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: benchmark sets are tiny vs the corpus -> broadcast join, no
     shuffle of the corpus side beyond the per-doc explode; contaminated
     docs drop before training, counts keep the audit trail."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # the shingle-hash explode is derived twice (bench set + corpus
+    # side) from the one-split scan at gate scale (r11 profile:
+    # 0.56 s single-task stage); spread first — identity at real scale.
+    docs = spread_fanout(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
     sh = docs.select(
         "doc_id",
@@ -5983,7 +5988,13 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking window partitions on probe_id — at extreme posting skew
     the two-phase salted top-k bm25_probe_ranking demonstrates drops
     in unchanged."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # tokenize feeds the probe join and the posting explode from the
+    # one-split scan at gate scale (r11 profile: 0.69 s single-task
+    # stage); spread first — identity at real scale.
+    docs = spread_fanout(
+        load(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        "doc_id",
+    )
     toks = docs.select(
         "doc_id", "source", F.array_distinct(tokens("text")).alias("t")
     )
