@@ -149,7 +149,10 @@ def lsh_candidates(
     # so this replaces — not adds — an exchange (guide §2.4), and AQE
     # cannot coalesce a REPARTITION_BY_NUM. Identity at real scale,
     # where the band join's own post-shuffle partitions carry the
-    # parallelism.
+    # parallelism. (A post-distinct placement was measured and
+    # rejected: it restores the distinct's map-side combine of
+    # multi-band duplicate pairs but ADDS an exchange, and benched
+    # 0.70-0.85x at gate scale across the family.)
     if scan_is_narrow(df):
         pairs = pairs.repartition(
             df.sparkSession.sparkContext.defaultParallelism,
