@@ -126,6 +126,13 @@ def contract_results(spark, sf_dir: str, contracts: Sequence[TableContract] = CO
     # tail (guide §2.6 "overlap independent jobs"). pool.map preserves
     # declaration order, so the emitted rows — and every consumer's
     # result — are byte-identical to the serial walk.
+    #
+    # load() flips the session-global nanos conf when it reads the
+    # events table; under the pool the OTHER tables' reads could
+    # observe that conf in a schedule-dependent order (ADVICE r11).
+    # Pin it once before any thread reads, so every parquet scan sees
+    # the identical session conf regardless of thread interleaving.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     with ThreadPoolExecutor(max_workers=min(4, max(1, len(contracts)))) as pool:
         return [row for rows in pool.map(one_table, contracts) for row in rows]
 

@@ -81,7 +81,10 @@ def lsh_bands(signature_cols: list[str], rows_per_band: int = 2) -> list[Column]
 
 
 def lsh_candidates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    memo_key: str | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs for any document
     frame: signatures -> 4 bands of 2 rows -> distinct id pairs
@@ -112,6 +115,7 @@ def lsh_candidates(
     hashed = spread_fanout(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
         "doc_id",
+        memo_key=memo_key,
     ).withColumn("__sh", F.transform(word_shingles("text"), portable_hash31))
     sig = hashed.select("doc_id", *minhash_from_hashes(F.col("__sh")))
     banded = sig.select(
@@ -153,7 +157,7 @@ def lsh_candidates(
     # rejected: it restores the distinct's map-side combine of
     # multi-band duplicate pairs but ADDS an exchange, and benched
     # 0.70-0.85x at gate scale across the family.)
-    if scan_is_narrow(df):
+    if scan_is_narrow(df, memo_key=memo_key):
         pairs = pairs.repartition(
             df.sparkSession.sparkContext.defaultParallelism,
             F.col("id_a"),
@@ -271,36 +275,23 @@ def jaccard_pairs(
     )
 
 
-def deletion_neighborhood_candidates(
-    df: DataFrame,
-    block_col: str,
-    id_col: str,
-    text_col: str,
-    k: int = 2,
-) -> DataFrame:
-    """Edit-distance candidate pairs via deletion-neighborhood
-    signatures (the FastSS / SymSpell scheme): every string emits all
-    variants reachable by deleting up to ``k`` characters; two strings
-    at edit distance <= k ALWAYS share at least one variant (take an
-    optimal <=k-op script and drop the substituted/deleted chars from
-    one side and the substituted/inserted chars from the other — each
-    side loses <= k chars and the remainders are equal), so recall is
-    exactly 1 and the downstream banded-DP verify sees the same
-    survivor set as an all-pairs scan. tests/test_properties.py pins
-    that equivalence on generated corpora.
+#: rolling-hash base of the Arrow deletion-signature kernel. Odd, so it
+#: is invertible mod 2^64 — deleting a character shifts every later
+#: position's weight DOWN one power of B, which the inverse undoes in
+#: O(1) from prefix hashes. The hash is a pure function of the variant
+#: string (H(v) = sum (cp[t]+1) * B^t mod 2^64, cp = codepoints; the +1
+#: keeps NUL from being weightless), so equal variants from different
+#: source strings always collide — the property recall depends on.
+_SIG_B = 1099511628211
+_SIG_BINV = pow(_SIG_B, -1, 1 << 64)
 
-    Scale: per-string signature count is C(l,0..k) ~ l^k/k! — bounded
-    for the short keys entity resolution blocks on (names, titles,
-    codes; l=20, k=2 -> ~190 rows). The only shuffle is the signature
-    equi-join: candidate volume is O(sum over signatures of count^2),
-    i.e. O(collisions) — strings collide only when genuinely
-    deletion-compatible, unlike substring/q-gram canopies which
-    degenerate when the corpus shares long constant affixes. For long
-    strings (documents) use MinHash/LSH instead; this is the
-    short-string companion. Returns distinct ``(block, id_a, id_b)``
-    with id_a < id_b; verify with ``F.levenshtein(a, b, k)``."""
-    if k != 2:
-        raise ValueError("deletion_neighborhood_candidates implements k=2")
+
+def _deletion_sig_rows_jvm(base: DataFrame) -> DataFrame:
+    """(block, id, sig) signature rows via JVM expressions: explode the
+    materialized <=2-deletion variant strings, xxhash64 each. The
+    reference backend — every variant string is built with ~l
+    substr+concat work, so the stage costs O(l^3) character copies per
+    key where the Arrow kernel pays O(l^2) arithmetic."""
     s = F.col("__s")
     l = F.length(s)
     d1 = F.transform(
@@ -331,10 +322,158 @@ def deletion_neighborhood_candidates(
         F.when(l >= 1, d1).otherwise(F.array().cast("array<string>")),
         F.when(l >= 2, d2).otherwise(F.array().cast("array<string>")),
     )
-    # Bucket on xxhash64(variant), not the variant string: an 8-byte
-    # shuffle key instead of a ~l-byte one. A hash collision can only
-    # ADD a candidate (the banded-DP verify rejects it), so recall
-    # stays exactly 1.
+    return base.select("block", "id", F.explode(sigs).alias("sig")).select(
+        "block", "id", F.xxhash64("sig").alias("sig")
+    )
+
+
+def _deletion_sig_rows_arrow(base: DataFrame) -> DataFrame:
+    """(block, id, sig) signature rows via a vectorized Arrow kernel
+    (guide §4.2 "hand whole batches to vectorized native libraries").
+
+    The JVM form builds every <=2-deletion variant STRING only to hash
+    it away — O(l) character copies per variant, O(l^3) per key, and
+    that construction was the measured CPU floor of the edit-distance
+    pair (r11: 34.5 s task CPU at sf0.1 with no structural lever left
+    inside the expression form). A polynomial rolling hash removes the
+    strings entirely: with prefix hashes P[i] = sum_{t<i} (cp[t]+1)*B^t
+    (one cumsum per key), the hash of the variant that deletes
+    positions i<j is the O(1) identity
+
+        P[i] + (P[j] - P[i+1])*B^-1 + (P[l] - P[j+1])*B^-2   (mod 2^64)
+
+    — the deleted suffix weights shift down one/two powers of B. Equal
+    variant strings hash equal BY CONSTRUCTION (the hash is a function
+    of the variant, independent of which source string or deletion
+    pair produced it), so bucket collisions are a superset-safe
+    replacement for string equality: recall stays exactly 1 and the
+    banded verify rejects the (negligible, 2^-64-scale) extra hash
+    collisions. tests/test_properties.py pins candidate-set equality
+    against the JVM backend.
+
+    Batch mechanics: codepoint matrices are built per LENGTH GROUP
+    (one utf-32 decode per group — character semantics, so multi-byte
+    text deletes characters exactly like the JVM substr form), all
+    d1 hashes come from one (n, l) matrix identity, and the d2 loop is
+    l-1 vectorized row-blocks — python-level work is O(l) per length
+    group, not O(l^2) per key. Output order within a batch is
+    irrelevant (the rows feed a groupBy)."""
+    out_schema = ", ".join(
+        [
+            f"block {base.schema['block'].dataType.simpleString()}",
+            f"id {base.schema['id'].dataType.simpleString()}",
+            "sig bigint",
+        ]
+    )
+    B, BINV = _SIG_B, _SIG_BINV
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        binv = np.uint64(BINV)
+        binv2 = np.uint64((BINV * BINV) % (1 << 64))
+        # B^t table, grown on demand; computed in python-int space so
+        # no numpy scalar-overflow warnings fire.
+        bpow = np.array([pow(B, t, 1 << 64) for t in range(64)], dtype=np.uint64)
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            texts = batch.column(names.index("__s")).to_pylist()
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+            order = np.argsort(lens, kind="stable")
+            sig_parts: list = []
+            row_parts: list = []
+            pos = 0
+            while pos < len(order):
+                l = int(lens[order[pos]])
+                end = pos
+                while end < len(order) and lens[order[end]] == l:
+                    end += 1
+                idx = order[pos:end]
+                pos = end
+                if l == 0:
+                    sig_parts.append(np.zeros(len(idx), dtype=np.uint64))
+                    row_parts.append(idx)
+                    continue
+                if l >= len(bpow):
+                    bpow = np.array(
+                        [pow(B, t, 1 << 64) for t in range(l + 1)], dtype=np.uint64
+                    )
+                cps = (
+                    np.frombuffer(
+                        "".join(texts[i] for i in idx).encode("utf-32-le"),
+                        dtype=np.uint32,
+                    )
+                    .reshape(len(idx), l)
+                    .astype(np.uint64)
+                )
+                P = np.zeros((len(idx), l + 1), dtype=np.uint64)
+                np.cumsum((cps + np.uint64(1)) * bpow[:l], axis=1, out=P[:, 1:])
+                # each part is a (n, m) block raveled row-major, so its
+                # row ids are idx repeated m times
+                sig_parts.append(P[:, l])  # the string itself (m=1)
+                row_parts.append(idx)
+                # d1: delete position i, all i in one matrix identity
+                sig_parts.append(
+                    (P[:, 0:l] + (P[:, [l]] - P[:, 1 : l + 1]) * binv).ravel()
+                )
+                row_parts.append(np.repeat(idx, l))
+                # d2: delete i<j; one vectorized row-block per i
+                for i in range(l - 1):
+                    blockm = (
+                        P[:, [i]]
+                        + (P[:, i + 1 : l] - P[:, [i + 1]]) * binv
+                        + (P[:, [l]] - P[:, i + 2 : l + 1]) * binv2
+                    )
+                    sig_parts.append(blockm.ravel())
+                    row_parts.append(np.repeat(idx, l - 1 - i))
+            sigs = np.concatenate(sig_parts).view(np.int64)
+            rows = pa.array(np.concatenate(row_parts), type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(names.index("block")).take(rows),
+                    batch.column(names.index("id")).take(rows),
+                    pa.array(sigs, type=pa.int64()),
+                ],
+                names=["block", "id", "sig"],
+            )
+
+    return base.mapInArrow(gen, out_schema)
+
+
+def deletion_neighborhood_candidates(
+    df: DataFrame,
+    block_col: str,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+) -> DataFrame:
+    """Edit-distance candidate pairs via deletion-neighborhood
+    signatures (the FastSS / SymSpell scheme): every string emits all
+    variants reachable by deleting up to ``k`` characters; two strings
+    at edit distance <= k ALWAYS share at least one variant (take an
+    optimal <=k-op script and drop the substituted/deleted chars from
+    one side and the substituted/inserted chars from the other — each
+    side loses <= k chars and the remainders are equal), so recall is
+    exactly 1 and the downstream banded-DP verify sees the same
+    survivor set as an all-pairs scan. tests/test_properties.py pins
+    that equivalence on generated corpora.
+
+    Scale: per-string signature count is C(l,0..k) ~ l^k/k! — bounded
+    for the short keys entity resolution blocks on (names, titles,
+    codes; l=20, k=2 -> ~190 rows). The only shuffle is the signature
+    equi-join: candidate volume is O(sum over signatures of count^2),
+    i.e. O(collisions) — strings collide only when genuinely
+    deletion-compatible, unlike substring/q-gram canopies which
+    degenerate when the corpus shares long constant affixes. For long
+    strings (documents) use MinHash/LSH instead; this is the
+    short-string companion. Returns distinct ``(block, id_a, id_b)``
+    with id_a < id_b; verify with ``F.levenshtein(a, b, k)``."""
+    if k != 2:
+        raise ValueError("deletion_neighborhood_candidates implements k=2")
     # Null semantics: the original self-join form dropped null-block /
     # null-text rows via the null-unsafe equi-join; groupBy would
     # instead collect nulls into one bucket and emit pairs for them.
@@ -352,9 +491,26 @@ def deletion_neighborhood_candidates(
         ),
         "id",
     )
-    sig_rows = base.select("block", "id", F.explode(sigs).alias("sig")).select(
-        "block", "id", F.xxhash64("sig").alias("sig")
-    )
+    # Signature rows are (block, id, 64-bit hash of variant): bucketing
+    # on a hash, not the variant string, keeps the shuffle key at 8
+    # bytes, and a hash collision can only ADD a candidate (the
+    # banded-DP verify rejects it), so recall stays exactly 1 under
+    # EITHER signature backend. Default backend is the Arrow rolling-
+    # hash kernel (guide §4.2): the JVM expression form materializes
+    # every variant STRING (~l^2/2 substr+concat per key — the measured
+    # CPU floor of the edit-distance pair, 34.5 s task CPU at sf0.1,
+    # r11 profile) only to hash it away, where prefix hashes make each
+    # deletion variant's hash an O(1) arithmetic identity.
+    # ``martian.dedup.deletionSigKernel=jvm`` pins the expression form
+    # (A/B harnesses; Arrow-less deployments);
+    # tests/test_properties.py pins candidate-set equality of the two.
+    if (
+        df.sparkSession.conf.get("martian.dedup.deletionSigKernel", "arrow")
+        == "arrow"
+    ):
+        sig_rows = _deletion_sig_rows_arrow(base)
+    else:
+        sig_rows = _deletion_sig_rows_jvm(base)
     # Pairs come from grouping each signature bucket, NOT from a
     # self-join: the join form evaluates the signature explosion once
     # per side and shuffles both copies (the union-of-two-selects
@@ -470,24 +626,61 @@ def connected_components(
         F.col(id_col).alias("v"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
     frontier = labels  # round 1: every vertex announces its own label
-    for rnd in range(1, max_iter + 1):
+
+    def hop(lab: DataFrame, front: DataFrame) -> DataFrame:
+        """One min-label propagation step: (v, label=current,
+        new_label=min(current, neighbor minimum from ``front``))."""
         msgs = (
-            sym.join(frontier, sym.src == frontier.v)
+            sym.join(front, sym.src == front.v)
             .select(F.col("dst").alias("v"), "label")
             .groupBy("v")
             .agg(F.min("label").alias("nbr_min"))
         )
-        upd = (
-            labels.join(msgs, "v", "left")
-            .select(
-                "v",
-                "label",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", "label")
-                ).alias("new_label"),
-            )
-            .localCheckpoint(eager=True)  # one barrier; both views below are narrow filters of it
+        return lab.join(msgs, "v", "left").select(
+            "v",
+            "label",
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
+                "new_label"
+            ),
         )
+
+    # TWO-HOP fused rounds (r11 VERDICT #7): each eager localCheckpoint
+    # is its own driver action, and at gate scale the round loop is
+    # driver-latency-bound (~0.4-0.6 s/round against ~tens of ms of
+    # task time), so two propagation hops share ONE checkpoint barrier.
+    # Fixpoint-exact: a hop-1 improver's new label is broadcast by
+    # hop 2, so only hop-2 improvers still hold unsent labels — they
+    # are the next frontier, and an empty one means hop 1's labels
+    # provoked no improvement anywhere, i.e. the exact fixpoint the
+    # single-hop rule reaches (tests/test_r12_optimizations.py pins
+    # label equality against the single-hop loop). The hop-1 subtree
+    # appears under both hop-2 branches; its label/message exchanges
+    # are identical subtrees, which IS the ReuseExchange case (one
+    # evaluation, two readers — see parallelize.py's tombstone for the
+    # negative case), verified in the captured plan. The instrumented
+    # mode keeps single hops: its contract is the exact per-hop
+    # frontier trajectory.
+    fuse = (
+        frontier_sizes is None
+        and vertices.sparkSession.conf.get("martian.dedup.ccTwoHop", "true")
+        == "true"
+    )
+    rnd = 0
+    while rnd < max_iter:
+        if fuse and rnd + 1 < max_iter:
+            lab1 = hop(labels, frontier)
+            f1 = lab1.filter(F.col("new_label") < F.col("label")).select(
+                "v", F.col("new_label").alias("label")
+            )
+            upd = hop(
+                lab1.select("v", F.col("new_label").alias("label")), f1
+            ).localCheckpoint(eager=True)
+            rnd += 2
+        else:
+            upd = hop(labels, frontier).localCheckpoint(
+                eager=True
+            )  # one barrier; both views below are narrow filters of it
+            rnd += 1
         frontier = upd.filter(F.col("new_label") < F.col("label")).select(
             "v", F.col("new_label").alias("label")
         )
@@ -500,7 +693,8 @@ def connected_components(
             frontier_sizes.append(size)
             if size == 0:
                 break
-        elif rnd % check_every == 0 or rnd == max_iter:
+        elif fuse or rnd % check_every == 0 or rnd >= max_iter:
+            # a fused round already spans check_every=2 hops
             if frontier.limit(1).count() == 0:
                 break
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component_id"))

@@ -113,7 +113,7 @@ def _doc_feature_rows(toks: DataFrame) -> DataFrame:
     )
 
 
-def dsir_weights(docs: DataFrame) -> DataFrame:
+def dsir_weights(docs: DataFrame, memo_key: str | None = None) -> DataFrame:
     """Score every document of (doc_id, text) by the DSIR hashed-ngram
     importance estimator. One row per input document: (doc_id,
     n_features, t_num, r_num, weight, keep). Documents with fewer than
@@ -128,7 +128,7 @@ def dsir_weights(docs: DataFrame) -> DataFrame:
     the bigram_lm_scores pattern. Identity at real scale."""
     from martian_moments_spark.operators.parallelize import spread_fanout
 
-    toks = spread_fanout(docs, "doc_id").select(
+    toks = spread_fanout(docs, "doc_id", memo_key=memo_key).select(
         "doc_id", tokens("text").alias("t")
     ).withColumn("is_ref", lm_gate(F.col("t")))
     feats = _doc_feature_rows(toks)

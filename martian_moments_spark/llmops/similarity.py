@@ -140,6 +140,39 @@ def _gram_f64(A, B=None):
     return (A @ B.T).astype(np.float64)
 
 
+def _topk_stable(neg, kk1: int):
+    """First ``kk1`` columns of ``np.argsort(neg, axis=1,
+    kind="stable")`` without the full row sort — the r11-deferred
+    argpartition selection (VERDICT r11 #6).
+
+    Exactness contract: identical to the stable argsort prefix,
+    INCLUDING tie handling (ties break toward the lower column index —
+    the kernels' lowest-id rule) and NaN handling (NaN sorts after
+    everything, exactly numpy's sort order). An O(m) partition finds
+    the kk1-th smallest value per row; candidate columns are those not
+    strictly above it — ``~(neg > kth)`` rather than ``neg <= kth`` so
+    NaN cells stay candidates (NaN compares False both ways) and a NaN
+    boundary (fewer than kk1 non-NaN cells) degrades to the full row —
+    then one stable sort over the few candidates reproduces the exact
+    prefix. Cost: O(n*m) selection instead of O(n*m*log m) sorting;
+    the per-row sort touches kk1 + |boundary ties| elements, not m.
+    """
+    import numpy as np
+
+    n, m = neg.shape
+    if kk1 >= m:
+        return np.argsort(neg, axis=1, kind="stable")
+    kth = np.partition(neg, kk1 - 1, axis=1)[:, kk1 - 1 : kk1]
+    mask = ~(neg > kth)
+    out = np.empty((n, kk1), dtype=np.int64)
+    for r in range(n):
+        cand = np.flatnonzero(mask[r])  # ascending column order
+        # stable value sort of the candidates = the argsort prefix
+        # order (rank order), ties kept in ascending-column order
+        out[r] = cand[np.argsort(neg[r, cand], kind="stable")[:kk1]]
+    return out
+
+
 def topk_cosine_cells_pandas(
     df: DataFrame,
     k: int = 5,
@@ -198,7 +231,9 @@ def topk_cosine_cells_pandas(
             # take kk+1 then drop self positionally (ADVICE r09): NaN
             # columns from a zero-norm vector sort after -inf, so the
             # -inf marking alone cannot guarantee self-exclusion.
-            top = np.argsort(-cos, axis=1, kind="stable")[:, : kk + 1]
+            # _topk_stable = the stable-argsort prefix via O(m)
+            # argpartition selection (tie/NaN-exact, VERDICT r11 #6).
+            top = _topk_stable(-cos, kk + 1)
             for r in range(e - s):
                 sel = top[r][top[r] != s + r][:kk]
                 for rank, j in enumerate(sel, start=1):
@@ -456,7 +491,9 @@ def topk_units_cells_pandas(assigned: DataFrame, k: int = 5) -> DataFrame:
             # zero-norm vector makes NaN cosine columns, and NaN sorts
             # after -inf in argsort, letting self re-enter the top-kk
             # window — the -inf marking alone is not an exclusion.
-            top = np.argsort(-cos, axis=1, kind="stable")[:, : kk + 1]
+            # _topk_stable = the stable-argsort prefix via O(m)
+            # argpartition selection (tie/NaN-exact, VERDICT r11 #6).
+            top = _topk_stable(-cos, kk + 1)
             for r in range(e - s):
                 sel = top[r][top[r] != s + r][:kk]
                 ida.append(np.full(kk, ids[s + r]))
@@ -537,7 +574,8 @@ def topk_units_cells_filtered_pandas(
                 cos = g / np.outer(norms[s:e], cand_norms)
             valid = cand_ids[None, :] != ids[s:e, None]
             masked = np.where(valid, cos, -np.inf)
-            top = np.argsort(-masked, axis=1, kind="stable")[:, : k + 1]
+            # stable-argsort prefix via argpartition (VERDICT r11 #6)
+            top = _topk_stable(-masked, k + 1)
             for r in range(e - s):
                 sel = top[r][valid[r, top[r]]][:k]
                 for rank, j in enumerate(sel, start=1):
@@ -666,7 +704,8 @@ def hard_negatives_cells_pandas(assigned: DataFrame, k: int = 3) -> DataFrame:
                 cos = g / np.outer(norms[s:e], norms)
             valid = labels[None, :] != labels[s : e, None]
             masked = np.where(valid, cos, -np.inf)
-            top = np.argsort(-masked, axis=1, kind="stable")[:, :k]
+            # stable-argsort prefix via argpartition (VERDICT r11 #6)
+            top = _topk_stable(-masked, k)
             for r in range(e - s):
                 sel = top[r][valid[r, top[r]]][:k]
                 for rank, j in enumerate(sel, start=1):
@@ -747,7 +786,8 @@ def topk_units_probed(probed: DataFrame, assigned: DataFrame, k: int = 5) -> Dat
                 cos = g / np.outer(qn[s:e], cn)
             valid = ci[None, :] != qi[s:e, None]
             masked = np.where(valid, cos, -np.inf)
-            top = np.argsort(-masked, axis=1, kind="stable")[:, : k + 1]
+            # stable-argsort prefix via argpartition (VERDICT r11 #6)
+            top = _topk_stable(-masked, k + 1)
             for r in range(e - s):
                 sel = top[r][valid[r, top[r]]][:k]
                 for j in sel:

@@ -826,7 +826,7 @@ def dsir_hashed_ngram_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bigram explode + one broadcast join + one map-side-combinable
     groupBy(doc_id). Nothing shuffles on a key wider than doc_id."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return dsir_weights(docs)
+    return dsir_weights(docs, memo_key=sf_dir + ":documents")
 
 
 #: tokens per training shard (the manifest granularity). Test-scale

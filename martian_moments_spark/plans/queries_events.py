@@ -856,6 +856,11 @@ def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_SCALE = 1_000_000_000_000  # rank fixed-point scale (1e12)
 _PR_ITERS = 10
 _PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100  # damping 0.85 as a ratio
+#: hard cap on the node vocabulary the driver-side rank fold accepts:
+#: the (src, dst, w) collect is |nodes|^2-bounded (~128 MB of rows at
+#: the cap with full density) — far above any event-type vocabulary,
+#: far below driver memory, and loud when violated (ADVICE r11).
+_PR_MAX_NODES = 2_000
 
 
 def _sql_pagerank_ctes() -> str:
@@ -944,7 +949,14 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributing a metadata-sized recurrence is pure overhead at every
     scale. On a graph whose NODE set grows with the data (user graph,
     url graph) the distributed round loop of connected_components is
-    the right shape instead; this operator's nodes are event types."""
+    the right shape instead; this operator's nodes are event types.
+
+    NOTE the builder is EAGER (ADVICE r11): the two bounded collects
+    run at plan-construction time, so an explain-only consumer pays
+    the transition-counting job. The driver-memory safety of the
+    collect is the vocabulary bound, asserted below — a caller whose
+    event_type column is secretly high-cardinality (user ids, urls)
+    fails loudly instead of OOMing the driver."""
     events = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts"
     )
@@ -956,13 +968,20 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .collect()  # bounded: |event types|^2
+        .collect()  # bounded: |event types|^2, asserted below
     )
     node_rows = sorted(
         r["node"]
         for r in events.select(F.col("event_type").alias("node")).distinct().collect()
     )
     n_nodes = len(node_rows)
+    if n_nodes > _PR_MAX_NODES:
+        raise ValueError(
+            f"pagerank_event_graph: {n_nodes} distinct event types exceeds "
+            f"the vocabulary bound {_PR_MAX_NODES} the driver-side fold "
+            "relies on; for node sets that grow with the data use the "
+            "distributed round loop (connected_components' shape)."
+        )
     base = (15 * _PR_SCALE) // (_PR_DAMP_DEN * n_nodes)
     out_w: dict = {}
     for r in edge_rows:

@@ -235,7 +235,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs instead of the O(n^2) cross product. (Exact duplicates all
     collide — compose exact_dedup first on duplicate-heavy corpora;
     see dedup.lsh_candidates.)"""
-    return lsh_candidates(load(spark, sf_dir, "documents"))
+    return lsh_candidates(
+        load(spark, sf_dir, "documents"), memo_key=sf_dir + ":documents"
+    )
 
 
 @register(
