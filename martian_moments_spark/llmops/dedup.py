@@ -495,17 +495,29 @@ def deletion_neighborhood_candidates(
     # on a hash, not the variant string, keeps the shuffle key at 8
     # bytes, and a hash collision can only ADD a candidate (the
     # banded-DP verify rejects it), so recall stays exactly 1 under
-    # EITHER signature backend. Default backend is the Arrow rolling-
-    # hash kernel (guide §4.2): the JVM expression form materializes
-    # every variant STRING (~l^2/2 substr+concat per key — the measured
-    # CPU floor of the edit-distance pair, 34.5 s task CPU at sf0.1,
-    # r11 profile) only to hash it away, where prefix hashes make each
-    # deletion variant's hash an O(1) arithmetic identity.
-    # ``martian.dedup.deletionSigKernel=jvm`` pins the expression form
-    # (A/B harnesses; Arrow-less deployments);
-    # tests/test_properties.py pins candidate-set equality of the two.
+    # EITHER signature backend.
+    #
+    # r12 measured BOTH backends (interleaved same-session A/B, both
+    # SFs) and the Arrow rolling-hash kernel is a WALL-CLOCK WASH:
+    # 0.97-0.99x at sf0.1, 0.99x at sf1. Stage profiles explain it —
+    # the kernel itself is ~3.5 ms/task (the O(1)-per-variant prefix-
+    # hash identity really does delete the substr+concat work: sig-
+    # stage JVM CPU 15.6 s -> 12.7 s) but the stage's remaining cost
+    # is the partial collect_set aggregate + 27 MB sig-row shuffle
+    # write, which both backends pay identically, and the Python
+    # boundary gives back the saved CPU as worker blocking (sig-stage
+    # run time 19.7 s -> 23.2 s). Default stays the JVM form (no plan-
+    # shape change, no Python workers); the kernel remains selectable
+    # for Arrow-friendly deployments and is parity-pinned by
+    # tests/test_r12_optimizations.py. A PassJoin-style partition-
+    # pattern canopy (fewer, shorter signatures) was ANALYZED and
+    # rejected on data shape: entity keys routinely share long constant
+    # prefixes (c_name: 9 identical leading chars corpus-wide), so the
+    # first fixed segment buckets the whole corpus into one all-pairs
+    # canopy — FastSS variants survive precisely because every variant
+    # spans the distinguishing characters.
     if (
-        df.sparkSession.conf.get("martian.dedup.deletionSigKernel", "arrow")
+        df.sparkSession.conf.get("martian.dedup.deletionSigKernel", "jvm")
         == "arrow"
     ):
         sig_rows = _deletion_sig_rows_arrow(base)
@@ -668,7 +680,16 @@ def connected_components(
     rnd = 0
     while rnd < max_iter:
         if fuse and rnd + 1 < max_iter:
-            lab1 = hop(labels, frontier)
+            # hop 1 is consumed by BOTH hop-2 branches (its improvers
+            # feed the messages, its labels the merge); a LAZY local
+            # checkpoint makes the fused action materialize it once —
+            # without it the hop-1 join+aggregate subtree is inlined
+            # into both branches (12 aggregates in the static plan,
+            # measured) and the per-round message work doubles at any
+            # scale. Lazy, not eager: the fused round stays ONE driver
+            # action (hop 2's eager checkpoint computes hop 1 first;
+            # Spark backfills any partitions the first job skipped).
+            lab1 = hop(labels, frontier).localCheckpoint(eager=False)
             f1 = lab1.filter(F.col("new_label") < F.col("label")).select(
                 "v", F.col("new_label").alias("label")
             )

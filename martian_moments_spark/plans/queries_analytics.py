@@ -2410,14 +2410,6 @@ def two_sample_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: price units (cents) per range bucket of the two-phase weighted-
-#: median cumsum — ~210 buckets over the ~10.5M-unit price domain.
-#: Fixed width keeps the split deterministic (no sampled boundaries);
-#: the domain is price RANGE, not corpus size, so the bucket count is
-#: scale-independent and the metadata window stays metadata-sized.
-WM_BUCKET_WIDTH = 50_000
-
-
 @register(
     "weighted_median_per_group",
     ops=("A1", "W2", "A4"),
@@ -2452,61 +2444,38 @@ def weighted_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     market-microstructure medians need. Pure integer cumsum
     comparison — no interpolation arithmetic at all.
 
-    The running sum is TWO-PHASE range-bucketed (the
-    global_rank_range_partitioned pattern, r11 VERDICT #4): a window
-    partitioned by l_returnflag alone pins the whole per-flag price
-    distribution to ONE task per flag — 3 tasks at any scale, a
-    genuine at-scale hot key (guide §2.5). Instead, prices bucket by a
-    fixed width; phase 1 sums each (flag, bucket)'s mass (metadata:
-    ~210 buckets x 3 flags), phase 2 prefix-sums those into per-bucket
-    offsets (a window over the metadata rows) and broadcast-joins them
-    back, so every price's running mass is its bucket offset plus a
-    WITHIN-bucket cumsum — each bucket cumsums independently under
-    hash partitioning. Exact integer arithmetic throughout: identical
-    result to the single-window form (tests/test_analytics_extra.py
-    pins the equivalence row-for-row on adversarial data).
+    Measured rejection, do not retry (r12, VERDICT r11 #4): the
+    two-phase range-bucketed cumsum (global_rank_range_partitioned's
+    pattern — 50k-unit price buckets, metadata offsets broadcast back,
+    within-bucket windows at full parallelism) benched **0.79x/0.86x**
+    in both interleaved arm orders at sf0.1, and 0.84x with phase-1
+    checkpointed to kill its double evaluation; the 3-task sort is not
+    this query's wall, while the extra exchange + metadata branch +
+    broadcast join are real costs (runs in tools_r12_ab.py `wm`;
+    tests/test_r12_optimizations.py pinned the equivalence while the
+    draft lived). The at-scale exposure is also BOUNDED, not open:
+    the window partition is distinct PRICE UNITS per flag, capped by
+    the ~10.4M-value price domain at ANY corpus size, so the hot
+    partition tops out near 10M rows per flag — a big sort task, not
+    a corpus-sized one.
 
     Scale: values pre-aggregate per (group, price) — the cardinality
-    cap that bounds the relation (distinct PRICES, not rows); the
-    fixed bucket width keeps the split deterministic for the oracle;
-    skewed buckets bound parallelism per the classic distributed-sort
-    trade."""
+    cap that makes the running window safe (its partition is distinct
+    PRICES, not rows); one shuffle on the group key serves the
+    running sum, the group total, and the final min-filter."""
     u = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("pu"),
         F.round("l_quantity").cast("long").alias("w"),
     )
     byval = u.groupBy("l_returnflag", "pu").agg(F.sum("w").cast("long").alias("w"))
-    # NULL prices keep a dedicated lowest bucket: floor(NULL) is NULL
-    # and a null-unsafe join key would silently drop the row, where
-    # the single-window form ranked NULL first (Spark ASC null
-    # ordering) — the sentinel preserves that placement exactly.
-    bucket = F.coalesce(
-        F.floor(F.col("pu") / F.lit(WM_BUCKET_WIDTH)).cast("long"),
-        F.lit(-(1 << 62)),
-    )
-    b = byval.withColumn("bucket", bucket)
-    counts = b.groupBy("l_returnflag", "bucket").agg(
-        F.sum("w").cast("long").alias("bw")
-    )
-    w_off = (
-        W.partitionBy("l_returnflag")
-        .orderBy("bucket")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
+    w_cum = W.partitionBy("l_returnflag").orderBy("pu")
     w_tot = W.partitionBy("l_returnflag")
-    offsets = counts.select(
-        "l_returnflag",
-        "bucket",
-        F.coalesce(F.sum("bw").over(w_off), F.lit(0)).cast("long").alias("offset"),
-        F.sum("bw").over(w_tot).cast("long").alias("tot"),
-    )
-    w_in = W.partitionBy("l_returnflag", "bucket").orderBy("pu")
-    cum = b.join(F.broadcast(offsets), ["l_returnflag", "bucket"]).select(
+    cum = byval.select(
         "l_returnflag",
         "pu",
-        (F.col("offset") + F.sum("w").over(w_in)).cast("long").alias("cw"),
-        "tot",
+        F.sum("w").over(w_cum).cast("long").alias("cw"),
+        F.sum("w").over(w_tot).cast("long").alias("tot"),
     )
     return cum.groupBy("l_returnflag").agg(
         F.min("tot").alias("total_weight"),
