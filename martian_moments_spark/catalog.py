@@ -56,13 +56,51 @@ def table_path(sf_dir: str, name: str) -> str:
 NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+#: per-session memo of ANALYZED table DataFrames (r12 VERDICT #8): a
+#: plan-construction profile of the sub-1.5 s registry tail put
+#: 100-230 ms of every query build in python plan construction, and
+#: most of that in load()'s spark.read.parquet (file listing + schema
+#: inference py4j round-trips) — paid once per load() call, i.e. 1-3x
+#: per query build, ~300x per registry sweep. DataFrames are immutable
+#: plan objects, so one per (session, sf_dir, table, file fingerprint)
+#: serves every consumer. This memoizes the PLAN, never data: every
+#: action still scans parquet (bench/oracle runs recompute from the
+#: files on every invocation). The WeakKeyDictionary drops entries
+#: with their session; the mtime fingerprint invalidates in-process
+#: dataset rewrites (same contract as parallelize._PROBE_MEMO), and
+#: reset_load_memo() is the explicit hook for harnesses that rewrite
+#: files without touching the directory mtime.
+import weakref
+
+_LOAD_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def reset_load_memo() -> None:
+    """Drop all memoized table DataFrames (test harnesses that rewrite
+    datasets in place call this)."""
+    _LOAD_MEMO.clear()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Columnar parquet scan; callers project/
     filter and Catalyst pushes both into the scan."""
+    path = table_path(sf_dir, name)
+    try:
+        fp = os.stat(path).st_mtime_ns
+    except OSError:
+        fp = None
+    try:
+        per_session = _LOAD_MEMO.setdefault(spark, {})
+    except TypeError:  # unhashable/unweakrefable session stand-ins
+        per_session = {}
+    key = (sf_dir, name, fp)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     nanos_cols = NANOS_TS_COLUMNS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(path)
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
 
@@ -81,6 +119,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # (ensure_engine_conf), so the NTZ→LTZ cast is the identity
             # on the wall clock — same instants DuckDB's epoch() sees.
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    per_session[key] = df
     return df
 
 
